@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Loaders for the driver-generated test tables (TESTDATA.md).
+  *
+  * `events` is the streaming-source proxy for the reference's pageview
+  * stream (reference: src/java/manning/speedlayer/UniquesOverTime.java:83-110
+  * tuples (user, url, timestamp)): `user_id` stands in for the person id,
+  * a deterministic synthetic URL built from (event_type, user_id, event_id)
+  * stands in for the page URL, and `ts` for the pageview timestamp.
+  */
+object Tables {
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "customer")
+  def nation(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "region")
+  def supplier(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "part")
+  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  /** Raw events. The parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
+    * parquet reader rejects by default; `nanosAsLong` maps it to LongType
+    * (epoch nanoseconds). Session-level conf, safe to set at read time.
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, dir, "events")
+  }
+
+  /** Events decorated with the pageview-proxy columns:
+    *  - ts_secs: epoch seconds (integer division of nanos — matches the
+    *    reference's i32-seconds timestamps, schema.thrift:71-75)
+    *  - url: synthetic URL with port/query/fragment so that URL
+    *    normalization has something to strip
+    *  - the (person=user_id, url, timestamp=ts_secs) triple of
+    *    ExtractPageViewFields (BatchWorkflow.java:245-260)
+    */
+  def events(spark: SparkSession, dir: String): DataFrame =
+    eventsRaw(spark, dir)
+      .withColumn("ts_secs", floor(col("ts") / lit(1000000000L)).cast("long"))
+      .withColumn(
+        "url",
+        concat(
+          lit("https://"), col("event_type"), lit(".example.com:8080/u/"),
+          (col("user_id") % 20).cast("string"), lit("/item?q="),
+          col("event_id").cast("string"), lit("#f")))
+
+  /** SQL snippets the DuckDB oracle uses for the same derived columns —
+    * kept here so Spark and oracle definitions sit side by side.
+    */
+  object sql {
+    // epoch(ts) is double seconds; floor + cast matches integer ns division.
+    val tsSecs = "CAST(floor(epoch(ts)) AS BIGINT)"
+    val url =
+      "'https://' || event_type || '.example.com:8080/u/' || CAST(user_id % 20 AS VARCHAR) || '/item?q=' || CAST(event_id AS VARCHAR) || '#f'"
+    // What NormalizeURL must produce for the synthetic url above.
+    val normUrl =
+      "'https://' || event_type || '.example.com/u/' || CAST(user_id % 20 AS VARCHAR) || '/item'"
+    // What ExtractDomain (authority, incl. port) must produce.
+    val domain = "event_type || '.example.com:8080'"
+  }
+}

@@ -1,0 +1,107 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withOracle
+import org.apache.spark.sql.functions._
+
+/** Join-shaped operators (SURVEY.md §2.4) plus a TPC-H-style headline
+  * aggregation. Join strategy is deliberate for 100 TB: dimension tables
+  * (nation/region/customer at star-schema ratios) are broadcast; only the
+  * fact table keeps its partitioning, so no shuffle of the big side.
+  */
+object Relational {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // TPC-H Q1-shaped pricing summary over lineitem — the headline scan+agg
+    // benchmark query. Sums rounded to the data's 2dp grid; averages to 4dp.
+    withOracle(
+      "q1_agg",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_extendedprice), 4) AS avg_price,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Cascalog implicit equi-join (BatchWorkflow.java:628-634) -> fact ⋈
+    // broadcast dims: orders ⋈ customer ⋈ nation ⋈ region, revenue per nation.
+    withOracle(
+      "join_inner",
+      """SELECT r_name, n_name, count(*) AS n_orders,
+        |       round(sum(o_totalprice), 2) AS revenue
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(count(lit(1)).as("n_orders"), round(sum("o_totalprice"), 2).as("revenue"))
+        .orderBy("r_name", "n_name")
+    },
+
+    // !!newId ungrounded-var left outer join (BatchWorkflow.java:679-686):
+    // pageviews left-joined to a canonical-id map; unmatched keep their id.
+    // The map here is a deterministic synthetic equiv relation over events
+    // user ids (full CC-derived map lives in the connected_components query).
+    withOracle(
+      "join_left_outer",
+      """WITH idmap AS (
+        |  SELECT DISTINCT user_id AS node, user_id % 37 AS canonical
+        |  FROM events WHERE user_id % 37 <> user_id)
+        |SELECT coalesce(canonical, user_id) AS person, count(*) AS pageviews
+        |FROM events LEFT JOIN idmap ON user_id = node
+        |GROUP BY 1 ORDER BY person""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsRaw(s, dir)
+      val idmap = ev.select(col("user_id").as("node"), (col("user_id") % 37).as("canonical"))
+        .where(col("canonical") =!= col("node")).distinct()
+      ev.join(broadcast(idmap), col("user_id") === col("node"), "left_outer")
+        .select(coalesce(col("canonical"), col("user_id")).as("person"))
+        .groupBy("person").agg(count(lit(1)).as("pageviews"))
+        .orderBy("person")
+    },
+
+    // MakeNormalizedPageview row rewrite (BatchWorkflow.java:607-619):
+    // per-row coalesce of joined-in canonical id over the original.
+    withOracle(
+      "rewrite_join",
+      """WITH idmap AS (
+        |  SELECT DISTINCT user_id AS node, user_id % 37 AS canonical
+        |  FROM events WHERE user_id % 37 <> user_id)
+        |SELECT event_id, coalesce(canonical, user_id) AS person
+        |FROM events LEFT JOIN idmap ON user_id = node
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsRaw(s, dir)
+      val idmap = ev.select(col("user_id").as("node"), (col("user_id") % 37).as("canonical"))
+        .where(col("canonical") =!= col("node")).distinct()
+      ev.join(broadcast(idmap), col("user_id") === col("node"), "left_outer")
+        .select(col("event_id"), coalesce(col("canonical"), col("user_id")).as("person"))
+        .orderBy("event_id")
+    }
+  )
+}
