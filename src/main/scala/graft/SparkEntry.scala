@@ -12,7 +12,10 @@ object SparkEntry {
 
   def modules: Seq[QueryDef] =
     operators.BatchViews.defs ++
-      operators.Relational.defs
+      operators.Relational.defs ++
+      operators.Sessionize.defs ++
+      operators.Uniques.defs ++
+      operators.GraphOps.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Pageviews-over-time — the book's flagship batch view

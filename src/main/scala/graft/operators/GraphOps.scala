@@ -1,0 +1,141 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withOracle
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The user-id-normalization graph pipeline (SURVEY.md §2.2 edgify/
+  * bidirectional edges, §2.6 connected components; reference
+  * BatchWorkflow.java:561-605, 623-687).
+  *
+  * The equiv-edge fixture is synthesized deterministically from events
+  * user ids (two modulus relations), standing in for the reference's
+  * EquivEdge facts; node ids are longs, matching the PersonID total order
+  * ("smallest id wins", schema/PersonID.java:322-326).
+  */
+object GraphOps {
+
+  /** Min-label-propagation connected components, the Spark-idiomatic form
+    * of the reference's driver-side iteration (BatchWorkflow.java:653-687):
+    * per round each node adopts the smallest label among itself and its
+    * neighbors; terminate when no label changes (the reference's
+    * "progress edges empty" probe becomes a count on the changed set).
+    *
+    * Scale notes (100 TB): labels are shuffled on the node key each round;
+    * `localCheckpoint` truncates lineage so the plan doesn't grow with
+    * iterations; the convergence probe is an aggregate on the label table,
+    * never a collect. Rounds = graph diameter — for equiv graphs
+    * (near-cliques of a person's identities) this is small. A cap guards
+    * against adversarial chains.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    // Bidirectional, self-loop-free edge set (BidirectionalEdge,
+    // BatchWorkflow.java:570-581), deduplicated once up front.
+    val bidir = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .localCheckpoint()
+
+    var labels = bidir.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint()
+
+    var iter = 0
+    var converged = false
+    while (iter < maxIter && !converged) {
+      // Each node's candidate labels: its own + each neighbor's current.
+      val candidate = bidir
+        .join(labels.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), col("label"))
+        .unionAll(labels)
+        .groupBy("node")
+        .agg(min("label").as("newLabel"))
+      val next = candidate.select(col("node"), col("newLabel").as("label"))
+        .localCheckpoint()
+      val changed = next.join(labels.withColumnRenamed("label", "oldLabel"), "node")
+        .where(col("label") =!= col("oldLabel"))
+        .limit(1).count() // emptiness probe, not a full count
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  /** The synthetic equiv-edge relation over events user ids. */
+  def equivEdges(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.eventsRaw(s, dir)
+    // % 7 keeps the graph non-empty even at sf0.001's small user range.
+    val e1 = ev.select(col("user_id").as("src"), (col("user_id") % 37).as("dst"))
+    val e2 = ev.select(col("user_id").as("src"), (col("user_id") % 41).as("dst"))
+    val e3 = ev.select(col("user_id").as("src"), (col("user_id") % 7).as("dst"))
+    e1.unionAll(e2).unionAll(e3).where(col("src") =!= col("dst")).distinct()
+  }
+
+  private val edgesBody =
+    """e AS (
+      |  SELECT DISTINCT user_id AS src, user_id % 37 AS dst FROM events WHERE user_id % 37 <> user_id
+      |  UNION
+      |  SELECT DISTINCT user_id, user_id % 41 FROM events WHERE user_id % 41 <> user_id
+      |  UNION
+      |  SELECT DISTINCT user_id, user_id % 7 FROM events WHERE user_id % 7 <> user_id)""".stripMargin
+  private val edgesCte = s"WITH $edgesBody"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // EdgifyEquiv (BatchWorkflow.java:561-568): equiv facts -> edge tuples.
+    withOracle(
+      "edgify_equiv",
+      s"$edgesCte SELECT src, dst FROM e ORDER BY src, dst") { (s, dir) =>
+      equivEdges(s, dir).orderBy("src", "dst")
+    },
+
+    // BidirectionalEdge (BatchWorkflow.java:570-581): (a,b) -> {(a,b),(b,a)},
+    // self-loops dropped; kept as a multiset (dedup is distinct_edges).
+    withOracle(
+      "bidirectional_edge",
+      s"""$edgesCte
+         |SELECT src, dst FROM (
+         |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+         |ORDER BY src, dst""".stripMargin) { (s, dir) =>
+      val e = equivEdges(s, dir)
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .orderBy("src", "dst")
+    },
+
+    // Option.DISTINCT on the iteration edge set (BatchWorkflow.java:639-641).
+    withOracle(
+      "distinct_edges",
+      s"""$edgesCte
+         |SELECT DISTINCT src, dst FROM (
+         |  SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)
+         |ORDER BY src, dst""".stripMargin) { (s, dir) =>
+      val e = equivEdges(s, dir)
+      e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+        .distinct()
+        .orderBy("src", "dst")
+    },
+
+    // normalizeUserIds iteration to fixpoint (BatchWorkflow.java:653-687).
+    // Oracle: transitive-closure recursive CTE (fine at oracle scale; the
+    // Spark path is the scalable one).
+    withOracle(
+      "connected_components",
+      s"""WITH RECURSIVE $edgesBody,
+         |edges AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach AS (
+         |  SELECT node, node AS m FROM nodes
+         |  UNION
+         |  SELECT e2.b AS node, r.m FROM reach r JOIN edges e2 ON e2.a = r.node)
+         |SELECT node, min(m) AS canonical FROM reach GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+      connectedComponents(equivEdges(s, dir))
+        .select(col("node"), col("label").as("canonical"))
+        .orderBy("node")
+    }
+  )
+}
