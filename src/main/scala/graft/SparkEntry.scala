@@ -15,7 +15,10 @@ object SparkEntry {
       operators.Relational.defs ++
       operators.Sessionize.defs ++
       operators.Uniques.defs ++
-      operators.GraphOps.defs
+      operators.GraphOps.defs ++
+      operators.TextOps.defs ++
+      operators.VectorOps.defs ++
+      operators.NearDedup.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Pageviews-over-time — the book's flagship batch view

@@ -1,0 +1,62 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis scalar ops for the LLM-pipeline extension operators
+  * (SURVEY.md §2.9): tokenization, shingling, fingerprinting, quality
+  * signals, language-ID profiles. All are pure column expressions
+  * (codegen-friendly, no UDFs) so they stay inside whole-stage codegen.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens of lowercased text. */
+  def tokens(text: Column): Column = split(lower(text), "\\s+")
+
+  /** n-word shingles (order-sensitive token n-grams), empty when the doc
+    * has fewer than n tokens. Built with transform+sequence — note
+    * sequence(1, 0) in Spark yields a *descending* range, so the short-doc
+    * case must be guarded explicitly.
+    */
+  def shingles(text: Column, n: Int): Column = {
+    val l = tokens(text)
+    when(size(l) >= n,
+      transform(sequence(lit(1), size(l) - (n - 1)), i =>
+        concat_ws(" ", (0 until n).map(k => element_at(l, i + k)): _*)))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  def distinctShingles(text: Column, n: Int): Column = array_distinct(shingles(text, n))
+
+  /** Bag-normalized document fingerprint: md5 of the space-joined sorted
+    * distinct token set. Identical token bags → identical fingerprint,
+    * robust to word order — the cheap first tier of near-dedup.
+    */
+  def fingerprint(text: Column): Column =
+    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+
+  /** English-ish stopword count (fixed public profile). */
+  val StopwordsRe = "\\b(the|a|and|of|to|in|is)\\b"
+  def stopwordCount(text: Column): Column =
+    size(regexp_extract_all(lower(text), lit(StopwordsRe), lit(0)))
+
+  /** Fraction of characters that are not alphanumeric-or-space. */
+  def punctRatio(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[^a-zA-Z0-9 ]", ""))) /
+      length(text).cast("double")
+
+  /** Small fixed stopword profiles for language ID (public common-word
+    * lists). Deliberately overlapping (la/de/que…) — scoring is by total
+    * profile hits with lexicographic tie-break.
+    */
+  val LangProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "y", "un"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "que", "dans", "une"),
+    "it" -> Seq("il", "la", "di", "che", "e", "per", "un", "sono"))
+
+  /** The same profiles as a SQL VALUES list for the DuckDB oracle. */
+  def langProfilesValuesSql: String =
+    LangProfiles.flatMap { case (l, ws) => ws.map(w => s"('$w','$l')") }.mkString(", ")
+}

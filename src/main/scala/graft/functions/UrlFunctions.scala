@@ -30,7 +30,8 @@ object UrlFunctions {
     if (url == null) null
     else {
       val u = parse(url)
-      if (u == null) url else s"${u.getProtocol}://${u.getHost}${u.getPath}"
+      if (u == null) url
+      else s"${u.getProtocol}://${u.getHost.toLowerCase}${u.getPath}"
     }
   }
 
@@ -41,7 +42,8 @@ object UrlFunctions {
     if (url == null) null
     else {
       val u = parse(url)
-      if (u == null) null else s"${u.getProtocol}://${u.getHost}${u.getPath}"
+      if (u == null) null
+      else s"${u.getProtocol}://${u.getHost.toLowerCase}${u.getPath}"
     }
   }
 

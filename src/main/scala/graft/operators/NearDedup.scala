@@ -1,0 +1,144 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.noOracle
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents` (SURVEY.md §2.9
+  * `near_dedup_minhash` + SimHash): the LSH scale path for text dedup.
+  *
+  * MinHash: per doc, k=16 min-hashes of its 3-shingle set (hash family =
+  * murmur3(shingle, seed i)); 4 bands × 4 rows; docs sharing any band
+  * bucket are candidates; candidates are verified with exact shingle
+  * Jaccard ≥ threshold. By MinHash theory P(candidate) ≈ 1-(1-s^4)^4 —
+  * s=0.8 → 0.93, s=0.3 → 0.03 — so verification work stays near-linear.
+  *
+  * SimHash: 64-bit signature = sign-aggregate of per-token hash bits
+  * weighted by term frequency; near-dups are pairs within Hamming
+  * distance ≤ 3, found by the pigeonhole band trick (4 × 16-bit chunks:
+  * any pair at distance ≤ 3 shares at least one exact chunk).
+  *
+  * Both are banded-shuffle joins — no all-pairs product, no driver state;
+  * exactly the shape that survives 100 TB (bucket sizes bounded by band
+  * width; hot buckets can be salted or frequency-capped upstream).
+  *
+  * Approximate candidate generation → no DuckDB oracle; NearDedupSpec
+  * asserts planted-duplicate recall and verified-Jaccard soundness.
+  */
+object NearDedup {
+
+  // b=16 bands of r=4 rows: P(candidate) = 1-(1-s^4)^16, the S-curve with
+  // 50% crossover at s = (1/16)^(1/4) ≈ 0.5 — near-certain recall above
+  // s=0.7, near-zero candidate rate below s=0.3.
+  val NumHashes = 64
+  val Bands = 16
+  val RowsPerBand = NumHashes / Bands
+
+  /** (doc_id, minhash array of NumHashes longs) from a (doc_id, s) shingle
+    * relation. One shuffle: groupBy doc_id with k min-aggregates.
+    */
+  def minhashSignatures(shingled: DataFrame): DataFrame = {
+    val minCols = (0 until NumHashes).map(i =>
+      min(hash(col("s"), lit(i)).cast("long")).as(s"mh$i"))
+    shingled.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** Candidate pairs (i < j) sharing at least one of the `Bands` band
+    * hashes. Band value = hash of its RowsPerBand consecutive minhashes.
+    */
+  def minhashCandidates(signatures: DataFrame): DataFrame = {
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(cols: _*).cast("long").as("bv"))
+    }
+    val banded = signatures
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+  }
+
+  /** End-to-end MinHash near-dedup: candidates verified with exact shingle
+    * Jaccard ≥ threshold. Returns (i, j, jaccard).
+    */
+  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+    val shingled = docs.select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
+    val candidates = minhashCandidates(minhashSignatures(shingled))
+    // Exact verify on the candidate set only: intersection via the shingle
+    // join restricted to candidate pairs, sizes from the shingle relation.
+    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shingled.as("a")
+      .join(shingled.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .join(candidates, Seq("i", "j"), "left_semi")
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .withColumn("jaccard", col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash per doc: for each token hash h and bit b, add tf if
+    * bit set else -tf; signature bit b = sign of the sum. Expressed as 64
+    * conditional-sum aggregates over the (doc, token, tf) relation — one
+    * shuffle, codegen'd.
+    */
+  def simhashSignatures(docs: DataFrame): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("w")))
+    val bitSums = (0 until 64).map { b =>
+      sum(when(expr(s"(h >> $b) & 1") === 1, col("tf")).otherwise(-col("tf"))).as(s"s$b")
+    }
+    val sums = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
+    val sig = (0 until 64).map(b =>
+      when(col(s"s$b") >= 0, expr(s"shiftleft(1L, $b)")).otherwise(0L))
+      .reduce(_ + _)
+    sums.select(col("doc_id"), sig.as("simhash"))
+  }
+
+  /** Pairs within Hamming distance ≤ maxDist via the pigeonhole band join:
+    * 4 × 16-bit chunks — any pair at distance ≤ 3 agrees exactly on ≥ 1
+    * chunk. Verification = bit_count(xor) on candidates only.
+    */
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+    require(maxDist <= 3, "4-chunk pigeonhole covers Hamming distance <= 3")
+    val sig = simhashSignatures(docs)
+    val chunks = (0 until 4).map(cix =>
+      struct(lit(cix).as("cix"), expr(s"(simhash >> ${cix * 16}) & 65535").as("cv")))
+    val banded = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("simhash"), col("c.cix").as("cix"), col("c.cv").as("cv"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.cix") === col("b.cix") && col("a.cv") === col("b.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("hamming", bit_count(expr("ha ^ hb" )))
+      .where(col("hamming") <= maxDist)
+      .select(col("i"), col("j"), col("hamming"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    noOracle("near_dedup_minhash") { (s, dir) =>
+      minhashNearDups(Tables.documents(s, dir), threshold = 0.5)
+        .orderBy("i", "j")
+    },
+
+    noOracle("near_dedup_simhash") { (s, dir) =>
+      simhashNearDups(Tables.documents(s, dir), maxDist = 3)
+        .orderBy("i", "j")
+    }
+  )
+}

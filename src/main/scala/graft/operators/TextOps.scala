@@ -1,0 +1,196 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withOracle
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text-pipeline operators over `documents` (SURVEY.md §2.9): exact dedup,
+  * corpus stats, token top-k, quality scoring, fingerprinting, language ID,
+  * and exact n-gram-Jaccard near-dup scoring. MinHash/SimHash LSH live in
+  * NearDedup.scala (no-oracle, property-tested).
+  *
+  * Scale notes: everything is shuffle-based group/join — no driver
+  * collection. The shingle self-join (`text_ngram_jaccard`) is the exact
+  * O(pairs-sharing-a-shingle) "sparse similarity join"; at 100 TB the LSH
+  * operators replace it and this exact form runs only on candidate pairs.
+  */
+object TextOps {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Exact dedup by content hash: keep the smallest doc_id per md5 group.
+    withOracle(
+      "text_exact_dedup",
+      """SELECT doc_id, md5(text) AS h FROM (
+        |  SELECT doc_id, text,
+        |         row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .orderBy("doc_id")
+    },
+
+    // Per-language corpus stats.
+    withOracle(
+      "text_stats",
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       round(avg(n_chars), 4) AS avg_chars,
+        |       min(n_chars) AS min_chars, max(n_chars) AS max_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          round(avg("n_chars"), 4).as("avg_chars"),
+          min("n_chars").as("min_chars"), max("n_chars").as("max_chars"))
+        .orderBy("lang")
+    },
+
+    // Top-k tokens by frequency across the corpus.
+    withOracle(
+      "text_tokenize_topk",
+      """SELECT token, count(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+        |  FROM documents) t
+        |WHERE token <> ''
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("token"))
+        .where(col("token") =!= "")
+        .groupBy("token").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("token"))
+        .limit(20)
+    },
+
+    // Per-doc token count (whitespace tokenization).
+    withOracle(
+      "text_token_count",
+      """SELECT doc_id, len(string_split_regex(lower(text), '\s+')) AS n_tokens
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+        .orderBy("doc_id")
+    },
+
+    // Quality signals: token count, stopword hits/ratio, punctuation ratio.
+    withOracle(
+      "text_quality_score",
+      """SELECT doc_id,
+        |       len(string_split_regex(lower(text), '\s+')) AS n_tokens,
+        |       len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS n_stop,
+        |       round(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b'))
+        |             * 1.0 / len(string_split_regex(lower(text), '\s+')), 4) AS stop_ratio,
+        |       round((length(text) - length(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')))
+        |             * 1.0 / length(text), 4) AS punct_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val nTokens = size(tokens(col("text")))
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          nTokens.as("n_tokens"),
+          stopwordCount(col("text")).as("n_stop"),
+          round(stopwordCount(col("text")) / nTokens.cast("double"), 4).as("stop_ratio"),
+          round(punctRatio(col("text")), 4).as("punct_ratio"))
+        .orderBy("doc_id")
+    },
+
+    // Bag-normalized document fingerprint (rolling-hash tier of dedup).
+    withOracle(
+      "doc_fingerprint",
+      """SELECT doc_id,
+        |       md5(array_to_string(list_sort(list_distinct(
+        |         string_split_regex(lower(text), '\s+'))), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")
+    },
+
+    // Language ID by fixed stopword profiles: per-doc argmax of profile
+    // hits (ties lexicographic, no hits -> 'und'), aggregated per language.
+    withOracle(
+      "text_langid",
+      s"""WITH prof(word, plang) AS (VALUES ${langProfilesValuesSql}),
+         |tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |        FROM documents),
+         |m AS (SELECT doc_id, plang, count(*) AS c
+         |      FROM tok JOIN prof ON w = word GROUP BY doc_id, plang),
+         |best AS (SELECT doc_id, plang,
+         |               row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, plang) AS rn
+         |        FROM m)
+         |SELECT coalesce(b.plang, 'und') AS pred_lang, count(*) AS n_docs
+         |FROM documents d LEFT JOIN (SELECT doc_id, plang FROM best WHERE rn = 1) b
+         |  USING (doc_id)
+         |GROUP BY 1 ORDER BY pred_lang""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      langid(docs)
+        .groupBy("pred_lang").agg(count(lit(1)).as("n_docs"))
+        .orderBy("pred_lang")
+    },
+
+    // Exact n-gram (3-shingle) Jaccard similarity join, threshold 0.1:
+    // explode distinct shingles -> self-join on shingle -> intersection
+    // counts -> Jaccard from set sizes.
+    withOracle(
+      "text_ngram_jaccard",
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-2, 0))) AS i) g),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2)
+        |SELECT i, j, round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
+        |FROM pair JOIN sizes na ON i = na.doc_id JOIN sizes nb ON j = nb.doc_id
+        |WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1
+        |ORDER BY i, j""".stripMargin) { (s, dir) =>
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
+      ngramJaccardPairs(sh, 0.1)
+        .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
+        .orderBy("i", "j")
+    }
+  )
+
+  /** Per-doc predicted language from the fixed stopword profiles. */
+  def langid(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val prof = LangProfiles.flatMap { case (l, ws) => ws.map(w => (w, l)) }
+      .toDF("word", "plang")
+    val hits = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .join(broadcast(prof), col("w") === col("word"))
+      .groupBy("doc_id", "plang").agg(count(lit(1)).as("c"))
+    val best = hits
+      .withColumn("rn",
+        row_number().over(Window.partitionBy("doc_id").orderBy(col("c").desc, col("plang"))))
+      .where(col("rn") === 1)
+      .select(col("doc_id"), col("plang"))
+    docs.join(best, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"), coalesce(col("plang"), lit("und")).as("pred_lang"))
+  }
+
+  /** Exact Jaccard over an exploded (doc_id, shingle-or-token) relation:
+    * the sparse similarity join. Returns (i, j, inter, jac) for i < j with
+    * jac >= threshold. Reused by the LSH verifiers on candidate pairs.
+    */
+  def ngramJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .withColumn("jac", col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
+      .where(col("jac") >= threshold)
+  }
+}

@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{noOracle, withOracle}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Embedding-similarity operators over `embeddings` (SURVEY.md §2.9):
+  * L2 norms, brute-force cosine top-k (the correctness baseline), exact
+  * cosine near-dup pairs, and a sign-random-projection LSH ANN variant
+  * (the 100 TB scale path — bucket join instead of all-pairs).
+  *
+  * Dot products are SQL higher-order functions (zip_with + aggregate) in
+  * double precision — codegen'd, no UDF, and accumulation order matches
+  * DuckDB's sequential list functions so round(…,4) oracles hash-match.
+  */
+object VectorOps {
+
+  /** Sum-of-products in double precision, sequential over the array. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    withOracle(
+      "vector_norm",
+      """SELECT vec_id,
+        |       round(sqrt(list_sum(list_transform(embedding,
+        |             x -> CAST(x AS DOUBLE) * x))), 4) AS l2
+        |FROM embeddings ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), round(l2norm(col("embedding")), 4).as("l2"))
+        .orderBy("vec_id")
+    },
+
+    // Brute-force cosine top-5 for a 10-vector probe set: broadcast the
+    // probes, scan the corpus once, rank per probe. The baseline ANN
+    // answers; `ann_lsh` is the bucketed scale path measured against it.
+    withOracle(
+      "similarity_topk",
+      """WITH probes AS (SELECT vec_id AS p, CAST(embedding AS DOUBLE[]) AS pe
+        |                FROM embeddings WHERE vec_id < 10),
+        |corpus AS (SELECT vec_id AS c, CAST(embedding AS DOUBLE[]) AS ce FROM embeddings),
+        |sims AS (
+        |  SELECT p, c, list_dot_product(pe, ce) /
+        |         (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |  FROM probes, corpus WHERE p <> c),
+        |ranked AS (
+        |  SELECT p, c, cos, row_number() OVER (PARTITION BY p ORDER BY cos DESC, c) AS rnk
+        |  FROM sims)
+        |SELECT p AS probe_id, rnk AS rank, c AS neighbor_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.select(col("vec_id").as("p"), col("embedding").as("pe")).where(col("p") < 10)
+      val corpus = emb.select(col("vec_id").as("c"), col("embedding").as("ce"))
+      val sims = corpus.join(broadcast(probes), col("p") =!= col("c"))
+        .withColumn("cos", cosine(col("pe"), col("ce")))
+      sims
+        .withColumn("rank",
+          row_number().over(Window.partitionBy("p").orderBy(col("cos").desc, col("c"))))
+        .where(col("rank") <= 5)
+        .select(col("p").as("probe_id"), col("rank"), col("c").as("neighbor_id"),
+          round(col("cos"), 4).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+
+    // Exact embedding-cosine near-dup pairs (threshold 0.4). All-pairs is
+    // the *correctness* form; it is guarded for scale — see pairGuard —
+    // and the LSH path below is the production form at 100 TB.
+    withOracle(
+      "near_dedup_cosine",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |p AS (
+        |  SELECT a.vec_id AS i, b.vec_id AS j,
+        |         list_dot_product(a.e, b.e) /
+        |         (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS cos
+        |  FROM v a, v b WHERE a.vec_id < b.vec_id)
+        |SELECT i, j, round(cos, 4) AS cos FROM p WHERE cos >= 0.4
+        |ORDER BY i, j""".stripMargin) { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      pairGuard(emb)
+      val a = emb.select(col("vec_id").as("i"), col("embedding").as("ea"))
+      val b = emb.select(col("vec_id").as("j"), col("embedding").as("eb"))
+      a.join(b, col("i") < col("j"))
+        .withColumn("cos", cosine(col("ea"), col("eb")))
+        .where(col("cos") >= 0.4)
+        .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+        .orderBy("i", "j")
+    },
+
+    // Sign-random-projection LSH ANN, multi-table banded: L tables of k
+    // deterministic ±1 hyperplanes each → per-table k-bit code; candidates
+    // are vectors sharing a probe's code in ANY table (OR over tables,
+    // classic LSH amplification), then exact cosine rerank. Approximate
+    // (recall vs similarity_topk measured in AnnLshSpec) → no DuckDB oracle.
+    noOracle("ann_lsh") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      annLsh(s, emb, probeFilter = col("vec_id") < 10, k = 5)
+    }
+  )
+
+  /** LSH-bucketed approximate top-k: band join on (table, code), distinct
+    * candidate pairs, exact rerank. At 100 TB this replaces the all-pairs
+    * join: cost is O(candidates), tunable by (nTables, nPlanes).
+    */
+  def annLsh(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
+      nTables: Int = 8, nPlanes: Int = 6): DataFrame = {
+    val codes = lshBandCodes(spark, emb, nTables, nPlanes)
+    val probes = emb.where(probeFilter).select(col("vec_id").as("p"), col("embedding").as("pe"))
+    val probeCodes = codes.join(probes, col("vec_id") === col("p"))
+      .select(col("p"), col("t"), col("code"))
+    val candidates = codes
+      .join(broadcast(probeCodes), Seq("t", "code"))
+      .where(col("p") =!= col("vec_id"))
+      .select(col("p"), col("vec_id").as("c"))
+      .distinct()
+    candidates
+      .join(emb.select(col("vec_id").as("c"), col("embedding").as("ce")), "c")
+      .join(broadcast(probes), "p")
+      .withColumn("cos", cosine(col("pe"), col("ce")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("p").orderBy(col("cos").desc, col("c"))))
+      .where(col("rank") <= k)
+      .select(col("p").as("probe_id"), col("rank"), col("c").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** 100 TB guard: refuse the all-pairs form above a row budget — the
+    * caller must switch to the LSH form. Uses a metadata count (parquet
+    * footers), not a scan.
+    */
+  def pairGuard(df: DataFrame, maxRows: Long = 200000L): Unit = {
+    val n = df.count()
+    require(n <= maxRows,
+      s"all-pairs similarity on $n rows exceeds the $maxRows guard; use ann_lsh")
+  }
+
+  /** Deterministic sign-random-projection band codes: for table t, plane p,
+    * dimension d the ±1 weight comes from murmur3(t, p, d); bit p of table
+    * t's code is the projection sign. Output one row per (vec_id, t) with
+    * the k-bit `code`. Two narrow shuffles (groupBy (vec_id,t,p) then
+    * (vec_id,t)) after a broadcast join with the tables×planes×dim weights.
+    */
+  def lshBandCodes(spark: SparkSession, emb: DataFrame,
+      nTables: Int, nPlanes: Int): DataFrame = {
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val planes = spark.range(nTables).toDF("t")
+      .crossJoin(spark.range(nPlanes).toDF("p"))
+      .crossJoin(spark.range(dims).toDF("d"))
+      .withColumn("w",
+        when(pmod(hash(col("t"), col("p"), col("d")), lit(2)) === 0, 1.0).otherwise(-1.0))
+    val exploded = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
+    exploded
+      .join(broadcast(planes), "d")
+      .groupBy("vec_id", "t", "p")
+      .agg(sum(col("w") * col("x").cast("double")).as("proj"))
+      .groupBy("vec_id", "t")
+      .agg(sum(when(col("proj") >= 0, expr("shiftleft(1L, cast(p AS INT))")).otherwise(0L))
+        .as("code"))
+  }
+}

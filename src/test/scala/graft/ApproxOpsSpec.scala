@@ -1,0 +1,84 @@
+package graft
+
+import graft.operators.{TextOps, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** Error-bound and recall specs for the approximate (no-oracle) operators,
+  * measured against their exact counterparts on real test tables.
+  */
+class ApproxOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hll estimates within 2% of exact distinct counts (sf0.001 events)") {
+    val ev = Tables.events(spark, sf0001)
+    val exact = ev.groupBy("event_type").agg(countDistinct($"user_id").as("u"))
+    val approx = ev.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14))).as("a"))
+    val joined = exact.join(approx, "event_type")
+      .select($"u".cast("double"), $"a".cast("double")).collect()
+    joined.foreach { r =>
+      val (u, a) = (r.getDouble(0), r.getDouble(1))
+      assert(math.abs(a - u) / math.max(u, 1.0) <= 0.02, s"exact=$u approx=$a")
+    }
+  }
+
+  test("hll hour->day sketch merge equals day-level sketch estimate") {
+    val ev = Tables.events(spark, sf0001)
+      .withColumn("hb", graft.functions.TimeFunctions.hourBucket($"ts_secs"))
+      .withColumn("day", graft.functions.TimeFunctions.fdiv($"hb", 24L))
+    val merged = ev.groupBy("event_type", "hb", "day")
+      .agg(hll_sketch_agg($"user_id", lit(14)).as("sk"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_estimate(hll_union_agg($"sk", lit(false))).as("m"))
+    val direct = ev.groupBy("event_type", "day")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14))).as("d"))
+    val diff = merged.join(direct, Seq("event_type", "day"))
+      .where($"m" =!= $"d").count()
+    assert(diff == 0, "sketch merge must be lossless vs direct aggregation")
+  }
+
+  test("ann_lsh recall@5 vs brute force >= 0.3 on uniform vectors (sf0.001)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = SparkEntry.queries("similarity_topk")(spark, sf0001)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = SparkEntry.queries("ann_lsh")(spark, sf0001)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"recall@5 was $recall")
+  }
+
+  test("ann_lsh reported cosines are exact for returned pairs") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val lsh = SparkEntry.queries("ann_lsh")(spark, sf0001)
+    val a = emb.select($"vec_id".as("probe_id"), $"embedding".as("pa"))
+    val b = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("pb"))
+    val bad = lsh.join(a, "probe_id").join(b, "neighbor_id")
+      .withColumn("exact", round(VectorOps.cosine($"pa", $"pb"), 4))
+      .where($"exact" =!= $"cos").count()
+    assert(bad == 0)
+  }
+
+  test("langid classifies real sentences by stopword profile") {
+    val samples = Seq(
+      (1L, "the cat is on the mat and it is warm in that house"),
+      (2L, "der hund ist nicht mit der katze und das ist gut"),
+      (3L, "el perro y la casa de los gatos es un lugar que me gusta"),
+      (4L, "xyzzy qwerty plugh")
+    ).toDF("doc_id", "text")
+    val got = TextOps.langid(samples).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en")
+    assert(got(2L) == "de")
+    assert(got(3L) == "es")
+    assert(got(4L) == "und")
+  }
+
+  test("granularity conservation: day-bucket pageview sums equal hour-bucket sums") {
+    val rollup = SparkEntry.queries("agg_rollup_granularity")(spark, sf0001)
+    val byG = rollup.groupBy("g").agg(sum("pageviews").as("total"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byG("h") == byG("d") && byG("d") == byG("w") && byG("w") == byG("m"))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.NearDedup
+import graft.operators.TextOps
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.functions._
+
+class NearDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base =
+    "the quick brown fox jumps over the lazy dog while the cat sleeps on the warm mat near the door"
+  // same token bag, different order (simhash-identical, minhash-near)
+  private val reordered =
+    "the lazy dog while the cat sleeps on the warm mat near the door the quick brown fox jumps over"
+  private def docs = Seq(
+    (0L, base),
+    (1L, base), // exact duplicate
+    (2L, base.replace("lazy", "sleepy")), // near duplicate (1 token changed)
+    (3L, "completely different content about spark query engines and shuffles at scale today"),
+    (4L, "another unrelated document mentioning parquet files and vectorized readers only"),
+    (5L, reordered)
+  ).toDF("doc_id", "text")
+
+  test("minhash finds exact and planted near-duplicates, not unrelated pairs") {
+    val pairs = NearDedup.minhashNearDups(docs, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((0L, 1L)), "exact dup must be found")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near dup must be found")
+    assert(!pairs.exists { case (i, j) => j == 3L || i == 3L || j == 4L || i == 4L },
+      "unrelated docs must not pair")
+  }
+
+  test("minhash verified jaccard is sound (matches exact shingle jaccard)") {
+    val got = NearDedup.minhashNearDups(docs, threshold = 0.1)
+      .where($"i" === 0 && $"j" === 2).select($"jaccard").as[Double].head()
+    val sh = docs.select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
+    val exact = TextOps.ngramJaccardPairs(sh, 0.0)
+      .where($"i" === 0 && $"j" === 2)
+      .select(round($"jac", 4)).as[Double].head()
+    assert(got == exact)
+  }
+
+  test("simhash: identical token bags at distance 0 (order-insensitive), unrelated apart") {
+    val pairs = NearDedup.simhashNearDups(docs, maxDist = 3)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getInt(2))).toMap
+    assert(pairs.get((0L, 1L)).contains(0), "exact dup at Hamming 0")
+    assert(pairs.get((0L, 5L)).contains(0), "reordered doc has the same token bag")
+    assert(!pairs.keySet.exists { case (i, j) => i == 3L || j == 3L || i == 4L || j == 4L })
+  }
+
+  test("minhash signatures are permutation-stable (same doc -> same signature)") {
+    val sh = docs.select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
+    val sig1 = NearDedup.minhashSignatures(sh).orderBy("doc_id").collect()
+    val sig2 = NearDedup.minhashSignatures(sh.repartition(7)).orderBy("doc_id").collect()
+    assert(sig1.sameElements(sig2))
+  }
+}
