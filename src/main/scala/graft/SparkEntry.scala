@@ -18,7 +18,10 @@ object SparkEntry {
       operators.GraphOps.defs ++
       operators.TextOps.defs ++
       operators.VectorOps.defs ++
-      operators.NearDedup.defs
+      operators.NearDedup.defs ++
+      operators.Multimodal.defs ++
+      operators.IngestOps.defs ++
+      streaming.StreamViews.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Pageviews-over-time — the book's flagship batch view

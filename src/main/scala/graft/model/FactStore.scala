@@ -1,0 +1,116 @@
+package graft.model
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The master-dataset store: Parquet partitioned by fact kind, giving the
+  * reference's Pail semantics Spark-natively (SURVEY.md §1.4):
+  *
+  *  - Pail vertical partition by union tag (SplitDataPailStructure.java:
+  *    97-136)            → `partitionBy("kind")` + partition pruning
+  *  - Pail.absorb append ingest (BatchWorkflow.java:146-162) → append write
+  *  - shred() forced random repartition (BatchWorkflow.java:165-181)
+  *                        → `repartition(n)` before the write
+  *  - Pail.consolidate small-file compaction (BatchWorkflow.java:179)
+  *                        → rewrite at a target partition count
+  *  - snapshot/deleteSnapshot (BatchWorkflow.java:158-161) → staging-dir
+  *    read-then-delete
+  *
+  * At 100 TB: `kind` has 4 values so the partition column stays tiny;
+  * within a kind, files are sized by the shred parallelism; appends never
+  * rewrite history (the master dataset is immutable, append-only).
+  */
+object FactStore {
+
+  /** Union invariant (exactly one DataUnit member, matching `kind`),
+    * enforced at the ingest boundary — the Spark analog of
+    * SplitDataPailStructure's validation (tap/SplitDataPailStructure.java:
+    * 116-126). Throws on first violation.
+    */
+  def validate(facts: Dataset[Fact]): Dataset[Fact] = {
+    import facts.sparkSession.implicits._
+    val bad = facts.filter { f =>
+      f.unitCount != 1 || (f.kind match {
+        case FactKind.PersonProperty => f.personProperty.isEmpty
+        case FactKind.PageProperty => f.pageProperty.isEmpty
+        case FactKind.Equiv => f.equiv.isEmpty
+        case FactKind.PageView => f.pageView.isEmpty
+        case _ => true
+      })
+    }
+    require(bad.isEmpty, "facts violating the one-member union invariant")
+    facts
+  }
+
+  /** shred + absorb: randomly repartition incoming facts (spreads load,
+    * bounds file sizes) and append into the kind-partitioned master.
+    */
+  def ingest(facts: Dataset[Fact], masterPath: String, shredPartitions: Int = 8): Unit =
+    validate(facts)
+      .repartition(shredPartitions)
+      .write.mode(SaveMode.Append)
+      .partitionBy("kind")
+      .parquet(masterPath)
+
+  def readAll(spark: SparkSession, masterPath: String): Dataset[Fact] = {
+    import spark.implicits._
+    spark.read.parquet(masterPath).as[Fact]
+  }
+
+  /** attributeTap (BatchWorkflow.java:114-129): read one fact type only;
+    * the `kind` filter prunes parquet partitions before any IO.
+    */
+  def scanKind(spark: SparkSession, masterPath: String, kind: String): Dataset[Fact] = {
+    import spark.implicits._
+    spark.read.parquet(masterPath).where(col("kind") === kind).as[Fact]
+  }
+
+  /** Pail.consolidate: compact a kind-partitioned store to ~targetFiles
+    * files per kind by rewriting into a temp dir and swapping. (On a real
+    * deployment this is table-format OPTIMIZE; plain parquet needs the
+    * rewrite+swap.)
+    */
+  def consolidate(spark: SparkSession, masterPath: String, targetFiles: Int = 4): Unit = {
+    val tmp = masterPath + ".compact"
+    spark.read.parquet(masterPath)
+      .repartition(targetFiles)
+      .write.mode(SaveMode.Overwrite).partitionBy("kind").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val master = new org.apache.hadoop.fs.Path(masterPath)
+    fs.delete(master, true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp), master)
+  }
+
+  /** snapshot semantics: atomically claim a staging directory for ingest
+    * (rename), returning the snapshot path to read from; delete after a
+    * successful absorb. Mirrors ingest()'s snapshot/absorb/deleteSnapshot
+    * sequence (BatchWorkflow.java:152-162).
+    */
+  def snapshot(spark: SparkSession, stagingPath: String): Option[String] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(stagingPath)
+    if (!fs.exists(staging)) None
+    else {
+      val snap = new org.apache.hadoop.fs.Path(stagingPath + ".snapshot")
+      fs.rename(staging, snap)
+      Some(snap.toString)
+    }
+  }
+
+  def deleteSnapshot(spark: SparkSession, snapshotPath: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(snapshotPath), true)
+  }
+
+  /** The events table rendered as page_view facts — bridges the driver
+    * test data into the typed fact pipeline.
+    */
+  def eventsAsFacts(spark: SparkSession, sfDir: String): Dataset[Fact] = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .select(col("user_id"), col("url"), col("ts_secs"), col("event_id"))
+      .as[(Long, String, Long, Long)]
+      .map { case (u, url, ts, eid) => Fact.pageView(PersonId.ofUser(u), url, ts, nonce = eid) }
+  }
+}

@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withOracle
+import graft.model.{Fact, FactKind, FactStore, PersonId}
+import org.apache.spark.sql.functions._
+
+/** Ingest-pipeline operators declared as round-trip queries (SURVEY.md
+  * §2.1 `sink_append`, §2.2 `shred_repartition`): each materializes a
+  * fresh kind-partitioned fact store in a temp dir, exercises the write
+  * path, and returns a read-back aggregate the DuckDB oracle can predict
+  * from the source tables.
+  */
+object IngestOps {
+
+  private def newMaster(): String =
+    Files.createTempDirectory("graft_ingest").toString + "/master"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Pail.absorb append ingest (BatchWorkflow.java:146-162): two absorbs
+    // of the same batch → exactly double the facts, partitioned by kind.
+    withOracle(
+      "sink_append",
+      """SELECT 'page_view' AS kind, 2 * count(*) AS n FROM events""".stripMargin) { (s, dir) =>
+      val master = newMaster()
+      val facts = FactStore.eventsAsFacts(s, dir)
+      FactStore.ingest(facts, master)
+      FactStore.ingest(facts, master)
+      FactStore.scanKind(s, master, FactKind.PageView)
+        .groupBy("kind").agg(count(lit(1)).as("n"))
+    },
+
+    // attributeTap vertical pruning (BatchWorkflow.java:114-129) over a
+    // mixed-kind store: per-kind counts must match the per-kind sources,
+    // proving the partition column routes facts correctly.
+    withOracle(
+      "scan_kind_pruned",
+      """WITH e AS (
+        |  SELECT DISTINCT user_id AS src, user_id % 37 AS dst FROM events WHERE user_id % 37 <> user_id
+        |  UNION
+        |  SELECT DISTINCT user_id, user_id % 41 FROM events WHERE user_id % 41 <> user_id
+        |  UNION
+        |  SELECT DISTINCT user_id, user_id % 7 FROM events WHERE user_id % 7 <> user_id)
+        |SELECT kind, n FROM (
+        |  SELECT 'equiv' AS kind, count(*) AS n FROM e
+        |  UNION ALL
+        |  SELECT 'page_view', count(*) FROM events)
+        |ORDER BY kind""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val master = newMaster()
+      val pvFacts = FactStore.eventsAsFacts(s, dir)
+      val eqFacts = GraphOps.equivEdges(s, dir)
+        .as[(Long, Long)]
+        .map { case (a, b) => Fact.equiv(PersonId.ofUser(a), PersonId.ofUser(b), 0L) }
+      FactStore.ingest(pvFacts, master)
+      FactStore.ingest(eqFacts, master)
+      val eq = FactStore.scanKind(s, master, FactKind.Equiv)
+        .groupBy("kind").agg(count(lit(1)).as("n"))
+      val pv = FactStore.scanKind(s, master, FactKind.PageView)
+        .groupBy("kind").agg(count(lit(1)).as("n"))
+      eq.unionAll(pv).orderBy("kind")
+    },
+
+    // shred(): forced random repartition before the write
+    // (BatchWorkflow.java:165-181) — the store must land as exactly the
+    // shred parallelism's file count (small-file control at ingest).
+    withOracle(
+      "shred_repartition",
+      "SELECT CAST(8 AS BIGINT) AS n_files") { (s, dir) =>
+      val master = newMaster()
+      FactStore.ingest(FactStore.eventsAsFacts(s, dir), master, shredPartitions = 8)
+      FactStore.scanKind(s, master, FactKind.PageView)
+        .select(input_file_name().as("f"))
+        .agg(countDistinct(col("f")).as("n_files"))
+    }
+  )
+}

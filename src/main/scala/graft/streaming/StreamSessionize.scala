@@ -1,0 +1,86 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Streaming sessionization with explicit state (SURVEY.md §2.7;
+  * reference AnalyzeVisits BaseStateUpdater, TridentSpeedLayer.java:
+  * 143-205): per (domain, user) visit state with a 30-minute inactivity
+  * timeout; a completed visit is emitted when its session expires.
+  *
+  * Implements the *intended* semantics: the expired visit is emitted with
+  * its own domain/user (the reference's expiry emit uses the currently
+  * processing tuple's domain — TridentSpeedLayer.java:181-196 — a
+  * documented bug we do not reproduce). Event-time timers fire on
+  * watermark advance (vs the reference's every-60s-of-event-time sweep);
+  * StreamSessionizeSpec verifies batch≡stream convergence, not trace
+  * equality.
+  *
+  * State backend is Spark's checkpointed state store — the reference's
+  * Cassandra wide rows + LRU CachedMap (CassandraState.java:47-59,104-131)
+  * are not needed: state lives with the shuffle partition.
+  */
+object StreamSessionize {
+
+  val TimeoutMs: Long = 30 * 60 * 1000L // 30 min, TridentSpeedLayer.java:143-150
+
+  case class PageView(domain: String, user: Long, tsMillis: Long)
+  case class VisitState(startMs: Long, lastMs: Long, nPageviews: Int)
+  case class CompletedVisit(
+      domain: String, user: Long, startMs: Long, nPageviews: Int, isBounce: Boolean)
+
+  /** Fold a batch of pageviews for one (domain, user) into visit state,
+    * emitting visits closed either by timeout or by an in-batch gap.
+    */
+  def updateVisits(
+      key: (String, Long),
+      rows: Iterator[PageView],
+      state: GroupState[VisitState]): Iterator[CompletedVisit] = {
+    val (domain, user) = key
+
+    def completed(v: VisitState): CompletedVisit =
+      CompletedVisit(domain, user, v.startMs, v.nPageviews, v.nPageviews == 1)
+
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(completed).toIterator
+      state.remove()
+      out
+    } else {
+      val sorted = rows.toSeq.sortBy(_.tsMillis)
+      var current = state.getOption
+      val closed = Seq.newBuilder[CompletedVisit]
+      sorted.foreach { pv =>
+        current match {
+          case Some(v) if pv.tsMillis - v.lastMs <= TimeoutMs =>
+            current = Some(VisitState(v.startMs, math.max(v.lastMs, pv.tsMillis),
+              v.nPageviews + 1))
+          case Some(v) =>
+            closed += completed(v)
+            current = Some(VisitState(pv.tsMillis, pv.tsMillis, 1))
+          case None =>
+            current = Some(VisitState(pv.tsMillis, pv.tsMillis, 1))
+        }
+      }
+      current.foreach { v =>
+        state.update(v)
+        state.setTimeoutTimestamp(v.lastMs + TimeoutMs)
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** Wire the stateful sessionizer over a stream of pageviews carrying an
+    * event-time `ts` timestamp column (used for the watermark).
+    */
+  def completedVisits(spark: SparkSession, pageViews: Dataset[PageView],
+      watermarkDelay: String = "10 minutes"): Dataset[CompletedVisit] = {
+    import spark.implicits._
+    pageViews
+      .withColumn("ts", ($"tsMillis" / 1000).cast("timestamp"))
+      .withWatermark("ts", watermarkDelay)
+      .as[PageView]
+      .groupByKey(pv => (pv.domain, pv.user))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        updateVisits)
+  }
+}

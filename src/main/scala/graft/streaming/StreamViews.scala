@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.{noOracle, withOracle}
+import graft.functions.TimeFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Speed-layer views as Structured Streaming (SURVEY.md §2.7): the same
+  * column expressions as the batch views, run incrementally. In production
+  * the source is Kafka; here the file source replays the events table
+  * (Trigger.AvailableNow) into a memory sink so results are comparable
+  * with the batch oracle — the Lambda batch≡stream consistency property,
+  * checked by the driver for stream_count and by StreamSessionizeSpec for
+  * the stateful path.
+  *
+  * Exactly-once: checkpointed incremental aggregation + idempotent sink
+  * (per-epoch) replaces Trident's txid-transactional Cassandra state
+  * (CassandraState.java:62-68,120-127).
+  */
+object StreamViews {
+
+  private val nameCounter = new AtomicInteger(0)
+
+  /** Run a streaming transform of the events table to completion
+    * (AvailableNow) into a memory sink; return the sink table.
+    */
+  private def runToMemory(spark: SparkSession, dir: String, outputMode: String)(
+      transform: DataFrame => DataFrame): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = Tables.eventsRaw(spark, dir).schema
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    // the file source wants a directory of files (as Kafka wants a topic);
+    // stage the single table file into a temp dir and stream that
+    val stage = java.nio.file.Files.createTempDirectory("graft_stream")
+    java.nio.file.Files.createLink(
+      stage.resolve("events.parquet"), java.nio.file.Paths.get(Tables.path(dir, "events")))
+    val src = spark.readStream.schema(schema).parquet(stage.toString)
+    val q = transform(src).writeStream
+      .format("memory").queryName(name).outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
+  private def withTsSecs(df: DataFrame): DataFrame =
+    df.withColumn("ts_secs", floor(col("ts") / lit(1000000000L)).cast("long"))
+
+  private val ts = Tables.sql.tsSecs
+  private val hb = s"($ts) // 3600"
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Kafka spout + deserializing scheme (UniquesOverTime.java:83-110):
+    // stream source projected to the (person, url, timestamp) tuple.
+    withOracle(
+      "source_stream",
+      s"""SELECT event_id, user_id AS person, $ts AS ts_secs
+         |FROM events ORDER BY event_id""".stripMargin) { (s, dir) =>
+      runToMemory(s, dir, "append") { src =>
+        withTsSecs(src).select(col("event_id"), col("user_id").as("person"), col("ts_secs"))
+      }.orderBy("event_id")
+    },
+
+    // Trident persistentAggregate(Count) per (url, hourBucket)
+    // (TridentSpeedLayer.java:98-102): incremental streaming count whose
+    // final state must equal the batch view.
+    withOracle(
+      "stream_count",
+      s"""SELECT event_type AS url, $hb AS hbv, count(*) AS pageviews
+         |FROM events GROUP BY 1, 2 ORDER BY url, hbv""".stripMargin) { (s, dir) =>
+      runToMemory(s, dir, "complete") { src =>
+        withTsSecs(src)
+          .groupBy(col("event_type").as("url"), hourBucket(col("ts_secs")).as("hbv"))
+          .agg(count(lit(1)).as("pageviews"))
+      }.orderBy("url", "hbv")
+    },
+
+    // UpdateCassandraBolt HLL upsert per (url, hourBucket)
+    // (UniquesOverTime.java:142-194): streaming sketch aggregation; state
+    // is the sketch itself (mergeable), not a remote read-modify-write.
+    noOracle("stream_hll") { (s, dir) =>
+      runToMemory(s, dir, "complete") { src =>
+        withTsSecs(src)
+          .groupBy(col("event_type").as("url"), hourBucket(col("ts_secs")).as("hbv"))
+          .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
+            .as("approx_uniques"))
+      }.orderBy("url", "hbv")
+    }
+  )
+}

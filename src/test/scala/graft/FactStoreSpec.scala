@@ -1,0 +1,87 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.model._
+import org.apache.spark.sql.functions._
+
+class FactStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpMaster(): String =
+    Files.createTempDirectory("graft_test").toString + "/master"
+
+  private def sampleFacts = Seq(
+    Fact.pageView(PersonId.ofUser(1), "http://foo.com/a", 60, nonce = 1),
+    Fact.pageView(PersonId.ofCookie("ABC"), "http://foo.com/b", 62, nonce = 2),
+    Fact.equiv(PersonId.ofUser(1), PersonId.ofCookie("ABC"), 100),
+    Fact.personProperty(PersonId.ofUser(1),
+      PersonPropertyValue(Some("Alice"), None, Some(Location(Some("SF"), None, Some("US")))), 50),
+    Fact.pageProperty(PageId("http://foo.com/a"), 10, 70)
+  ).toDS()
+
+  test("round-trip: all fact kinds survive partitioned write + typed read") {
+    val master = tmpMaster()
+    FactStore.ingest(sampleFacts, master)
+    val back = FactStore.readAll(spark, master)
+    assert(back.count() == 5)
+    assert(back.collect().forall(_.unitCount == 1))
+    val kinds = back.groupBy("kind").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(kinds == Map("page_view" -> 2L, "equiv" -> 1L,
+      "person_property" -> 1L, "page_property" -> 1L))
+  }
+
+  test("scanKind prunes partitions in the physical plan") {
+    val master = tmpMaster()
+    FactStore.ingest(sampleFacts, master)
+    val scan = FactStore.scanKind(spark, master, FactKind.Equiv)
+    assert(scan.count() == 1)
+    val plan = scan.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("kind"),
+      s"expected kind partition filter in plan:\n$plan")
+  }
+
+  test("append ingest doubles, consolidate compacts without data loss") {
+    val master = tmpMaster()
+    FactStore.ingest(sampleFacts, master, shredPartitions = 4)
+    FactStore.ingest(sampleFacts, master, shredPartitions = 4)
+    assert(FactStore.readAll(spark, master).count() == 10)
+    FactStore.consolidate(spark, master, targetFiles = 1)
+    val back = FactStore.readAll(spark, master)
+    assert(back.count() == 10)
+    val files = back.select(input_file_name()).distinct().count()
+    // one file per non-empty kind partition after targetFiles=1 rewrite
+    assert(files <= 4, s"expected <=4 files after consolidate, got $files")
+  }
+
+  test("snapshot claims staging atomically; deleteSnapshot removes it") {
+    val base = Files.createTempDirectory("graft_test").toString
+    val staging = base + "/new"
+    sampleFacts.write.parquet(staging)
+    val snap = FactStore.snapshot(spark, staging)
+    assert(snap.isDefined)
+    assert(FactStore.snapshot(spark, staging).isEmpty, "staging gone after claim")
+    assert(spark.read.parquet(snap.get).count() == 5)
+    FactStore.deleteSnapshot(spark, snap.get)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(snap.get)))
+  }
+
+  test("validate rejects union-invariant violations") {
+    val bad = Seq(
+      Fact(FactKind.PageView, Pedigree(0, "self"), None, None, None, None))
+      .toDS()
+    intercept[IllegalArgumentException] {
+      FactStore.validate(bad)
+    }
+  }
+
+  test("PersonId sort order matches Thrift compareTo (cookie tag < user_id tag)") {
+    val ids = Seq(PersonId.ofUser(5), PersonId.ofCookie("ZZZ"),
+      PersonId.ofUser(1), PersonId.ofCookie("AAA"))
+    val sorted = ids.sortBy(_.sortKey)
+    assert(sorted == Seq(PersonId.ofCookie("AAA"), PersonId.ofCookie("ZZZ"),
+      PersonId.ofUser(1), PersonId.ofUser(5)))
+  }
+}
