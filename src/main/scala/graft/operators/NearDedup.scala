@@ -68,15 +68,20 @@ object NearDedup {
     * Jaccard ≥ threshold. Returns (i, j, jaccard).
     */
   def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
-    val shingled = docs.select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
+    // 64-bit shingle hashes (compiled single-pass UDF); the k-hash family
+    // then mixes the long — not the string — per hash function. Cached:
+    // feeds the signature agg, the verify join (twice), and sizes.
+    val shingled = docs
+      .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
+      .persist()
     val candidates = minhashCandidates(minhashSignatures(shingled))
-    // Exact verify on the candidate set only: intersection via the shingle
-    // join restricted to candidate pairs, sizes from the shingle relation.
+    // Exact verify on the candidate set only: route the shingle join
+    // *through* the candidate pairs so intersection cost is
+    // O(candidates × shingles-per-doc), never the full shingle self-join.
     val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = shingled.as("a")
-      .join(shingled.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .join(candidates, Seq("i", "j"), "left_semi")
+    val inter = candidates
+      .join(shingled.select(col("doc_id").as("i"), col("s")), "i")
+      .join(shingled.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
       .groupBy("i", "j").agg(count(lit(1)).as("inter"))
     inter
       .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")

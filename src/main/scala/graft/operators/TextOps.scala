@@ -150,8 +150,10 @@ object TextOps {
         |FROM pair JOIN sizes na ON i = na.doc_id JOIN sizes nb ON j = nb.doc_id
         |WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1
         |ORDER BY i, j""".stripMargin) { (s, dir) =>
+      // join on 64-bit shingle hashes, not strings: same intersection
+      // counts (collision odds ~2^-65 per pair), far smaller shuffles
       val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
+        .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
       ngramJaccardPairs(sh, 0.1)
         .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
         .orderBy("i", "j")
@@ -181,7 +183,10 @@ object TextOps {
     * the sparse similarity join. Returns (i, j, inter, jac) for i < j with
     * jac >= threshold. Reused by the LSH verifiers on candidate pairs.
     */
-  def ngramJaccardPairs(sh: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
+    // the shingle relation feeds three plan subtrees (two join sides +
+    // sizes); cache it so shingle generation runs once
+    val sh = shRaw.persist()
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val pairs = sh.as("a")
       .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
