@@ -64,6 +64,35 @@ object IngestOps {
       eq.unionAll(pv).orderBy("kind")
     },
 
+    // EDB.makeKeyValTap 32-shard serving view (BatchWorkflow.java:348-382):
+    // the batch view written sharded by url (repartition(32, key) ≅ the
+    // UrlOnlyScheme sharding), then served by key-filtered reads — the
+    // "all queries become index lookups" Lambda thesis. The byte-level
+    // BerkeleyDB K/V encoding is a serving-format detail not re-created
+    // (SURVEY.md §2.1); the view is a queryable table.
+    withOracle(
+      "sink_kv",
+      s"""WITH hourly AS (
+         |  SELECT event_type AS url, (CAST(floor(epoch(ts)) AS BIGINT)) // 3600 AS hbv,
+         |         count(*) AS pv
+         |  FROM events GROUP BY 1, 2),
+         |ex AS (
+         |  SELECT url, 'h' AS g, hbv AS bucket, pv FROM hourly UNION ALL
+         |  SELECT url, 'd', hbv // 24, pv FROM hourly UNION ALL
+         |  SELECT url, 'w', (hbv // 24) // 7, pv FROM hourly UNION ALL
+         |  SELECT url, 'm', (hbv // 24) // 28, pv FROM hourly)
+         |SELECT url, g, bucket, CAST(sum(pv) AS BIGINT) AS pageviews
+         |FROM ex WHERE url = 'purchase' AND g = 'w'
+         |GROUP BY url, g, bucket ORDER BY url, g, bucket""".stripMargin) { (s, dir) =>
+      val store = newMaster()
+      BatchViews.pageviewsOverTime(s, dir)
+        .repartition(32, col("url"))
+        .write.parquet(store)
+      s.read.parquet(store)
+        .where(col("url") === "purchase" && col("g") === "w")
+        .orderBy("url", "g", "bucket")
+    },
+
     // shred(): forced random repartition before the write
     // (BatchWorkflow.java:165-181) — the store must land as exactly the
     // shred parallelism's file count (small-file control at ingest).

@@ -114,8 +114,56 @@ object VectorOps {
     noOracle("ann_lsh") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       annLsh(s, emb, probeFilter = col("vec_id") < 10, k = 5)
+    },
+
+    // IVF ANN: k-means coarse quantizer (seeded, MLlib), corpus bucketed
+    // by nearest centroid, probes search their nProbe closest cells only,
+    // then exact rerank. The classic inverted-file ANN shape: at 100 TB
+    // the corpus partitions by cell and a probe touches nProbe/nCells of
+    // the data. Approximate → recall measured in ApproxOpsSpec.
+    noOracle("ann_ivf") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      annIvf(s, emb, probeFilter = col("vec_id") < 10, k = 5)
     }
   )
+
+  /** IVF: train a seeded k-means coarse quantizer, assign corpus rows to
+    * cells, search each probe's nProbe nearest cells, exact-rerank.
+    */
+  def annIvf(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
+      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    import spark.implicits._
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val feat = emb.withColumn("features", toVec(col("embedding")))
+    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10).fit(feat)
+    val assigned = model.transform(feat)
+      .select(col("vec_id").as("c"), col("embedding").as("ce"),
+        col("prediction").as("cell"))
+    val centroids = model.clusterCenters.zipWithIndex
+      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+      .toSeq.toDF("cell", "centroid")
+    val probes = emb.where(probeFilter)
+      .select(col("vec_id").as("p"), col("embedding").as("pe"))
+    // nProbe nearest cells per probe (tiny: nCells × probes)
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("d", dot(col("pe"), col("centroid")))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
+      .where(col("rnk") <= nProbe)
+      .select(col("p"), col("pe"), col("cell"))
+    assigned
+      .join(broadcast(probeCells), Seq("cell"))
+      .where(col("p") =!= col("c"))
+      .withColumn("cos", cosine(col("pe"), col("ce")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("p").orderBy(col("cos").desc, col("c"))))
+      .where(col("rank") <= k)
+      .select(col("p").as("probe_id"), col("rank"), col("c").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("probe_id", "rank")
+  }
 
   /** LSH-bucketed approximate top-k: band join on (table, code), distinct
     * candidate pairs, exact rerank. At 100 TB this replaces the all-pairs

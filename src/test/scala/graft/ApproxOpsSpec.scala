@@ -49,6 +49,17 @@ class ApproxOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@5 was $recall")
   }
 
+  test("ann_ivf recall@5 vs brute force >= 0.5 (sf0.001)") {
+    val brute = SparkEntry.queries("similarity_topk")(spark, sf0001)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = SparkEntry.queries("ann_ivf")(spark, sf0001)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 was $recall")
+  }
+
   test("ann_lsh reported cosines are exact for returned pairs") {
     val emb = Tables.embeddings(spark, sf0001)
     val lsh = SparkEntry.queries("ann_lsh")(spark, sf0001)

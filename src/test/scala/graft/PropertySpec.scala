@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{GraphOps, Sessionize}
+import org.apache.spark.sql.functions._
+
+/** Property-based invariants (SURVEY.md §5.3) against independent
+  * in-memory reference implementations, over seeded random cases.
+  */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference union-find with min-label canonicalization. */
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components match union-find on random graphs, any edge order") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val edges = List.fill(8 + rnd.nextInt(16))(
+        (rnd.nextInt(19).toLong, rnd.nextInt(19).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges)
+      val got = GraphOps.connectedComponents(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed edges=$edges")
+      val got2 = GraphOps.connectedComponents(edges.reverse.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got2 == expected, s"seed=$seed (reversed)")
+    }
+  }
+
+  /** Reference sessionizer: sorted timestamps, split on gap > 900. */
+  private def refSessions(ts: Seq[Long]): Seq[Int] = {
+    val sorted = ts.sorted
+    val sizes = scala.collection.mutable.ArrayBuffer[Int]()
+    var n = 0
+    var last = Long.MinValue
+    sorted.foreach { t =>
+      if (n == 0 || t - last <= 900) n += 1
+      else { sizes += n; n = 1 }
+      last = t
+    }
+    sizes += n
+    sizes.toSeq
+  }
+
+  test("sessionize matches the reference gap-splitter on random timestamps") {
+    (1 to 6).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val ts = List.fill(1 + rnd.nextInt(30))(rnd.nextLong(20000L))
+      val df = ts.zipWithIndex.map { case (t, i) => ("d", 1L, t, i.toLong) }
+        .toDF("domain", "user_id", "ts", "event_id")
+      val got = Sessionize.sessions(df, Seq("domain", "user_id"), col("ts"), col("event_id"))
+        .select("n_pageviews").as[Long].collect().map(_.toInt).sorted.toSeq
+      assert(got == refSessions(ts).sorted, s"seed=$seed ts=$ts")
+    }
+  }
+
+  test("distinct is idempotent and dedups exactly (multiset -> set)") {
+    (1 to 4).foreach { seed =>
+      val rnd = new scala.util.Random(200 + seed)
+      val xs = List.fill(1 + rnd.nextInt(50))(rnd.nextInt(20))
+      val once = xs.toDF("x").distinct()
+      assert(once.count() == xs.distinct.size.toLong)
+      assert(once.distinct().count() == xs.distinct.size.toLong)
+    }
+  }
+
+  test("hll sketch estimates are partition-layout independent") {
+    val ev = Tables.events(spark, sf0001)
+    def est(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg($"user_id", lit(14))).as("e"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est(ev) == est(ev))
+    assert(est(ev.repartition(3)) == est(ev.repartition(11)))
+  }
+}
