@@ -71,6 +71,16 @@ class ApproxOpsSpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("fvdot registers as a SQL function and matches the Column API") {
+    org.apache.spark.sql.graft.GraftNative.register(spark)
+    val viaSql = Tables.embeddings(spark, sf0001)
+      .selectExpr("vec_id", "round(fvdot(embedding, embedding), 6) AS d")
+    val viaCol = Tables.embeddings(spark, sf0001)
+      .select($"vec_id",
+        round(graft.operators.VectorOps.dot($"embedding", $"embedding"), 6).as("d"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
   test("langid classifies real sentences by stopword profile") {
     val samples = Seq(
       (1L, "the cat is on the mat and it is warm in that house"),

@@ -65,6 +65,38 @@ class StreamSessionizeSpec extends SparkSpec {
     assert(got == Set((1L, 10 * Min, 2)))
   }
 
+  test("built-in session_window streaming agg converges to batch sessionize") {
+    // the declarative alternative to flatMapGroupsWithState: Spark's
+    // native session windows with the same 30-min gap
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    val input = MemoryStream[PageView]
+    val agg = input.toDS()
+      .withColumn("ts", ($"tsMillis" / 1000).cast("timestamp"))
+      .withWatermark("ts", "1 minute")
+      .groupBy(session_window($"ts", "30 minutes"), $"domain", $"user")
+      .agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("ssz_native")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    input.addData(
+      PageView("foo.com", 1, 10 * Min), PageView("foo.com", 1, 15 * Min),
+      PageView("foo.com", 1, 70 * Min),
+      PageView("bar.com", 2, 20 * Min))
+    q.processAllAvailable()
+    input.addData(PageView("zzz.com", 9, 500 * Min))
+    q.processAllAvailable()
+    input.addData(PageView("zzz.com", 9, 501 * Min))
+    q.processAllAvailable()
+    val got = spark.table("ssz_native")
+      .select($"domain", $"user", $"n").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    q.stop()
+    assert(got == Set(
+      ("foo.com", 1L, 2L), // 10+15 min merge
+      ("foo.com", 1L, 1L), // 70 min alone
+      ("bar.com", 2L, 1L)))
+  }
+
   test("batch≡stream: watermark-closed visits match batch sessionize (30-min gap)") {
     implicit val sqlCtx = spark.sqlContext
     // times start well above 0: a ts equal to the initial watermark (0)
