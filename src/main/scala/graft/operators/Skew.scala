@@ -1,0 +1,44 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation utilities (SURVEY.md §7.4 / BASELINE 100 TB rule:
+  * "skewed keys → salting or AQE skew-join").
+  *
+  * AQE handles skewed *joins* automatically; skewed *aggregations* with
+  * expensive per-group state (large sums, collect-style buffers) still
+  * benefit from manual two-stage salting: stage 1 aggregates on
+  * (key, salt) spreading a hot key over `salt` reducers, stage 2 merges
+  * the partials per key. Correct for any algebraic aggregate expressed as
+  * (partial, merge) pairs.
+  */
+object Skew {
+
+  /** Two-stage salted count/sum aggregation: groupBy keys with a random
+    * salt in [0, salt), then merge partials. `aggs` maps output column
+    * name -> (stage1 agg over input, stage2 merge over stage-1 output).
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      salt: Int,
+      aggs: Seq[(String, Column, String => Column)]): DataFrame = {
+    val stage1 = df
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+      .groupBy((keys.map(col) :+ col("__salt")): _*)
+      .agg(aggs.head._2.as(s"__p_${aggs.head._1}"),
+        aggs.tail.map(a => a._2.as(s"__p_${a._1}")): _*)
+    stage1
+      .groupBy(keys.map(col): _*)
+      .agg(aggs.head._3(s"__p_${aggs.head._1}").as(aggs.head._1),
+        aggs.tail.map(a => a._3(s"__p_${a._1}").as(a._1)): _*)
+  }
+
+  /** Convenience: salted count(*) + sum(valueCol) per key. */
+  def saltedCountSum(df: DataFrame, keys: Seq[String], valueCol: String,
+      salt: Int = 16): DataFrame =
+    saltedAgg(df, keys, salt, Seq(
+      ("n", count(lit(1)), c => sum(col(c))),
+      ("total", sum(col(valueCol)), c => sum(col(c)))))
+}

@@ -1,0 +1,32 @@
+package graft
+
+import graft.operators.Skew
+import org.apache.spark.sql.functions._
+
+class SkewSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("salted aggregation equals direct aggregation on skewed keys") {
+    // 90% of rows share one hot key
+    val rows = (1 to 5000).map { i =>
+      val k = if (i % 10 == 0) s"cold-${i % 97}" else "hot"
+      (k, (i % 13).toLong)
+    }
+    val df = rows.toDF("k", "v")
+    val direct = df.groupBy("k")
+      .agg(count(lit(1)).as("n"), sum("v").as("total"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedCountSum(df, Seq("k"), "v", salt = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == direct)
+  }
+
+  test("salted stage 1 actually spreads the hot key across salts") {
+    val df = (1 to 2000).map(i => ("hot", i.toLong)).toDF("k", "v")
+    val salts = df
+      .withColumn("__salt",
+        pmod(spark_partition_id() + monotonically_increasing_id(), lit(8)))
+      .select(countDistinct($"__salt")).as[Long].head()
+    assert(salts >= 4, s"hot key only hit $salts salt buckets")
+  }
+}
