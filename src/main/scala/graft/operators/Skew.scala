@@ -12,6 +12,11 @@ import org.apache.spark.sql.functions._
   * (key, salt) spreading a hot key over `salt` reducers, stage 2 merges
   * the partials per key. Correct for any algebraic aggregate expressed as
   * (partial, merge) pairs.
+  *
+  * Numeric contract: exact equality with the direct aggregation for
+  * integral/decimal aggregates; floating-point sums can differ in the
+  * last ulp because salting changes summation order (same caveat as any
+  * partial-aggregation reshape — round to the data's grid when comparing).
   */
 object Skew {
 

@@ -6,6 +6,19 @@ import org.apache.spark.sql.functions._
 class SkewSpec extends SparkSpec {
   import spark.implicits._
 
+  test("salted double-sum matches direct within fp rounding on real data") {
+    val ev = Tables.eventsRaw(spark, sf001)
+    val salted = Skew.saltedAgg(
+      ev.withColumn("v2", $"value"), Seq("event_type"), 8,
+      Seq(("n", count(lit(1)), c => sum(col(c))),
+        ("t", sum($"v2"), c => round(sum(col(c)), 2))))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    val expected = ev.withColumn("v2", $"value").groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(sum("v2"), 2).as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(salted == expected)
+  }
+
   test("salted aggregation equals direct aggregation on skewed keys") {
     // 90% of rows share one hot key
     val rows = (1 to 5000).map { i =>
