@@ -45,6 +45,55 @@ object Relational {
         .orderBy("l_returnflag", "l_linestatus")
     },
 
+    // TPC-H Q6-shaped forecast-revenue: pure scan+filter+agg — the
+    // pushdown/codegen stress case (single row out).
+    withOracle(
+      "q6_filter_agg",
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount BETWEEN 0.03 AND 0.07
+        |  AND l_quantity < 24""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("l_discount").between(0.03, 0.07)
+          && col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+          count(lit(1)).as("n"))
+    },
+
+    // TPC-H Q3-shaped shipping priority: selective fact⋈fact join + top-k
+    // by computed revenue.
+    withOracle(
+      "q3_shipping",
+      """SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       CAST(epoch(o_orderdate) AS BIGINT) AS odate
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY sum(l_extendedprice * (1 - l_discount)) DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") > lit("1998-03-15 00:00:00").cast("timestamp"))
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") < lit("1998-03-15 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir).where(col("c_mktsegment") === "BUILDING")),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+        .orderBy(col("rev").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), round(col("rev"), 2).as("revenue"),
+          col("o_orderdate").cast("timestamp_ltz").cast("long").as("odate"))
+    },
+
     // Cascalog implicit equi-join (BatchWorkflow.java:628-634) -> fact ⋈
     // broadcast dims: orders ⋈ customer ⋈ nation ⋈ region, revenue per nation.
     withOracle(

@@ -133,6 +133,46 @@ object TextOps {
         .orderBy("pred_lang")
     },
 
+    // End-to-end training-data prep: the composed cleaning pipeline a
+    // 100 TB corpus runs before tokenization — quality gate (length +
+    // stopword signal), exact dedup by content hash, then bag-fingerprint
+    // near-dedup — keeping the smallest doc_id of each survivor group.
+    // Each stage is one of the operators above; this declares their
+    // composition end to end.
+    withOracle(
+      "pipeline_clean_corpus",
+      """WITH q AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE n_chars >= 100
+        |    AND len(string_split_regex(lower(text), '\s+')) >= 20),
+        |exact AS (
+        |  SELECT doc_id, text FROM (
+        |    SELECT doc_id, text,
+        |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+        |    FROM q) WHERE rn = 1),
+        |near AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id,
+        |           row_number() OVER (
+        |             PARTITION BY md5(array_to_string(list_sort(list_distinct(
+        |               string_split_regex(lower(text), '\s+'))), ' '))
+        |             ORDER BY doc_id) AS rn
+        |    FROM exact) WHERE rn = 1)
+        |SELECT doc_id FROM near ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val q = Tables.documents(s, dir)
+        .where(col("n_chars") >= 100 && size(tokens(col("text"))) >= 20)
+      val exact = q
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("rn") === 1).drop("rn")
+      exact
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(fingerprint(col("text"))).orderBy(col("doc_id"))))
+        .where(col("rn") === 1)
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    },
+
     // Exact n-gram (3-shingle) Jaccard similarity join, threshold 0.1:
     // explode distinct shingles -> self-join on shingle -> intersection
     // counts -> Jaccard from set sizes.
