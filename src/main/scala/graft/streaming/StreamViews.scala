@@ -80,6 +80,64 @@ object StreamViews {
       }.orderBy("url", "hbv")
     },
 
+    // AnalyzeVisits stateful sessionization (TridentSpeedLayer.java:
+    // 143-205) as a *declared* query: 30-min-timeout visits over the
+    // event stream. Deterministic under AvailableNow: sessions closed by
+    // an in-batch gap emit immediately; each key's final session emits in
+    // the trailing no-data microbatch iff its timeout lies strictly below
+    // the final watermark (= max event time, watermark delay 0). The
+    // oracle encodes exactly that emission rule over the batch
+    // gap-sessionization.
+    withOracle(
+      "stream_sessionize",
+      s"""WITH pv AS (
+         |  SELECT event_type AS domain, user_id, $ts AS ts_secs, event_id FROM events),
+         |flagged AS (
+         |  SELECT domain, user_id, ts_secs,
+         |         CASE WHEN ts_secs - lag(ts_secs) OVER w > 1800
+         |                OR lag(ts_secs) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+         |  FROM pv WINDOW w AS (PARTITION BY domain, user_id ORDER BY ts_secs, event_id)),
+         |sess AS (
+         |  SELECT domain, user_id, ts_secs,
+         |         sum(ns) OVER (PARTITION BY domain, user_id ORDER BY ts_secs
+         |                       ROWS UNBOUNDED PRECEDING) AS visit_id
+         |  FROM flagged),
+         |visits AS (
+         |  SELECT domain, user_id, visit_id, count(*) AS n_pageviews,
+         |         min(ts_secs) AS start_secs, max(ts_secs) AS end_secs,
+         |         row_number() OVER (PARTITION BY domain, user_id
+         |                            ORDER BY min(ts_secs) DESC) AS rdesc
+         |  FROM sess GROUP BY domain, user_id, visit_id),
+         |mx AS (SELECT max(ts_secs) AS m FROM pv)
+         |SELECT domain, user_id, start_secs, n_pageviews,
+         |       CAST(n_pageviews = 1 AS BOOLEAN) AS is_bounce
+         |FROM visits, mx
+         |WHERE rdesc > 1 OR end_secs + 1800 < m
+         |ORDER BY domain, user_id, start_secs""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = Tables.eventsRaw(s, dir).schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream")
+      java.nio.file.Files.createLink(
+        stage.resolve("events.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "events")))
+      val pvs = s.readStream.schema(schema).parquet(stage.toString)
+        .select(col("event_type").as("domain"), col("user_id").as("user"),
+          (floor(col("ts") / lit(1000000000L)) * 1000).cast("long").as("tsMillis"))
+        .as[StreamSessionize.PageView]
+      val q = StreamSessionize.completedVisits(s, pvs, watermarkDelay = "0 seconds")
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name)
+        .select(col("domain"), col("user").as("user_id"),
+          (col("startMs") / 1000).cast("long").as("start_secs"),
+          col("nPageviews").cast("long").as("n_pageviews"),
+          col("isBounce").as("is_bounce"))
+        .orderBy("domain", "user_id", "start_secs")
+    },
+
     // UpdateCassandraBolt HLL upsert per (url, hourBucket)
     // (UniquesOverTime.java:142-194): streaming sketch aggregation; state
     // is the sketch itself (mergeable), not a remote read-modify-write.

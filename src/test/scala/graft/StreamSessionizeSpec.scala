@@ -44,6 +44,36 @@ class StreamSessionizeSpec extends SparkSpec {
       ("bar.com", 2L, 1, true)))
   }
 
+  test("timeout fires strictly below the watermark (boundary semantics pinned)") {
+    // the stream_sessionize oracle encodes `end + 1800 < max_ts` (strict);
+    // this pins that Spark's EventTimeTimeout really is strict at the
+    // boundary, which the sf test data never exercises
+    implicit val sqlCtx = spark.sqlContext
+    val T = 100 * Min
+    val input = MemoryStream[PageView]
+    val visits = StreamSessionize.completedVisits(spark, input.toDS(), "0 seconds")
+    val q = visits.writeStream.format("memory").queryName("ssz_bound")
+      .outputMode("append").trigger(Trigger.ProcessingTime(0)).start()
+    def emitted() = spark.table("ssz_bound").as[CompletedVisit]
+      .collect().map(_.domain).toSet
+
+    input.addData(PageView("a.com", 1, T))
+    q.processAllAvailable()
+    // watermark -> exactly the timeout timestamp: must NOT fire
+    input.addData(PageView("w.com", 9, T + 30 * Min))
+    q.processAllAvailable()
+    input.addData(PageView("w2.com", 8, T + 30 * Min)) // extra batch at same watermark
+    q.processAllAvailable()
+    assert(!emitted().contains("a.com"), "timeout == watermark must not fire (strict)")
+    // watermark one ms past the timeout: fires on the next batch
+    input.addData(PageView("w3.com", 7, T + 30 * Min + 1))
+    q.processAllAvailable()
+    input.addData(PageView("w4.com", 6, T + 30 * Min + 1))
+    q.processAllAvailable()
+    assert(emitted().contains("a.com"), "timeout < watermark must fire")
+    q.stop()
+  }
+
   test("in-batch gaps split visits without waiting for the timeout") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[PageView]
