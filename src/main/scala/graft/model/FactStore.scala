@@ -103,6 +103,14 @@ object FactStore {
     fs.delete(new org.apache.hadoop.fs.Path(snapshotPath), true)
   }
 
+  /** deduplicatePageviews (BatchWorkflow.java:223-233): set-dedup of whole
+    * facts on the typed path — identical Data records (same pedigree and
+    * unit, nonce included) collapse to one. A shuffle-distinct over the
+    * full struct; the `nonce` field is what makes legitimately repeated
+    * events distinct (schema.thrift:49-53).
+    */
+  def deduplicate(facts: Dataset[Fact]): Dataset[Fact] = facts.distinct()
+
   /** The events table rendered as page_view facts — bridges the driver
     * test data into the typed fact pipeline. Built with column
     * expressions (not a per-row object map) so construction stays inside

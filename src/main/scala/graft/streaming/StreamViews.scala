@@ -138,6 +138,42 @@ object StreamViews {
         .orderBy("domain", "user_id", "start_secs")
     },
 
+    // bounceRateOverTime (TridentSpeedLayer.java:290-337): per-domain
+    // (visits, bounces) over the *emitted* visit stream — the streaming
+    // aggregation of stream_sessionize's output, same emission rule in
+    // the oracle.
+    withOracle(
+      "stream_bounce",
+      s"""WITH pv AS (
+         |  SELECT event_type AS domain, user_id, $ts AS ts_secs, event_id FROM events),
+         |flagged AS (
+         |  SELECT domain, user_id, ts_secs,
+         |         CASE WHEN ts_secs - lag(ts_secs) OVER w > 1800
+         |                OR lag(ts_secs) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+         |  FROM pv WINDOW w AS (PARTITION BY domain, user_id ORDER BY ts_secs, event_id)),
+         |sess AS (
+         |  SELECT domain, user_id, ts_secs,
+         |         sum(ns) OVER (PARTITION BY domain, user_id ORDER BY ts_secs
+         |                       ROWS UNBOUNDED PRECEDING) AS visit_id
+         |  FROM flagged),
+         |visits AS (
+         |  SELECT domain, user_id, visit_id, count(*) AS n_pageviews,
+         |         max(ts_secs) AS end_secs,
+         |         row_number() OVER (PARTITION BY domain, user_id
+         |                            ORDER BY min(ts_secs) DESC) AS rdesc
+         |  FROM sess GROUP BY domain, user_id, visit_id),
+         |mx AS (SELECT max(ts_secs) AS m FROM pv)
+         |SELECT domain, count(*) AS visits,
+         |       CAST(sum(CASE WHEN n_pageviews = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces
+         |FROM visits, mx WHERE rdesc > 1 OR end_secs + 1800 < m
+         |GROUP BY domain ORDER BY domain""".stripMargin) { (s, dir) =>
+      graft.SparkEntry.queries("stream_sessionize")(s, dir)
+        .groupBy("domain")
+        .agg(count(lit(1)).as("visits"),
+          sum(when(col("is_bounce"), 1).otherwise(0)).cast("long").as("bounces"))
+        .orderBy("domain")
+    },
+
     // UpdateCassandraBolt HLL upsert per (url, hourBucket)
     // (UniquesOverTime.java:142-194): streaming sketch aggregation; state
     // is the sketch itself (mergeable), not a remote read-modify-write.

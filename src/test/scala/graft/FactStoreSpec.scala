@@ -68,6 +68,15 @@ class FactStoreSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(snap.get)))
   }
 
+  test("deduplicate collapses identical facts, keeps distinct nonces") {
+    val pv = Fact.pageView(PersonId.ofUser(1), "http://foo.com/a", 60, nonce = 1)
+    val sameAgain = Fact.pageView(PersonId.ofUser(1), "http://foo.com/a", 60, nonce = 1)
+    val differentNonce = Fact.pageView(PersonId.ofUser(1), "http://foo.com/a", 60, nonce = 2)
+    val deduped = FactStore.deduplicate(Seq(pv, sameAgain, differentNonce).toDS()).collect()
+    assert(deduped.length == 2)
+    assert(deduped.flatMap(_.pageView).map(_.nonce).sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("validate rejects union-invariant violations") {
     val bad = Seq(
       Fact(FactKind.PageView, Pedigree(0, "self"), None, None, None, None))
