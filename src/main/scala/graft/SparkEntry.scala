@@ -13,6 +13,7 @@ object SparkEntry {
   def modules: Seq[QueryDef] =
     operators.BatchViews.defs ++
       operators.Relational.defs ++
+      operators.Analytics.defs ++
       operators.Sessionize.defs ++
       operators.Uniques.defs ++
       operators.GraphOps.defs ++

@@ -1,0 +1,108 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withOracle
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** General analytics operators beyond the reference's surface (SURVEY.md
+  * §2.5 notes these are "available for free via Catalyst"; declared here
+  * so the capability is oracle-proven, not just claimed): ROLLUP subtotal
+  * hierarchies, interpolated percentiles, pivot-style conditional
+  * aggregation, running window aggregates, and set operations.
+  */
+object Analytics {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ROLLUP subtotal hierarchy (the general form of the reference's
+    // explicit granularity rollup). Subtotal rows carry NULL group keys;
+    // coalesce to a sentinel so both engines sort/hash identically.
+    withOracle(
+      "agg_rollup_sets",
+      """SELECT coalesce(l_returnflag, '*') AS rf, coalesce(l_linestatus, '*') AS ls,
+        |       count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        .select(coalesce(col("l_returnflag"), lit("*")).as("rf"),
+          coalesce(col("l_linestatus"), lit("*")).as("ls"), col("n"), col("total"))
+        .orderBy("rf", "ls")
+    },
+
+    // Interpolated percentiles per group (quality-cutoff shape for the
+    // training pipeline: e.g. drop docs below the p5 quality score).
+    withOracle(
+      "agg_percentile",
+      """SELECT event_type,
+        |       round(quantile_cont(value, 0.5), 4) AS p50,
+        |       round(quantile_cont(value, 0.95), 4) AS p95
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.eventsRaw(s, dir)
+        .groupBy("event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 4).as("p50"),
+          round(expr("percentile(value, 0.95)"), 4).as("p95"))
+        .orderBy("event_type")
+    },
+
+    // Pivot: per-user event-type counts as columns (conditional
+    // aggregation in the oracle — the portable form of PIVOT).
+    withOracle(
+      "agg_pivot",
+      """SELECT user_id,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, dir) =>
+      Tables.eventsRaw(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id")
+    },
+
+    // Running window aggregates: cumulative spend + event rank per user.
+    withOracle(
+      "window_running",
+      """SELECT event_id, user_id,
+        |       row_number() OVER w AS rn,
+        |       round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                              ROWS UNBOUNDED PRECEDING), 2) AS running_total
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.eventsRaw(s, dir)
+        .select(col("event_id"), col("user_id"),
+          row_number().over(w).as("rn"),
+          round(sum("value").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2)
+            .as("running_total"))
+        .orderBy("user_id", "rn")
+    },
+
+    // Set operations: users who click but never error (EXCEPT), and the
+    // click∩purchase overlap (INTERSECT).
+    withOracle(
+      "set_ops",
+      """SELECT 'click_no_error' AS op, user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  EXCEPT
+        |  SELECT user_id FROM events WHERE event_type = 'error')
+        |UNION ALL
+        |SELECT 'click_and_purchase', user_id FROM (
+        |  SELECT user_id FROM events WHERE event_type = 'click'
+        |  INTERSECT
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |ORDER BY op, user_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsRaw(s, dir)
+      def users(t: String) = ev.where(col("event_type") === t).select("user_id")
+      val exceptSet = users("click").except(users("error"))
+        .select(lit("click_no_error").as("op"), col("user_id"))
+      val intersectSet = users("click").intersect(users("purchase"))
+        .select(lit("click_and_purchase").as("op"), col("user_id"))
+      exceptSet.unionAll(intersectSet).orderBy("op", "user_id")
+    }
+  )
+}
