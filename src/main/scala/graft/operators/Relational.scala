@@ -114,6 +114,67 @@ object Relational {
         .orderBy("r_name", "n_name")
     },
 
+    // TPC-H Q5-shaped local-supplier volume: six-way join with the
+    // customer-supplier same-nation constraint — join-reorder stress.
+    withOracle(
+      "q5_local_supplier",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name ORDER BY n_name""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .where(col("o_orderdate") >= lit("1996-01-01 00:00:00").cast("timestamp")
+            && col("o_orderdate") < lit("1998-01-01 00:00:00").cast("timestamp")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("n_name")
+    },
+
+    // Semi-join (TPC-H Q4 shape): orders having at least one late lineitem.
+    withOracle(
+      "join_semi",
+      """SELECT o_orderpriority, count(*) AS n
+        |FROM orders
+        |WHERE EXISTS (
+        |  SELECT 1 FROM lineitem
+        |  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      val late = Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate"))
+      Tables.orders(s, dir)
+        .join(late,
+          col("o_orderkey") === col("l_orderkey") && col("l_shipdate") > col("o_orderdate"),
+          "left_semi")
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+
+    // Anti-join: customers with no orders at all.
+    withOracle(
+      "join_anti",
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin) { (s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey")
+        .orderBy("c_custkey")
+    },
+
     // !!newId ungrounded-var left outer join (BatchWorkflow.java:679-686):
     // pageviews left-joined to a canonical-id map; unmatched keep their id.
     // The map here is a deterministic synthetic equiv relation over events
