@@ -14,6 +14,7 @@ object SparkEntry {
     operators.BatchViews.defs ++
       operators.Relational.defs ++
       operators.Analytics.defs ++
+      operators.AsofJoin.defs ++
       operators.Sessionize.defs ++
       operators.Uniques.defs ++
       operators.GraphOps.defs ++

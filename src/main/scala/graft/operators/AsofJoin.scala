@@ -1,0 +1,68 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withOracle
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** As-of join — an operator the reference (and built-in Spark) lacks,
+  * composed from existing ops per the preference order in SURVEY.md §7.3
+  * / the build brief: rather than a custom SparkPlan or an O(n·m) range
+  * join, tag both sides, union, and take a running `last(..., ignoreNulls)`
+  * per key ordered by event time. One shuffle on the key, O(n log n)
+  * within partitions — the shape that survives 100 TB (a per-key
+  * interleave, never a per-pair product).
+  *
+  * Tie rule: at equal timestamps the right side sorts first, so a left
+  * row sees a right row with the exact same timestamp (>= semantics,
+  * matching DuckDB's ASOF JOIN which oracles this operator).
+  */
+object AsofJoin {
+
+  /** For each left row, attach `valueCol` of the latest right row with
+    * rightTs <= leftTs, per key. Inputs: left(key, ts, leftCols…),
+    * right(key, ts, valueCol). Output: left columns + valueCol (null when
+    * no prior right row exists).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valueCol: String): DataFrame = {
+    val leftCols = left.columns.filterNot(_ == valueCol)
+    val taggedLeft = left.withColumn("__side", lit(1))
+      .withColumn(valueCol, lit(null).cast(right.schema(valueCol).dataType))
+    val taggedRight = right.select(
+      (Seq(col(key), col(ts)) ++
+        leftCols.filterNot(c => c == key || c == ts).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(0).as("__side") :+ col(valueCol)): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    taggedLeft.select(taggedRight.columns.map(col): _*)
+      .unionAll(taggedRight)
+      .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .drop("__side")
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Attribution shape: each purchase joined as-of to the same user's
+    // latest preceding (or simultaneous) click. ns-precision timestamps
+    // make the as-of pick unique.
+    withOracle(
+      "join_asof",
+      """SELECT p.event_id AS purchase_id, p.user_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsRaw(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      asofJoin(purchases, clicks, key = "user_id", ts = "ts", valueCol = "click_id")
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy("purchase_id")
+    }
+  )
+}
