@@ -145,6 +145,36 @@ object Relational {
         .orderBy("n_name")
     },
 
+    // TPC-H Q18-shaped large-volume customers: HAVING-filtered aggregate
+    // subquery semi-joined back to the fact, then re-aggregated.
+    withOracle(
+      "q18_large_orders",
+      """SELECT c_custkey, o_orderkey,
+        |       round(o_totalprice, 2) AS o_totalprice,
+        |       round(sum(l_quantity), 2) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+        |  HAVING sum(l_quantity) > 150)
+        |GROUP BY c_custkey, o_orderkey, o_totalprice
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val big = li.groupBy("l_orderkey").agg(sum("l_quantity").as("tq"))
+        .where(col("tq") > 150).select(col("l_orderkey").as("big_okey"))
+      li.join(big, col("l_orderkey") === col("big_okey"), "left_semi")
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_totalprice")
+        .agg(sum("l_quantity").as("tq2"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+        .select(col("c_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"),
+          round(col("tq2"), 2).as("total_qty"))
+    },
+
     // Semi-join (TPC-H Q4 shape): orders having at least one late lineitem.
     withOracle(
       "join_semi",
