@@ -138,6 +138,33 @@ object StreamViews {
         .orderBy("domain", "user_id", "start_secs")
     },
 
+    // Watermarked tumbling-window streaming aggregation in append mode
+    // (SURVEY.md §2.7 windows/watermark row): hour windows emit once the
+    // watermark (here: max event time, delay 0) passes the window end —
+    // the trailing no-data microbatch flushes every closed window, so
+    // under AvailableNow the emitted set is every window except those
+    // still open at max event time.
+    withOracle(
+      "stream_window_counts",
+      s"""WITH b AS (
+         |  SELECT event_type AS url, ($ts // 3600) * 3600 AS window_start,
+         |         count(*) AS pageviews
+         |  FROM events GROUP BY 1, 2),
+         |mx AS (SELECT max($ts) AS m FROM events)
+         |SELECT url, window_start, pageviews FROM b, mx
+         |WHERE window_start + 3600 <= m
+         |ORDER BY url, window_start""".stripMargin) { (s, dir) =>
+      runToMemory(s, dir, "append") { src =>
+        withTsSecs(src)
+          .withColumn("ts_event", col("ts_secs").cast("timestamp"))
+          .withWatermark("ts_event", "0 seconds")
+          .groupBy(window(col("ts_event"), "1 hour"), col("event_type").as("url"))
+          .agg(count(lit(1)).as("pageviews"))
+          .select(col("url"), col("window.start").cast("long").as("window_start"),
+            col("pageviews"))
+      }.orderBy("url", "window_start")
+    },
+
     // bounceRateOverTime (TridentSpeedLayer.java:290-337): per-domain
     // (visits, bounces) over the *emitted* visit stream — the streaming
     // aggregation of stream_sessionize's output, same emission rule in
