@@ -23,7 +23,8 @@ object SparkEntry {
       operators.NearDedup.defs ++
       operators.Multimodal.defs ++
       operators.IngestOps.defs ++
-      streaming.StreamViews.defs
+      streaming.StreamViews.defs ++
+      sources.TextSources.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Pageviews-over-time — the book's flagship batch view

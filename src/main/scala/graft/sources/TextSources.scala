@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withOracle
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Non-parquet source formats (the reference's only format is
+  * Thrift-in-SequenceFile; a Spark-native engine must also ingest the
+  * interchange formats a 100 TB corpus actually arrives in). Declared as
+  * write→read round-trips with explicit schemas — schema-first, no
+  * inference in production paths (SURVEY.md §1.4) — whose read-back
+  * aggregates the DuckDB oracle predicts from the original table.
+  */
+object TextSources {
+
+  private def stage(): String =
+    Files.createTempDirectory("graft_src").toString
+
+  private val eventSchema = StructType(Seq(
+    StructField("event_id", LongType), StructField("user_id", LongType),
+    StructField("event_type", StringType), StructField("value", DoubleType)))
+
+  private def eventsSlim(s: SparkSession, dir: String) =
+    Tables.eventsRaw(s, dir).select("event_id", "user_id", "event_type", "value")
+
+  val defs: Seq[QueryDef] = Seq(
+
+    withOracle(
+      "source_csv",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val path = stage() + "/events_csv"
+      eventsSlim(s, dir).write.option("header", "true").csv(path)
+      s.read.schema(eventSchema).option("header", "true").csv(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("event_type")
+    },
+
+    withOracle(
+      "source_json",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val path = stage() + "/events_json"
+      eventsSlim(s, dir).write.json(path)
+      s.read.schema(eventSchema).json(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("event_type")
+    }
+  )
+}
