@@ -34,8 +34,12 @@ object SparkEntry {
     operators.BatchViews.pageviewsOverTime(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val names = modules.map(_.name)
+    val dups = names.diff(names.distinct).distinct
+    require(dups.isEmpty, s"duplicate query names would shadow each other: ${dups.mkString(", ")}")
     modules.map(d => d.name -> d.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.

@@ -47,7 +47,7 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame =
     eventsRaw(spark, dir)
-      .withColumn("ts_secs", floor(col("ts") / lit(1000000000L)).cast("long"))
+      .withColumn("ts_secs", graft.functions.TimeFunctions.tsSecs(col("ts")))
       .withColumn(
         "url",
         concat(
@@ -59,8 +59,10 @@ object Tables {
     * kept here so Spark and oracle definitions sit side by side.
     */
   object sql {
-    // epoch(ts) is double seconds; floor + cast matches integer ns division.
-    val tsSecs = "CAST(floor(epoch(ts)) AS BIGINT)"
+    // Integer path end to end: epoch_ns keeps BIGINT nanos, // floors —
+    // matches TimeFunctions.tsSecs exactly (no double intermediate on
+    // either engine).
+    val tsSecs = "(epoch_ns(ts) // 1000000000)"
     val url =
       "'https://' || event_type || '.example.com:8080/u/' || CAST(user_id % 20 AS VARCHAR) || '/item?q=' || CAST(event_id AS VARCHAR) || '#f'"
     // What NormalizeURL must produce for the synthetic url above.

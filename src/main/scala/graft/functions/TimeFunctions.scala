@@ -14,8 +14,17 @@ import org.apache.spark.sql.functions._
   */
 object TimeFunctions {
 
-  /** Floor division yielding LongType (works for negative epochs too). */
-  def fdiv(c: Column, n: Long): Column = floor(c / lit(n)).cast("long")
+  /** Exact floor division on integral columns, yielding LongType (works for
+    * negative epochs too). `floor(c / n)` would promote through DoubleType,
+    * whose 2^53 exact range epoch *nanoseconds* (~1.7e18) exceed — a boundary
+    * value could land in the wrong bucket. Instead: subtract the non-negative
+    * mod (long-exact), then the registered integral `div` (long-exact).
+    */
+  def fdiv(c: Column, n: Long): Column =
+    call_function("div", c - pmod(c, lit(n)), lit(n)).cast("long")
+
+  /** Epoch nanoseconds -> epoch seconds, exactly. */
+  def tsSecs(tsNanos: Column): Column = fdiv(tsNanos, 1000000000L)
 
   def hourBucket(tsSecs: Column): Column = fdiv(tsSecs, 3600L)
 

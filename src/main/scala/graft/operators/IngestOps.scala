@@ -73,7 +73,7 @@ object IngestOps {
     withOracle(
       "sink_kv",
       s"""WITH hourly AS (
-         |  SELECT event_type AS url, (CAST(floor(epoch(ts)) AS BIGINT)) // 3600 AS hbv,
+         |  SELECT event_type AS url, (${Tables.sql.tsSecs}) // 3600 AS hbv,
          |         count(*) AS pv
          |  FROM events GROUP BY 1, 2),
          |ex AS (

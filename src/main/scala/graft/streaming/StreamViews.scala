@@ -48,7 +48,7 @@ object StreamViews {
   }
 
   private def withTsSecs(df: DataFrame): DataFrame =
-    df.withColumn("ts_secs", floor(col("ts") / lit(1000000000L)).cast("long"))
+    df.withColumn("ts_secs", tsSecs(col("ts")))
 
   private val ts = Tables.sql.tsSecs
   private val hb = s"($ts) // 3600"
@@ -124,7 +124,7 @@ object StreamViews {
         java.nio.file.Paths.get(Tables.path(dir, "events")))
       val pvs = s.readStream.schema(schema).parquet(stage.toString)
         .select(col("event_type").as("domain"), col("user_id").as("user"),
-          (floor(col("ts") / lit(1000000000L)) * 1000).cast("long").as("tsMillis"))
+          (tsSecs(col("ts")) * 1000).cast("long").as("tsMillis"))
         .as[StreamSessionize.PageView]
       val q = StreamSessionize.completedVisits(s, pvs, watermarkDelay = "0 seconds")
         .writeStream.format("memory").queryName(name).outputMode("append")
