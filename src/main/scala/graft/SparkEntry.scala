@@ -18,6 +18,7 @@ object SparkEntry {
       operators.Sessionize.defs ++
       operators.Uniques.defs ++
       operators.GraphOps.defs ++
+      operators.Workflow.defs ++
       operators.TextOps.defs ++
       operators.VectorOps.defs ++
       operators.NearDedup.defs ++

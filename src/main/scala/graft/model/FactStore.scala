@@ -1,6 +1,6 @@
 package graft.model
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The master-dataset store: Parquet partitioned by fact kind, giving the
@@ -21,6 +21,18 @@ import org.apache.spark.sql.functions._
   * rewrite history (the master dataset is immutable, append-only).
   */
 object FactStore {
+
+  /** Nested-struct DDLs for the null union members of a Fact row built by
+    * column expression — must match the Fact case-class encoder schema.
+    */
+  private val personIdType = "struct<cookie:string,userId:bigint>"
+  private val personPropertyType =
+    s"struct<id:$personIdType,value:struct<fullName:string,gender:string," +
+      "location:struct<city:string,state:string,country:string>>>"
+  private val pagePropertyType = "struct<id:struct<url:string>,pageViews:int>"
+  private val equivType = s"struct<id1:$personIdType,id2:$personIdType>"
+  private val pageViewType =
+    s"struct<person:$personIdType,page:struct<url:string>,nonce:bigint>"
 
   /** Union invariant (exactly one DataUnit member, matching `kind`),
     * enforced at the ingest boundary — the Spark analog of
@@ -123,19 +135,85 @@ object FactStore {
       .select(
         lit(FactKind.PageView).as("kind"),
         struct(col("ts_secs").as("trueAsOfSecs"), lit("self").as("source")).as("pedigree"),
-        lit(null).cast(
-          "struct<id:struct<cookie:string,userId:bigint>," +
-            "value:struct<fullName:string,gender:string," +
-            "location:struct<city:string,state:string,country:string>>>")
-          .as("personProperty"),
-        lit(null).cast("struct<id:struct<url:string>,pageViews:int>").as("pageProperty"),
-        lit(null).cast(
-          "struct<id1:struct<cookie:string,userId:bigint>," +
-            "id2:struct<cookie:string,userId:bigint>>").as("equiv"),
+        lit(null).cast(personPropertyType).as("personProperty"),
+        lit(null).cast(pagePropertyType).as("pageProperty"),
+        lit(null).cast(equivType).as("equiv"),
         struct(
           struct(nullStr.as("cookie"), col("user_id").as("userId")).as("person"),
           struct(col("url")).as("page"),
           col("event_id").as("nonce")).as("pageView"))
+      .as[Fact]
+  }
+
+  /** userId PersonId struct column. */
+  private def userStruct(c: Column): Column =
+    struct(lit(null).cast("string").as("cookie"), c.cast("long").as("userId"))
+
+  /** Union-typed equiv facts synthesized from events: every user links to a
+    * browser cookie (`ck` + user_id%53 — several users share a cookie, the
+    * cross-device case of schema.thrift:44-47) plus the user↔user%37
+    * relation the plain graph fixtures use. Gives connected components a
+    * genuinely mixed cookie/user graph.
+    */
+  def equivFactsFromEvents(spark: SparkSession, sfDir: String): Dataset[Fact] = {
+    import spark.implicits._
+    val users = graft.Tables.eventsRaw(spark, sfDir)
+      .select(col("user_id").as("u")).distinct()
+    val cookieId = struct(
+      concat(lit("ck"), lpad((col("u") % 53).cast("string"), 5, "0")).as("cookie"),
+      lit(null).cast("bigint").as("userId"))
+    val toCookie = users
+      .select(struct(userStruct(col("u")).as("id1"), cookieId.as("id2")).as("equiv"))
+    val toUser = users.where(col("u") % 37 =!= col("u"))
+      .select(struct(userStruct(col("u")).as("id1"),
+        userStruct(col("u") % 37).as("id2")).as("equiv"))
+    toCookie.unionAll(toUser)
+      .select(
+        lit(FactKind.Equiv).as("kind"),
+        struct(lit(0L).as("trueAsOfSecs"), lit("self").as("source")).as("pedigree"),
+        lit(null).cast(personPropertyType).as("personProperty"),
+        lit(null).cast(pagePropertyType).as("pageProperty"),
+        col("equiv"),
+        lit(null).cast(pageViewType).as("pageView"))
+      .as[Fact]
+  }
+
+  /** Person-property facts from events (one per event: the user's `city`
+    * observed as the event_type at ts_secs) — fixture for latest-wins
+    * property views over the schema's property half (schema.thrift:13-42).
+    */
+  def personPropertyFactsFromEvents(spark: SparkSession, sfDir: String): Dataset[Fact] = {
+    import spark.implicits._
+    val nullStr = lit(null).cast("string")
+    graft.Tables.events(spark, sfDir)
+      .select(
+        lit(FactKind.PersonProperty).as("kind"),
+        struct(col("ts_secs").as("trueAsOfSecs"), lit("self").as("source")).as("pedigree"),
+        struct(
+          userStruct(col("user_id")).as("id"),
+          struct(nullStr.as("fullName"), nullStr.as("gender"),
+            struct(col("event_type").as("city"), nullStr.as("state"),
+              lit("US").as("country")).as("location")).as("value")).as("personProperty"),
+        lit(null).cast(pagePropertyType).as("pageProperty"),
+        lit(null).cast(equivType).as("equiv"),
+        lit(null).cast(pageViewType).as("pageView"))
+      .as[Fact]
+  }
+
+  /** Page-property facts from events (per-domain pageViews observation). */
+  def pagePropertyFactsFromEvents(spark: SparkSession, sfDir: String): Dataset[Fact] = {
+    import spark.implicits._
+    graft.Tables.events(spark, sfDir)
+      .select(
+        lit(FactKind.PageProperty).as("kind"),
+        struct(col("ts_secs").as("trueAsOfSecs"), lit("self").as("source")).as("pedigree"),
+        lit(null).cast(personPropertyType).as("personProperty"),
+        struct(
+          struct(concat(lit("https://"), col("event_type"), lit(".example.com"))
+            .as("url")).as("id"),
+          (col("event_id") % 1000).cast("int").as("pageViews")).as("pageProperty"),
+        lit(null).cast(equivType).as("equiv"),
+        lit(null).cast(pageViewType).as("pageView"))
       .as[Fact]
   }
 }
