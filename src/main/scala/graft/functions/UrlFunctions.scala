@@ -19,19 +19,24 @@ import org.apache.spark.sql.functions._
   */
 object UrlFunctions {
 
+  // new URL(String) for exact parity with the reference's parsing
+  // (BatchWorkflow.java:199-206) — java.net.URI rejects inputs URL
+  // accepts (unescaped chars, some authority forms). Not deprecated on
+  // the Java 17 toolchain.
   private def parse(url: String): java.net.URL =
-    try new java.net.URI(url).toURL
+    try new java.net.URL(url)
     catch { case _: Exception => null }
 
   /** protocol://host/path, or the input unchanged when malformed (batch
-    * semantics of NormalizeURL).
+    * semantics of NormalizeURL). Host case is preserved, as the reference
+    * preserves it.
     */
   val normalizeUrlUdf = udf { (url: String) =>
     if (url == null) null
     else {
       val u = parse(url)
       if (u == null) url
-      else s"${u.getProtocol}://${u.getHost.toLowerCase}${u.getPath}"
+      else s"${u.getProtocol}://${u.getHost}${u.getPath}"
     }
   }
 
@@ -43,7 +48,7 @@ object UrlFunctions {
     else {
       val u = parse(url)
       if (u == null) null
-      else s"${u.getProtocol}://${u.getHost.toLowerCase}${u.getPath}"
+      else s"${u.getProtocol}://${u.getHost}${u.getPath}"
     }
   }
 

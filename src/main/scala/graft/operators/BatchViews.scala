@@ -209,7 +209,9 @@ object BatchViews {
         |  UNION ALL
         |  SELECT 'low' AS tag, event_id FROM events WHERE value < 10)
         |ORDER BY tag, event_id""".stripMargin) { (s, dir) =>
-      val ev = Tables.eventsRaw(s, dir).select("event_id", "value").persist()
+      // no cache: two pruned columnar scans beat pinning the fact table in
+      // memory (at scale, caching the events table is never an option)
+      val ev = Tables.eventsRaw(s, dir).select("event_id", "value")
       val high = ev.where(col("value") >= 400).select(lit("high").as("tag"), col("event_id"))
       val low = ev.where(col("value") < 10).select(lit("low").as("tag"), col("event_id"))
       high.unionAll(low).orderBy("tag", "event_id")

@@ -74,21 +74,27 @@ object NearDedup {
     val shingled = docs
       .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
       .persist()
-    val candidates = minhashCandidates(minhashSignatures(shingled))
-    // Exact verify on the candidate set only: route the shingle join
-    // *through* the candidate pairs so intersection cost is
-    // O(candidates × shingles-per-doc), never the full shingle self-join.
-    val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val inter = candidates
-      .join(shingled.select(col("doc_id").as("i"), col("s")), "i")
-      .join(shingled.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
-      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
-      .withColumn("jaccard", col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
-      .where(col("jaccard") >= threshold)
-      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+    try {
+      val candidates = minhashCandidates(minhashSignatures(shingled))
+      // Exact verify on the candidate set only: route the shingle join
+      // *through* the candidate pairs so intersection cost is
+      // O(candidates × shingles-per-doc), never the full shingle self-join.
+      val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = candidates
+        .join(shingled.select(col("doc_id").as("i"), col("s")), "i")
+        .join(shingled.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      inter
+        .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .withColumn("jaccard",
+          col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
+        .where(col("jaccard") >= threshold)
+        .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+        // eagerly materialize the small dup-pair set, then drop the cache
+        // so long sessions don't accumulate cached shingle blocks
+        .localCheckpoint()
+    } finally shingled.unpersist()
   }
 
   /** 64-bit SimHash per doc: for each token hash h and bit b, add tf if

@@ -225,17 +225,22 @@ object TextOps {
     */
   def ngramJaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
     // the shingle relation feeds three plan subtrees (two join sides +
-    // sizes); cache it so shingle generation runs once
+    // sizes); cache it so shingle generation runs once, then eagerly
+    // materialize the (small, thresholded) result and release the cache —
+    // a session running many queries must not accumulate cached blocks
     val sh = shRaw.persist()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-      .agg(count(lit(1)).as("inter"))
-    pairs
-      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
-      .withColumn("jac", col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
-      .where(col("jac") >= threshold)
+    try {
+      val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val pairs = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+        .agg(count(lit(1)).as("inter"))
+      pairs
+        .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .withColumn("jac", col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
+        .where(col("jac") >= threshold)
+        .localCheckpoint()
+    } finally sh.unpersist()
   }
 }

@@ -202,27 +202,46 @@ object VectorOps {
       s"all-pairs similarity on $n rows exceeds the $maxRows guard; use ann_lsh")
   }
 
-  /** Deterministic sign-random-projection band codes: for table t, plane p,
-    * dimension d the ±1 weight comes from murmur3(t, p, d); bit p of table
-    * t's code is the projection sign. Output one row per (vec_id, t) with
-    * the k-bit `code`. Two narrow shuffles (groupBy (vec_id,t,p) then
-    * (vec_id,t)) after a broadcast join with the tables×planes×dim weights.
+  /** Deterministic sign-random-projection band codes: plane (t, p) is a
+    * seeded Gaussian hyperplane; bit p of table t's code is the projection
+    * sign. Output one row per (vec_id, t) with the k-bit `code`.
+    *
+    * All nTables codes are computed in ONE compiled pass over the float
+    * array per row — zero shuffles and no per-dimension row blowup (the
+    * posexplode-and-regroup form shuffled dims× the corpus twice; at 768
+    * dims that is 768× the rows through two exchanges). The tiny
+    * tables×planes×dims weight matrix is precomputed on the driver and
+    * ships in the task closure.
     */
   def lshBandCodes(spark: SparkSession, emb: DataFrame,
       nTables: Int, nPlanes: Int): DataFrame = {
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
-    val planes = spark.range(nTables).toDF("t")
-      .crossJoin(spark.range(nPlanes).toDF("p"))
-      .crossJoin(spark.range(dims).toDF("d"))
-      .withColumn("w",
-        when(pmod(hash(col("t"), col("p"), col("d")), lit(2)) === 0, 1.0).otherwise(-1.0))
-    val exploded = emb.select(col("vec_id"), posexplode(col("embedding")).as(Seq("d", "x")))
-    exploded
-      .join(broadcast(planes), "d")
-      .groupBy("vec_id", "t", "p")
-      .agg(sum(col("w") * col("x").cast("double")).as("proj"))
-      .groupBy("vec_id", "t")
-      .agg(sum(when(col("proj") >= 0, expr("shiftleft(1L, cast(p AS INT))")).otherwise(0L))
-        .as("code"))
+    // weights[t*nPlanes + p][d]: deterministic Gaussian hyperplanes
+    val weights: Array[Array[Double]] =
+      Array.tabulate(nTables * nPlanes) { tp =>
+        val rnd = new java.util.Random(0x5eed0000L + tp)
+        Array.fill(dims)(rnd.nextGaussian())
+      }
+    val codesUdf = udf { (v: Seq[Float]) =>
+      val n = v.length
+      val out = new Array[Long](nTables)
+      var t = 0
+      while (t < nTables) {
+        var code = 0L
+        var p = 0
+        while (p < nPlanes) {
+          val w = weights(t * nPlanes + p)
+          var acc = 0.0
+          var d = 0
+          while (d < n) { acc += w(d) * v(d); d += 1 }
+          if (acc >= 0) code |= 1L << p
+          p += 1
+        }
+        out(t) = code
+        t += 1
+      }
+      out
+    }
+    emb.select(col("vec_id"), posexplode(codesUdf(col("embedding"))).as(Seq("t", "code")))
   }
 }

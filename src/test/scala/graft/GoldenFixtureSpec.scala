@@ -33,6 +33,42 @@ class GoldenFixtureSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 3L -> 1L, 5L -> 1L))
   }
 
+  test("union-typed CC: mixed cookie/user chain collapses to the cookie (tag order)") {
+    import graft.model.PersonId
+    // user7 ≡ ckA, user9 ≡ ckA, user9 ≡ user11: one component whose smallest
+    // member under the union order (cookie tag 1 < user tag 2,
+    // PersonID.java:322-326) is the cookie. ckB ≡ user20 is separate.
+    val pairs = Seq(
+      (PersonId.ofUser(7L), PersonId.ofCookie("ckA")),
+      (PersonId.ofUser(9L), PersonId.ofCookie("ckA")),
+      (PersonId.ofUser(9L), PersonId.ofUser(11L)),
+      (PersonId.ofCookie("ckB"), PersonId.ofUser(20L)))
+    val edges = pairs.toDF("id1", "id2")
+      .select(GraphOps.personKey(col("id1")).as("src"),
+        GraphOps.personKey(col("id2")).as("dst"))
+    val labels = GraphOps.connectedComponents(edges)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    def user(u: Long) = f"2:$u%019d"
+    assert(labels(user(7)) == "1:ckA")
+    assert(labels(user(9)) == "1:ckA")
+    assert(labels(user(11)) == "1:ckA")
+    assert(labels("1:ckA") == "1:ckA")
+    assert(labels(user(20)) == "1:ckB")
+  }
+
+  test("personKey preserves PersonId.sortKey total order") {
+    import graft.model.PersonId
+    val ids = Seq(PersonId.ofCookie("zz"), PersonId.ofCookie("aa"),
+      PersonId.ofUser(5L), PersonId.ofUser(123456789L), PersonId.ofUser(0L))
+    val byKey = ids.map(Tuple1(_)).toDF("id")
+      .select(GraphOps.personKey(col("id")).as("k"))
+      .orderBy("k").as[String].collect().toSeq
+    val expected = ids.sortBy(_.sortKey).map {
+      id => id.cookie.map("1:" + _).getOrElse(f"2:${id.userId.get}%019d")
+    }
+    assert(byKey == expected)
+  }
+
   test("hour buckets: fixture timestamps land in buckets 0,1,2") {
     val got = pageviews.select(col("ts_secs"), hourBucket(col("ts_secs")).as("hb"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -83,7 +119,8 @@ class GoldenFixtureSpec extends SparkSpec {
       "http://foo.com/post1",
       "not a url at all"
     ).toDF("url").select(normalizeUrl($"url")).as[String].collect()
-    assert(got(0) == "https://foo.com/a/b")
+    // host case preserved — exact java.net.URL parity with the reference
+    assert(got(0) == "https://Foo.com/a/b")
     assert(got(1) == "http://foo.com/post1")
     assert(got(2) == "not a url at all") // batch semantics: pass through
   }

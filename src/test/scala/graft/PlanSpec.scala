@@ -66,6 +66,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), p)
   }
 
+  test("lshBandCodes computes codes with zero shuffles (no per-dimension explode)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val p = plan(operators.VectorOps.lshBandCodes(spark, emb, 8, 6))
+    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
+    assert(exchanges == 0, s"band-code computation must be a narrow map:\n$p")
+  }
+
   test("sessionize uses one shuffle for window + aggregation (same keys)") {
     val p = plan(q("sessionize_visits"))
     // window partitioning (domain,user) feeds the (domain,user,visit_id)
