@@ -150,6 +150,44 @@ object NearDedup {
     noOracle("near_dedup_simhash") { (s, dir) =>
       simhashNearDups(Tables.documents(s, dir), maxDist = 3)
         .orderBy("i", "j")
+    },
+
+    // The APPLY step of near-dedup — what a training-data pipeline
+    // actually ships: cluster the dup pairs (connected components, since
+    // near-duplication is not transitive pair-by-pair) and keep one
+    // canonical doc (smallest id) per cluster. Oracled on the exact
+    // n-gram Jaccard pairs; the minhash candidate path plugs into the
+    // same clustering at scale.
+    graft.QueryDef.withOracle(
+      "near_dedup_apply",
+      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-2, 0))) AS i) g),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |pair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        |         GROUP BY 1, 2),
+        |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
+        |        JOIN sizes nb ON j = nb.doc_id
+        |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
+        |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (SELECT node, node AS m FROM nodes
+        |          UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
+        |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node)
+        |SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        |WHERE cc.canonical IS NULL OR cc.canonical = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sh = docs.select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
+      val pairs = TextOps.ngramJaccardPairs(sh, 0.1)
+        .select(col("i").as("src"), col("j").as("dst"))
+      val cc = GraphOps.connectedComponents(pairs)
+      docs.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+        .where(col("label").isNull || col("label") === col("doc_id"))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
     }
   )
 }
