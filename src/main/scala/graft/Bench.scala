@@ -21,6 +21,18 @@ object Bench {
     val warmDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
     graft.model.FactStore.ingest(
       graft.model.FactStore.eventsAsFacts(spark, sfDir).limit(100), s"$warmDir/m", 1)
+    // ...and the Structured Streaming machinery (query planner, state
+    // store, memory sink) on a one-file micro-stream, so the one-time
+    // class-loading/codegen cost isn't billed to the first stream query.
+    spark.read.parquet(s"$sfDir/region.parquet").limit(5)
+      .write.mode("overwrite").parquet(s"$warmDir/s")
+    val wq = spark.readStream
+      .schema(spark.read.parquet(s"$warmDir/s").schema).parquet(s"$warmDir/s")
+      .groupBy().count()
+      .writeStream.format("memory").queryName("graft_warm_stream")
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    wq.awaitTermination()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Regenerates PLANS.md: the formatted physical plan of each headline
+  * query at sf0.001. Plan *properties* (pushdown, pruning, broadcast,
+  * partial agg, zero-shuffle band codes, ...) are pinned by PlanSpec;
+  * this file is the human-readable dump the specs guard.
+  */
+object Plans {
+  val headline: Seq[String] = Seq(
+    "q1_agg", "q3_shipping", "q5_local_supplier", "q18_large_orders",
+    "join_asof", "agg_rollup_granularity", "join_inner", "join_semi",
+    "sessionize_visits", "connected_components", "similarity_topk",
+    "near_dedup_cosine", "text_ngram_jaccard", "scan_pruned",
+    "agg_rollup_sets", "batch_workflow", "property_latest",
+    "near_dedup_apply", "ann_lsh")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val out = args.lift(1).getOrElse("/root/repo/PLANS.md")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sb = new StringBuilder
+    sb.append("# PLANS — formatted physical plans of headline queries (sf0.001)\n\n")
+    sb.append("Regenerated per round; plan properties pinned by PlanSpec/BucketingSpec.\n")
+    headline.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    Files.writeString(Paths.get(out), sb.toString)
+    spark.stop()
+  }
+}

@@ -39,19 +39,32 @@ object StreamViews {
 
   /** Run a streaming transform of the events table to completion
     * (AvailableNow) into a memory sink; return the sink table.
+    *
+    * `needsFinalFlush` keeps the trailing no-data microbatch that advances
+    * the watermark and flushes closed windows/sessions; queries without
+    * watermark-gated state (complete-mode aggs, stateless projections)
+    * skip it — one less batch of fixed machinery per query.
     */
-  private def runToMemory(spark: SparkSession, dir: String, outputMode: String)(
+  private def runToMemory(spark: SparkSession, dir: String, outputMode: String,
+      needsFinalFlush: Boolean = false)(
       transform: DataFrame => DataFrame): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = Tables.eventsRaw(spark, dir).schema
-    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-    val src = spark.readStream.schema(schema).parquet(stagedEventsDir(dir))
-    val q = transform(src).writeStream
-      .format("memory").queryName(name).outputMode(outputMode)
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    spark.table(name)
+    val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
+    spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", needsFinalFlush)
+    try {
+      val schema = Tables.eventsRaw(spark, dir).schema
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val src = spark.readStream.schema(schema).parquet(stagedEventsDir(dir))
+      val q = transform(src).writeStream
+        .format("memory").queryName(name).outputMode(outputMode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      spark.table(name)
+    } finally prevNoData match {
+      case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
+      case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
+    }
   }
 
   private def withTsSecs(df: DataFrame): DataFrame =
@@ -171,7 +184,7 @@ object StreamViews {
          |SELECT url, window_start, pageviews FROM b, mx
          |WHERE window_start + 3600 <= m
          |ORDER BY url, window_start""".stripMargin) { (s, dir) =>
-      runToMemory(s, dir, "append") { src =>
+      runToMemory(s, dir, "append", needsFinalFlush = true) { src =>
         withTsSecs(src)
           .withColumn("ts_event", col("ts_secs").cast("timestamp"))
           .withWatermark("ts_event", "0 seconds")
