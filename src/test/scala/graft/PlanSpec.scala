@@ -66,6 +66,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), p)
   }
 
+  test("batch_workflow joins and aggregates without a cartesian product") {
+    val p = plan(q("batch_workflow"))
+    assert(!p.contains("CartesianProduct"), p)
+    // the count-distinct view still does partial aggregation
+    assert(p.linesIterator.count(_.contains("HashAggregate")) >= 2, p)
+  }
+
   test("lshBandCodes computes codes with zero shuffles (no per-dimension explode)") {
     val emb = Tables.embeddings(spark, sf0001)
     val p = plan(operators.VectorOps.lshBandCodes(spark, emb, 8, 6))
