@@ -56,13 +56,25 @@ object FactStore {
 
   /** shred + absorb: randomly repartition incoming facts (spreads load,
     * bounds file sizes) and append into the kind-partitioned master.
+    * Default shred parallelism is sized from the optimizer's byte estimate
+    * against a ~128 MB target file — write parallelism must scale with the
+    * DATA, not a constant: a fixed count under-parallelizes a 100 TB batch
+    * and over-parallelizes (all fixed cost) a small one.
     */
-  def ingest(facts: Dataset[Fact], masterPath: String, shredPartitions: Int = 8): Unit =
+  def ingest(facts: Dataset[Fact], masterPath: String, shredPartitions: Int = 0): Unit = {
+    val n =
+      if (shredPartitions > 0) shredPartitions
+      else {
+        val bytes = facts.queryExecution.optimizedPlan.stats.sizeInBytes
+        val perFile = BigInt(128L * 1024 * 1024)
+        ((bytes / perFile) + 1).min(BigInt(1 << 16)).max(BigInt(8)).toInt
+      }
     validate(facts)
-      .repartition(shredPartitions)
+      .repartition(n)
       .write.mode(SaveMode.Append)
       .partitionBy("kind")
       .parquet(masterPath)
+  }
 
   def readAll(spark: SparkSession, masterPath: String): Dataset[Fact] = {
     import spark.implicits._
