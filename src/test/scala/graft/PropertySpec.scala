@@ -23,6 +23,22 @@ class PropertySpec extends SparkSpec {
     parent.keys.map(k => k -> find(k)).toMap
   }
 
+  test("fdiv is exact floor division on longs, including beyond double's 2^53 range") {
+    import graft.functions.TimeFunctions.fdiv
+    val rnd = new scala.util.Random(7)
+    // epoch-ns magnitudes (~1.7e18) where floor(x/1e9) through a double
+    // intermediate rounds wrong for some values, plus negatives and
+    // boundary multiples
+    val cases = Seq(0L, -1L, 999999999L, 1000000000L, -1000000001L,
+      Long.MaxValue - 1, (1L << 53) + 1) ++
+      Seq.fill(200)(rnd.nextLong() % (2L * 1000 * 1000 * 1000 * 1000 * 1000 * 1000 / 2))
+    val got = cases.toDF("ts")
+      .select(fdiv(col("ts"), 1000000000L)).as[Long].collect()
+    cases.zip(got).foreach { case (ts, g) =>
+      assert(g == Math.floorDiv(ts, 1000000000L), s"ts=$ts")
+    }
+  }
+
   test("connected components match union-find on random graphs, any edge order") {
     (1 to 5).foreach { seed =>
       val rnd = new scala.util.Random(seed)
