@@ -231,6 +231,37 @@ object StreamViews {
         .orderBy("domain")
     },
 
+    // The serving-layer merge — the Lambda Architecture's query-time
+    // combination of the batch view (master dataset up to a cutoff) and
+    // the realtime view (stream since the cutoff). The reference ships
+    // the two views to ElephantDB (BatchWorkflow.java:348-382) and
+    // Cassandra (TridentSpeedLayer.java:79-102) and merges implicitly at
+    // read time; here the merge is an explicit union+sum per key, and the
+    // oracle is the whole-timeline count — the merged answer must equal a
+    // batch recompute over everything, exactly.
+    withOracle(
+      "serving_merge",
+      s"""SELECT event_type AS url, $hb AS hbv, count(*) AS pageviews
+         |FROM events GROUP BY 1, 2 ORDER BY url, hbv""".stripMargin) { (s, dir) =>
+      val ev = graft.Tables.events(s, dir)
+      // deterministic cutoff at ~4/5 of the event-time span: the batch
+      // view owns [min, cutoff), the speed view [cutoff, max]
+      val mm = ev.agg(min(col("ts_secs")), max(col("ts_secs"))).head()
+      val cutoff = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 4 / 5
+      val batchView = ev.where(col("ts_secs") < cutoff)
+        .groupBy(col("event_type").as("url"), hourBucket(col("ts_secs")).as("hbv"))
+        .agg(count(lit(1)).as("pv"))
+      val speedView = runToMemory(s, dir, "complete") { src =>
+        withTsSecs(src).where(col("ts_secs") >= cutoff)
+          .groupBy(col("event_type").as("url"), hourBucket(col("ts_secs")).as("hbv"))
+          .agg(count(lit(1)).as("pv"))
+      }
+      batchView.unionAll(speedView)
+        .groupBy("url", "hbv")
+        .agg(sum(col("pv")).as("pageviews"))
+        .orderBy("url", "hbv")
+    },
+
     // UpdateCassandraBolt HLL upsert per (url, hourBucket)
     // (UniquesOverTime.java:142-194): streaming sketch aggregation; state
     // is the sketch itself (mergeable), not a remote read-modify-write.
