@@ -10,7 +10,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SparkEntry {
 
-  def modules: Seq[QueryDef] =
+  lazy val modules: Seq[QueryDef] =
     operators.BatchViews.defs ++
       operators.Relational.defs ++
       operators.Analytics.defs ++
@@ -35,7 +35,7 @@ object SparkEntry {
     operators.BatchViews.pageviewsOverTime(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val names = modules.map(_.name)
     val dups = names.diff(names.distinct).distinct
     require(dups.isEmpty, s"duplicate query names would shadow each other: ${dups.mkString(", ")}")
@@ -45,6 +45,6 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops.
     */
-  def oracleSql: Map[String, String] =
+  lazy val oracleSql: Map[String, String] =
     modules.flatMap(d => d.oracle.map(d.name -> _)).toMap
 }

@@ -59,9 +59,11 @@ object Tables {
     * kept here so Spark and oracle definitions sit side by side.
     */
   object sql {
-    // Integer path end to end: epoch_ns keeps BIGINT nanos, // floors —
-    // matches TimeFunctions.tsSecs exactly (no double intermediate on
-    // either engine).
+    // Integer path end to end: epoch_ns keeps BIGINT nanos; DuckDB `//`
+    // truncates toward zero while Spark's tsSecs floors, so the two agree
+    // exactly on the non-negative epochs the test data guarantees (the
+    // engine itself handles negative epochs — PropertySpec pins floorDiv
+    // over the full Long range).
     val tsSecs = "(epoch_ns(ts) // 1000000000)"
     val url =
       "'https://' || event_type || '.example.com:8080/u/' || CAST(user_id % 20 AS VARCHAR) || '/item?q=' || CAST(event_id AS VARCHAR) || '#f'"

@@ -15,13 +15,18 @@ import org.apache.spark.sql.functions._
 object TimeFunctions {
 
   /** Exact floor division on integral columns, yielding LongType (works for
-    * negative epochs too). `floor(c / n)` would promote through DoubleType,
-    * whose 2^53 exact range epoch *nanoseconds* (~1.7e18) exceed — a boundary
-    * value could land in the wrong bucket. Instead: subtract the non-negative
-    * mod (long-exact), then the registered integral `div` (long-exact).
+    * negative epochs too, the full Long range). `floor(c / n)` would promote
+    * through DoubleType, whose 2^53 exact range epoch *nanoseconds* (~1.7e18)
+    * exceed — a boundary value could land in the wrong bucket. Instead:
+    * truncated integral `div` minus one when the remainder is negative —
+    * all long arithmetic, no overflow for any input (a subtract-the-mod
+    * formulation would wrap near Long.MinValue).
     */
-  def fdiv(c: Column, n: Long): Column =
-    call_function("div", c - pmod(c, lit(n)), lit(n)).cast("long")
+  def fdiv(c: Column, n: Long): Column = {
+    require(n > 0, s"fdiv divisor must be positive, got $n")
+    (call_function("div", c, lit(n)) -
+      when(c % lit(n) < 0, lit(1L)).otherwise(lit(0L))).cast("long")
+  }
 
   /** Epoch nanoseconds -> epoch seconds, exactly. */
   def tsSecs(tsNanos: Column): Column = fdiv(tsNanos, 1000000000L)

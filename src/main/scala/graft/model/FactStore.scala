@@ -67,7 +67,11 @@ object FactStore {
       else {
         val bytes = facts.queryExecution.optimizedPlan.stats.sizeInBytes
         val perFile = BigInt(128L * 1024 * 1024)
-        ((bytes / perFile) + 1).min(BigInt(1 << 16)).max(BigInt(8)).toInt
+        // stats default to ~Long.MaxValue when a leaf has no estimate —
+        // treat anything absurd as unknown rather than exploding the
+        // partition count
+        if (bytes >= BigInt(Long.MaxValue) / 4) 8
+        else ((bytes / perFile) + 1).min(BigInt(4096)).max(BigInt(8)).toInt
       }
     validate(facts)
       .repartition(n)

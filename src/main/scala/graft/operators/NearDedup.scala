@@ -160,14 +160,7 @@ object NearDedup {
     // same clustering at scale.
     graft.QueryDef.withOracle(
       "near_dedup_apply",
-      """WITH RECURSIVE toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
-        |              FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
-        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-2, 0))) AS i) g),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |         GROUP BY 1, 2),
+      s"""WITH RECURSIVE ${TextOps.shinglePairCte},
         |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
         |        JOIN sizes nb ON j = nb.doc_id
         |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),

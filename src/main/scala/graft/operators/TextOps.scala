@@ -19,6 +19,21 @@ import org.apache.spark.sql.functions._
   */
 object TextOps {
 
+  /** Shared oracle CTE: 3-shingle sets, per-doc sizes, and pairwise
+    * intersection counts over `documents` — the single definition of what
+    * a "dup pair" is for every exact-Jaccard oracle (text_ngram_jaccard,
+    * near_dedup_apply).
+    */
+  val shinglePairCte: String =
+    """toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+      |              FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+      |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-2, 0))) AS i) g),
+      |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |pair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+      |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         GROUP BY 1, 2)""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup by content hash: keep the smallest doc_id per md5 group.
@@ -178,14 +193,7 @@ object TextOps {
     // counts -> Jaccard from set sizes.
     withOracle(
       "text_ngram_jaccard",
-      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
-        |              FROM documents),
-        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
-        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-2, 0))) AS i) g),
-        |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |pair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-        |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-        |         GROUP BY 1, 2)
+      s"""WITH ${TextOps.shinglePairCte}
         |SELECT i, j, round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
         |FROM pair JOIN sizes na ON i = na.doc_id JOIN sizes nb ON j = nb.doc_id
         |WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1

@@ -223,24 +223,29 @@ object VectorOps {
         Array.fill(dims)(rnd.nextGaussian())
       }
     val codesUdf = udf { (v: Seq[Float]) =>
-      val n = v.length
-      val out = new Array[Long](nTables)
-      var t = 0
-      while (t < nTables) {
-        var code = 0L
-        var p = 0
-        while (p < nPlanes) {
-          val w = weights(t * nPlanes + p)
-          var acc = 0.0
-          var d = 0
-          while (d < n) { acc += w(d) * v(d); d += 1 }
-          if (acc >= 0) code |= 1L << p
-          p += 1
+      if (v == null) null // null embedding -> no rows after posexplode
+      else {
+        // ragged rows: ignore dimensions beyond the sampled width (the
+        // old explode+join form dropped them via the inner weight join)
+        val n = math.min(v.length, dims)
+        val out = new Array[Long](nTables)
+        var t = 0
+        while (t < nTables) {
+          var code = 0L
+          var p = 0
+          while (p < nPlanes) {
+            val w = weights(t * nPlanes + p)
+            var acc = 0.0
+            var d = 0
+            while (d < n) { acc += w(d) * v(d); d += 1 }
+            if (acc >= 0) code |= 1L << p
+            p += 1
+          }
+          out(t) = code
+          t += 1
         }
-        out(t) = code
-        t += 1
+        out
       }
-      out
     }
     emb.select(col("vec_id"), posexplode(codesUdf(col("embedding"))).as(Seq("t", "code")))
   }

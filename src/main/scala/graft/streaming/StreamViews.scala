@@ -79,7 +79,10 @@ object StreamViews {
     * over the visits table the sessionize query sinks — never a second
     * execution of the most expensive stateful job.
     */
-  private def sessionizedVisits(s: SparkSession, dir: String): DataFrame =
+  private def sessionizedVisits(s: SparkSession, dir: String): DataFrame = {
+    // drop entries pinned to stopped sessions so the object-level cache
+    // can't grow across session lifecycles
+    sessionizeCache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     sessionizeCache.computeIfAbsent((s, dir), _ => {
       import s.implicits._
       val name = s"graft_stream_${nameCounter.incrementAndGet()}"
@@ -95,6 +98,7 @@ object StreamViews {
       q.awaitTermination()
       s.table(name)
     })
+  }
 
   private val ts = Tables.sql.tsSecs
   private val hb = s"($ts) // 3600"

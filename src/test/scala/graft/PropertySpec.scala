@@ -30,7 +30,8 @@ class PropertySpec extends SparkSpec {
     // intermediate rounds wrong for some values, plus negatives and
     // boundary multiples
     val cases = Seq(0L, -1L, 999999999L, 1000000000L, -1000000001L,
-      Long.MaxValue - 1, (1L << 53) + 1) ++
+      Long.MaxValue, Long.MaxValue - 1, Long.MinValue, Long.MinValue + 1,
+      (1L << 53) + 1) ++
       Seq.fill(200)(rnd.nextLong() % (2L * 1000 * 1000 * 1000 * 1000 * 1000 * 1000 / 2))
     val got = cases.toDF("ts")
       .select(fdiv(col("ts"), 1000000000L)).as[Long].collect()
