@@ -104,6 +104,40 @@ object IngestOps {
       FactStore.scanKind(s, master, FactKind.PageView)
         .select(input_file_name().as("f"))
         .agg(countDistinct(col("f")).as("n_files"))
+    },
+
+    // Pail.consolidate small-file compaction (BatchWorkflow.java:179): a
+    // 16-file ingest rewritten to exactly 4 files per kind, facts intact.
+    withOracle(
+      "sink_consolidate",
+      """SELECT CAST(4 AS BIGINT) AS n_files, count(*) AS n FROM events""".stripMargin) { (s, dir) =>
+      val master = newMaster()
+      FactStore.ingest(FactStore.eventsAsFacts(s, dir), master, shredPartitions = 16)
+      FactStore.consolidate(s, master, targetFiles = 4)
+      FactStore.scanKind(s, master, FactKind.PageView)
+        .select(input_file_name().as("f"))
+        .agg(countDistinct(col("f")).as("n_files"), count(lit(1)).as("n"))
+    },
+
+    // snapshot/absorb/deleteSnapshot ingest transaction
+    // (BatchWorkflow.java:146-162): claim the staging dir atomically,
+    // absorb from the snapshot, delete it — the staging dir must be
+    // re-claimable (empty) afterwards and the master holds the batch.
+    withOracle(
+      "sink_snapshot_ingest",
+      """SELECT count(*) AS n, CAST(0 AS BIGINT) AS staging_left FROM events""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val root = Files.createTempDirectory("graft_snap").toString
+      val staging = s"$root/staging"
+      FactStore.eventsAsFacts(s, dir).write.parquet(staging)
+      val snap = FactStore.snapshot(s, staging).get
+      val master = s"$root/master"
+      FactStore.ingest(s.read.parquet(snap).as[graft.model.Fact], master)
+      FactStore.deleteSnapshot(s, snap)
+      val stagingLeft = if (FactStore.snapshot(s, staging).isDefined) 1L else 0L
+      FactStore.scanKind(s, master, FactKind.PageView)
+        .agg(count(lit(1)).as("n"))
+        .withColumn("staging_left", lit(stagingLeft))
     }
   )
 }
