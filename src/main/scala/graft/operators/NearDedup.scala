@@ -160,7 +160,7 @@ object NearDedup {
     // same clustering at scale.
     graft.QueryDef.withOracle(
       "near_dedup_apply",
-      s"""WITH RECURSIVE ${TextOps.shinglePairCte},
+      s"""WITH RECURSIVE ${TextOps.shinglePairCte()},
         |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
         |        JOIN sizes nb ON j = nb.doc_id
         |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),

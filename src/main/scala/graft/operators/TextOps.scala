@@ -20,13 +20,14 @@ import org.apache.spark.sql.functions._
 object TextOps {
 
   /** Shared oracle CTE: 3-shingle sets, per-doc sizes, and pairwise
-    * intersection counts over `documents` — the single definition of what
-    * a "dup pair" is for every exact-Jaccard oracle (text_ngram_jaccard,
-    * near_dedup_apply).
+    * intersection counts over `src` (a relation with doc_id, text) — the
+    * single definition of what a "dup pair" is for every exact-Jaccard
+    * oracle (text_ngram_jaccard, near_dedup_apply,
+    * pipeline_pretraining_corpus).
     */
-  val shinglePairCte: String =
-    """toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
-      |              FROM documents),
+  def shinglePairCte(src: String = "documents"): String =
+    s"""toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+      |              FROM $src),
       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-2, 0))) AS i) g),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -193,7 +194,7 @@ object TextOps {
     // counts -> Jaccard from set sizes.
     withOracle(
       "text_ngram_jaccard",
-      s"""WITH ${TextOps.shinglePairCte}
+      s"""WITH ${TextOps.shinglePairCte()}
         |SELECT i, j, round(inter * 1.0 / (na.n + nb.n - inter), 4) AS jaccard
         |FROM pair JOIN sizes na ON i = na.doc_id JOIN sizes nb ON j = nb.doc_id
         |WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1
@@ -205,6 +206,63 @@ object TextOps {
       ngramJaccardPairs(sh, 0.1)
         .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
         .orderBy("i", "j")
+    },
+
+    // The full pretraining-data prep a 100 TB corpus runs end to end:
+    // quality gate → language filter (keep predicted English) → exact
+    // dedup by content hash → near-dedup (exact-Jaccard pairs clustered
+    // via connected components, keep smallest doc) → per-doc token counts
+    // of the surviving corpus. Every stage is one of the declared
+    // operators; this is their composition, oracled as one SQL pipeline.
+    withOracle(
+      "pipeline_pretraining_corpus",
+      s"""WITH RECURSIVE prof(word, plang) AS (VALUES ${langProfilesValuesSql}),
+         |q AS (SELECT doc_id, text FROM documents
+         |      WHERE n_chars >= 100
+         |        AND len(string_split_regex(lower(text), '\\s+')) >= 20),
+         |ltok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |         FROM q),
+         |lm AS (SELECT doc_id, plang, count(*) AS c
+         |       FROM ltok JOIN prof ON w = word GROUP BY doc_id, plang),
+         |lbest AS (SELECT doc_id, plang,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, plang) AS rn
+         |         FROM lm),
+         |en AS (SELECT q.doc_id, q.text FROM q
+         |       LEFT JOIN (SELECT doc_id, plang FROM lbest WHERE rn = 1) b USING (doc_id)
+         |       WHERE coalesce(b.plang, 'und') = 'en'),
+         |exact AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM en) WHERE rn = 1),
+         |${TextOps.shinglePairCte("exact")},
+         |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
+         |        JOIN sizes nb ON j = nb.doc_id
+         |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
+         |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach AS (SELECT node, node AS m FROM nodes
+         |          UNION SELECT e2.b, r.m FROM reach r JOIN edges e2 ON e2.a = r.node),
+         |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node)
+         |SELECT e.doc_id,
+         |       len(string_split_regex(lower(e.text), '\\s+')) AS n_tokens
+         |FROM exact e LEFT JOIN cc ON cc.node = e.doc_id
+         |WHERE cc.canonical IS NULL OR cc.canonical = e.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val q = docs.where(col("n_chars") >= 100 && size(tokens(col("text"))) >= 20)
+      val en = q.join(
+        langid(q).where(col("pred_lang") === "en").select("doc_id"), Seq("doc_id"))
+      val exact = en
+        .withColumn("rn",
+          row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+        .where(col("rn") === 1).drop("rn")
+      val sh = exact.select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
+      val cc = GraphOps.connectedComponents(
+        ngramJaccardPairs(sh, 0.1).select(col("i").as("src"), col("j").as("dst")))
+      exact.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+        .where(col("label").isNull || col("label") === col("doc_id"))
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+        .orderBy("doc_id")
     }
   )
 
