@@ -47,15 +47,31 @@ object NearDedup {
 
   /** Candidate pairs (i < j) sharing at least one of the `Bands` band
     * hashes. Band value = hash of its RowsPerBand consecutive minhashes.
+    *
+    * `maxBucket` is the at-scale hot-bucket guard: a band value shared by
+    * k docs produces k² candidate pairs, so one degenerate bucket (e.g.
+    * boilerplate-heavy shingles) can blow up the join quadratically.
+    * Buckets larger than the cap are dropped — the pairs they would have
+    * contributed are overwhelmingly false positives, and genuinely
+    * similar docs still collide in their other, rarer bands.
     */
-  def minhashCandidates(signatures: DataFrame): DataFrame = {
+  def minhashCandidates(signatures: DataFrame,
+      maxBucket: Int = Int.MaxValue): DataFrame = {
     val bandStructs = (0 until Bands).map { b =>
       val cols = (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}"))
       struct(lit(b).as("band"), hash(cols: _*).cast("long").as("bv"))
     }
-    val banded = signatures
+    val bandedAll = signatures
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val banded =
+      if (maxBucket == Int.MaxValue) bandedAll
+      else bandedAll
+        .withColumn("bucket_n",
+          count(lit(1)).over(org.apache.spark.sql.expressions.Window
+            .partitionBy("band", "bv")))
+        .where(col("bucket_n") <= maxBucket)
+        .drop("bucket_n")
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&

@@ -193,8 +193,9 @@ object VectorOps {
   }
 
   /** 100 TB guard: refuse the all-pairs form above a row budget — the
-    * caller must switch to the LSH form. Uses a metadata count (parquet
-    * footers), not a scan.
+    * caller must switch to the LSH form. The count is one cheap
+    * column-free aggregate job (no vector bytes read), paid once before
+    * committing to an O(n²) join.
     */
   def pairGuard(df: DataFrame, maxRows: Long = 200000L): Unit = {
     val n = df.count()

@@ -49,6 +49,23 @@ class NearDedupSpec extends SparkSpec {
     assert(!pairs.keySet.exists { case (i, j) => i == 3L || j == 3L || i == 4L || j == 4L })
   }
 
+  test("hot-bucket cap drops giant buckets but keeps rare-band collisions") {
+    val sh = docs.select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
+    val sigs = NearDedup.minhashSignatures(sh)
+    // exact duplicates (0,1) share every band; cap=2 keeps their buckets
+    // (size 2-3) while a degenerate corpus-wide bucket would be dropped
+    val capped = NearDedup.minhashCandidates(sigs, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.contains((0L, 1L)), "rare-bucket collision must survive the cap")
+    // cap=1 means no bucket may pair anything at all
+    val starved = NearDedup.minhashCandidates(sigs, maxBucket = 1).count()
+    assert(starved == 0, "cap=1 must produce zero candidates")
+    // uncapped equals the default path
+    val all = NearDedup.minhashCandidates(sigs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped.subsetOf(all))
+  }
+
   test("minhash signatures are permutation-stable (same doc -> same signature)") {
     val sh = docs.select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
     val sig1 = NearDedup.minhashSignatures(sh).orderBy("doc_id").collect()
