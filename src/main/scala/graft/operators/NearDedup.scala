@@ -64,14 +64,17 @@ object NearDedup {
     val bandedAll = signatures
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
+    // hot buckets found by map-side-combined groupBy count, then removed
+    // with an anti-join — never materializing a degenerate bucket in one
+    // task (a window count would buffer the whole bucket in one partition,
+    // exactly the skew the cap exists to avoid)
     val banded =
       if (maxBucket == Int.MaxValue) bandedAll
-      else bandedAll
-        .withColumn("bucket_n",
-          count(lit(1)).over(org.apache.spark.sql.expressions.Window
-            .partitionBy("band", "bv")))
-        .where(col("bucket_n") <= maxBucket)
-        .drop("bucket_n")
+      else {
+        val hot = bandedAll.groupBy("band", "bv").agg(count(lit(1)).as("n"))
+          .where(col("n") > maxBucket).select("band", "bv")
+        bandedAll.join(hot, Seq("band", "bv"), "left_anti")
+      }
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -83,7 +86,8 @@ object NearDedup {
   /** End-to-end MinHash near-dedup: candidates verified with exact shingle
     * Jaccard ≥ threshold. Returns (i, j, jaccard).
     */
-  def minhashNearDups(docs: DataFrame, threshold: Double): DataFrame = {
+  def minhashNearDups(docs: DataFrame, threshold: Double,
+      maxBucket: Int = 10000): DataFrame = {
     // 64-bit shingle hashes (compiled single-pass UDF); the k-hash family
     // then mixes the long — not the string — per hash function. Cached:
     // feeds the signature agg, the verify join (twice), and sizes.
@@ -91,7 +95,7 @@ object NearDedup {
       .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
       .persist()
     try {
-      val candidates = minhashCandidates(minhashSignatures(shingled))
+      val candidates = minhashCandidates(minhashSignatures(shingled), maxBucket)
       // Exact verify on the candidate set only: route the shingle join
       // *through* the candidate pairs so intersection cost is
       // O(candidates × shingles-per-doc), never the full shingle self-join.
@@ -137,13 +141,22 @@ object NearDedup {
     * 4 × 16-bit chunks — any pair at distance ≤ 3 agrees exactly on ≥ 1
     * chunk. Verification = bit_count(xor) on candidates only.
     */
-  def simhashNearDups(docs: DataFrame, maxDist: Int = 3): DataFrame = {
+  def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 10000): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole covers Hamming distance <= 3")
     val sig = simhashSignatures(docs)
     val chunks = (0 until 4).map(cix =>
       struct(lit(cix).as("cix"), expr(s"(simhash >> ${cix * 16}) & 65535").as("cv")))
-    val banded = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
+    val bandedAll = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.cix").as("cix"), col("c.cv").as("cv"))
+    // same hot-bucket guard as the minhash band join
+    val banded =
+      if (maxBucket == Int.MaxValue) bandedAll
+      else {
+        val hot = bandedAll.groupBy("cix", "cv").agg(count(lit(1)).as("n"))
+          .where(col("n") > maxBucket).select("cix", "cv")
+        bandedAll.join(hot, Seq("cix", "cv"), "left_anti")
+      }
     banded.as("a")
       .join(banded.as("b"),
         col("a.cix") === col("b.cix") && col("a.cv") === col("b.cv") &&
