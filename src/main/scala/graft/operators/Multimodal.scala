@@ -91,6 +91,61 @@ object Multimodal {
       extractFeatures(documentsAsMedia(Tables.documents(s, dir)))
         .select(col("doc_id"), col("n_bytes"), round(col("byte_mean"), 4).as("byte_mean"))
         .orderBy("doc_id")
+    },
+
+    // Resize shape: per-row payload -> smaller payload with updated
+    // metadata (stride-2 byte downsample stands in for an image resize;
+    // a real codec replaces resizeStub only). The size arithmetic is
+    // exact, so the plumbing is oracle-checked.
+    withOracle(
+      "multimodal_resize",
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS n_resized
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      documentsAsMedia(Tables.documents(s, dir))
+        .map(r => (r.doc_id, r.n_bytes, resizeStub(r.payload).length.toLong))
+        .toDF("doc_id", "n_bytes", "n_resized")
+        .orderBy("doc_id")
+    },
+
+    // Frame-sample shape: one media row -> n frame rows (the video
+    // frame-sampling generator); frames here are fixed 256-byte payload
+    // slices, so the fan-out and per-frame sizes are oracle-checked.
+    withOracle(
+      "multimodal_frame_sample",
+      """WITH f AS (
+        |  SELECT doc_id, octet_length(encode(text)) AS n,
+        |         unnest(generate_series(0, (octet_length(encode(text)) - 1) // 256)) AS frame_idx
+        |  FROM documents)
+        |SELECT doc_id, frame_idx,
+        |       CAST(least(256, n - frame_idx * 256) AS BIGINT) AS frame_bytes
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      documentsAsMedia(Tables.documents(s, dir))
+        .flatMap { r =>
+          val frames = (r.payload.length + FrameBytes - 1) / FrameBytes
+          (0 until frames).map(i => (r.doc_id, i.toLong,
+            math.min(FrameBytes, r.payload.length - i * FrameBytes).toLong))
+        }
+        .toDF("doc_id", "frame_idx", "frame_bytes")
+        .orderBy("doc_id", "frame_idx")
     }
   )
+
+  /** Frame size for the frame-sample generator (a real video pipeline
+    * samples at a time interval; the fixed byte stride keeps the shape
+    * deterministic and oracle-checkable here).
+    */
+  val FrameBytes = 256
+
+  /** Stub "resize": stride-2 byte downsample standing in for an image
+    * resize — per-row payload transform with recomputed metadata.
+    */
+  def resizeStub(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + 1) / 2)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * 2); i += 1 }
+    out
+  }
 }
