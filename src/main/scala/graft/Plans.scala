@@ -17,7 +17,8 @@ object Plans {
     "sessionize_visits", "connected_components", "similarity_topk",
     "near_dedup_cosine", "text_ngram_jaccard", "scan_pruned",
     "agg_rollup_sets", "batch_workflow", "property_latest",
-    "near_dedup_apply", "ann_lsh")
+    "near_dedup_apply", "ann_lsh", "pipeline_pretraining_corpus",
+    "serving_merge", "multimodal_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
