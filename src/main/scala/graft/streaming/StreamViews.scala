@@ -235,6 +235,31 @@ object StreamViews {
         .orderBy("domain")
     },
 
+    // Streaming exact dedup at ingest: training-data streams re-deliver
+    // (at-least-once sources), so the ingest edge dedups by event id —
+    // here a doubled source must collapse to exactly the distinct event
+    // set. Keyed dedup state is unbounded in this exact form; production
+    // bounds it with dropDuplicatesWithinWatermark once re-delivery is
+    // time-bounded (same plan, watermarked state eviction).
+    withOracle(
+      "stream_dedup",
+      "SELECT count(*) AS n FROM events") { (s, dir) =>
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = Tables.eventsRaw(s, dir).schema
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+      val src = java.nio.file.Paths.get(Tables.path(dir, "events"))
+      java.nio.file.Files.createLink(stage.resolve("a.parquet"), src)
+      java.nio.file.Files.createLink(stage.resolve("b.parquet"), src)
+      val q = s.readStream.schema(schema).parquet(stage.toString)
+        .dropDuplicates("event_id")
+        .groupBy().count()
+        .writeStream.format("memory").queryName(name).outputMode("complete")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).select(col("count").as("n"))
+    },
+
     // The serving-layer merge — the Lambda Architecture's query-time
     // combination of the batch view (master dataset up to a cutoff) and
     // the realtime view (stream since the cutoff). The reference ships
