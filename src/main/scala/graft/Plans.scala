@@ -16,9 +16,13 @@ object Plans {
     "join_asof", "agg_rollup_granularity", "join_inner", "join_semi",
     "sessionize_visits", "connected_components", "similarity_topk",
     "near_dedup_cosine", "text_ngram_jaccard", "scan_pruned",
+    // serving_merge is excluded: building its DataFrame executes the
+    // streaming half into a memory sink, so the dump would both run a
+    // streaming job per regeneration and render that side as an opaque
+    // LocalTableScan
     "agg_rollup_sets", "batch_workflow", "property_latest",
     "near_dedup_apply", "ann_lsh", "pipeline_pretraining_corpus",
-    "serving_merge", "multimodal_frame_sample")
+    "multimodal_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

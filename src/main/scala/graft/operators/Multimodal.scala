@@ -73,6 +73,22 @@ object Multimodal {
     }
   }
 
+  /** Frame size for the frame-sample generator (a real video pipeline
+    * samples at a time interval; the fixed byte stride keeps the shape
+    * deterministic and oracle-checkable here).
+    */
+  val FrameBytes = 256
+
+  /** Stub "resize": stride-2 byte downsample standing in for an image
+    * resize — per-row payload transform with recomputed metadata.
+    */
+  def resizeStub(payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte]((payload.length + 1) / 2)
+    var i = 0
+    while (i < out.length) { out(i) = payload(i * 2); i += 1 }
+    out
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // The binary-column metadata path is exact and oracle-checkable.
@@ -117,7 +133,8 @@ object Multimodal {
       """WITH f AS (
         |  SELECT doc_id, octet_length(encode(text)) AS n,
         |         unnest(generate_series(0, (octet_length(encode(text)) - 1) // 256)) AS frame_idx
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE octet_length(encode(text)) > 0)
         |SELECT doc_id, frame_idx,
         |       CAST(least(256, n - frame_idx * 256) AS BIGINT) AS frame_bytes
         |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
@@ -132,20 +149,4 @@ object Multimodal {
         .orderBy("doc_id", "frame_idx")
     }
   )
-
-  /** Frame size for the frame-sample generator (a real video pipeline
-    * samples at a time interval; the fixed byte stride keeps the shape
-    * deterministic and oracle-checkable here).
-    */
-  val FrameBytes = 256
-
-  /** Stub "resize": stride-2 byte downsample standing in for an image
-    * resize — per-row payload transform with recomputed metadata.
-    */
-  def resizeStub(payload: Array[Byte]): Array[Byte] = {
-    val out = new Array[Byte]((payload.length + 1) / 2)
-    var i = 0
-    while (i < out.length) { out(i) = payload(i * 2); i += 1 }
-    out
-  }
 }

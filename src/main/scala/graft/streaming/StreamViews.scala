@@ -37,6 +37,18 @@ object StreamViews {
       stage.toString
     })
 
+  // doubled source for the re-delivery dedup query, cached like the
+  // single-copy staging dir
+  private val dupStageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDoubledEventsDir(dir: String): String =
+    dupStageCache.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_dup")
+      val src = java.nio.file.Paths.get(Tables.path(dir, "events"))
+      java.nio.file.Files.createLink(stage.resolve("a.parquet"), src)
+      java.nio.file.Files.createLink(stage.resolve("b.parquet"), src)
+      stage.toString
+    })
+
   /** Run a streaming transform of the events table to completion
     * (AvailableNow) into a memory sink; return the sink table.
     *
@@ -247,11 +259,7 @@ object StreamViews {
       val name = s"graft_stream_${nameCounter.incrementAndGet()}"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = Tables.eventsRaw(s, dir).schema
-      val stage = java.nio.file.Files.createTempDirectory("graft_stream_dup")
-      val src = java.nio.file.Paths.get(Tables.path(dir, "events"))
-      java.nio.file.Files.createLink(stage.resolve("a.parquet"), src)
-      java.nio.file.Files.createLink(stage.resolve("b.parquet"), src)
-      val q = s.readStream.schema(schema).parquet(stage.toString)
+      val q = s.readStream.schema(schema).parquet(stagedDoubledEventsDir(dir))
         .dropDuplicates("event_id")
         .groupBy().count()
         .writeStream.format("memory").queryName(name).outputMode("complete")
