@@ -16,23 +16,34 @@ object Bench {
     // Warm up JVM/codegen/parquet paths so startup cost isn't attributed
     // to whichever query happens to run first: a scan+agg shape and a
     // nested-struct parquet write shape (the ingest queries' hot path).
-    spark.read.parquet(s"$sfDir/lineitem.parquet")
-      .groupBy("l_returnflag").count().collect()
     val warmDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
-    graft.model.FactStore.ingest(
-      graft.model.FactStore.eventsAsFacts(spark, sfDir).limit(100), s"$warmDir/m", 1)
+    try {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .groupBy("l_returnflag").count().collect()
+      graft.model.FactStore.ingest(
+        graft.model.FactStore.eventsAsFacts(spark, sfDir).limit(100), s"$warmDir/m", 1)
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] batch warm-up failed: $e")
+    }
     // ...and the Structured Streaming machinery (query planner, state
     // store, memory sink) on a one-file micro-stream, so the one-time
     // class-loading/codegen cost isn't billed to the first stream query.
-    spark.read.parquet(s"$sfDir/region.parquet").limit(5)
-      .write.mode("overwrite").parquet(s"$warmDir/s")
-    val wq = spark.readStream
-      .schema(spark.read.parquet(s"$warmDir/s").schema).parquet(s"$warmDir/s")
-      .groupBy().count()
-      .writeStream.format("memory").queryName("graft_warm_stream")
-      .outputMode("complete")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
-    wq.awaitTermination()
+    // Stage rows from events (the one table every layout has — the batch
+    // warm-up above already requires lineitem); a warm-up failure must
+    // not abort the bench before a single query is timed.
+    try {
+      Tables.eventsRaw(spark, sfDir).limit(5)
+        .write.mode("overwrite").parquet(s"$warmDir/s")
+      val wq = spark.readStream
+        .schema(spark.read.parquet(s"$warmDir/s").schema).parquet(s"$warmDir/s")
+        .groupBy().count()
+        .writeStream.format("memory").queryName("graft_warm_stream")
+        .outputMode("complete")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+      wq.awaitTermination()
+    } catch {
+      case e: Throwable => System.err.println(s"[bench] stream warm-up failed: $e")
+    }
     var errors = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

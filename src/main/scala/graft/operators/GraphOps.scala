@@ -32,9 +32,20 @@ object GraphOps {
     * propagation needs O(diameter) rounds, which sparse chain-shaped equiv
     * graphs (avg degree ≈ 2) do hit in practice. A cap still guards
     * against runaway iteration.
+    *
+    * Non-convergence within the cap THROWS (a silent partial labeling
+    * would quietly merge/split identities downstream). The cap defaults
+    * from session conf `graft.cc.maxIter` (25) so production callers of
+    * the fixed-signature query entry points — batch_workflow,
+    * near_dedup_apply, pipeline_pretraining_corpus — can raise it with
+    * `spark.conf.set("graft.cc.maxIter", n)`, no library edit needed;
+    * pass `maxIter = Some(n)` to override per call.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def connectedComponents(edges: DataFrame,
+      maxIter: Option[Int] = None): DataFrame = {
     val spark = edges.sparkSession
+    val iterCap = maxIter.getOrElse(
+      spark.conf.get("graft.cc.maxIter", "25").toInt)
     // Bidirectional, self-loop-free edge set (BidirectionalEdge,
     // BatchWorkflow.java:570-581), deduplicated once up front.
     val bidir = edges.select(col("src"), col("dst"))
@@ -49,7 +60,7 @@ object GraphOps {
 
     var iter = 0
     var converged = false
-    while (iter < maxIter && !converged) {
+    while (iter < iterCap && !converged) {
       // Each node's candidate labels: its own + each neighbor's current.
       val candidate = bidir
         .join(labels.withColumnRenamed("node", "src"), "src")
@@ -75,8 +86,9 @@ object GraphOps {
       iter += 1
     }
     require(converged,
-      s"connected components did not converge within $maxIter iterations — " +
-        "raise maxIter (rounds scale with graph diameter)")
+      s"connected components did not converge within $iterCap iterations — " +
+        "raise maxIter (spark.conf graft.cc.maxIter; rounds scale with log " +
+        "of graph diameter)")
     labels
   }
 

@@ -45,6 +45,34 @@ object NearDedup {
     shingled.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
   }
 
+  /** Hot buckets found by map-side-combined groupBy count, then removed
+    * with an anti-join — never materializing a degenerate bucket in one
+    * task (a window count would buffer the whole bucket in one partition,
+    * exactly the skew the cap exists to avoid). The hot set is tiny
+    * (buckets over the cap) and the anti-join needs it materialized
+    * anyway, so it is computed eagerly — which also lets the cap report
+    * when it engages: dropping buckets is lossy (see entry-point docs),
+    * and a silent drop would read as a clean result.
+    */
+  private def dropHotBuckets(bandedAll: DataFrame, keys: Seq[String],
+      maxBucket: Int, what: String): DataFrame = {
+    if (maxBucket == Int.MaxValue) bandedAll
+    else {
+      val hot = bandedAll.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("n"))
+        .where(col("n") > maxBucket)
+        .localCheckpoint() // tiny; reused by the count below and the anti-join
+      val stats = hot.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L)))
+        .collect()(0)
+      if (stats.getLong(0) > 0)
+        System.err.println(s"[graft] $what hot-bucket cap ($maxBucket) engaged: " +
+          s"dropped ${stats.getLong(0)} buckets / ${stats.getLong(1)} banded rows; " +
+          "pairs colliding ONLY in dropped buckets are lost (recall is reduced); " +
+          "raise maxBucket to trade shuffle size for recall")
+      bandedAll.join(hot.select(keys.map(col): _*), keys, "left_anti")
+    }
+  }
+
   /** Candidate pairs (i < j) sharing at least one of the `Bands` band
     * hashes. Band value = hash of its RowsPerBand consecutive minhashes.
     *
@@ -53,7 +81,10 @@ object NearDedup {
     * boilerplate-heavy shingles) can blow up the join quadratically.
     * Buckets larger than the cap are dropped — the pairs they would have
     * contributed are overwhelmingly false positives, and genuinely
-    * similar docs still collide in their other, rarer bands.
+    * similar docs still collide in their other, rarer bands. The drop is
+    * still lossy in the worst case (a true-dup pair whose every shared
+    * band is hot); when the cap engages a `[graft]` line reports how many
+    * buckets/rows were dropped so the recall tradeoff is visible.
     */
   def minhashCandidates(signatures: DataFrame,
       maxBucket: Int = Int.MaxValue): DataFrame = {
@@ -64,17 +95,7 @@ object NearDedup {
     val bandedAll = signatures
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bv").as("bv"))
-    // hot buckets found by map-side-combined groupBy count, then removed
-    // with an anti-join — never materializing a degenerate bucket in one
-    // task (a window count would buffer the whole bucket in one partition,
-    // exactly the skew the cap exists to avoid)
-    val banded =
-      if (maxBucket == Int.MaxValue) bandedAll
-      else {
-        val hot = bandedAll.groupBy("band", "bv").agg(count(lit(1)).as("n"))
-          .where(col("n") > maxBucket).select("band", "bv")
-        bandedAll.join(hot, Seq("band", "bv"), "left_anti")
-      }
+    val banded = dropHotBuckets(bandedAll, Seq("band", "bv"), maxBucket, "minhash")
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
@@ -85,6 +106,13 @@ object NearDedup {
 
   /** End-to-end MinHash near-dedup: candidates verified with exact shingle
     * Jaccard ≥ threshold. Returns (i, j, jaccard).
+    *
+    * `maxBucket` caps band-bucket size (default 10k): on boilerplate-heavy
+    * corpora where a bucket legitimately exceeds the cap, true duplicate
+    * pairs whose OTHER bands are also hot are silently excluded from the
+    * candidate set — recall < 1 in exchange for bounded join size. The cap
+    * logs a `[graft]` drop report when it engages; pass
+    * `maxBucket = Int.MaxValue` to disable it deliberately.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double,
       maxBucket: Int = 10000): DataFrame = {
@@ -140,6 +168,11 @@ object NearDedup {
   /** Pairs within Hamming distance ≤ maxDist via the pigeonhole band join:
     * 4 × 16-bit chunks — any pair at distance ≤ 3 agrees exactly on ≥ 1
     * chunk. Verification = bit_count(xor) on candidates only.
+    *
+    * `maxBucket` caps chunk-bucket size with the same recall tradeoff as
+    * [[minhashNearDups]]: an over-cap bucket is dropped (with a `[graft]`
+    * drop report), losing pairs whose every agreeing chunk is hot. Pass
+    * `Int.MaxValue` to disable.
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
@@ -150,13 +183,7 @@ object NearDedup {
     val bandedAll = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
       .select(col("doc_id"), col("simhash"), col("c.cix").as("cix"), col("c.cv").as("cv"))
     // same hot-bucket guard as the minhash band join
-    val banded =
-      if (maxBucket == Int.MaxValue) bandedAll
-      else {
-        val hot = bandedAll.groupBy("cix", "cv").agg(count(lit(1)).as("n"))
-          .where(col("n") > maxBucket).select("cix", "cv")
-        bandedAll.join(hot, Seq("cix", "cv"), "left_anti")
-      }
+    val banded = dropHotBuckets(bandedAll, Seq("cix", "cv"), maxBucket, "simhash")
     banded.as("a")
       .join(banded.as("b"),
         col("a.cix") === col("b.cix") && col("a.cv") === col("b.cv") &&

@@ -13,6 +13,15 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Count real shuffle nodes in the optimized physical plan. String
+    * matching on formatted explain is fragile (exchanges render as
+    * "(n) Exchange", never at line start), so walk the tree instead.
+    */
+  private def shuffles(df: DataFrame): Int =
+    df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.size
+
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf0001)
 
@@ -75,16 +84,16 @@ class PlanSpec extends SparkSpec {
 
   test("lshBandCodes computes codes with zero shuffles (no per-dimension explode)") {
     val emb = Tables.embeddings(spark, sf0001)
-    val p = plan(operators.VectorOps.lshBandCodes(spark, emb, 8, 6))
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges == 0, s"band-code computation must be a narrow map:\n$p")
+    val df = operators.VectorOps.lshBandCodes(spark, emb, 8, 6)
+    assert(shuffles(df) == 0,
+      s"band-code computation must be a narrow map:\n${plan(df)}")
   }
 
   test("sessionize uses one shuffle for window + aggregation (same keys)") {
-    val p = plan(q("sessionize_visits"))
+    val df = q("sessionize_visits")
     // window partitioning (domain,user) feeds the (domain,user,visit_id)
     // group-by: Catalyst must not re-shuffle between them
-    val exchanges = p.linesIterator.count(_.trim.startsWith("Exchange"))
-    assert(exchanges <= 2, s"expected <=2 exchanges (window + final sort):\n$p")
+    assert(shuffles(df) <= 2,
+      s"expected <=2 exchanges (window + final sort):\n${plan(df)}")
   }
 }
