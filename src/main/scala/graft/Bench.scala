@@ -58,10 +58,15 @@ object Bench {
       // masquerade as a speedup; failures don't contribute to the total
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Keep the line short: the driver tail-captures output and the head of
+    // an over-long line (where "metric"/"value" live) gets cut — 3dp per
+    // query is plenty at wall-clock resolution. A "total_sec" echo at the
+    // END of the line survives even a head-truncated capture.
+    def fmt(v: Double): String = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }
