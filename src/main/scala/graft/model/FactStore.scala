@@ -37,7 +37,9 @@ object FactStore {
   /** Union invariant (exactly one DataUnit member, matching `kind`),
     * enforced at the ingest boundary — the Spark analog of
     * SplitDataPailStructure's validation (tap/SplitDataPailStructure.java:
-    * 116-126). Throws on first violation.
+    * 116-126). Throws on first violation. Standalone eager checker; the
+    * ingest write path uses the single-pass [[invariantGuard]] instead so
+    * validation doesn't cost a second scan of the batch.
     */
   def validate(facts: Dataset[Fact]): Dataset[Fact] = {
     import facts.sparkSession.implicits._
@@ -52,6 +54,32 @@ object FactStore {
     }
     require(bad.isEmpty, "facts violating the one-member union invariant")
     facts
+  }
+
+  /** The same union invariant fused into the write pass as a column guard:
+    * a valid row passes `kind` through unchanged; an invalid row raises in
+    * the write job itself, whose commit protocol then aborts with nothing
+    * committed. One pass over the batch — at 100 TB a separate validation
+    * action would read the whole batch twice (and the task-level failure
+    * still surfaces before any file is visible in the master).
+    */
+  private def invariantGuard(facts: DataFrame): DataFrame = {
+    val members = Seq(
+      FactKind.PersonProperty -> "personProperty",
+      FactKind.PageProperty -> "pageProperty",
+      FactKind.Equiv -> "equiv",
+      FactKind.PageView -> "pageView")
+    val unitCount = members.map { case (_, m) =>
+      when(col(m).isNotNull, 1).otherwise(0)
+    }.reduce(_ + _)
+    val kindMatches = members.foldLeft(lit(false)) { case (acc, (k, m)) =>
+      when(col("kind") === k, col(m).isNotNull).otherwise(acc)
+    }
+    facts.withColumn("kind",
+      when(unitCount === 1 && kindMatches, col("kind"))
+        .otherwise(raise_error(concat(
+          lit("fact violates the one-member union invariant: kind="),
+          coalesce(col("kind"), lit("<null>"))))))
   }
 
   /** shred + absorb: randomly repartition incoming facts (spreads load,
@@ -73,7 +101,7 @@ object FactStore {
         if (bytes >= BigInt(Long.MaxValue) / 4) 8
         else ((bytes / perFile) + 1).min(BigInt(4096)).max(BigInt(8)).toInt
       }
-    validate(facts)
+    invariantGuard(facts.toDF())
       .repartition(n)
       .write.mode(SaveMode.Append)
       .partitionBy("kind")

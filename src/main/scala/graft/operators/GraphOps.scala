@@ -54,20 +54,28 @@ object GraphOps {
       .distinct()
       .localCheckpoint()
 
-    var labels = bidir.select(col("src").as("node")).distinct()
+    var current = bidir.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint()
 
     var iter = 0
     var converged = false
     while (iter < iterCap && !converged) {
+      val labels = current.select(col("node"), col("label"))
+      val labelType = current.schema("label").dataType
       // Each node's candidate labels: its own + each neighbor's current.
+      // The self branch carries the node's previous label through the
+      // aggregation (`own`: exactly one self row per node, so max() just
+      // forwards it) — the convergence probe below then needs no join
+      // back against the previous labels, only a scan of the checkpoint.
       val candidate = bidir
         .join(labels.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"), col("label"))
-        .unionAll(labels)
+        .select(col("dst").as("node"), col("label"),
+          lit(null).cast(labelType).as("own"))
+        .unionAll(labels.select(col("node"), col("label"),
+          col("label").as("own")))
         .groupBy("node")
-        .agg(min("label").as("label"))
+        .agg(min("label").as("label"), max("own").as("own"))
       // Pointer-jump: follow the label to its own (possibly smaller)
       // label. Labels are node ids within the same component, so the
       // shortcut never crosses components; values only decrease.
@@ -75,13 +83,14 @@ object GraphOps {
         .select(col("node").as("label"), col("label").as("plabel"))
       val next = candidate
         .join(ptr, Seq("label"), "left_outer")
-        .select(col("node"), coalesce(col("plabel"), col("label")).as("label"))
+        .select(col("node"),
+          coalesce(col("plabel"), col("label")).as("label"), col("own"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("label", "oldLabel"), "node")
-        .where(col("label") =!= col("oldLabel"))
-        .limit(1).count() // emptiness probe, not a full count
-      labels.unpersist()
-      labels = next
+      // Emptiness probe over the checkpoint just written — shuffle-free
+      // (labels only ever decrease, so `changed` ⟺ label < own).
+      val changed = next.where(col("label") =!= col("own")).limit(1).count()
+      current.unpersist()
+      current = next
       converged = changed == 0
       iter += 1
     }
@@ -89,7 +98,7 @@ object GraphOps {
       s"connected components did not converge within $iterCap iterations — " +
         "raise maxIter (spark.conf graft.cc.maxIter; rounds scale with log " +
         "of graph diameter)")
-    labels
+    current.select(col("node"), col("label"))
   }
 
   /** PersonId struct column -> one sortable string key preserving the

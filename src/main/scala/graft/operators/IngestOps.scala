@@ -26,9 +26,13 @@ object IngestOps {
       "sink_append",
       """SELECT 'page_view' AS kind, 2 * count(*) AS n FROM events""".stripMargin) { (s, dir) =>
       val master = newMaster()
-      val facts = FactStore.eventsAsFacts(s, dir)
+      // snapshot-then-absorb-twice: the batch is materialized once (the
+      // reference reads absorbs from the staging snapshot) and both
+      // appends re-read it instead of recomputing the source transform
+      val facts = FactStore.eventsAsFacts(s, dir).localCheckpoint()
       FactStore.ingest(facts, master)
       FactStore.ingest(facts, master)
+      facts.unpersist()
       FactStore.scanKind(s, master, FactKind.PageView)
         .groupBy("kind").agg(count(lit(1)).as("n"))
     },

@@ -37,12 +37,48 @@ object NearDedup {
   val RowsPerBand = NumHashes / Bands
 
   /** (doc_id, minhash array of NumHashes longs) from a (doc_id, s) shingle
-    * relation. One shuffle: groupBy doc_id with k min-aggregates.
+    * relation. One shuffle: groupBy doc_id with k min-aggregates. Generic
+    * over the shingle column type (strings or hashes); the text hot path
+    * uses the zero-shuffle row-local form below instead.
     */
   def minhashSignatures(shingled: DataFrame): DataFrame = {
     val minCols = (0 until NumHashes).map(i =>
       min(hash(col("s"), lit(i)).cast("long")).as(s"mh$i"))
     shingled.groupBy("doc_id").agg(minCols.head, minCols.tail: _*)
+  }
+
+  /** All NumHashes minhashes of a doc's 64-bit shingle-hash array in one
+    * compiled row-local pass — ZERO shuffles, vs the grouped form above
+    * which shuffles the full exploded shingle relation (doc × shingles
+    * rows; at 100 TB that shuffle dominates the whole dedup job). Hash
+    * family is identical to the grouped form on a hashed-shingle relation
+    * — murmur3(shingle_long, i), Spark's `hash(s, i)` — so signatures are
+    * byte-for-byte the same and the band S-curve math is unchanged.
+    */
+  def minhashSignatureArray(shingleHashArr: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import org.apache.spark.unsafe.hash.Murmur3_x86_32
+    val k = NumHashes
+    val f = udf { (hs: Array[Long]) =>
+      if (hs == null || hs.isEmpty) null
+      else {
+        val sig = Array.fill(k)(Long.MaxValue)
+        var si = 0
+        while (si < hs.length) {
+          // hash(s: long, i: int) with Spark's seed 42: fold long then int
+          val h1 = Murmur3_x86_32.hashLong(hs(si), 42)
+          var i = 0
+          while (i < k) {
+            val v = Murmur3_x86_32.hashInt(i, h1).toLong
+            if (v < sig(i)) sig(i) = v
+            i += 1
+          }
+          si += 1
+        }
+        sig
+      }
+    }
+    f(shingleHashArr)
   }
 
   /** Hot buckets found by map-side-combined groupBy count, then removed
@@ -117,13 +153,22 @@ object NearDedup {
   def minhashNearDups(docs: DataFrame, threshold: Double,
       maxBucket: Int = 10000): DataFrame = {
     // 64-bit shingle hashes (compiled single-pass UDF); the k-hash family
-    // then mixes the long — not the string — per hash function. Cached:
-    // feeds the signature agg, the verify join (twice), and sizes.
-    val shingled = docs
-      .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
+    // then mixes the long — not the string — per hash function. The
+    // per-doc hash ARRAY is what gets cached: signatures derive from it
+    // row-locally (zero shuffle — the grouped signature form would
+    // shuffle the full exploded relation), and the verify join explodes
+    // it on demand.
+    val hashed = docs
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
       .persist()
+    val shingled = hashed.select(col("doc_id"), explode(col("hs")).as("s"))
     try {
-      val candidates = minhashCandidates(minhashSignatures(shingled), maxBucket)
+      val sigs = hashed
+        .select(col("doc_id"), minhashSignatureArray(col("hs")).as("sig"))
+        .where(col("sig").isNotNull)
+        .select(col("doc_id") +:
+          (0 until NumHashes).map(i => col("sig")(i).as(s"mh$i")): _*)
+      val candidates = minhashCandidates(sigs, maxBucket)
       // Exact verify on the candidate set only: route the shingle join
       // *through* the candidate pairs so intersection cost is
       // O(candidates × shingles-per-doc), never the full shingle self-join.
@@ -142,27 +187,58 @@ object NearDedup {
         // eagerly materialize the small dup-pair set, then drop the cache
         // so long sessions don't accumulate cached shingle blocks
         .localCheckpoint()
-    } finally shingled.unpersist()
+    } finally hashed.unpersist()
   }
 
   /** 64-bit SimHash per doc: for each token hash h and bit b, add tf if
-    * bit set else -tf; signature bit b = sign of the sum. Expressed as 64
-    * conditional-sum aggregates over the (doc, token, tf) relation — one
-    * shuffle, codegen'd.
+    * bit set else -tf; signature bit b = sign of the sum. Computed in one
+    * compiled row-local pass over the document — ZERO shuffles (the
+    * grouped form needed two: explode→groupBy(doc,token) for tf, then
+    * groupBy(doc) for the 64 bit sums; at 100 TB both shuffle the full
+    * token relation). Hash family is Spark's `xxhash64(w)` — XXH64 over
+    * the token's UTF-8 bytes, seed 42 — same signatures as the grouped
+    * form. Docs with no non-empty tokens get a null signature (the
+    * grouped form dropped them after the explode) and are filtered out.
     */
   def simhashSignatures(docs: DataFrame): DataFrame = {
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .where(col("w") =!= "")
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("w")))
-    val bitSums = (0 until 64).map { b =>
-      sum(when(expr(s"(h >> $b) & 1") === 1, col("tf")).otherwise(-col("tf"))).as(s"s$b")
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    import org.apache.spark.unsafe.Platform
+    val f = udf { (text: String) =>
+      if (text == null) None
+      else {
+        // token tf map — same tokenization as TextFunctions.tokens
+        val toks = text.toLowerCase.split("\\s+")
+        val tf = new java.util.HashMap[String, Int]
+        var i = 0
+        while (i < toks.length) {
+          if (toks(i).nonEmpty) tf.merge(toks(i), 1, Integer.sum)
+          i += 1
+        }
+        if (tf.isEmpty) None
+        else {
+          val sums = new Array[Long](64)
+          tf.forEach { (w, n) =>
+            val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
+              bytes.length, 42L)
+            var b = 0
+            while (b < 64) {
+              sums(b) += (if (((h >>> b) & 1L) == 1L) n.toLong else -n.toLong)
+              b += 1
+            }
+          }
+          var sig = 0L
+          var b = 0
+          while (b < 64) {
+            if (sums(b) >= 0) sig |= (1L << b)
+            b += 1
+          }
+          Some(sig)
+        }
+      }
     }
-    val sums = tf.groupBy("doc_id").agg(bitSums.head, bitSums.tail: _*)
-    val sig = (0 until 64).map(b =>
-      when(col(s"s$b") >= 0, expr(s"shiftleft(1L, $b)")).otherwise(0L))
-      .reduce(_ + _)
-    sums.select(col("doc_id"), sig.as("simhash"))
+    docs.select(col("doc_id"), f(col("text")).as("simhash"))
+      .where(col("simhash").isNotNull)
   }
 
   /** Pairs within Hamming distance ≤ maxDist via the pigeonhole band join:

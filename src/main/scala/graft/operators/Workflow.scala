@@ -87,10 +87,14 @@ object Workflow {
          |FROM rw GROUP BY 1, 2 ORDER BY url, hbv""".stripMargin) { (s, dir) =>
       import s.implicits._
       val master = newMaster()
-      val pvFacts = FactStore.eventsAsFacts(s, dir)
+      // materialize the incoming batch once (the reference's staging
+      // snapshot, BatchWorkflow.java:152-162) so the re-delivered absorb
+      // re-reads the snapshot instead of recomputing the source transform
+      val pvFacts = FactStore.eventsAsFacts(s, dir).localCheckpoint()
       FactStore.ingest(pvFacts, master)
       FactStore.ingest(pvFacts, master) // the re-delivered batch dedup removes
       FactStore.ingest(FactStore.equivFactsFromEvents(s, dir), master)
+      pvFacts.unpersist()
 
       val normalized = FactStore.scanKind(s, master, FactKind.PageView)
         .withColumn("pageView", col("pageView").withField("page",

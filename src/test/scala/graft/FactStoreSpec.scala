@@ -86,6 +86,23 @@ class FactStoreSpec extends SparkSpec {
     }
   }
 
+  test("ingest's in-write guard aborts on invariant violations, commits nothing") {
+    val master = tmpMaster()
+    val mixed = Seq(
+      Fact.pageView(PersonId.ofUser(1), "http://foo.com/a", 60, nonce = 1),
+      Fact(FactKind.PageView, Pedigree(0, "self"), None, None, None, None))
+      .toDS()
+    val e = intercept[Exception] { FactStore.ingest(mixed, master) }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("union invariant")), e.toString)
+    val fs = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    val committed = new org.apache.hadoop.fs.Path(master)
+    assert(!fs.exists(committed) ||
+      fs.globStatus(new org.apache.hadoop.fs.Path(master + "/*/*.parquet")).isEmpty,
+      "aborted ingest must not leave committed files")
+  }
+
   test("PersonId sort order matches Thrift compareTo (cookie tag < user_id tag)") {
     val ids = Seq(PersonId.ofUser(5), PersonId.ofCookie("ZZZ"),
       PersonId.ofUser(1), PersonId.ofCookie("AAA"))

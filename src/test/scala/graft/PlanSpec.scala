@@ -89,6 +89,19 @@ class PlanSpec extends SparkSpec {
       s"band-code computation must be a narrow map:\n${plan(df)}")
   }
 
+  test("minhash/simhash signatures are row-local (zero shuffles)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val minhash = docs.select(col("doc_id"),
+      operators.NearDedup.minhashSignatureArray(
+        functions.TextFunctions.shingleHashes(col("text"), 3)).as("sig"))
+    assert(shuffles(minhash) == 0,
+      s"minhash signature must be a narrow map:\n${plan(minhash)}")
+    val simhash = operators.NearDedup.simhashSignatures(docs)
+    assert(shuffles(simhash) == 0,
+      s"simhash signature must be a narrow map:\n${plan(simhash)}")
+  }
+
   test("sessionize uses one shuffle for window + aggregation (same keys)") {
     val df = q("sessionize_visits")
     // window partitioning (domain,user) feeds the (domain,user,visit_id)
