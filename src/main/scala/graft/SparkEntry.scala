@@ -20,6 +20,7 @@ object SparkEntry {
       operators.GraphOps.defs ++
       operators.Workflow.defs ++
       operators.TextOps.defs ++
+      operators.CorpusOps.defs ++
       operators.VectorOps.defs ++
       operators.NearDedup.defs ++
       operators.Multimodal.defs ++

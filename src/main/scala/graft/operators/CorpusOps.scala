@@ -1,0 +1,230 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import graft.QueryDef.withOracle
+import graft.functions.TextFunctions._
+import graft.functions.TimeFunctions.fdiv
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-construction operators a large-scale training-data pipeline
+  * runs after cleaning (SURVEY.md §2.9 extensions, not in the reference):
+  * train/eval contamination checks, stratified sampling, token-budget
+  * shard packing, and embedding quantization/centroids.
+  *
+  * Scale notes are per operator; the common rule is the same as the rest
+  * of the engine — shuffle-based group/join shapes only, no driver-side
+  * data, skew guarded where a key can be hot.
+  */
+object CorpusOps {
+
+  /** Tokens per training shard for `shard_pack` (small so the test corpus
+    * spans multiple shards; production would use ~100M-token shards).
+    */
+  val ShardBudget = 10000L
+
+  /** Containment pairs (eval_id, train_id, containment) between the eval
+    * split (rows matching `isEval`) and the rest, over a (doc_id, text)
+    * relation: containment = |shared 3-shingles| / |eval shingles|.
+    */
+  def contaminationPairs(docs: org.apache.spark.sql.DataFrame,
+      isEval: org.apache.spark.sql.Column,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), isEval.as("is_eval"),
+        explode(shingleHashes(col("text"), 3)).as("s"))
+      .persist()
+    try {
+      val ev = sh.where(col("is_eval"))
+      val tr = sh.where(!col("is_eval"))
+      val ne = ev.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      val inter = ev.select(col("doc_id").as("eval_id"), col("s"))
+        .join(tr.select(col("doc_id").as("train_id"), col("s")), "s")
+        .groupBy("eval_id", "train_id").agg(count(lit(1)).as("c"))
+      inter
+        .join(ne.select(col("doc_id").as("eval_id"), col("n")), "eval_id")
+        .withColumn("containment", col("c") / col("n").cast("double"))
+        .where(col("containment") >= threshold)
+        .select(col("eval_id"), col("train_id"),
+          round(col("containment"), 4).as("containment"))
+        .localCheckpoint() // materialize the small result, then free the cache
+    } finally sh.unpersist()
+  }
+
+  /** Distributed exact prefix-sum shard assignment over a
+    * (doc_id, n_tokens) relation — see the `shard_pack` entry for the
+    * scale argument. `parts` is the range-partition width; the result is
+    * independent of it (asserted by CorpusOpsSpec).
+    */
+  def shardPack(docTokens: org.apache.spark.sql.DataFrame, budget: Long,
+      parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    val ranged = docTokens.repartitionByRange(parts, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy("pid").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val local = ranged.withColumn("lcum", sum("n_tokens").over(localW))
+    // per-partition totals: #partitions rows — the tiny driver-scale side
+    val offW = Window.orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("pid").agg(sum("n_tokens").as("ptot"))
+      .withColumn("offset", coalesce(sum("ptot").over(offW), lit(0L)))
+      .select("pid", "offset")
+    local.join(broadcast(offsets), "pid")
+      .withColumn("start", col("offset") + col("lcum") - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        fdiv(col("start"), budget).as("shard_id"))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // Benchmark-contamination check: which training documents share an
+    // outsized fraction of an evaluation document's 3-shingles? The
+    // bipartite form of the exact sparse similarity join — containment
+    // (inter / |eval shingles|), not Jaccard, because a benchmark item
+    // embedded inside a larger train doc must still flag. Eval set here =
+    // doc_id % 11 == 0 (a held-out-benchmark stand-in on the test corpus).
+    //
+    // Scale: the eval side is a benchmark suite — millions of shingles at
+    // most, broadcastable; the join then never shuffles the train corpus
+    // (the shingle relation streams past the broadcast hash set). Hot
+    // boilerplate shingles bound the per-key fan-out exactly as in
+    // text_ngram_jaccard; the thresholded result is tiny.
+    withOracle(
+      "contamination_check",
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-2, 0))) AS i) g),
+        |ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 11 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 11 <> 0),
+        |ne AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY doc_id),
+        |inter AS (SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id, count(*) AS c
+        |          FROM ev JOIN tr ON ev.s = tr.s GROUP BY 1, 2)
+        |SELECT eval_id, train_id, round(c * 1.0 / n, 4) AS containment
+        |FROM inter JOIN ne ON eval_id = ne.doc_id
+        |WHERE c * 1.0 / n >= 0.1
+        |ORDER BY eval_id, train_id""".stripMargin) { (s, dir) =>
+      contaminationPairs(Tables.documents(s, dir),
+        col("doc_id") % 11 === 0, threshold = 0.1)
+        .orderBy("eval_id", "train_id")
+    },
+
+    // Deterministic stratified sample: ceil(10%) per language, selection
+    // ordered by a per-doc hash (md5 of the id) so the sample is stable
+    // across runs, partitionings, and engines — no RNG state anywhere.
+    //
+    // Scale: one shuffle on lang for the rank window; a skewed stratum
+    // (one giant language) sorts within its partitions only. For corpora
+    // where even a stratum's rank sort is too hot, the hash itself is the
+    // escape hatch: keep rows below a per-stratum hash threshold —
+    // approximate quota, zero sort. The exact-quota form is declared.
+    withOracle(
+      "sample_stratified",
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |WHERE rn <= (n + 9) // 10
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val rankW = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      val cntW = Window.partitionBy("lang")
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"))
+        .withColumn("rn", row_number().over(rankW))
+        .withColumn("n", count(lit(1)).over(cntW))
+        .where(col("rn") <= fdiv(col("n") + 9, 10L)) // exact integer ceil(n/10)
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Token-budget shard packing: assign each doc (in doc_id order) to the
+    // training shard its starting token offset falls in — the "write
+    // ~equal-token shards" step before tokenizer workers pick them up.
+    //
+    // Scale: a single global running sum would execute as a one-partition
+    // window — the classic collapse. This is the distributed prefix sum
+    // instead: range-partition by doc_id, per-partition running sums, then
+    // offset each partition by the (tiny, #partitions-sized) cumulative
+    // totals of the partitions before it. The only single-partition window
+    // runs over one row per partition — O(cluster width), not O(data).
+    withOracle(
+      "shard_pack",
+      s"""SELECT doc_id, n_tokens,
+         |       CAST((cum - n_tokens) // ${ShardBudget} AS BIGINT) AS shard_id
+         |FROM (
+         |  SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+         |         sum(len(string_split_regex(lower(text), '\\s+'))) OVER (
+         |           ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      shardPack(docs, ShardBudget).orderBy("doc_id")
+    },
+
+    // Per-vector int8 quantization (min/max affine): the 4× memory cut
+    // that makes billion-vector ANN serve from RAM. Declared as the
+    // quantization *summary* (bounds + quantized-value checksum) so the
+    // oracle stays exact; the quantized array itself is the same
+    // transform() without the final aggregate.
+    //
+    // Scale: pure row-local map — no shuffle, embarrassingly parallel.
+    withOracle(
+      "embedding_quantize",
+      """SELECT vec_id,
+        |       round(mn, 4) + 0.0 AS minv, round(mx, 4) + 0.0 AS maxv,
+        |       CASE WHEN mx = mn THEN CAST(0 AS BIGINT)
+        |            ELSE CAST(list_sum(list_transform(embedding,
+        |                   x -> CAST(round((CAST(x AS DOUBLE) - mn) / sc) AS BIGINT)))
+        |                 AS BIGINT) END AS qsum,
+        |       len(embedding) AS n_dims
+        |FROM (
+        |  SELECT vec_id, embedding,
+        |         CAST(list_aggregate(embedding, 'min') AS DOUBLE) AS mn,
+        |         CAST(list_aggregate(embedding, 'max') AS DOUBLE) AS mx,
+        |         (CAST(list_aggregate(embedding, 'max') AS DOUBLE)
+        |          - CAST(list_aggregate(embedding, 'min') AS DOUBLE)) / 255.0 AS sc
+        |  FROM embeddings)
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      val mn = array_min(col("embedding")).cast("double")
+      val mx = array_max(col("embedding")).cast("double")
+      val sc = (mx - mn) / lit(255.0)
+      val q = transform(col("embedding"),
+        x => round((x.cast("double") - mn) / sc).cast("long"))
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          // + 0.0 canonicalizes IEEE -0.0 after rounding (see centroid)
+          (round(mn, 4) + 0.0).as("minv"), (round(mx, 4) + 0.0).as("maxv"),
+          when(mx === mn, lit(0L))
+            .otherwise(aggregate(q, lit(0L), (acc, x) => acc + x)).as("qsum"),
+          size(col("embedding")).as("n_dims"))
+        .orderBy("vec_id")
+    },
+
+    // Per-label centroid, one row per (label, dimension) — the k-means
+    // seed / class-prototype aggregate over the embedding corpus.
+    //
+    // Scale: posexplode *looks* like a dims× blowup, but map-side partial
+    // aggregation collapses each task's rows to (labels × dims) partials
+    // before the exchange — the shuffle carries aggregates, not elements.
+    withOracle(
+      "embedding_centroid",
+      """SELECT label, i - 1 AS pos,
+        |       round(avg(CAST(embedding[i] AS DOUBLE)), 4) + 0.0 AS c
+        |FROM embeddings,
+        |     LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) g
+        |GROUP BY 1, 2 ORDER BY label, pos""".stripMargin) { (s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("label", "pos")
+        // + 0.0 canonicalizes IEEE -0.0 (a tiny negative mean rounds to
+        // -0.0, which engines print differently) to +0.0 — oracle matches
+        .agg((round(avg(col("x").cast("double")), 4) + 0.0).as("c"))
+        .orderBy("label", "pos")
+    }
+  )
+}
