@@ -22,7 +22,12 @@ object Plans {
     // LocalTableScan
     "agg_rollup_sets", "batch_workflow", "property_latest",
     "near_dedup_apply", "ann_lsh", "pipeline_pretraining_corpus",
-    "multimodal_frame_sample")
+    "multimodal_frame_sample",
+    // corpus-construction ops (contamination_check is excluded for the
+    // same reason as serving_merge: its candidate join materializes
+    // eagerly via localCheckpoint)
+    "shard_pack", "sample_stratified", "embedding_quantize",
+    "embedding_centroid")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -58,11 +58,24 @@ object CorpusOps {
     */
   def shardPack(docTokens: org.apache.spark.sql.DataFrame, budget: Long,
       parts: Int = 32): org.apache.spark.sql.DataFrame = {
-    val ranged = docTokens.repartitionByRange(parts, col("doc_id"))
-      .withColumn("pid", spark_partition_id())
-    val localW = Window.partitionBy("pid").orderBy("doc_id")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val local = ranged.withColumn("lcum", sum("n_tokens").over(localW))
+    val s = docTokens.sparkSession
+    import s.implicits._
+    // ONE wide exchange: sampled contiguous doc_id ranges. The local
+    // running sum is a narrow mapPartitions pass over the sorted
+    // partitions — a window partitionBy(partition-id) would re-shuffle
+    // the corpus a second time (Catalyst can't see that the range layout
+    // already clusters by partition id). This is the rare per-partition
+    // imperative case where mapPartitions beats the declarative form.
+    val local = docTokens
+      .select(col("doc_id").cast("long"), col("n_tokens").cast("long"))
+      .as[(Long, Long)]
+      .repartitionByRange(parts, col("doc_id"))
+      .sortWithinPartitions("doc_id")
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cum = 0L
+        it.map { case (id, n) => cum += n; (id, n, pid, cum) }
+      }.toDF("doc_id", "n_tokens", "pid", "lcum")
     // per-partition totals: #partitions rows — the tiny driver-scale side
     val offW = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -102,6 +102,18 @@ class PlanSpec extends SparkSpec {
       s"simhash signature must be a narrow map:\n${plan(simhash)}")
   }
 
+  test("shard_pack shuffles the corpus once (range partition), rest is partition-count-sized") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.tokens
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+    val df = operators.CorpusOps.shardPack(docs, 10000L)
+    // 1 range exchange over the data + 2 exchanges over the tiny
+    // per-partition-totals side (agg + single-row-per-partition window)
+    assert(shuffles(df) <= 3,
+      s"expected one corpus-wide exchange + tiny offset-side exchanges:\n${plan(df)}")
+  }
+
   test("sessionize uses one shuffle for window + aggregation (same keys)") {
     val df = q("sessionize_visits")
     // window partitioning (domain,user) feeds the (domain,user,visit_id)
