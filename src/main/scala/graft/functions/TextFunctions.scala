@@ -28,45 +28,16 @@ object TextFunctions {
 
   def distinctShingles(text: Column, n: Int): Column = array_distinct(shingles(text, n))
 
-  /** Distinct n-shingles as 64-bit FNV-1a hashes, via one compiled UDF —
-    * the hot-path form: the expression-tree shingle builder above runs
-    * interpreted higher-order lambdas (~36µs/shingle measured); this does
-    * the whole doc in one compiled pass. Hash identity stands in for
-    * string identity (collision odds ~n²/2^64).
+  /** Distinct n-shingles as 64-bit FNV-1a hashes, via the native codegen
+    * expression (org.apache.spark.sql.graft.ShingleHash64) — the hot-path
+    * form: the expression-tree shingle builder above runs interpreted
+    * higher-order lambdas (~36µs/shingle measured), and the earlier
+    * Scala-UDF form paid String/Array converter boxing per row. Hash
+    * identity stands in for string identity (collision odds ~n²/2^64).
+    * Null text hashes to null (explode treats it like the empty set).
     */
-  def shingleHashes(text: Column, n: Int): Column = {
-    val f = udf { (s: String) =>
-      if (s == null) Array.empty[Long]
-      else {
-        val toks = s.toLowerCase.split("\\s+")
-        if (toks.length < n) Array.empty[Long]
-        else {
-          val out = new scala.collection.mutable.HashSet[Long]
-          var i = 0
-          while (i <= toks.length - n) {
-            var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
-            var k = 0
-            while (k < n) {
-              val t = toks(i + k)
-              var c = 0
-              while (c < t.length) {
-                h ^= t.charAt(c)
-                h *= 0x100000001b3L
-                c += 1
-              }
-              h ^= ' '
-              h *= 0x100000001b3L
-              k += 1
-            }
-            out += h
-            i += 1
-          }
-          out.toArray
-        }
-      }
-    }
-    f(text)
-  }
+  def shingleHashes(text: Column, n: Int): Column =
+    org.apache.spark.sql.graft.TextNative.shingleHash64(text, n)
 
   /** Bag-normalized document fingerprint: md5 of the space-joined sorted
     * distinct token set. Identical token bags → identical fingerprint,

@@ -54,32 +54,12 @@ object NearDedup {
     * family is identical to the grouped form on a hashed-shingle relation
     * — murmur3(shingle_long, i), Spark's `hash(s, i)` — so signatures are
     * byte-for-byte the same and the band S-curve math is unchanged.
+    * Backed by the native codegen expression (TextNative.minhashSignature)
+    * so the array stays an UnsafeArrayData end to end, no UDF boxing.
     */
   def minhashSignatureArray(shingleHashArr: org.apache.spark.sql.Column)
-      : org.apache.spark.sql.Column = {
-    import org.apache.spark.unsafe.hash.Murmur3_x86_32
-    val k = NumHashes
-    val f = udf { (hs: Array[Long]) =>
-      if (hs == null || hs.isEmpty) null
-      else {
-        val sig = Array.fill(k)(Long.MaxValue)
-        var si = 0
-        while (si < hs.length) {
-          // hash(s: long, i: int) with Spark's seed 42: fold long then int
-          val h1 = Murmur3_x86_32.hashLong(hs(si), 42)
-          var i = 0
-          while (i < k) {
-            val v = Murmur3_x86_32.hashInt(i, h1).toLong
-            if (v < sig(i)) sig(i) = v
-            i += 1
-          }
-          si += 1
-        }
-        sig
-      }
-    }
-    f(shingleHashArr)
-  }
+      : org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.TextNative.minhashSignature(shingleHashArr, NumHashes)
 
   /** Hot buckets found by map-side-combined groupBy count, then removed
     * with an anti-join — never materializing a degenerate bucket in one

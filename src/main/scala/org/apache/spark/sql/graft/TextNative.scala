@@ -1,0 +1,144 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.hash.Murmur3_x86_32
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native text expressions for the dedup hot path (SURVEY.md §2.9),
+  * following the FloatVecDot pattern: whole-stage-codegen'd expressions
+  * whose generated code calls the expression instance (addReferenceObj)
+  * and passes UTF8String/ArrayData through WITHOUT the Scala-UDF
+  * converter layer (String/Array boxing per row — the measured cost of
+  * the UDF form on wide corpora).
+  *
+  * Lives under org.apache.spark.sql because ExpectsInputTypes /
+  * ExpressionUtils are private[sql]; standard extension placement.
+  */
+
+/** Distinct word n-gram (shingle) set of lowercased text as 64-bit
+  * FNV-1a hashes — hash identity stands in for string identity
+  * (collision odds ~n²/2^64). Tokenization parity with
+  * TextFunctions.tokens: lowercase, split on \s+.
+  */
+case class ShingleHash64(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"shingle width must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.toString.toLowerCase.split("\\s+")
+    if (toks.length < n) UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    else {
+      val out = new scala.collection.mutable.HashSet[Long]
+      var i = 0
+      while (i <= toks.length - n) {
+        var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
+        var k = 0
+        while (k < n) {
+          val t = toks(i + k)
+          var c = 0
+          while (c < t.length) {
+            h ^= t.charAt(c)
+            h *= 0x100000001b3L
+            c += 1
+          }
+          h ^= ' '
+          h *= 0x100000001b3L
+          k += 1
+        }
+        out += h
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out.toArray)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("shingler", this, classOf[ShingleHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "shingle_hash64"
+}
+
+/** All k minhashes of a 64-bit shingle-hash array in one pass — hash
+  * family i = murmur3(shingle, i) with Spark's seed 42, identical to
+  * `min(hash(s, i))` over the exploded relation (NearDedup's grouped
+  * form) but row-local and zero-shuffle. Null for an empty/absent
+  * shingle set (a short doc has no signature).
+  */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(k >= 1, s"signature width must be >= 1, got $k")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(LongType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullable: Boolean = true
+
+  def compute(hashes: ArrayData): ArrayData = {
+    val m = hashes.numElements()
+    if (m == 0) null
+    else {
+      val sig = Array.fill(k)(Long.MaxValue)
+      var si = 0
+      while (si < m) {
+        // hash(s: long, i: int) with seed 42: fold the long, then the int
+        val h1 = Murmur3_x86_32.hashLong(hashes.getLong(si), 42)
+        var i = 0
+        while (i < k) {
+          val v = Murmur3_x86_32.hashInt(i, h1).toLong
+          if (v < sig(i)) sig(i) = v
+          i += 1
+        }
+        si += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(sig)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhasher", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |${ev.value} = $ref.compute($c);
+       |${ev.isNull} = (${ev.value} == null);
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+
+  override def prettyName: String = "minhash_signature"
+}
+
+object TextNative {
+
+  /** `shingle_hash64(text, n)` as a Column. */
+  def shingleHash64(text: Column, n: Int): Column =
+    ExpressionUtils.column(ShingleHash64(ExpressionUtils.expression(text), n))
+
+  /** `minhash_signature(hashes, k)` as a Column. */
+  def minhashSignature(hashes: Column, k: Int): Column =
+    ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(hashes), k))
+}

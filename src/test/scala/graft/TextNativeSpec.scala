@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.TextFunctions
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.TextNative
+
+class TextNativeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Reference FNV-1a 3-shingle hasher (the documented contract). */
+  private def refShingles(s: String, n: Int): Set[Long] = {
+    val toks = s.toLowerCase.split("\\s+")
+    if (toks.length < n) Set.empty
+    else (0 to toks.length - n).map { i =>
+      var h = 0xcbf29ce484222325L
+      (0 until n).foreach { k =>
+        toks(i + k).foreach { c => h ^= c; h *= 0x100000001b3L }
+        h ^= ' '; h *= 0x100000001b3L
+      }
+      h
+    }.toSet
+  }
+
+  test("native shingle_hash64 matches the reference FNV-1a set") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "Mixed CASE Words and  double  spaces",
+      "one two", // shorter than n=3 -> empty
+      "exactly three tokens")
+    val got = texts.toDF("text")
+      .select(TextFunctions.shingleHashes(col("text"), 3).as("hs"))
+      .as[Array[Long]].collect()
+    texts.zip(got).foreach { case (t, hs) =>
+      assert(hs.toSet == refShingles(t, 3), s"mismatch for '$t'")
+      assert(hs.length == hs.toSet.size, "shingle hashes must be distinct")
+    }
+  }
+
+  test("null text hashes to null; explode treats it like the empty set") {
+    val df = Seq((0L, "a b c d"), (1L, null)).toDF("doc_id", "text")
+    val exploded = df
+      .select(col("doc_id"), explode(TextFunctions.shingleHashes(col("text"), 3)).as("s"))
+    assert(exploded.select("doc_id").distinct().as[Long].collect().toSet == Set(0L))
+  }
+
+  test("native minhash signature equals the grouped min(hash(s,i)) form") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog while the cat sleeps"),
+      (1L, "another document with sufficiently many tokens to shingle properly"))
+      .toDF("doc_id", "text")
+    val hashed = docs.select(col("doc_id"),
+      TextFunctions.shingleHashes(col("text"), 3).as("hs"))
+    val native = hashed
+      .select(col("doc_id"), TextNative.minhashSignature(col("hs"), 64).as("sig"))
+      .orderBy("doc_id").as[(Long, Array[Long])].collect()
+    val grouped = operators.NearDedup.minhashSignatures(
+      hashed.select(col("doc_id"), explode(col("hs")).as("s")))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), (1 to 64).map(i => r.getLong(i)).toArray))
+    assert(native.length == grouped.length)
+    native.zip(grouped).foreach { case ((di, sn), (dg, sg)) =>
+      assert(di == dg && sn.sameElements(sg),
+        s"signature mismatch for doc $di")
+    }
+  }
+
+  test("minhash signature of an empty shingle set is null (no banding)") {
+    val df = Seq((0L, "too short")).toDF("doc_id", "text")
+    val sig = df.select(TextNative.minhashSignature(
+      TextFunctions.shingleHashes(col("text"), 3), 64).as("sig"))
+    assert(sig.where(col("sig").isNotNull).count() == 0)
+  }
+}
