@@ -20,8 +20,14 @@ object Bench {
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()
-      graft.model.FactStore.ingest(
-        graft.model.FactStore.eventsAsFacts(spark, sfDir).limit(100), s"$warmDir/m", 1)
+      // cover the whole ingest-query hot path: localCheckpoint (RDD cache
+      // machinery), the guarded partitioned write, and the pruned re-read
+      val w = graft.model.FactStore.eventsAsFacts(spark, sfDir)
+        .limit(100).localCheckpoint()
+      graft.model.FactStore.ingest(w, s"$warmDir/m", 1)
+      w.unpersist()
+      graft.model.FactStore
+        .scanKind(spark, s"$warmDir/m", graft.model.FactKind.PageView).count()
     } catch {
       case e: Throwable => System.err.println(s"[bench] batch warm-up failed: $e")
     }

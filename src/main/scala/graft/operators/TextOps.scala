@@ -252,10 +252,14 @@ object TextOps {
       val q = docs.where(col("n_chars") >= 100 && size(tokens(col("text"))) >= 20)
       val en = q.join(
         langid(q).where(col("pred_lang") === "en").select("doc_id"), Seq("doc_id"))
+      // the exact-dedup survivor set feeds three subtrees (shingling, the
+      // CC join, and the final projection) — materialize it once so the
+      // upstream quality/langid/window chain doesn't run three times
       val exact = en
         .withColumn("rn",
           row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .where(col("rn") === 1).drop("rn")
+        .localCheckpoint()
       val sh = exact.select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
       val cc = GraphOps.connectedComponents(
         ngramJaccardPairs(sh, 0.1).select(col("i").as("src"), col("j").as("dst")))
