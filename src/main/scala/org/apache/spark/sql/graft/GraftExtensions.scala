@@ -1,0 +1,50 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions entry point: registers the engine's native
+  * functions into every session built with
+  * `.config("spark.sql.extensions", "org.apache.spark.sql.graft.GraftExtensions")`
+  * — the deployment-grade registration path (cluster-wide via conf, no
+  * per-session register() call). The imperative GraftNative.register
+  * remains for ad-hoc sessions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("fvdot"),
+      info("fvdot", "fvdot(a, b) - dot product of two float arrays in double precision"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "fvdot takes (array<float>, array<float>)")
+        FloatVecDot(children(0), children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("shingle_hash64"),
+      info("shingle_hash64",
+        "shingle_hash64(text, n) - distinct word n-gram FNV-1a hashes"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "shingle_hash64 takes (text, n)")
+        ShingleHash64(children(0), intLiteral(children(1), "shingle_hash64 n"))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(hashes, k) - k minhashes of a long-hash array"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "minhash_signature takes (hashes, k)")
+        MinHashSignature(children(0), intLiteral(children(1), "minhash_signature k"))
+      }))
+  }
+
+  private def intLiteral(e: Expression, what: String): Int = e match {
+    case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The extensions class must make the native functions SQL-callable in a
+  * session configured only via spark.sql.extensions — the cluster-wide
+  * deployment path (no imperative register() call anywhere).
+  *
+  * Extensions apply at session CREATION, so this builds a fresh
+  * SparkSession over the shared SparkContext (never stopping it — the
+  * other suites' session shares it) and restores the previous
+  * default/active session afterwards.
+  */
+class GraftExtensionsSpec extends AnyFunSuite {
+
+  test("spark.sql.extensions registers fvdot/shingle_hash64/minhash_signature") {
+    val shared = SparkTestSession.spark // ensure the shared context exists
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      // withExtensions runs the same class the spark.sql.extensions conf
+      // would instantiate (GraftExtensions IS SparkSessionExtensions =>
+      // Unit); the conf string itself is Spark's own loading machinery
+      val spark = SparkSession.builder()
+        .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+        .getOrCreate() // new session instance over the existing context
+      assert(spark ne shared, "must be a fresh session, or extensions won't apply")
+      val dot = spark.sql(
+        "SELECT fvdot(array(CAST(1 AS FLOAT), CAST(2 AS FLOAT)), " +
+          "array(CAST(3 AS FLOAT), CAST(4 AS FLOAT))) AS d").head().getDouble(0)
+      assert(dot == 11.0)
+      val nsh = spark.sql(
+        "SELECT size(shingle_hash64('a b c d', 3)) AS n").head().getInt(0)
+      assert(nsh == 2)
+      val sig = spark.sql(
+        "SELECT minhash_signature(shingle_hash64('a b c d e f', 3), 8) AS s")
+        .head().getSeq[Long](0)
+      assert(sig.length == 8)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
+}
