@@ -64,15 +64,21 @@ object Bench {
       // masquerade as a speedup; failures don't contribute to the total
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
-    // Keep the line short: the driver tail-captures output and the head of
-    // an over-long line (where "metric"/"value" live) gets cut — 3dp per
-    // query is plenty at wall-clock resolution. A "total_sec" echo at the
-    // END of the line survives even a head-truncated capture.
     def fmt(v: Double): String = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
-      .mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir","total_sec":${fmt(total)}}""")
+    // The harness tail-captures only the last ~2000 chars of output, and a
+    // JSON line whose head (where "metric"/"value" live) is cut cannot be
+    // parsed. So: full per-query detail first (complete in the full log,
+    // possibly head-truncated in the tail), then ONE compact final line —
+    // total + the slowest queries — guaranteed to fit whole in the window.
+    val qsAll = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"detail":$qsAll}""")
+    val slowest = results.toSeq.sortBy(-_._2).take(12)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir","total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }
