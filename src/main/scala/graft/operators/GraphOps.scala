@@ -48,10 +48,16 @@ object GraphOps {
       spark.conf.get("graft.cc.maxIter", "25").toInt)
     // Bidirectional, self-loop-free edge set (BidirectionalEdge,
     // BatchWorkflow.java:570-581), deduplicated once up front.
+    // Partition the edge set by `src` ONCE before checkpointing: every
+    // iteration's label join probes on src, and localCheckpoint preserves
+    // output partitioning, so the (node-count-sized) edge relation is
+    // never re-shuffled inside the loop — only the label side moves.
+    // (distinct hash-partitions by (src,dst), which the join can't reuse.)
     val bidir = edges.select(col("src"), col("dst"))
       .where(col("src") =!= col("dst"))
       .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("src"))
       .localCheckpoint()
 
     var current = bidir.select(col("src").as("node")).distinct()
@@ -94,6 +100,9 @@ object GraphOps {
       converged = changed == 0
       iter += 1
     }
+    // the edge checkpoint is loop-internal — release its cached blocks
+    // now rather than waiting for GC (a long session runs many CC graphs)
+    bidir.unpersist()
     require(converged,
       s"connected components did not converge within $iterCap iterations — " +
         "raise maxIter (spark.conf graft.cc.maxIter; rounds scale with log " +

@@ -59,8 +59,10 @@ object IngestOps {
       val eqFacts = GraphOps.equivEdges(s, dir)
         .as[(Long, Long)]
         .map { case (a, b) => Fact.equiv(PersonId.ofUser(a), PersonId.ofUser(b), 0L) }
-      FactStore.ingest(pvFacts, master)
-      FactStore.ingest(eqFacts, master)
+      // one mixed-kind absorb: partitionBy("kind") routes both types in a
+      // single write pass; the pruned per-kind reads below then prove the
+      // routing
+      FactStore.ingest(pvFacts.unionAll(eqFacts), master)
       val eq = FactStore.scanKind(s, master, FactKind.Equiv)
         .groupBy("kind").agg(count(lit(1)).as("n"))
       val pv = FactStore.scanKind(s, master, FactKind.PageView)

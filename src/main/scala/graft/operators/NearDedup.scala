@@ -152,7 +152,10 @@ object NearDedup {
       // Exact verify on the candidate set only: route the shingle join
       // *through* the candidate pairs so intersection cost is
       // O(candidates × shingles-per-doc), never the full shingle self-join.
-      val sizes = shingled.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      // Set sizes are row-local array lengths (shingleHashes is distinct)
+      // — no aggregation over the exploded relation.
+      val sizes = hashed.where(col("hs").isNotNull)
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n"))
       val inter = candidates
         .join(shingled.select(col("doc_id").as("i"), col("s")), "i")
         .join(shingled.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
@@ -285,8 +288,8 @@ object NearDedup {
         |WHERE cc.canonical IS NULL OR cc.canonical = d.doc_id
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val sh = docs.select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
-      val pairs = TextOps.ngramJaccardPairs(sh, 0.1)
+      val hashed = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+      val pairs = TextOps.ngramJaccardPairsFromHashes(hashed, 0.1)
         .select(col("i").as("src"), col("j").as("dst"))
       val cc = GraphOps.connectedComponents(pairs)
       docs.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")

@@ -201,9 +201,9 @@ object TextOps {
         |ORDER BY i, j""".stripMargin) { (s, dir) =>
       // join on 64-bit shingle hashes, not strings: same intersection
       // counts (collision odds ~2^-65 per pair), far smaller shuffles
-      val sh = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
-      ngramJaccardPairs(sh, 0.1)
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+      ngramJaccardPairsFromHashes(hashed, 0.1)
         .select(col("i"), col("j"), round(col("jac"), 4).as("jaccard"))
         .orderBy("i", "j")
     },
@@ -249,7 +249,11 @@ object TextOps {
          |WHERE cc.canonical IS NULL OR cc.canonical = e.doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
+      // the quality-gated set feeds langid's token explode AND the join
+      // back — materialize it once so the scan+tokenize pass doesn't run
+      // per consumer (at scale: one pass over the corpus, not three)
       val q = docs.where(col("n_chars") >= 100 && size(tokens(col("text"))) >= 20)
+        .localCheckpoint()
       val en = q.join(
         langid(q).where(col("pred_lang") === "en").select("doc_id"), Seq("doc_id"))
       // the exact-dedup survivor set feeds three subtrees (shingling, the
@@ -260,9 +264,10 @@ object TextOps {
           row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
         .where(col("rn") === 1).drop("rn")
         .localCheckpoint()
-      val sh = exact.select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
+      val hashed = exact.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
       val cc = GraphOps.connectedComponents(
-        ngramJaccardPairs(sh, 0.1).select(col("i").as("src"), col("j").as("dst")))
+        ngramJaccardPairsFromHashes(hashed, 0.1)
+          .select(col("i").as("src"), col("j").as("dst")))
       exact.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
         .where(col("label").isNull || col("label") === col("doc_id"))
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
@@ -289,28 +294,46 @@ object TextOps {
       .select(col("doc_id"), coalesce(col("plang"), lit("und")).as("pred_lang"))
   }
 
-  /** Exact Jaccard over an exploded (doc_id, shingle-or-token) relation:
-    * the sparse similarity join. Returns (i, j, inter, jac) for i < j with
-    * jac >= threshold. Reused by the LSH verifiers on candidate pairs.
+  /** Exact Jaccard from a per-doc distinct-shingle-hash ARRAY relation
+    * (doc_id, hs): set sizes come row-locally from the array length (zero
+    * shuffle — the exploded-relation form aggregated the full shingle
+    * relation just to recover the size) and only the self-join shuffles.
+    * Returns (i, j, inter, jac) for i < j with jac >= threshold.
+    */
+  def ngramJaccardPairsFromHashes(docHashes: DataFrame, threshold: Double): DataFrame = {
+    // the array relation feeds both join sides; cache the (compact,
+    // pre-explode) form, eagerly materialize the small thresholded result,
+    // and release the cache — a session running many queries must not
+    // accumulate cached blocks
+    val hs = docHashes.where(col("hs").isNotNull).persist()
+    try {
+      val sh = hs.select(col("doc_id"), explode(col("hs")).as("s"))
+      val sizes = hs.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+      jaccardFromParts(sh, sizes, threshold).localCheckpoint()
+    } finally hs.unpersist()
+  }
+
+  /** Exact Jaccard over an exploded (doc_id, s) relation when no array
+    * form exists. Prefer [[ngramJaccardPairsFromHashes]].
     */
   def ngramJaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
-    // the shingle relation feeds three plan subtrees (two join sides +
-    // sizes); cache it so shingle generation runs once, then eagerly
-    // materialize the (small, thresholded) result and release the cache —
-    // a session running many queries must not accumulate cached blocks
     val sh = shRaw.persist()
     try {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val pairs = sh.as("a")
-        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-        .agg(count(lit(1)).as("inter"))
-      pairs
-        .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-        .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
-        .withColumn("jac", col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
-        .where(col("jac") >= threshold)
-        .localCheckpoint()
+      jaccardFromParts(sh, sizes, threshold).localCheckpoint()
     } finally sh.unpersist()
+  }
+
+  private def jaccardFromParts(sh: DataFrame, sizes: DataFrame,
+      threshold: Double): DataFrame = {
+    val pairs = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+    pairs
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .withColumn("jac", col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
+      .where(col("jac") >= threshold)
   }
 }

@@ -136,7 +136,10 @@ object VectorOps {
     import org.apache.spark.ml.linalg.Vectors
     import spark.implicits._
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val feat = emb.withColumn("features", toVec(col("embedding")))
+    // materialize the converted features once: k-means runs ~10 passes
+    // (init + iterations) plus the assignment transform, and each would
+    // otherwise re-read the source and re-run the conversion
+    val feat = emb.withColumn("features", toVec(col("embedding"))).localCheckpoint()
     val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10).fit(feat)
     val assigned = model.transform(feat)
       .select(col("vec_id").as("c"), col("embedding").as("ce"),

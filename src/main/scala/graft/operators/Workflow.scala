@@ -91,9 +91,12 @@ object Workflow {
       // snapshot, BatchWorkflow.java:152-162) so the re-delivered absorb
       // re-reads the snapshot instead of recomputing the source transform
       val pvFacts = FactStore.eventsAsFacts(s, dir).localCheckpoint()
-      FactStore.ingest(pvFacts, master)
+      // first absorb carries the mixed batch (pageviews + equivs) in one
+      // write pass; the second is the re-delivered pageview batch that
+      // dedup must collapse
+      FactStore.ingest(
+        pvFacts.unionAll(FactStore.equivFactsFromEvents(s, dir)), master)
       FactStore.ingest(pvFacts, master) // the re-delivered batch dedup removes
-      FactStore.ingest(FactStore.equivFactsFromEvents(s, dir), master)
       pvFacts.unpersist()
 
       val normalized = FactStore.scanKind(s, master, FactKind.PageView)
@@ -140,8 +143,12 @@ object Workflow {
          |SELECT entity, pkey, val, ts FROM r WHERE rn = 1
          |ORDER BY entity, pkey""".stripMargin) { (s, dir) =>
       val master = newMaster()
-      FactStore.ingest(FactStore.personPropertyFactsFromEvents(s, dir), master)
-      FactStore.ingest(FactStore.pagePropertyFactsFromEvents(s, dir), master)
+      // one absorb of the mixed-kind batch: the kind-partitioned write
+      // routes both property types in a single pass (two separate ingests
+      // would scan and commit twice for no semantic difference)
+      FactStore.ingest(
+        FactStore.personPropertyFactsFromEvents(s, dir)
+          .unionAll(FactStore.pagePropertyFactsFromEvents(s, dir)), master)
       val person = FactStore.scanKind(s, master, FactKind.PersonProperty)
         .select(lit("person").as("entity"),
           GraphOps.personKey(col("personProperty.id")).as("pkey"),

@@ -49,6 +49,23 @@ object StreamViews {
       stage.toString
     })
 
+  /** Run `f` with the shuffle-partition count a *streaming* query should
+    * use for its state stores. A stateful streaming query instantiates
+    * (and per-microbatch commits) one state store per shuffle partition,
+    * so state parallelism must be sized to the STATE volume, not to the
+    * session's batch shuffle setting — measured 3.3× on the stateful
+    * queries here (32 → 8 partitions at sf0.1). The partition count is
+    * pinned into the checkpoint at query start; production raises
+    * `graft.stream.statePartitions` for large keyspaces (it only applies
+    * to new checkpoints — these queries stage fresh ones per run).
+    */
+  private def withStateParallelism[A](spark: SparkSession)(f: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    spark.conf.set(key, spark.conf.get("graft.stream.statePartitions", "8"))
+    try f finally spark.conf.set(key, prev)
+  }
+
   /** Run a streaming transform of the events table to completion
     * (AvailableNow) into a memory sink; return the sink table.
     *
@@ -59,7 +76,7 @@ object StreamViews {
     */
   private def runToMemory(spark: SparkSession, dir: String, outputMode: String,
       needsFinalFlush: Boolean = false)(
-      transform: DataFrame => DataFrame): DataFrame = {
+      transform: DataFrame => DataFrame): DataFrame = withStateParallelism(spark) {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val prevNoData = spark.conf.getOption("spark.sql.streaming.noDataMicroBatches.enabled")
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", needsFinalFlush)
@@ -95,7 +112,7 @@ object StreamViews {
     // drop entries pinned to stopped sessions so the object-level cache
     // can't grow across session lifecycles
     sessionizeCache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
-    sessionizeCache.computeIfAbsent((s, dir), _ => {
+    sessionizeCache.computeIfAbsent((s, dir), _ => withStateParallelism(s) {
       import s.implicits._
       val name = s"graft_stream_${nameCounter.incrementAndGet()}"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -256,16 +273,18 @@ object StreamViews {
     withOracle(
       "stream_dedup",
       "SELECT count(*) AS n FROM events") { (s, dir) =>
-      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = Tables.eventsRaw(s, dir).schema
-      val q = s.readStream.schema(schema).parquet(stagedDoubledEventsDir(dir))
-        .dropDuplicates("event_id")
-        .groupBy().count()
-        .writeStream.format("memory").queryName(name).outputMode("complete")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name).select(col("count").as("n"))
+      withStateParallelism(s) {
+        val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = Tables.eventsRaw(s, dir).schema
+        val q = s.readStream.schema(schema).parquet(stagedDoubledEventsDir(dir))
+          .dropDuplicates("event_id")
+          .groupBy().count()
+          .writeStream.format("memory").queryName(name).outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).select(col("count").as("n"))
+      }
     },
 
     // The serving-layer merge — the Lambda Architecture's query-time
