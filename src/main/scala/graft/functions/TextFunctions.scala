@@ -46,6 +46,35 @@ object TextFunctions {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
+  /** BPE-ish subword-boundary tokenization: letter runs, digit runs, and
+    * single punctuation marks — the regex shape BPE pre-tokenizers split
+    * on before merges. Same pattern string is valid RE2 for the DuckDB
+    * oracle.
+    */
+  val BpeTokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0)))
+
+  /** Winnowing fingerprint set (Schleimer, Wilkerson & Aiken, SIGMOD'03):
+    * hash every order-sensitive 3-token shingle, slide a window of
+    * `w` consecutive shingle hashes, keep each window's minimum — the
+    * distinct kept set is the document's fingerprint. Guarantees any
+    * shared run of w+2 tokens between two docs shares a fingerprint,
+    * while storing ~2/(w+1) of the hashes. Hash = md5 hex (lexicographic
+    * min), available bit-identically in the DuckDB oracle; production
+    * would swap a 64-bit rolling hash via the native expressions.
+    * Row-local throughout — zero shuffles.
+    */
+  def winnowFingerprints(text: Column, w: Int): Column = {
+    val sh = shingles(text, 3)
+    val hs = transform(sh, x => md5(x))
+    when(size(hs) >= w,
+      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)), i =>
+        array_min(slice(hs, i, lit(w))))))
+      .otherwise(when(size(hs) > 0, array(array_min(hs)))
+        .otherwise(array().cast("array<string>")))
+  }
+
   /** English-ish stopword count (fixed public profile). */
   val StopwordsRe = "\\b(the|a|and|of|to|in|is)\\b"
   def stopwordCount(text: Column): Column =

@@ -126,14 +126,16 @@ object GraphOps {
   def userKeySql(e: String): String = s"'2:' || lpad(CAST($e AS VARCHAR), 19, '0')"
   def cookieKeySql(e: String): String = s"'1:' || ($e)"
 
-  /** The synthetic equiv-edge relation over events user ids. */
+  /** The synthetic equiv-edge relation over events user ids: one scan
+    * exploding the three modulus relations per row (the three-way union
+    * form scanned events three times). % 7 keeps the graph non-empty even
+    * at sf0.001's small user range.
+    */
   def equivEdges(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsRaw(s, dir)
-    // % 7 keeps the graph non-empty even at sf0.001's small user range.
-    val e1 = ev.select(col("user_id").as("src"), (col("user_id") % 37).as("dst"))
-    val e2 = ev.select(col("user_id").as("src"), (col("user_id") % 41).as("dst"))
-    val e3 = ev.select(col("user_id").as("src"), (col("user_id") % 7).as("dst"))
-    e1.unionAll(e2).unionAll(e3).where(col("src") =!= col("dst")).distinct()
+    ev.select(col("user_id").as("src"),
+        explode(array(col("user_id") % 37, col("user_id") % 41, col("user_id") % 7)).as("dst"))
+      .where(col("src") =!= col("dst")).distinct()
   }
 
   private val edgesBody =

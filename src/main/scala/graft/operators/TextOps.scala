@@ -127,6 +127,54 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // BPE-ish subword token counting next to the whitespace count: the
+    // pre-tokenizer split (letter runs / digit runs / single punctuation)
+    // that BPE vocabularies merge from — the budget unit a training
+    // pipeline actually meters.
+    withOracle(
+      "text_token_count_bpe",
+      """SELECT doc_id,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe,
+        |       len(string_split_regex(lower(text), '\s+')) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          bpeTokenCount(col("text")).as("n_bpe"),
+          size(tokens(col("text"))).as("n_ws"))
+        .orderBy("doc_id")
+    },
+
+    // Winnowing rolling-hash fingerprints (Schleimer/Wilkerson/Aiken,
+    // SIGMOD'03): min shingle-hash per sliding window of 4 — any shared
+    // 6-token run between docs shares a fingerprint. Row-local (zero
+    // shuffles); md5 is the hash so the DuckDB oracle is bit-identical.
+    withOracle(
+      "doc_winnow_fingerprint",
+      """WITH toks AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS l FROM documents),
+        |sh AS (SELECT doc_id, CASE WHEN len(l) >= 3
+        |         THEN list_transform(generate_series(1, len(l)-2),
+        |                i -> l[i] || ' ' || l[i+1] || ' ' || l[i+2])
+        |         ELSE CAST([] AS VARCHAR[]) END AS s
+        |       FROM toks),
+        |hs AS (SELECT doc_id, list_transform(s, x -> md5(x)) AS h FROM sh),
+        |fp AS (SELECT doc_id, CASE
+        |         WHEN len(h) >= 4 THEN list_distinct(list_transform(
+        |                generate_series(1, len(h)-3), i -> list_min(h[i:i+3])))
+        |         WHEN len(h) > 0 THEN [list_min(h)]
+        |         ELSE CAST([] AS VARCHAR[]) END AS f
+        |       FROM hs)
+        |SELECT doc_id, len(f) AS n_fp,
+        |       md5(array_to_string(list_sort(f), ' ')) AS fp_digest
+        |FROM fp ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val fps = winnowFingerprints(col("text"), 4)
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(fps).as("n_fp"),
+          md5(concat_ws(" ", array_sort(fps))).as("fp_digest"))
+        .orderBy("doc_id")
+    },
+
     // Language ID by fixed stopword profiles: per-doc argmax of profile
     // hits (ties lexicographic, no hits -> 'und'), aggregated per language.
     withOracle(
@@ -275,23 +323,30 @@ object TextOps {
     }
   )
 
-  /** Per-doc predicted language from the fixed stopword profiles. */
+  /** Per-doc predicted language from the fixed stopword profiles,
+    * computed ROW-LOCALLY: per-language hit counts are `filter` over the
+    * token array against the constant word sets, and the argmax (count
+    * desc, language lexicographic on ties, no hits → 'und') is a when
+    * chain — zero shuffles. The profiles are 40 constant words, so
+    * nothing here needs the (explode → broadcast-join → groupBy → window)
+    * relational form, which shuffles the full token relation twice; at
+    * 100 TB language ID must be a map-only pass over the corpus.
+    */
   def langid(docs: DataFrame): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    val prof = LangProfiles.flatMap { case (l, ws) => ws.map(w => (w, l)) }
-      .toDF("word", "plang")
-    val hits = docs
-      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
-      .join(broadcast(prof), col("w") === col("word"))
-      .groupBy("doc_id", "plang").agg(count(lit(1)).as("c"))
-    val best = hits
-      .withColumn("rn",
-        row_number().over(Window.partitionBy("doc_id").orderBy(col("c").desc, col("plang"))))
-      .where(col("rn") === 1)
-      .select(col("doc_id"), col("plang"))
-    docs.join(best, Seq("doc_id"), "left_outer")
-      .select(col("doc_id"), coalesce(col("plang"), lit("und")).as("pred_lang"))
+    val toks = tokens(col("text"))
+    // occurrence counts, duplicates included — same as counting the
+    // token-to-profile join
+    val counts = LangProfiles.map { case (l, ws) =>
+      l -> size(filter(toks, t => t.isInCollection(ws)))
+    }
+    val best = greatest(counts.map(_._2): _*)
+    // LangProfiles is in lexicographic language order, so the first
+    // language reaching the max implements the (c DESC, plang) tie-break
+    val pred = when(best <= 0, lit("und")).otherwise(
+      counts.foldRight(lit("und")) { case ((l, c), els) =>
+        when(c === best, lit(l)).otherwise(els)
+      })
+    docs.select(col("doc_id"), pred.as("pred_lang"))
   }
 
   /** Exact Jaccard from a per-doc distinct-shingle-hash ARRAY relation
