@@ -297,13 +297,11 @@ object TextOps {
          |WHERE cc.canonical IS NULL OR cc.canonical = e.doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      // the quality-gated set feeds langid's token explode AND the join
-      // back — materialize it once so the scan+tokenize pass doesn't run
-      // per consumer (at scale: one pass over the corpus, not three)
-      val q = docs.where(col("n_chars") >= 100 && size(tokens(col("text"))) >= 20)
-        .localCheckpoint()
-      val en = q.join(
-        langid(q).where(col("pred_lang") === "en").select("doc_id"), Seq("doc_id"))
+      // quality gate + language filter fuse into ONE row-local pass over
+      // the corpus scan (predLang is a column, so no join back) — at
+      // 100 TB the whole pre-dedup funnel is a single map over the data
+      val en = docs.where(col("n_chars") >= 100 &&
+        size(tokens(col("text"))) >= 20 && predLang(col("text")) === "en")
       // the exact-dedup survivor set feeds three subtrees (shingling, the
       // CC join, and the final projection) — materialize it once so the
       // upstream quality/langid/window chain doesn't run three times
@@ -332,8 +330,14 @@ object TextOps {
     * relational form, which shuffles the full token relation twice; at
     * 100 TB language ID must be a map-only pass over the corpus.
     */
-  def langid(docs: DataFrame): DataFrame = {
-    val toks = tokens(col("text"))
+  def langid(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), predLang(col("text")).as("pred_lang"))
+
+  /** The row-local language prediction as a plain column — composable
+    * into any pipeline without a join back to the source relation.
+    */
+  def predLang(text: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val toks = tokens(text)
     // occurrence counts, duplicates included — same as counting the
     // token-to-profile join
     val counts = LangProfiles.map { case (l, ws) =>
@@ -342,11 +346,10 @@ object TextOps {
     val best = greatest(counts.map(_._2): _*)
     // LangProfiles is in lexicographic language order, so the first
     // language reaching the max implements the (c DESC, plang) tie-break
-    val pred = when(best <= 0, lit("und")).otherwise(
+    when(best <= 0, lit("und")).otherwise(
       counts.foldRight(lit("und")) { case ((l, c), els) =>
         when(c === best, lit(l)).otherwise(els)
       })
-    docs.select(col("doc_id"), pred.as("pred_lang"))
   }
 
   /** Exact Jaccard from a per-doc distinct-shingle-hash ARRAY relation

@@ -102,6 +102,17 @@ class PlanSpec extends SparkSpec {
       s"simhash signature must be a narrow map:\n${plan(simhash)}")
   }
 
+  test("langid and winnowing fingerprints are row-local (zero shuffles)") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    assert(shuffles(operators.TextOps.langid(docs)) == 0,
+      s"language ID must be a narrow map:\n${plan(operators.TextOps.langid(docs))}")
+    val fp = docs.select(col("doc_id"),
+      functions.TextFunctions.winnowFingerprints(col("text"), 4).as("f"))
+    assert(shuffles(fp) == 0,
+      s"winnowing must be a narrow map:\n${plan(fp)}")
+  }
+
   test("shard_pack shuffles the corpus once (range partition), rest is partition-count-sized") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.tokens
