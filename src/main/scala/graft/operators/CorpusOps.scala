@@ -23,6 +23,12 @@ object CorpusOps {
     */
   val ShardBudget = 10000L
 
+  /** Per-language token budget for `sample_token_budget` (small so the
+    * cut engages on the test corpus; production budgets are per-source
+    * token targets from the training mixture spec).
+    */
+  val MixBudget = 5000L
+
   /** Containment pairs (eval_id, train_id, containment) between the eval
     * split (rows matching `isEval`) and the rest, over a (doc_id, text)
     * relation: containment = |shared 3-shingles| / |eval shingles|.
@@ -150,6 +156,40 @@ object CorpusOps {
         .withColumn("n", count(lit(1)).over(cntW))
         .where(col("rn") <= fdiv(col("n") + 9, 10L)) // exact integer ceil(n/10)
         .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
+    // Training-mixture sampling by TOKEN budget: per language, take docs
+    // in deterministic hash order until the stratum's token budget is
+    // spent — the "mix N tokens of each source" step of corpus
+    // construction (sample_stratified's quota is per-DOC; mixtures are
+    // specified in tokens).
+    //
+    // Scale: one shuffle on lang for the cumulative-sum window, ordered by
+    // a per-doc hash so the selection is stable across runs/partitionings.
+    // A mega-stratum sorts within its own partitions only; the hash-
+    // threshold escape hatch from sample_stratified applies unchanged.
+    withOracle(
+      "sample_token_budget",
+      s"""WITH t AS (SELECT doc_id, lang,
+         |             len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+         |           FROM documents),
+         |r AS (SELECT doc_id, lang, n_tokens,
+         |        sum(n_tokens) OVER (PARTITION BY lang
+         |          ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |      FROM t)
+         |SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum
+         |FROM r WHERE cum <= ${MixBudget}
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("lang")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("cum", sum("n_tokens").over(w))
+        .where(col("cum") <= MixBudget)
         .orderBy("doc_id")
     },
 
