@@ -26,8 +26,9 @@ object Plans {
     // corpus-construction ops (contamination_check is excluded for the
     // same reason as serving_merge: its candidate join materializes
     // eagerly via localCheckpoint)
-    "shard_pack", "sample_stratified", "embedding_quantize",
-    "embedding_centroid")
+    "shard_pack", "sample_stratified", "sample_token_budget",
+    "embedding_quantize", "embedding_centroid",
+    "text_langid", "doc_winnow_fingerprint", "text_token_count_bpe")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
