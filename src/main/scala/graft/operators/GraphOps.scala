@@ -60,8 +60,12 @@ object GraphOps {
       .repartition(col("src"))
       .localCheckpoint()
 
-    var current = bidir.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // Seed labels with the 1-hop minimum (label₀ = min(node, neighbors)):
+    // the groupBy rides bidir's src partitioning (no exchange) and saves
+    // a full propagation round on shallow graphs — identity-seeded labels
+    // would spend iteration 1 computing exactly this.
+    var current = bidir.groupBy("src").agg(min("dst").as("mind"))
+      .select(col("src").as("node"), least(col("src"), col("mind")).as("label"))
       .localCheckpoint()
 
     var iter = 0
