@@ -44,7 +44,10 @@ object CorpusOps {
       val ev = sh.where(col("is_eval"))
       val tr = sh.where(!col("is_eval"))
       val ne = ev.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      val inter = ev.select(col("doc_id").as("eval_id"), col("s"))
+      // eval is a benchmark suite — broadcast it so the train-side shingle
+      // relation streams past the hash set without shuffling (the scale
+      // argument on the query entry; the hint makes the plan match it)
+      val inter = broadcast(ev.select(col("doc_id").as("eval_id"), col("s")))
         .join(tr.select(col("doc_id").as("train_id"), col("s")), "s")
         .groupBy("eval_id", "train_id").agg(count(lit(1)).as("c"))
       inter
