@@ -287,6 +287,32 @@ object StreamViews {
       }
     },
 
+    // The BOUNDED-state form of streaming ingest dedup: the watermark
+    // ages duplicate-tracking state out once re-delivery can no longer
+    // occur (dropDuplicatesWithinWatermark), so state is O(events within
+    // the re-delivery horizon) instead of O(all events ever) — the form a
+    // 100 TB/day stream actually runs. Same collapse contract as
+    // stream_dedup: a doubled source yields exactly the distinct set
+    // (duplicates here share an event time, so any watermark covers them).
+    withOracle(
+      "stream_dedup_bounded",
+      "SELECT count(*) AS n FROM events") { (s, dir) =>
+      withStateParallelism(s) {
+        val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = Tables.eventsRaw(s, dir).schema
+        val q = s.readStream.schema(schema).parquet(stagedDoubledEventsDir(dir))
+          .withColumn("ts_event", tsSecs(col("ts")).cast("timestamp"))
+          .withWatermark("ts_event", "1 hour")
+          .dropDuplicatesWithinWatermark("event_id")
+          .groupBy().count()
+          .writeStream.format("memory").queryName(name).outputMode("complete")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name).select(col("count").as("n"))
+      }
+    },
+
     // The serving-layer merge — the Lambda Architecture's query-time
     // combination of the batch view (master dataset up to a cutoff) and
     // the realtime view (stream since the cutoff). The reference ships
