@@ -15,6 +15,7 @@ object SparkEntry {
       operators.Relational.defs ++
       operators.Analytics.defs ++
       operators.AsofJoin.defs ++
+      operators.RangeJoin.defs ++
       operators.Sessionize.defs ++
       operators.Uniques.defs ++
       operators.GraphOps.defs ++

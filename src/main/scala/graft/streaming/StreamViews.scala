@@ -344,6 +344,43 @@ object StreamViews {
         .orderBy("url", "hbv")
     },
 
+    // Stream-stream interval self-join: purchases matched to the same
+    // user's clicks within the preceding hour, incrementally. Watermarks
+    // on BOTH sides + the time-range condition bound the join state (each
+    // side retains only rows inside the watermark horizon); inner-join
+    // matches emit as they form, so the result equals the batch interval
+    // join — the oracle. This is the speed-layer form of join_range.
+    withOracle(
+      "stream_join_interval",
+      s"""SELECT p.event_id AS purchase_id, c.event_id AS click_id
+         |FROM (SELECT event_id, user_id, $ts AS ts_secs FROM events
+         |      WHERE event_type = 'purchase') p
+         |JOIN (SELECT event_id, user_id, $ts AS ts_secs FROM events
+         |      WHERE event_type = 'click') c
+         |  ON p.user_id = c.user_id
+         | AND c.ts_secs BETWEEN p.ts_secs - 3600 AND p.ts_secs
+         |ORDER BY purchase_id, click_id""".stripMargin) { (s, dir) =>
+      withStateParallelism(s) {
+        val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        val schema = Tables.eventsRaw(s, dir).schema
+        def side(kind: String, idAs: String, userAs: String, tsAs: String) =
+          s.readStream.schema(schema).parquet(stagedEventsDir(dir))
+            .where(col("event_type") === kind)
+            .select(col("event_id").as(idAs), col("user_id").as(userAs),
+              tsSecs(col("ts")).cast("timestamp").as(tsAs))
+            .withWatermark(tsAs, "1 hour")
+        val q = side("purchase", "purchase_id", "pu", "pts")
+          .join(side("click", "click_id", "cu", "cts"),
+            expr("pu = cu AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts"))
+          .select(col("purchase_id"), col("click_id"))
+          .writeStream.format("memory").queryName(name).outputMode("append")
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination()
+        s.table(name)
+      }.orderBy("purchase_id", "click_id")
+    },
+
     // UpdateCassandraBolt HLL upsert per (url, hourBucket)
     // (UniquesOverTime.java:142-194): streaming sketch aggregation; state
     // is the sketch itself (mergeable), not a remote read-modify-write.

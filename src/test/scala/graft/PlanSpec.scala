@@ -102,6 +102,12 @@ class PlanSpec extends SparkSpec {
       s"simhash signature must be a narrow map:\n${plan(simhash)}")
   }
 
+  test("join_range executes as a banded equi-join, never a nested-loop product") {
+    val p = plan(q("join_range"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"range join must band to an equi-join:\n$p")
+  }
+
   test("langid and winnowing fingerprints are row-local (zero shuffles)") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
