@@ -13,7 +13,7 @@ import org.apache.spark.sql.execution.ExplainMode
 object Plans {
   val headline: Seq[String] = Seq(
     "q1_agg", "q3_shipping", "q5_local_supplier", "q18_large_orders",
-    "join_asof", "agg_rollup_granularity", "join_inner", "join_semi",
+    "join_asof", "join_range", "agg_rollup_granularity", "join_inner", "join_semi",
     "sessionize_visits", "connected_components", "similarity_topk",
     "near_dedup_cosine", "text_ngram_jaccard", "scan_pruned",
     // serving_merge is excluded: building its DataFrame executes the
