@@ -28,6 +28,16 @@ object Bench {
       w.unpersist()
       graft.model.FactStore
         .scanKind(spark, s"$warmDir/m", graft.model.FactKind.PageView).count()
+      // MLlib class loading (KMeans trainer + linalg) is a one-time cost
+      // of the JVM, not of the IVF query that happens to run first
+      val kmFeat = spark.range(10).selectExpr(
+        "cast(id as double) f0", "cast(id % 3 as double) f1")
+      val asVec = org.apache.spark.ml.functions.array_to_vector(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.col("f0"),
+          org.apache.spark.sql.functions.col("f1")))
+      new org.apache.spark.ml.clustering.KMeans().setK(2).setSeed(1).setMaxIter(1)
+        .fit(kmFeat.select(asVec.as("features")))
     } catch {
       case e: Throwable => System.err.println(s"[bench] batch warm-up failed: $e")
     }
