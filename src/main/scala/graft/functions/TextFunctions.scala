@@ -17,6 +17,11 @@ object TextFunctions {
     * has fewer than n tokens. Built with transform+sequence — note
     * sequence(1, 0) in Spark yields a *descending* range, so the short-doc
     * case must be guarded explicitly.
+    *
+    * TEST-FIXTURE ONLY: higher-order functions are interpreted (no
+    * codegen) and the outer-scope token array referenced inside the
+    * lambda is re-evaluated per element — O(tokens²) per document. Hot
+    * paths use the native expressions (shingleHashes, winnowFingerprints).
     */
   def shingles(text: Column, n: Int): Column = {
     val l = tokens(text)
@@ -61,19 +66,18 @@ object TextFunctions {
     * distinct kept set is the document's fingerprint. Guarantees any
     * shared run of w+2 tokens between two docs shares a fingerprint,
     * while storing ~2/(w+1) of the hashes. Hash = md5 hex (lexicographic
-    * min), available bit-identically in the DuckDB oracle; production
-    * would swap a 64-bit rolling hash via the native expressions.
-    * Row-local throughout — zero shuffles.
+    * min), available bit-identically in the DuckDB oracle.
+    *
+    * Backed by the native one-pass expression (TextNative
+    * .WinnowFingerprint): the expression-tree form (transform over
+    * sequence + array_min(slice)) is an interpreted higher-order function
+    * that re-evaluates the outer-scope shingle array PER WINDOW —
+    * O(len²) per document, minutes per partition on real documents.
+    * Null text → empty set (matches the SQL oracle's ELSE [] branch).
     */
-  def winnowFingerprints(text: Column, w: Int): Column = {
-    val sh = shingles(text, 3)
-    val hs = transform(sh, x => md5(x))
-    when(size(hs) >= w,
-      array_distinct(transform(sequence(lit(1), size(hs) - (w - 1)), i =>
-        array_min(slice(hs, i, lit(w))))))
-      .otherwise(when(size(hs) > 0, array(array_min(hs)))
-        .otherwise(array().cast("array<string>")))
-  }
+  def winnowFingerprints(text: Column, w: Int): Column =
+    coalesce(org.apache.spark.sql.graft.TextNative.winnowFingerprint(text, 3, w),
+      array().cast("array<string>"))
 
   /** English-ish stopword count (fixed public profile). */
   val StopwordsRe = "\\b(the|a|and|of|to|in|is)\\b"

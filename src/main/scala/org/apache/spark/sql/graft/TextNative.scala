@@ -132,6 +132,94 @@ case class MinHashSignature(child: Expression, k: Int)
   override def prettyName: String = "minhash_signature"
 }
 
+/** Winnowing fingerprint set (Schleimer/Wilkerson/Aiken SIGMOD'03) in one
+  * compiled pass: tokenize, md5 each n-token shingle (hex, identical to
+  * Spark's and DuckDB's `md5`), keep each w-window's minimum, distinct.
+  *
+  * Exists because the expression-tree form (transform over sequence with
+  * array_min(slice(...))) is a higher-order function — interpreted, no
+  * codegen — whose outer-scope shingle array is RE-EVALUATED per window
+  * element: O(len²) per document. One measured sf0.1 document set took
+  * minutes per partition on that path; this is a single linear pass.
+  */
+case class WinnowFingerprint(child: Expression, n: Int, w: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1 && w >= 1, s"shingle width and window must be >= 1, got ($n, $w)")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  private def md5hex(s: String): UTF8String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      hex(2 * i) = Character.forDigit((d(i) >> 4) & 0xf, 16)
+      hex(2 * i + 1) = Character.forDigit(d(i) & 0xf, 16)
+      i += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
+  def compute(text: UTF8String): ArrayData = {
+    val toks = text.toString.toLowerCase.split("\\s+")
+    val nSh = toks.length - (n - 1)
+    if (nSh <= 0)
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+    else {
+      val hs = new Array[UTF8String](nSh)
+      val sb = new java.lang.StringBuilder
+      var i = 0
+      while (i < nSh) {
+        sb.setLength(0)
+        var k = 0
+        while (k < n) {
+          if (k > 0) sb.append(' ')
+          sb.append(toks(i + k))
+          k += 1
+        }
+        hs(i) = md5hex(sb.toString)
+        i += 1
+      }
+      // sliding-window minima (lexicographic = DuckDB list_min on varchar);
+      // whole-sequence min when fewer than w shingles
+      val kept = new java.util.LinkedHashSet[UTF8String]
+      if (nSh < w) {
+        var m = hs(0); var j = 1
+        while (j < nSh) { if (hs(j).compareTo(m) < 0) m = hs(j); j += 1 }
+        kept.add(m)
+      } else {
+        var start = 0
+        while (start <= nSh - w) {
+          var m = hs(start)
+          var j = start + 1
+          while (j < start + w) { if (hs(j).compareTo(m) < 0) m = hs(j); j += 1 }
+          kept.add(m)
+          start += 1
+        }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        kept.toArray.asInstanceOf[Array[Any]])
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("winnower", this, classOf[WinnowFingerprint].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WinnowFingerprint =
+    copy(child = newChild)
+
+  override def prettyName: String = "winnow_fingerprint"
+}
+
 object TextNative {
 
   /** `shingle_hash64(text, n)` as a Column. */
@@ -141,4 +229,8 @@ object TextNative {
   /** `minhash_signature(hashes, k)` as a Column. */
   def minhashSignature(hashes: Column, k: Int): Column =
     ExpressionUtils.column(MinHashSignature(ExpressionUtils.expression(hashes), k))
+
+  /** `winnow_fingerprint(text, n, w)` as a Column. */
+  def winnowFingerprint(text: Column, n: Int, w: Int): Column =
+    ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(text), n, w))
 }
