@@ -85,6 +85,12 @@ object CorpusOps {
         var cum = 0L
         it.map { case (id, n) => cum += n; (id, n, pid, cum) }
       }.toDF("doc_id", "n_tokens", "pid", "lcum")
+      // materialized ONCE before feeding both the offset aggregate and the
+      // final join: the MapPartitions closure defeats plan canonicalization,
+      // so without this the range exchange executes twice (corpus shuffled
+      // twice) — and two independently sampled range partitionings are not
+      // even guaranteed the same pid boundaries the offsets join relies on
+      .localCheckpoint()
     // per-partition totals: #partitions rows — the tiny driver-scale side
     val offW = Window.orderBy("pid")
       .rowsBetween(Window.unboundedPreceding, -1)
@@ -95,6 +101,65 @@ object CorpusOps {
       .withColumn("start", col("offset") + col("lcum") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
         fdiv(col("start"), budget).as("shard_id"))
+  }
+
+  /** Distributed per-stratum prefix aggregates over a (doc_id, lang, v)
+    * relation, ordered inside each stratum by (md5(doc_id), doc_id):
+    * returns (doc_id, lang, v, rank, cum) where `rank` is the 1-based
+    * position and `cum` the inclusive running sum of `v` in that order.
+    *
+    * This is the `shardPack` prefix-sum pattern keyed by stratum, and it
+    * exists because the obvious form — `Window.partitionBy("lang")` —
+    * hash-shuffles EVERY row of a language into a single task for the
+    * rank/cumsum. On a pretraining corpus where one language is half the
+    * data, that is a one-task sort of half the corpus. Here instead:
+    * ONE wide exchange range-partitions on (lang, hash, doc_id) — a
+    * skewed stratum spreads over many contiguous partitions — the running
+    * sums are a narrow per-partition pass, and partials are globalized by
+    * a broadcast offset table with one row per (partition, stratum-run).
+    * No stage ever holds a whole stratum in one task (PlanSpec-pinned).
+    *
+    * `local` is materialized (localCheckpoint) before feeding both the
+    * offset aggregate and the final join: partition ids must be the SAME
+    * instantiation on both sides — recomputing the range exchange could
+    * resample its boundaries, misaligning offsets with local ranks.
+    */
+  def stratumPrefix(docs: org.apache.spark.sql.DataFrame,
+      parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val local = docs
+      .select(col("doc_id").cast("long"), col("lang"),
+        md5(col("doc_id").cast("string")).as("hk"), col("v").cast("long"))
+      .as[(Long, String, String, Long)]
+      .repartitionByRange(parts, col("lang"), col("hk"), col("doc_id"))
+      .sortWithinPartitions("lang", "hk", "doc_id")
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null
+        var started = false
+        var rank = 0L
+        var cum = 0L
+        it.map { case (id, lang, _, v) =>
+          if (!started || lang != cur) { cur = lang; started = true; rank = 0L; cum = 0L }
+          rank += 1; cum += v
+          (id, lang, v, pid, rank, cum)
+        }
+      }.toDF("doc_id", "lang", "v", "pid", "lrank", "lcum")
+      .localCheckpoint()
+    // offsets: one row per (partition, stratum) — O(cluster width × langs),
+    // the tiny side; the per-lang window below runs over THAT, not the data
+    val offW = Window.partitionBy("lang").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("pid", "lang")
+      .agg(count(lit(1)).as("pn"), sum("v").as("pv"))
+      .withColumn("offn", coalesce(sum("pn").over(offW), lit(0L)))
+      .withColumn("offv", coalesce(sum("pv").over(offW), lit(0L)))
+      .select("pid", "lang", "offn", "offv")
+    local.join(broadcast(offsets), Seq("pid", "lang"))
+      .select(col("doc_id"), col("lang"), col("v"),
+        (col("offn") + col("lrank")).as("rank"),
+        (col("offv") + col("lcum")).as("cum"))
   }
 
   val defs: Seq[QueryDef] = Seq(
@@ -135,11 +200,10 @@ object CorpusOps {
     // ordered by a per-doc hash (md5 of the id) so the sample is stable
     // across runs, partitionings, and engines — no RNG state anywhere.
     //
-    // Scale: one shuffle on lang for the rank window; a skewed stratum
-    // (one giant language) sorts within its partitions only. For corpora
-    // where even a stratum's rank sort is too hot, the hash itself is the
-    // escape hatch: keep rows below a per-stratum hash threshold —
-    // approximate quota, zero sort. The exact-quota form is declared.
+    // Scale: the per-stratum rank comes from the distributed prefix sum
+    // (`stratumPrefix`) — one range exchange over the data, never a whole
+    // stratum through one task — and the per-stratum totals for the quota
+    // are a map-side-combined aggregate broadcast back (langs-sized).
     withOracle(
       "sample_stratified",
       """SELECT doc_id, lang FROM (
@@ -150,14 +214,11 @@ object CorpusOps {
         |  FROM documents)
         |WHERE rn <= (n + 9) // 10
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val rankW = Window.partitionBy("lang")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-      val cntW = Window.partitionBy("lang")
-      Tables.documents(s, dir)
-        .select(col("doc_id"), col("lang"))
-        .withColumn("rn", row_number().over(rankW))
-        .withColumn("n", count(lit(1)).over(cntW))
-        .where(col("rn") <= fdiv(col("n") + 9, 10L)) // exact integer ceil(n/10)
+      val docs = Tables.documents(s, dir).select(col("doc_id"), col("lang"))
+      val langN = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      stratumPrefix(docs.withColumn("v", lit(1L)))
+        .join(broadcast(langN), "lang")
+        .where(col("rank") <= fdiv(col("n") + 9, 10L)) // exact integer ceil(n/10)
         .select("doc_id", "lang")
         .orderBy("doc_id")
     },
@@ -168,10 +229,10 @@ object CorpusOps {
     // construction (sample_stratified's quota is per-DOC; mixtures are
     // specified in tokens).
     //
-    // Scale: one shuffle on lang for the cumulative-sum window, ordered by
-    // a per-doc hash so the selection is stable across runs/partitionings.
-    // A mega-stratum sorts within its own partitions only; the hash-
-    // threshold escape hatch from sample_stratified applies unchanged.
+    // Scale: the per-stratum cumulative sum is the distributed prefix sum
+    // (`stratumPrefix`), ordered by a per-doc hash so the selection is
+    // stable across runs/partitionings — one range exchange over the
+    // data, never a mega-stratum sorted in one task.
     withOracle(
       "sample_token_budget",
       s"""WITH t AS (SELECT doc_id, lang,
@@ -185,14 +246,12 @@ object CorpusOps {
          |SELECT doc_id, lang, n_tokens, CAST(cum AS BIGINT) AS cum
          |FROM r WHERE cum <= ${MixBudget}
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val w = Window.partitionBy("lang")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, dir)
+      val docs = Tables.documents(s, dir)
         .select(col("doc_id"), col("lang"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .withColumn("cum", sum("n_tokens").over(w))
+          size(tokens(col("text"))).cast("long").as("v"))
+      stratumPrefix(docs)
         .where(col("cum") <= MixBudget)
+        .select(col("doc_id"), col("lang"), col("v").as("n_tokens"), col("cum"))
         .orderBy("doc_id")
     },
 

@@ -47,6 +47,53 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.map(_._3).sliding(2).forall(p => p(0) <= p(1)))
   }
 
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("stratumPrefix matches the sequential per-stratum prefix sum at any width") {
+    val rows = (0L until 120L).map(i => (i, s"l${i % 3}", (i % 7) + 1))
+    val docs = rows.toDF("doc_id", "lang", "v")
+    // sequential reference: per stratum, order by (md5(id), id), rank + cumsum
+    val want = rows.groupBy(_._2).toSeq.flatMap { case (_, rs) =>
+      val ordered = rs.sortBy(t => (md5hex(t._1.toString), t._1))
+      var cum = 0L
+      ordered.zipWithIndex.map { case ((id, l, v), ix) =>
+        cum += v; (id, l, v, ix + 1L, cum)
+      }
+    }.sortBy(t => (t._2, t._4))
+    def run(p: Int) = CorpusOps.stratumPrefix(docs, parts = p)
+      .orderBy("lang", "rank").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+    assert(run(1) == want)
+    assert(run(5) == want)
+    assert(run(32) == want)
+  }
+
+  test("distributed sampling queries match the single-window reference form") {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, sf0001)
+    // the naive whole-stratum-in-one-task forms the distributed versions replace
+    val rankW = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    val strat = docs.select(col("doc_id"), col("lang"))
+      .withColumn("rn", row_number().over(rankW))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy("lang")))
+      .where(col("rn") <= functions.TimeFunctions.fdiv(col("n") + 9, 10L))
+      .select("doc_id", "lang").orderBy("doc_id")
+    assert(SparkEntry.queries("sample_stratified")(spark, sf0001).collect().toSeq ==
+      strat.collect().toSeq)
+    val cumW = rankW.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val budget = docs.select(col("doc_id"), col("lang"),
+        size(functions.TextFunctions.tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("cum", sum("n_tokens").over(cumW))
+      .where(col("cum") <= CorpusOps.MixBudget)
+      .orderBy("doc_id")
+    assert(SparkEntry.queries("sample_token_budget")(spark, sf0001).collect().toSeq ==
+      budget.collect().toSeq)
+  }
+
   test("shard_pack is independent of the range-partition width") {
     val docs = (0L until 57L).map(i => (i * 3 % 57, (i % 7) + 2)).toDF("doc_id", "n_tokens")
     def run(p: Int) = CorpusOps.shardPack(docs, budget = 15, parts = p)

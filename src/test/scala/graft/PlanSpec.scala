@@ -13,14 +13,42 @@ class PlanSpec extends SparkSpec {
   private def plan(df: DataFrame): String =
     df.queryExecution.explainString(ExplainMode.fromString("formatted"))
 
-  /** Count real shuffle nodes in the optimized physical plan. String
+  /** Every node of a physical plan, INCLUDING the subtrees hidden behind
+    * AQE wrappers: TreeNode.collect does not descend into
+    * AdaptiveSparkPlanExec / QueryStageExec / ReusedExchangeExec (they
+    * expose no children), so a plain `plan.collect` over an AQE plan sees
+    * one node and every assertion on it passes vacuously.
+    */
+  private def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: children.flatMap(nodes)
+  }
+
+  private def collectNodes[T](df: DataFrame)(
+      pf: PartialFunction[org.apache.spark.sql.execution.SparkPlan, T]): Seq[T] =
+    nodes(df.queryExecution.executedPlan).collect(pf)
+
+  /** Count real shuffle nodes in the physical plan (AQE-aware). String
     * matching on formatted explain is fragile (exchanges render as
     * "(n) Exchange", never at line start), so walk the tree instead.
+    * Deduped by reference identity: a ReusedExchangeExec points at an
+    * exchange instance that already appears (and executes) elsewhere.
     */
-  private def shuffles(df: DataFrame): Int =
-    df.queryExecution.executedPlan.collect {
+  private def shuffles(df: DataFrame): Int = {
+    val seen = java.util.Collections.newSetFromMap(
+      new java.util.IdentityHashMap[AnyRef, java.lang.Boolean]())
+    collectNodes(df) {
       case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
-    }.size
+    }.count(seen.add)
+  }
 
   private def q(name: String): DataFrame =
     SparkEntry.queries(name)(spark, sf0001)
@@ -129,6 +157,36 @@ class PlanSpec extends SparkSpec {
     // per-partition-totals side (agg + single-row-per-partition window)
     assert(shuffles(df) <= 3,
       s"expected one corpus-wide exchange + tiny offset-side exchanges:\n${plan(df)}")
+  }
+
+  test("sampling never puts a whole stratum through one task") {
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("sample_stratified", "sample_token_budget")) {
+      val df = q(name)
+      // the offset window over per-(partition, stratum) totals must be the
+      // ONLY window — and it must sit above an aggregate, never raw rows
+      val wins = collectNodes(df) { case w: WindowExec => w }
+      assert(wins.nonEmpty,
+        s"$name: expected the tiny offsets window:\n${plan(df)}")
+      wins.foreach { w =>
+        assert(nodes(w.child).collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+          s"$name: window over raw rows = whole stratum in one task:\n$w")
+      }
+      // no exchange hash-partitions raw rows by lang alone (the per-lang
+      // quota aggregate may — its exchange carries partial aggregates)
+      collectNodes(df) { case e: ShuffleExchangeLike => e }.foreach { e =>
+        e.outputPartitioning match {
+          case h: HashPartitioning
+              if h.expressions.flatMap(_.references.map(_.name)) == Seq("lang") =>
+            assert(nodes(e.child).collectFirst { case a: BaseAggregateExec => a }.nonEmpty,
+              s"$name: raw rows hash-shuffled by lang alone:\n$e")
+          case _ =>
+        }
+      }
+    }
   }
 
   test("sessionize uses one shuffle for window + aggregation (same keys)") {
