@@ -39,7 +39,8 @@ object CorpusOps {
     val sh = docs
       .select(col("doc_id"), isEval.as("is_eval"),
         explode(shingleHashes(col("text"), 3)).as("s"))
-      .persist()
+      // serialized + spillable — see the NearDedup/TextOps cache notes
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val ev = sh.where(col("is_eval"))
       val tr = sh.where(!col("is_eval"))

@@ -70,7 +70,7 @@ object NearDedup {
     * when it engages: dropping buckets is lossy (see entry-point docs),
     * and a silent drop would read as a clean result.
     */
-  private def dropHotBuckets(bandedAll: DataFrame, keys: Seq[String],
+  private[operators] def dropHotBuckets(bandedAll: DataFrame, keys: Seq[String],
       maxBucket: Int, what: String): DataFrame = {
     if (maxBucket == Int.MaxValue) bandedAll
     else {
@@ -140,7 +140,10 @@ object NearDedup {
     // it on demand.
     val hashed = docs
       .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
-      .persist()
+      // serialized + disk-spillable: on a big corpus the per-doc hash
+      // arrays must survive memory pressure, or the verify join silently
+      // recomputes the shingling on cache eviction
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     val shingled = hashed.select(col("doc_id"), explode(col("hs")).as("s"))
     try {
       val sigs = hashed

@@ -14,7 +14,9 @@ import org.apache.spark.sql.functions._
   *
   * Scale notes: everything is shuffle-based group/join — no driver
   * collection. The shingle self-join (`text_ngram_jaccard`) is the exact
-  * O(pairs-sharing-a-shingle) "sparse similarity join"; at 100 TB the LSH
+  * O(pairs-sharing-a-shingle) "sparse similarity join", bounded by the
+  * hot-shingle cap (`MaxShingleFreq` — one boilerplate shingle shared by
+  * k docs would otherwise fan out k² join rows); at 100 TB the LSH
   * operators replace it and this exact form runs only on candidate pairs.
   */
 object TextOps {
@@ -352,40 +354,59 @@ object TextOps {
       })
   }
 
+  /** Default hot-shingle cap for the exact sparse similarity join: a
+    * shingle shared by k docs fans out k² join rows, so one boilerplate
+    * shingle (license header, nav bar) can turn the whole job quadratic.
+    */
+  val MaxShingleFreq = 10000
+
   /** Exact Jaccard from a per-doc distinct-shingle-hash ARRAY relation
     * (doc_id, hs): set sizes come row-locally from the array length (zero
     * shuffle — the exploded-relation form aggregated the full shingle
     * relation just to recover the size) and only the self-join shuffles.
     * Returns (i, j, inter, jac) for i < j with jac >= threshold.
+    *
+    * `maxShingleFreq` is the at-scale hot-key guard: shingles appearing in
+    * more than that many docs are dropped from the JOIN (set sizes stay
+    * exact), with the same `[graft]` drop report as the banded paths.
+    * Dropped shingles no longer contribute to intersection counts, so
+    * pairs whose overlap is mostly corpus-wide boilerplate score lower
+    * and can fall under the threshold — which is the point: such overlap
+    * is not document similarity. Pass `Int.MaxValue` to disable.
     */
-  def ngramJaccardPairsFromHashes(docHashes: DataFrame, threshold: Double): DataFrame = {
+  def ngramJaccardPairsFromHashes(docHashes: DataFrame, threshold: Double,
+      maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
     // the array relation feeds both join sides; cache the (compact,
     // pre-explode) form, eagerly materialize the small thresholded result,
     // and release the cache — a session running many queries must not
     // accumulate cached blocks
-    val hs = docHashes.where(col("hs").isNotNull).persist()
+    val hs = docHashes.where(col("hs").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val sh = hs.select(col("doc_id"), explode(col("hs")).as("s"))
       val sizes = hs.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
-      jaccardFromParts(sh, sizes, threshold).localCheckpoint()
+      jaccardFromParts(sh, sizes, threshold, maxShingleFreq).localCheckpoint()
     } finally hs.unpersist()
   }
 
   /** Exact Jaccard over an exploded (doc_id, s) relation when no array
     * form exists. Prefer [[ngramJaccardPairsFromHashes]].
     */
-  def ngramJaccardPairs(shRaw: DataFrame, threshold: Double): DataFrame = {
-    val sh = shRaw.persist()
+  def ngramJaccardPairs(shRaw: DataFrame, threshold: Double,
+      maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
+    val sh = shRaw.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
       val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-      jaccardFromParts(sh, sizes, threshold).localCheckpoint()
+      jaccardFromParts(sh, sizes, threshold, maxShingleFreq).localCheckpoint()
     } finally sh.unpersist()
   }
 
   private def jaccardFromParts(sh: DataFrame, sizes: DataFrame,
-      threshold: Double): DataFrame = {
-    val pairs = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      threshold: Double, maxShingleFreq: Int): DataFrame = {
+    val bounded = NearDedup.dropHotBuckets(sh, Seq("s"), maxShingleFreq,
+      "exact-jaccard shingle")
+    val pairs = bounded.as("a")
+      .join(bounded.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))
     pairs

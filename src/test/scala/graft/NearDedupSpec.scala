@@ -66,6 +66,32 @@ class NearDedupSpec extends SparkSpec {
     assert(capped.subsetOf(all))
   }
 
+  test("exact-jaccard hot-shingle cap engages, reports, and bounds the join") {
+    // 4 docs sharing ONE hot 3-shingle ("x y z") and nothing else: each
+    // doc has 4 shingles, shared = 1, jaccard = 1/7 >= 0.1
+    val hotDocs = (0L until 4L).map(i =>
+      (i, s"x y z u$i v$i w$i")).toDF("doc_id", "text")
+    val hashed = hotDocs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+    // uncapped: all 6 pairs
+    val uncapped = TextOps.ngramJaccardPairsFromHashes(hashed, 0.1, Int.MaxValue)
+    assert(uncapped.count() == 6)
+    // cap below the hot shingle's frequency: the only shared shingle is
+    // dropped, so no pairs survive — and the drop is reported
+    val errBuf = new java.io.ByteArrayOutputStream()
+    val realErr = System.err
+    System.setErr(new java.io.PrintStream(errBuf, true))
+    val capped = try {
+      TextOps.ngramJaccardPairsFromHashes(hashed, 0.1, maxShingleFreq = 3).count()
+    } finally System.setErr(realErr)
+    assert(capped == 0, "pairs sharing only the hot shingle must be dropped")
+    assert(errBuf.toString.contains("hot-bucket cap"),
+      s"the cap must report its drops, got: ${errBuf.toString.take(200)}")
+    // default cap (10k) leaves realistic corpora untouched
+    val dflt = TextOps.ngramJaccardPairsFromHashes(hashed, 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(dflt == uncapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
+  }
+
   test("minhash signatures are permutation-stable (same doc -> same signature)") {
     val sh = docs.select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
     val sig1 = NearDedup.minhashSignatures(sh).orderBy("doc_id").collect()
