@@ -185,47 +185,15 @@ object NearDedup {
     * the token's UTF-8 bytes, seed 42 — same signatures as the grouped
     * form. Docs with no non-empty tokens get a null signature (the
     * grouped form dropped them after the explode) and are filtered out.
+    * Backed by the native codegen expression (TextNative.SimHash64), like
+    * shingle/minhash — the earlier Scala-UDF form paid per-row String
+    * boxing on the same corpus-wide map (byte-identical signatures,
+    * pinned by NearDedupSpec).
     */
-  def simhashSignatures(docs: DataFrame): DataFrame = {
-    import org.apache.spark.sql.catalyst.expressions.XXH64
-    import org.apache.spark.unsafe.Platform
-    val f = udf { (text: String) =>
-      if (text == null) None
-      else {
-        // token tf map — same tokenization as TextFunctions.tokens
-        val toks = text.toLowerCase.split("\\s+")
-        val tf = new java.util.HashMap[String, Int]
-        var i = 0
-        while (i < toks.length) {
-          if (toks(i).nonEmpty) tf.merge(toks(i), 1, Integer.sum)
-          i += 1
-        }
-        if (tf.isEmpty) None
-        else {
-          val sums = new Array[Long](64)
-          tf.forEach { (w, n) =>
-            val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-            val h = XXH64.hashUnsafeBytes(bytes, Platform.BYTE_ARRAY_OFFSET,
-              bytes.length, 42L)
-            var b = 0
-            while (b < 64) {
-              sums(b) += (if (((h >>> b) & 1L) == 1L) n.toLong else -n.toLong)
-              b += 1
-            }
-          }
-          var sig = 0L
-          var b = 0
-          while (b < 64) {
-            if (sums(b) >= 0) sig |= (1L << b)
-            b += 1
-          }
-          Some(sig)
-        }
-      }
-    }
-    docs.select(col("doc_id"), f(col("text")).as("simhash"))
+  def simhashSignatures(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        org.apache.spark.sql.graft.TextNative.simHash64(col("text")).as("simhash"))
       .where(col("simhash").isNotNull)
-  }
 
   /** Pairs within Hamming distance ≤ maxDist via the pigeonhole band join:
     * 4 × 16-bit chunks — any pair at distance ≤ 3 agrees exactly on ≥ 1

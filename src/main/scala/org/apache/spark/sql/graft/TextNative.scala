@@ -220,6 +220,75 @@ case class WinnowFingerprint(child: Expression, n: Int, w: Int)
   override def prettyName: String = "winnow_fingerprint"
 }
 
+/** 64-bit SimHash of whitespace-tokenized lowercased text in one compiled
+  * row-local pass: per distinct token, hash = XXH64(utf8 bytes, seed 42);
+  * bit b of the signature = sign of Σ(±tf) over tokens (+tf when the
+  * token's hash has bit b set, −tf otherwise; sum 0 counts as set).
+  * Null when the doc has no non-empty tokens. Replaces the Scala-UDF
+  * form (same hash family, same signatures) — the UDF paid per-row
+  * String boxing through the converter layer on exactly the corpus-wide
+  * map where it hurts.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = LongType
+
+  override def nullable: Boolean = true
+
+  def compute(text: UTF8String): java.lang.Long = {
+    val toks = text.toString.toLowerCase.split("\\s+")
+    val tf = new java.util.HashMap[String, Int]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty) tf.merge(toks(i), 1, Integer.sum)
+      i += 1
+    }
+    if (tf.isEmpty) null
+    else {
+      val sums = new Array[Long](64)
+      tf.forEach { (w, n) =>
+        val bytes = w.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+            bytes.length, 42L)
+        var b = 0
+        while (b < 64) {
+          sums(b) += (if (((h >>> b) & 1L) == 1L) n.toLong else -n.toLong)
+          b += 1
+        }
+      }
+      var sig = 0L
+      var b = 0
+      while (b < 64) {
+        if (sums(b) >= 0) sig |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(sig)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("simhasher", this, classOf[SimHash64].getName)
+    val boxed = ctx.freshName("simhashBoxed")
+    nullSafeCodeGen(ctx, ev, c => s"""
+       |java.lang.Long $boxed = $ref.compute($c);
+       |${ev.isNull} = ($boxed == null);
+       |${ev.value} = ${ev.isNull} ? -1L : $boxed.longValue();
+     """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "simhash64"
+}
+
 object TextNative {
 
   /** `shingle_hash64(text, n)` as a Column. */
@@ -233,4 +302,8 @@ object TextNative {
   /** `winnow_fingerprint(text, n, w)` as a Column. */
   def winnowFingerprint(text: Column, n: Int, w: Int): Column =
     ExpressionUtils.column(WinnowFingerprint(ExpressionUtils.expression(text), n, w))
+
+  /** `simhash64(text)` as a Column. */
+  def simHash64(text: Column): Column =
+    ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
 }

@@ -70,4 +70,56 @@ class TextNativeSpec extends SparkSpec {
       TextFunctions.shingleHashes(col("text"), 3), 64).as("sig"))
     assert(sig.where(col("sig").isNotNull).count() == 0)
   }
+
+  /** Reference SimHash (the documented contract: XXH64(utf8, seed 42) per
+    * distinct token, tf-weighted bit sums, sign threshold at >= 0).
+    */
+  private def refSimhash(text: String): Option[Long] = {
+    val tf = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    if (tf.isEmpty) None
+    else {
+      val sums = new Array[Long](64)
+      tf.foreach { case (w, n) =>
+        val bytes = w.getBytes("UTF-8")
+        val h = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+          bytes, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET, bytes.length, 42L)
+        (0 until 64).foreach { b =>
+          sums(b) += (if (((h >>> b) & 1L) == 1L) n.toLong else -n.toLong)
+        }
+      }
+      Some((0 until 64).foldLeft(0L)((sig, b) =>
+        if (sums(b) >= 0) sig | (1L << b) else sig))
+    }
+  }
+
+  test("native simhash64 matches the reference bit-for-bit; empty/null -> null") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "repeated repeated repeated words words matter",
+      "Mixed CASE and  double  spaces",
+      "x",
+      "   ", // whitespace only -> no tokens -> null
+      null)
+    val got = texts.toDF("text")
+      .select(TextNative.simHash64(col("text")).as("h"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getLong(0)))
+    texts.zip(got).foreach { case (t, h) =>
+      val want = Option(t).flatMap(refSimhash)
+      assert(h == want, s"simhash mismatch for '$t': got $h want $want")
+    }
+  }
+
+  test("simhash plan is native: no ScalaUDF, stays in codegen") {
+    val docs = Tables.documents(spark, sf0001)
+    val df = operators.NearDedup.simhashSignatures(docs)
+    val analyzed = df.queryExecution.analyzed
+    val udfs = analyzed.expressions.flatMap(_.collect {
+      case u: org.apache.spark.sql.catalyst.expressions.ScalaUDF => u
+    })
+    assert(udfs.isEmpty, s"simhash must not be a Scala UDF:\n$analyzed")
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "simhash map must run inside whole-stage codegen")
+  }
 }
