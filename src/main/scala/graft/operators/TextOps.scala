@@ -298,30 +298,89 @@ object TextOps {
          |FROM exact e LEFT JOIN cc ON cc.node = e.doc_id
          |WHERE cc.canonical IS NULL OR cc.canonical = e.doc_id
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val docs = Tables.documents(s, dir)
-      // quality gate + language filter fuse into ONE row-local pass over
-      // the corpus scan (predLang is a column, so no join back) — at
-      // 100 TB the whole pre-dedup funnel is a single map over the data
-      val en = docs.where(col("n_chars") >= 100 &&
-        size(tokens(col("text"))) >= 20 && predLang(col("text")) === "en")
-      // the exact-dedup survivor set feeds three subtrees (shingling, the
-      // CC join, and the final projection) — materialize it once so the
-      // upstream quality/langid/window chain doesn't run three times
-      val exact = en
-        .withColumn("rn",
-          row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-        .where(col("rn") === 1).drop("rn")
-        .localCheckpoint()
+      val exact = pretrainExactSurvivors(Tables.documents(s, dir))
       val hashed = exact.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
-      val cc = GraphOps.connectedComponents(
-        ngramJaccardPairsFromHashes(hashed, 0.1)
-          .select(col("i").as("src"), col("j").as("dst")))
-      exact.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
-        .where(col("label").isNull || col("label") === col("doc_id"))
-        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
-        .orderBy("doc_id")
+      pretrainApplyNearDedup(exact, ngramJaccardPairsFromHashes(hashed, 0.1))
+    },
+
+    // The SAME pipeline with the near-dedup stage on its 100 TB path:
+    // MinHash band candidates (zero-shuffle row-local signatures, capped
+    // buckets) → exact-Jaccard verify on candidates only → CC. The exact
+    // form above self-joins the full shingle relation — right for an
+    // oracle definition, quadratic-prone on a boilerplate-heavy corpus
+    // even with the hot-shingle cap; this is the shape a production run
+    // declares. Oracled against the SAME SQL as the exact pipeline: on
+    // the test corpora every true dup pair collides in a band (dup sets
+    // are near-identical docs, far above the 16×4 S-curve knee), so the
+    // survivor sets agree — PretrainScaleSpec pins that equality, and
+    // NearDedupSpec covers the recall tradeoff the bands make in general.
+    withOracle(
+      "pipeline_pretraining_corpus_scale",
+      s"""WITH RECURSIVE prof(word, plang) AS (VALUES ${langProfilesValuesSql}),
+         |q AS (SELECT doc_id, text FROM documents
+         |      WHERE n_chars >= 100
+         |        AND len(string_split_regex(lower(text), '\\s+')) >= 20),
+         |ltok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |         FROM q),
+         |lm AS (SELECT doc_id, plang, count(*) AS c
+         |       FROM ltok JOIN prof ON w = word GROUP BY doc_id, plang),
+         |lbest AS (SELECT doc_id, plang,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, plang) AS rn
+         |         FROM lm),
+         |en AS (SELECT q.doc_id, q.text FROM q
+         |       LEFT JOIN (SELECT doc_id, plang FROM lbest WHERE rn = 1) b USING (doc_id)
+         |       WHERE coalesce(b.plang, 'und') = 'en'),
+         |exact AS (SELECT doc_id, text FROM (
+         |    SELECT doc_id, text,
+         |           row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+         |    FROM en) WHERE rn = 1),
+         |${TextOps.shinglePairCte("exact")},
+         |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
+         |        JOIN sizes nb ON j = nb.doc_id
+         |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
+         |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
+         |nodes AS (SELECT DISTINCT a AS node FROM edges),
+         |reach AS (SELECT node, node AS m FROM nodes
+         |          UNION SELECT e2.b, r.m FROM reach r JOIN edges e2 ON e2.a = r.node),
+         |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node)
+         |SELECT e.doc_id,
+         |       len(string_split_regex(lower(e.text), '\\s+')) AS n_tokens
+         |FROM exact e LEFT JOIN cc ON cc.node = e.doc_id
+         |WHERE cc.canonical IS NULL OR cc.canonical = e.doc_id
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val exact = pretrainExactSurvivors(Tables.documents(s, dir))
+      pretrainApplyNearDedup(exact, NearDedup.minhashNearDups(exact, threshold = 0.1))
     }
   )
+
+  /** The pre-dedup pretraining funnel: quality gate + language filter
+    * fused into ONE row-local pass over the corpus scan (predLang is a
+    * column, so no join back — at 100 TB the whole pre-near-dedup funnel
+    * is a single map over the data), then exact dedup by content hash.
+    * The survivor set feeds three subtrees (shingling, the CC join, the
+    * final projection) — materialized once so the upstream chain doesn't
+    * run three times.
+    */
+  private def pretrainExactSurvivors(docs: DataFrame): DataFrame =
+    docs.where(col("n_chars") >= 100 &&
+        size(tokens(col("text"))) >= 20 && predLang(col("text")) === "en")
+      .withColumn("rn",
+        row_number().over(Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
+      .where(col("rn") === 1).drop("rn")
+      .localCheckpoint()
+
+  /** Near-dedup APPLY over a (doc_id, text) survivor set given its dup
+    * pairs (i, j): cluster via connected components, keep the smallest
+    * doc per cluster, emit per-doc token counts in doc order.
+    */
+  private def pretrainApplyNearDedup(exact: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = GraphOps.connectedComponents(
+      pairs.select(col("i").as("src"), col("j").as("dst")))
+    exact.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+      .where(col("label").isNull || col("label") === col("doc_id"))
+      .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+      .orderBy("doc_id")
+  }
 
   /** Per-doc predicted language from the fixed stopword profiles,
     * computed ROW-LOCALLY: per-language hit counts are `filter` over the
