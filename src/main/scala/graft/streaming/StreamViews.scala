@@ -10,12 +10,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 /** Speed-layer views as Structured Streaming (SURVEY.md §2.7): the same
-  * column expressions as the batch views, run incrementally. In production
-  * the source is Kafka; here the file source replays the events table
-  * (Trigger.AvailableNow) into a memory sink so results are comparable
-  * with the batch oracle — the Lambda batch≡stream consistency property,
-  * checked by the driver for stream_count and by StreamSessionizeSpec for
-  * the stateful path.
+  * column expressions as the batch views, run incrementally. The source
+  * is the [[StreamSource]] seam — Kafka in production via
+  * `graft.stream.source=kafka` confs; here the tested default replays the
+  * events table through the file source (Trigger.AvailableNow) into a
+  * memory sink so results are comparable with the batch oracle — the
+  * Lambda batch≡stream consistency property, checked by the driver for
+  * stream_count and by StreamSessionizeSpec for the stateful path.
   *
   * Exactly-once: checkpointed incremental aggregation + idempotent sink
   * (per-epoch) replaces Trident's txid-transactional Cassandra state
@@ -83,7 +84,7 @@ object StreamViews {
     try {
       val schema = Tables.eventsRaw(spark, dir).schema
       val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-      val src = spark.readStream.schema(schema).parquet(stagedEventsDir(dir))
+      val src = StreamSource.events(spark, schema, stagedEventsDir(dir))
       val q = transform(src).writeStream
         .format("memory").queryName(name).outputMode(outputMode)
         .trigger(Trigger.AvailableNow())
@@ -117,7 +118,7 @@ object StreamViews {
       val name = s"graft_stream_${nameCounter.incrementAndGet()}"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = Tables.eventsRaw(s, dir).schema
-      val pvs = s.readStream.schema(schema).parquet(stagedEventsDir(dir))
+      val pvs = StreamSource.events(s, schema, stagedEventsDir(dir))
         .select(col("event_type").as("domain"), col("user_id").as("user"),
           (tsSecs(col("ts")) * 1000).cast("long").as("tsMillis"))
         .as[StreamSessionize.PageView]
@@ -365,7 +366,7 @@ object StreamViews {
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = Tables.eventsRaw(s, dir).schema
         def side(kind: String, idAs: String, userAs: String, tsAs: String) =
-          s.readStream.schema(schema).parquet(stagedEventsDir(dir))
+          StreamSource.events(s, schema, stagedEventsDir(dir))
             .where(col("event_type") === kind)
             .select(col("event_id").as(idAs), col("user_id").as(userAs),
               tsSecs(col("ts")).cast("timestamp").as(tsAs))
