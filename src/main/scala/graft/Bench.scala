@@ -61,7 +61,11 @@ object Bench {
       case e: Throwable => System.err.println(s"[bench] stream warm-up failed: $e")
     }
     var errors = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Sorted by name: Map iteration order reshuffles whenever a query is
+    // added, which changes which query pays each warm-cache/GC transition
+    // and makes cross-round per-query comparisons noisy. A fixed order
+    // keeps timing attribution stable across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
@@ -75,7 +79,7 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     def fmt(v: Double): String = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = results.values.filter(_ >= 0).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     // The harness tail-captures only the last ~2000 chars of output, and a
     // JSON line whose head (where "metric"/"value" live) is cut cannot be
     // parsed. So: full per-query detail first (complete in the full log,
