@@ -350,6 +350,43 @@ object TextOps {
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val exact = pretrainExactSurvivors(Tables.documents(s, dir))
       pretrainApplyNearDedup(exact, NearDedup.minhashNearDups(exact, threshold = 0.1))
+    },
+
+    // Token-repetition quality signals (Rae et al. 2021 "Gopher" §A.1.1
+    // adapted to token granularity): total/distinct token counts and the
+    // hottest token/bigram frequency per document. Integer counters only
+    // — the repetition FRACTIONS (dup_token_frac = 1 - n_distinct/
+    // n_tokens, top_bigram_frac = top_bigram_cnt/(n_tokens-1)) divide
+    // exactly downstream, and integers keep the oracle hash exact.
+    //
+    // Scale: one compiled row-local pass (TokenRepetition native
+    // expression — zero shuffles, PlanSpec-pinned). The declarative form
+    // would explode the corpus's full token stream through a shuffle for
+    // a logically per-row statistic.
+    withOracle(
+      "text_repetition",
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+        |              FROM documents),
+        |tok AS (SELECT doc_id, unnest(l) AS t FROM toks),
+        |tc AS (SELECT doc_id, count(*) AS n_distinct, max(c) AS top_token_cnt
+        |       FROM (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2)
+        |       GROUP BY 1),
+        |bg AS (SELECT doc_id, l[i] || ' ' || l[i+1] AS b
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-1, 0))) AS i) g),
+        |bc AS (SELECT doc_id, max(c) AS top_bigram_cnt
+        |       FROM (SELECT doc_id, b, count(*) AS c FROM bg GROUP BY 1, 2)
+        |       GROUP BY 1)
+        |SELECT toks.doc_id, len(l) AS n_tokens, tc.n_distinct,
+        |       tc.top_token_cnt,
+        |       coalesce(bc.top_bigram_cnt, CAST(0 AS BIGINT)) AS top_bigram_cnt
+        |FROM toks JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          org.apache.spark.sql.graft.TextNative.tokenRepetition(col("text")).as("st"))
+        .select(col("doc_id"), col("st.n_tokens"), col("st.n_distinct"),
+          col("st.top_token_cnt"), col("st.top_bigram_cnt"))
+        .orderBy("doc_id")
     }
   )
 

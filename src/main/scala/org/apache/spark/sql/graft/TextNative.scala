@@ -1,12 +1,13 @@
 package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, GenericInternalRow, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 import org.apache.spark.sql.classic.ExpressionUtils
-import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, LongType, StringType, StructField, StructType}
 import org.apache.spark.unsafe.hash.Murmur3_x86_32
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -289,6 +290,64 @@ case class SimHash64(child: Expression)
   override def prettyName: String = "simhash64"
 }
 
+/** Token-repetition statistics in one compiled row-local pass:
+  * (n_tokens, n_distinct, top_token_cnt, top_bigram_cnt) over the
+  * whitespace-tokenized lowercased text — the repetition-quality signal
+  * family of Rae et al. 2021 ("Gopher") §A.1.1, at token granularity
+  * because web-scraped text loses line structure after normalization.
+  *
+  * Row-local on purpose: the declarative form (explode → count per
+  * (doc, token) → max per doc) shuffles the corpus's entire token
+  * stream for a logically per-row statistic. Integer counts only, so
+  * the DuckDB oracle is exact — filters derive fractions downstream.
+  */
+case class TokenRepetition(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_tokens", LongType, nullable = false),
+    StructField("n_distinct", LongType, nullable = false),
+    StructField("top_token_cnt", LongType, nullable = false),
+    StructField("top_bigram_cnt", LongType, nullable = false)))
+
+  def compute(text: UTF8String): InternalRow = {
+    val toks = text.toString.toLowerCase.split("\\s+")
+    val tf = new java.util.HashMap[String, Int]
+    var i = 0
+    while (i < toks.length) {
+      tf.merge(toks(i), 1, Integer.sum)
+      i += 1
+    }
+    val bf = new java.util.HashMap[String, Int]
+    i = 0
+    while (i < toks.length - 1) {
+      bf.merge(toks(i) + " " + toks(i + 1), 1, Integer.sum)
+      i += 1
+    }
+    var topT = 0L
+    tf.forEach((_, c) => if (c.toLong > topT) topT = c.toLong)
+    var topB = 0L
+    bf.forEach((_, c) => if (c.toLong > topB) topB = c.toLong)
+    new GenericInternalRow(Array[Any](
+      toks.length.toLong, tf.size.toLong, topT, topB))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("repetition", this, classOf[TokenRepetition].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TokenRepetition =
+    copy(child = newChild)
+
+  override def prettyName: String = "token_repetition"
+}
+
 object TextNative {
 
   /** `shingle_hash64(text, n)` as a Column. */
@@ -306,4 +365,8 @@ object TextNative {
   /** `simhash64(text)` as a Column. */
   def simHash64(text: Column): Column =
     ExpressionUtils.column(SimHash64(ExpressionUtils.expression(text)))
+
+  /** `token_repetition(text)` as a Column (struct of 4 long counters). */
+  def tokenRepetition(text: Column): Column =
+    ExpressionUtils.column(TokenRepetition(ExpressionUtils.expression(text)))
 }

@@ -110,6 +110,46 @@ class TextNativeSpec extends SparkSpec {
     }
   }
 
+  test("token_repetition matches the explode/groupBy declarative form") {
+    val texts = Seq(
+      (0L, "the quick brown fox the quick brown cat"),
+      (1L, "a a a a a"),                    // one token repeated
+      (2L, "all distinct tokens right here"),
+      (3L, "x"),                            // single token: no bigrams
+      (4L, "Go go GO stop go go"))          // case folding + hot bigram
+    val df = texts.toDF("doc_id", "text")
+    val native = df
+      .select(col("doc_id"), TextNative.tokenRepetition(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_tokens"), col("st.n_distinct"),
+        col("st.top_token_cnt"), col("st.top_bigram_cnt"))
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    texts.zip(native).foreach { case ((id, t), (gid, n, nd, tt, tb)) =>
+      val toks = t.toLowerCase.split("\\s+").toSeq
+      val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
+      assert(gid == id)
+      assert(n == toks.length, s"n_tokens for doc $id")
+      assert(nd == toks.distinct.length, s"n_distinct for doc $id")
+      assert(tt == toks.groupBy(identity).values.map(_.length).max, s"top_token for doc $id")
+      val wantTb = if (bigrams.isEmpty) 0L
+        else bigrams.groupBy(identity).values.map(_.length).max.toLong
+      assert(tb == wantTb, s"top_bigram for doc $id")
+    }
+  }
+
+  test("token_repetition is row-local (zero shuffles) and codegen'd") {
+    val df = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), TextNative.tokenRepetition(col("text")).as("st"))
+      .select(col("doc_id"), col("st.n_tokens"), col("st.top_bigram_cnt"))
+    df.collect()
+    val shuffles = df.queryExecution.executedPlan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }
+    assert(shuffles.isEmpty, "token_repetition must not shuffle")
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "token_repetition must run inside whole-stage codegen")
+  }
+
   test("simhash plan is native: no ScalaUDF, stays in codegen") {
     val docs = Tables.documents(spark, sf0001)
     val df = operators.NearDedup.simhashSignatures(docs)
