@@ -29,6 +29,12 @@ object CorpusOps {
     */
   val MixBudget = 5000L
 
+  /** Training-sequence length for `pack_sequences` (small so documents
+    * span sequence boundaries on the test corpus; production uses the
+    * model's context length, e.g. 2048-8192).
+    */
+  val SeqLen = 512L
+
   /** Containment pairs (eval_id, train_id, containment) between the eval
     * split (rows matching `isEval`) and the rest, over a (doc_id, text)
     * relation: containment = |shared 3-shingles| / |eval shingles|.
@@ -67,6 +73,18 @@ object CorpusOps {
     * independent of it (asserted by CorpusOpsSpec).
     */
   def shardPack(docTokens: org.apache.spark.sql.DataFrame, budget: Long,
+      parts: Int = 32): org.apache.spark.sql.DataFrame =
+    globalTokenOffsets(docTokens, parts)
+      .select(col("doc_id"), col("n_tokens"),
+        fdiv(col("start"), budget).as("shard_id"))
+
+  /** Exact global token offset of each doc in doc_id order:
+    * (doc_id, n_tokens, start) where `start` = Σ n_tokens of all earlier
+    * doc_ids — the primitive under `shard_pack` and `pack_sequences`.
+    * Distributed exactly as documented on shardPack; result independent
+    * of `parts` (asserted by CorpusOpsSpec).
+    */
+  def globalTokenOffsets(docTokens: org.apache.spark.sql.DataFrame,
       parts: Int = 32): org.apache.spark.sql.DataFrame = {
     val s = docTokens.sparkSession
     import s.implicits._
@@ -99,9 +117,8 @@ object CorpusOps {
       .withColumn("offset", coalesce(sum("ptot").over(offW), lit(0L)))
       .select("pid", "offset")
     local.join(broadcast(offsets), "pid")
-      .withColumn("start", col("offset") + col("lcum") - col("n_tokens"))
       .select(col("doc_id"), col("n_tokens"),
-        fdiv(col("start"), budget).as("shard_id"))
+        (col("offset") + col("lcum") - col("n_tokens")).as("start"))
   }
 
   /** Distributed per-stratum prefix aggregates over a (doc_id, lang, v)
@@ -280,6 +297,41 @@ object CorpusOps {
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
       shardPack(docs, ShardBudget).orderBy("doc_id")
+    },
+
+    // Fixed-length sequence packing: concatenate the corpus token stream
+    // in doc_id order and cut it every SeqLen tokens — each doc reports
+    // the first/last training sequence it lands in and how many it spans
+    // (GPT-style concat-and-chunk packing; docs cross boundaries rather
+    // than pad). seq_first/seq_last are exact functions of the doc's
+    // global token offset, so downstream tokenizer workers can emit their
+    // sequences without any coordination.
+    //
+    // Scale: the global offset is the same distributed prefix sum as
+    // shard_pack (one range exchange; the only single-partition window is
+    // over one row per partition) — never a corpus-wide one-task cumsum.
+    withOracle(
+      "pack_sequences",
+      s"""SELECT doc_id, n_tokens,
+         |       CAST((cum - n_tokens) // ${SeqLen} AS BIGINT) AS seq_first,
+         |       CAST((cum - 1) // ${SeqLen} AS BIGINT) AS seq_last,
+         |       CAST((cum - 1) // ${SeqLen} - (cum - n_tokens) // ${SeqLen} + 1
+         |            AS BIGINT) AS n_seqs
+         |FROM (
+         |  SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS n_tokens,
+         |         sum(len(string_split_regex(lower(text), '\\s+'))) OVER (
+         |           ORDER BY doc_id
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("n_tokens"))
+      globalTokenOffsets(docs)
+        .select(col("doc_id"), col("n_tokens"),
+          fdiv(col("start"), SeqLen).as("seq_first"),
+          fdiv(col("start") + col("n_tokens") - 1, SeqLen).as("seq_last"))
+        .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1)
+        .orderBy("doc_id")
     },
 
     // Per-vector int8 quantization (min/max affine): the 4× memory cut

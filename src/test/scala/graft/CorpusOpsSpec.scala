@@ -94,6 +94,33 @@ class CorpusOpsSpec extends SparkSpec {
       budget.collect().toSeq)
   }
 
+  test("pack_sequences matches the sequential concat-and-chunk reference") {
+    val L = CorpusOps.SeqLen
+    val docs = (0L until 80L).map(i => (i, (i % 200) * 7 + 1)).toDF("doc_id", "n_tokens")
+    def run(p: Int) = CorpusOps.globalTokenOffsets(docs, parts = p)
+      .select(col("doc_id"), col("n_tokens"),
+        functions.TimeFunctions.fdiv(col("start"), L).as("f"),
+        functions.TimeFunctions.fdiv(col("start") + col("n_tokens") - 1, L).as("l"))
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    var cum = 0L
+    val want = (0L until 80L).map { i =>
+      val n = (i % 200) * 7 + 1
+      val f = cum / L
+      val l = (cum + n - 1) / L
+      cum += n
+      (i, n, f, l)
+    }
+    assert(run(6) == want)
+    // width-independence: the packing is a pure function of the corpus
+    assert(run(1) == run(6) && run(6) == run(32))
+    // stream coverage: doc i+1 starts in the sequence doc i ends in (or
+    // the next one) — no token gap and no overlap between documents
+    want.sliding(2).foreach { case Seq((_, _, _, l0), (_, _, f1, _)) =>
+      assert(f1 == l0 || f1 == l0 + 1)
+    }
+  }
+
   test("shard_pack is independent of the range-partition width") {
     val docs = (0L until 57L).map(i => (i * 3 % 57, (i % 7) + 2)).toDF("doc_id", "n_tokens")
     def run(p: Int) = CorpusOps.shardPack(docs, budget = 15, parts = p)
