@@ -27,6 +27,26 @@ object TextOps {
     * oracle (text_ngram_jaccard, near_dedup_apply,
     * pipeline_pretraining_corpus).
     */
+  /** PII patterns, constrained to the dialect Java regex and RE2 share
+    * (character classes, bounded repeats, \b — no lookaround) so the
+    * engine and the DuckDB oracle agree byte-for-byte.
+    */
+  val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePat = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** Redacted text + per-doc match counts over a (doc_id, text) relation:
+    * emails first, then phones, counts from the pre-scrub text.
+    */
+  def piiScrub(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      regexp_replace(
+        regexp_replace(col("text"), EmailPat, "<EMAIL>"),
+        PhonePat, "<PHONE>").as("clean"),
+      size(regexp_extract_all(col("text"), lit(EmailPat), lit(0)))
+        .cast("long").as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhonePat), lit(0)))
+        .cast("long").as("n_phones"))
+
   def shinglePairCte(src: String = "documents"): String =
     s"""toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
       |              FROM $src),
@@ -175,6 +195,26 @@ object TextOps {
           size(fps).as("n_fp"),
           md5(concat_ws(" ", array_sort(fps))).as("fp_digest"))
         .orderBy("doc_id")
+    },
+
+    // PII scrubbing: redact emails then phone numbers, and report per-doc
+    // redaction counts — the compliance pass a corpus runs before
+    // training. Patterns stay in the Java-regex ∩ RE2 dialect (no
+    // lookbehind/backrefs) so the Spark plan and the DuckDB oracle
+    // compile the SAME expression; counts come from the pre-scrub text.
+    //
+    // Scale: pure row-local regexp map — zero shuffles, codegen'd
+    // (regexp_replace/regexp_extract_all are native Catalyst
+    // expressions, not UDFs).
+    withOracle(
+      "text_pii_scrub",
+      s"""SELECT doc_id,
+         |       regexp_replace(regexp_replace(text, '${TextOps.EmailPat}', '<EMAIL>', 'g'),
+         |                      '${TextOps.PhonePat}', '<PHONE>', 'g') AS clean,
+         |       len(regexp_extract_all(text, '${TextOps.EmailPat}')) AS n_emails,
+         |       len(regexp_extract_all(text, '${TextOps.PhonePat}')) AS n_phones
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.piiScrub(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Language ID by fixed stopword profiles: per-doc argmax of profile
