@@ -144,6 +144,29 @@ object IngestOps {
       FactStore.scanKind(s, master, FactKind.PageView)
         .agg(count(lit(1)).as("n"))
         .withColumn("staging_left", lit(stagingLeft))
+    },
+
+    // Hive-style partitioned sink: daily counts written partitionBy the
+    // low-cardinality dimension, read back with a partition predicate.
+    // At 100 TB this is the layout that turns "one event type, one week"
+    // queries into a directory listing instead of a full scan — the read
+    // side must show PartitionFilters, not a post-scan filter
+    // (PlanSpec-pinned).
+    withOracle(
+      "sink_partitioned",
+      s"""SELECT event_type, (${Tables.sql.tsSecs}) // 86400 AS day, count(*) AS n
+         |FROM events WHERE event_type = 'purchase'
+         |GROUP BY 1, 2 ORDER BY day""".stripMargin) { (s, dir) =>
+      val store = newMaster()
+      Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          graft.functions.TimeFunctions.fdiv(col("ts_secs"), 86400L).as("day"))
+        .agg(count(lit(1)).as("n"))
+        .write.partitionBy("event_type").parquet(store)
+      s.read.parquet(store)
+        .where(col("event_type") === "purchase")
+        .select(col("event_type"), col("day"), col("n"))
+        .orderBy("day")
     }
   )
 }

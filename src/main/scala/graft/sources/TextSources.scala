@@ -51,6 +51,22 @@ object TextSources {
         .groupBy("event_type")
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
         .orderBy("event_type")
+    },
+
+    // ORC round-trip: the other columnar interchange format large
+    // archives arrive in. Same pushdown properties as parquet (predicate
+    // + column pruning reach the ORC reader), so the scale argument is
+    // the parquet one; the oracle checks content, not format.
+    withOracle(
+      "source_orc",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      val path = stage() + "/events_orc"
+      eventsSlim(s, dir).write.orc(path)
+      s.read.schema(eventSchema).orc(path)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("event_type")
     }
   )
 }

@@ -59,6 +59,13 @@ class PlanSpec extends SparkSpec {
       p.matches("(?s).*PushedFilters:.*event_type.*"), p)
   }
 
+  test("sink_partitioned read prunes partitions, not post-scan filters") {
+    val p = plan(q("sink_partitioned"))
+    val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pf.contains("event_type"),
+      s"partition predicate must reach the scan's PartitionFilters:\n$p")
+  }
+
   test("scan_pruned prunes columns: ts/props never read") {
     val p = plan(q("scan_pruned"))
     val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
