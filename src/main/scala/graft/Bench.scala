@@ -11,6 +11,11 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS); read as LongType nanos.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // one rename per task at commit instead of task->job->final: the
+      // ingest queries pay two parquet commits each by design, and v1's
+      // extra sequential rename pass is pure fixed cost on FS-backed
+      // stores (object-store deployments swap in their own committer)
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JVM/codegen/parquet paths so startup cost isn't attributed
