@@ -103,6 +103,51 @@ object Analytics {
       val intersectSet = users("click").intersect(users("purchase"))
         .select(lit("click_and_purchase").as("op"), col("user_id"))
       exceptSet.unionAll(intersectSet).orderBy("op", "user_id")
+    },
+
+    // lag/lead family: per-user inter-event gap in seconds (the raw
+    // material of sessionization thresholds and arrival-rate analysis).
+    // NULL for each user's first event, exactly as SQL lag defines it.
+    //
+    // Scale: one hash shuffle on user_id (high-cardinality key) and a
+    // per-user sort — the same single-exchange shape PlanSpec pins for
+    // sessionize; no global ordering anywhere.
+    withOracle(
+      "window_lag_delta",
+      s"""SELECT event_id, user_id,
+         |       CAST((${Tables.sql.tsSecs}) -
+         |            lag(${Tables.sql.tsSecs}) OVER (PARTITION BY user_id
+         |                                            ORDER BY ts, event_id)
+         |            AS BIGINT) AS gap_secs
+         |FROM events ORDER BY user_id, event_id""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          (col("ts_secs") - lag(col("ts_secs"), 1).over(w)).as("gap_secs"))
+        .orderBy("user_id", "event_id")
+    },
+
+    // Statistical aggregates (variance family): per-type dispersion of
+    // the value column. Spark and DuckDB both aggregate in doubles;
+    // round(2) absorbs partial-aggregation order differences.
+    //
+    // Scale: map-side partial aggregation — stddev partials are
+    // (count, mean, M2) triples, so the shuffle carries 3 doubles per
+    // (task, group), not rows.
+    withOracle(
+      "agg_stats",
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(value), 2) AS mean_v,
+        |       round(stddev_samp(value), 2) AS sd_v,
+        |       round(min(value), 2) AS min_v, round(max(value), 2) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.eventsRaw(s, dir)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          round(avg("value"), 2).as("mean_v"),
+          round(stddev_samp("value"), 2).as("sd_v"),
+          round(min("value"), 2).as("min_v"), round(max("value"), 2).as("max_v"))
+        .orderBy("event_type")
     }
   )
 }
