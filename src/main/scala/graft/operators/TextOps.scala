@@ -392,6 +392,73 @@ object TextOps {
       pretrainApplyNearDedup(exact, NearDedup.minhashNearDups(exact, threshold = 0.1))
     },
 
+    // Unigram-LM quality score (the KenLM-perplexity filter of
+    // CCNet/RefinedWeb in its unigram form): per-doc mean negative
+    // log-likelihood under corpus token frequencies. High nll = rare
+    // vocabulary (specialist text or noise), low = common-word text;
+    // pipelines cut the tails.
+    //
+    // Scale: the vocab relation is token-TYPE-sized (Heaps' law — ~1M
+    // types for a 100 TB corpus), so the score join broadcasts it; the
+    // exploded token stream never shuffles for the join, and the per-doc
+    // aggregate collapses map-side (a doc's tokens are colocated — the
+    // shuffle carries one partial row per doc). Building the vocab is
+    // the one corpus-wide token shuffle, as in production (train the LM
+    // once, score everything).
+    withOracle(
+      "text_unigram_logprob",
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |             FROM documents),
+        |vc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |n AS (SELECT sum(c) AS total FROM vc)
+        |SELECT doc_id, round(avg(-ln(c * 1.0 / total)), 4) AS nll
+        |FROM tok JOIN vc USING (t) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val tok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      val vc = tok.groupBy("t").agg(count(lit(1)).as("c"))
+      val tot = vc.agg(sum("c").as("total"))
+      tok.join(broadcast(vc), "t")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(round(avg(-log(col("c") / col("total"))), 4).as("nll"))
+        .orderBy("doc_id")
+    },
+
+    // Incremental dedup: the nightly-crawl step — drop each NEW doc
+    // (doc_id % 5 = 0 stands in for the new batch) that exactly or
+    // nearly duplicates the EXISTING corpus, keep the rest. Exact stage
+    // = content-hash anti-join; near stage = the bipartite form of the
+    // capped exact Jaccard join at the pipeline threshold.
+    //
+    // Scale: the hash anti-join co-locates under a bucketed master
+    // store; the bipartite shingle join is bounded by the same
+    // hot-shingle cap as text_ngram_jaccard and only the NEW batch's
+    // pairs materialize (never existing×existing). At 100 TB the near
+    // stage routes through minhash bands exactly like
+    // pipeline_pretraining_corpus_scale.
+    withOracle(
+      "dedup_incremental",
+      s"""WITH ${TextOps.shinglePairCte()},
+         |bipair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+         |           FROM sh a JOIN sh b
+         |             ON a.s = b.s AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+         |           GROUP BY 1, 2),
+         |neardrop AS (SELECT DISTINCT j FROM bipair
+         |             JOIN sizes na ON i = na.doc_id JOIN sizes nb ON j = nb.doc_id
+         |             WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
+         |exactdrop AS (SELECT DISTINCT d.doc_id AS j FROM documents d
+         |              JOIN documents e ON md5(d.text) = md5(e.text)
+         |              WHERE d.doc_id % 5 = 0 AND e.doc_id % 5 <> 0)
+         |SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+         |FROM documents
+         |WHERE doc_id % 5 = 0
+         |  AND doc_id NOT IN (SELECT j FROM neardrop UNION SELECT j FROM exactdrop)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.incrementalDedup(Tables.documents(s, dir),
+        col("doc_id") % 5 === 0, threshold = 0.1).orderBy("doc_id")
+    },
+
     // Token-repetition quality signals (Rae et al. 2021 "Gopher" §A.1.1
     // adapted to token granularity): total/distinct token counts and the
     // hottest token/bigram frequency per document. Integer counters only
@@ -488,6 +555,45 @@ object TextOps {
       counts.foldRight(lit("und")) { case ((l, c), els) =>
         when(c === best, lit(l)).otherwise(els)
       })
+  }
+
+  /** Surviving NEW docs after dedup against the EXISTING corpus: drops
+    * rows matching `isNew` whose content hash appears in the existing
+    * side (exact) or whose 3-shingle Jaccard against ANY existing doc
+    * reaches `threshold` (near). Emits (doc_id, n_tokens) of survivors —
+    * the shape the ingest step appends to the master corpus.
+    */
+  def incrementalDedup(docs: DataFrame, isNew: org.apache.spark.sql.Column,
+      threshold: Double, maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
+    val base = docs
+      .select(col("doc_id"), col("text"), isNew.as("is_new"),
+        shingleHashes(col("text"), 3).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val exactDrop = base.where(col("is_new"))
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .join(base.where(!col("is_new")).select(md5(col("text")).as("h")).distinct(), "h")
+        .select("doc_id")
+      // one capped shingle relation for BOTH sides: the cap counts a
+      // shingle's total frequency across old+new, as the quadratic
+      // fan-out it guards against is the product of the two sides
+      val sh = base.select(col("doc_id"), col("is_new"), explode(col("hs")).as("s"))
+      val bounded = NearDedup.dropHotBuckets(sh, Seq("s"), maxShingleFreq,
+        "incremental-dedup shingle")
+      val sizes = base.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+      val nearDrop = bounded.where(!col("is_new")).select(col("doc_id").as("i"), col("s"))
+        .join(bounded.where(col("is_new")).select(col("doc_id").as("j"), col("s")), "s")
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .where(col("inter") / (col("ni") + col("nj") - col("inter")).cast("double")
+          >= threshold)
+        .select(col("j").as("doc_id"))
+      base.where(col("is_new"))
+        .join(exactDrop.unionAll(nearDrop).distinct(), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+        .localCheckpoint() // materialize the small survivor set, free the cache
+    } finally base.unpersist()
   }
 
   /** Default hot-shingle cap for the exact sparse similarity join: a
