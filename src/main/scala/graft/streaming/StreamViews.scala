@@ -133,6 +133,17 @@ object StreamViews {
   private val ts = Tables.sql.tsSecs
   private val hb = s"($ts) // 3600"
 
+  // documents staged for the corpus-intake stream, cached like events
+  private val docsStageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDocsDir(dir: String): String =
+    docsStageCache.computeIfAbsent(dir, _ => {
+      val stage = java.nio.file.Files.createTempDirectory("graft_stream_docs")
+      java.nio.file.Files.createLink(
+        stage.resolve("documents.parquet"),
+        java.nio.file.Paths.get(Tables.path(dir, "documents")))
+      stage.toString
+    })
+
   val defs: Seq[QueryDef] = Seq(
 
     // Kafka spout + deserializing scheme (UniquesOverTime.java:83-110):
@@ -392,6 +403,43 @@ object StreamViews {
           .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(14)))
             .as("approx_uniques"))
       }.orderBy("url", "hbv")
+    },
+
+    // Continuous corpus intake: the pretraining funnel's row-local stages
+    // (quality gate + language ID) applied to a DOCUMENT stream — the
+    // "clean as you crawl" speed-layer path whose output must equal the
+    // batch funnel over the same corpus. Stateless projection+filter:
+    // append mode, no watermark, no state store — at 100 TB of daily
+    // crawl this runs at source parallelism with zero shuffles.
+    withOracle(
+      "stream_clean_corpus",
+      s"""WITH prof(word, plang) AS (VALUES ${graft.functions.TextFunctions.langProfilesValuesSql}),
+         |q AS (SELECT doc_id, text FROM documents
+         |      WHERE n_chars >= 100
+         |        AND len(string_split_regex(lower(text), '\\s+')) >= 20),
+         |ltok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS w
+         |         FROM q),
+         |lm AS (SELECT doc_id, plang, count(*) AS c
+         |       FROM ltok JOIN prof ON w = word GROUP BY doc_id, plang),
+         |lbest AS (SELECT doc_id, plang,
+         |                row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, plang) AS rn
+         |         FROM lm)
+         |SELECT q.doc_id, coalesce(b.plang, 'und') AS pred_lang,
+         |       len(string_split_regex(lower(q.text), '\\s+')) AS n_tokens
+         |FROM q LEFT JOIN (SELECT doc_id, plang FROM lbest WHERE rn = 1) b USING (doc_id)
+         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val schema = Tables.documents(s, dir).schema
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val q = s.readStream.schema(schema).parquet(stagedDocsDir(dir))
+        .where(col("n_chars") >= 100 &&
+          size(graft.functions.TextFunctions.tokens(col("text"))) >= 20)
+        .select(col("doc_id"),
+          graft.operators.TextOps.predLang(col("text")).as("pred_lang"),
+          size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("doc_id")
     }
   )
 }
