@@ -28,7 +28,12 @@ object Plans {
     // eagerly via localCheckpoint)
     "shard_pack", "sample_stratified", "sample_token_budget",
     "embedding_quantize", "embedding_centroid",
-    "text_langid", "doc_winnow_fingerprint", "text_token_count_bpe")
+    "text_langid", "doc_winnow_fingerprint", "text_token_count_bpe",
+    // round-6 additions (dedup_incremental is excluded: its survivor set
+    // materializes eagerly via localCheckpoint, like contamination_check)
+    "text_repetition", "text_pii_scrub", "text_unigram_logprob",
+    "pack_sequences", "corpus_mix_weights", "window_lag_delta",
+    "agg_stats", "sink_partitioned")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

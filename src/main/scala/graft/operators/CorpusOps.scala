@@ -401,25 +401,28 @@ object CorpusOps {
     // <1 downsample). The mixture-spec step that feeds
     // sample_token_budget's per-stratum budgets.
     //
-    // Scale: one map-side-combined aggregate over the corpus to
-    // sources-sized partials; the totals join is a broadcast of ONE row.
+    // Scale: ONE map-side-combined aggregate over the corpus to
+    // sources-sized partials; the totals come from a partitionless
+    // window over that tiny aggregate (sources-count rows through one
+    // task — the shard_pack offset-table pattern), so the corpus is
+    // scanned once, not once per derived total.
     withOracle(
       "corpus_mix_weights",
       """WITH t AS (SELECT source, count(*) AS n_docs,
         |                  sum(len(string_split_regex(lower(text), '\s+'))) AS n_tokens
         |           FROM documents GROUP BY source)
         |SELECT source, n_docs, CAST(n_tokens AS BIGINT) AS n_tokens,
-        |       round((SELECT sum(n_tokens) FROM t) * 1.0
-        |             / ((SELECT count(*) FROM t) * n_tokens), 4) AS weight
+        |       round(sum(n_tokens) OVER () * 1.0
+        |             / (count(*) OVER () * n_tokens), 4) AS weight
         |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
-      val t = Tables.documents(s, dir)
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.documents(s, dir)
         .groupBy("source")
         .agg(count(lit(1)).as("n_docs"),
           sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
-      val totals = t.agg(sum("n_tokens").as("tot"), count(lit(1)).as("ns"))
-      t.crossJoin(broadcast(totals))
         .select(col("source"), col("n_docs"), col("n_tokens"),
-          round(col("tot") / (col("ns") * col("n_tokens")), 4).as("weight"))
+          round(sum("n_tokens").over(w) / (count(lit(1)).over(w) * col("n_tokens")), 4)
+            .as("weight"))
         .orderBy("source")
     }
   )
