@@ -59,6 +59,21 @@ class PlanSpec extends SparkSpec {
       p.matches("(?s).*PushedFilters:.*event_type.*"), p)
   }
 
+  test("corpus_mix_weights scans the corpus exactly once") {
+    val scans = collectNodes(q("corpus_mix_weights")) {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }
+    assert(scans.size == 1,
+      s"totals must come from the aggregate, not a second scan: ${scans.size}")
+  }
+
+  test("text_unigram_logprob broadcasts the vocab (no sort-merge join)") {
+    val p = plan(q("text_unigram_logprob"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"),
+      "the token->vocab join must broadcast the token-type-sized side")
+  }
+
   test("sink_partitioned read prunes partitions, not post-scan filters") {
     val p = plan(q("sink_partitioned"))
     val pf = p.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
