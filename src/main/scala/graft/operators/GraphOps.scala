@@ -135,6 +135,41 @@ object GraphOps {
     * form scanned events three times). % 7 keeps the graph non-empty even
     * at sf0.001's small user range.
     */
+  /** Fixed-iteration damped PageRank over a directed (src, dst) edge set:
+    * pr₀ = 1/N; pr_{k+1}(v) = (1-d)/N + d·Σ_{u→v} pr_k(u)/outdeg(u)
+    * (dangling mass not redistributed — the plain power-iteration form,
+    * unrolled identically in the DuckDB oracle).
+    *
+    * Scale: the edge+outdegree relation is src-partitioned and
+    * checkpointed ONCE — every iteration joins ranks on src with no
+    * edge re-shuffle (the CC loop's layout trick); contributions
+    * aggregate map-side per dst. The node count is a one-row broadcast,
+    * never a driver constant baked into the plan by collect.
+    */
+  def pageRank(edges: DataFrame, iters: Int = 3, d: Double = 0.85): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint()
+    val nRow = broadcast(nodes.agg(count(lit(1)).cast("double").as("nn")))
+    val eDeg = e.join(e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src")
+      .repartition(col("src"))
+      .localCheckpoint()
+    var ranks = nodes.crossJoin(nRow)
+      .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
+    for (_ <- 1 to iters) {
+      val contrib = eDeg
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("outdeg")).as("csum"))
+      ranks = nodes.join(contrib, Seq("node"), "left_outer").crossJoin(nRow)
+        .select(col("node"),
+          (lit(1.0 - d) / col("nn") + lit(d) * coalesce(col("csum"), lit(0.0))).as("pr"))
+    }
+    ranks
+  }
+
   def equivEdges(s: SparkSession, dir: String): DataFrame = {
     val ev = Tables.eventsRaw(s, dir)
     ev.select(col("user_id").as("src"),
@@ -171,6 +206,33 @@ object GraphOps {
       val e = equivEdges(s, dir)
       e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
         .orderBy("src", "dst")
+    },
+
+    // PageRank as a §2.6 iterative-graph extension beyond the
+    // reference's CC (influence scoring over the same equiv graph).
+    // Three damped power-iteration steps, unrolled identically in the
+    // oracle so both engines compute the same closed form.
+    withOracle(
+      "graph_pagerank", {
+        def step(prev: String, cur: String): String =
+          s"""$cur AS (SELECT nodes.node, 0.15 / nn + 0.85 * coalesce(c.s, 0) AS pr
+             |  FROM nodes CROSS JOIN n
+             |  LEFT JOIN (SELECT e.dst AS node, sum($prev.pr / od.outdeg) AS s
+             |             FROM e JOIN od USING (src) JOIN $prev ON $prev.node = e.src
+             |             GROUP BY e.dst) c USING (node))""".stripMargin
+        s"""$edgesCte,
+           |nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+           |n AS (SELECT CAST(count(*) AS DOUBLE) AS nn FROM nodes),
+           |od AS (SELECT src, count(*) AS outdeg FROM e GROUP BY src),
+           |pr0 AS (SELECT node, 1.0 / nn AS pr FROM nodes CROSS JOIN n),
+           |${step("pr0", "pr1")},
+           |${step("pr1", "pr2")},
+           |${step("pr2", "pr3")}
+           |SELECT node, round(pr, 6) AS pr FROM pr3 ORDER BY node""".stripMargin
+      }) { (s, dir) =>
+      pageRank(equivEdges(s, dir))
+        .select(col("node"), round(col("pr"), 6).as("pr"))
+        .orderBy("node")
     },
 
     // Option.DISTINCT on the iteration edge set (BatchWorkflow.java:639-641).
