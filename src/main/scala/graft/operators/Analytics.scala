@@ -127,6 +127,59 @@ object Analytics {
         .orderBy("user_id", "event_id")
     },
 
+    // Semi-structured extraction: parse the JSON props payload into a
+    // typed column and aggregate it — the schema-on-read step every
+    // event pipeline runs on its property bag. Spark side uses real
+    // from_json (codegen'd Jackson parse, row-local); the oracle only
+    // needs to compute the same numbers, so it string-extracts.
+    //
+    // Scale: parsing is a zero-shuffle map fused into the scan
+    // projection; the aggregate is the usual map-side-combined groupBy.
+    withOracle(
+      "props_json_extract",
+      """SELECT event_type, count(*) AS n,
+        |       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_sum,
+        |       min(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS k_min,
+        |       max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS k_max
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      Tables.eventsRaw(s, dir)
+        .select(col("event_type"),
+          from_json(col("props"),
+            org.apache.spark.sql.types.StructType.fromDDL("k BIGINT"))
+            .getField("k").as("k"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"))
+        .orderBy("event_type")
+    },
+
+    // Grouped top-k: each customer's 2 highest-value orders — the
+    // "limit per group" operator (recommendation shortlists, per-entity
+    // samples).
+    //
+    // Scale: the window partitions by o_custkey (high-cardinality), so
+    // no group exceeds one customer's orders — never the
+    // whole-stratum-in-one-task collapse of a low-cardinality partition
+    // key; at extreme per-key skew the aggregate min-heap form replaces
+    // the window.
+    withOracle(
+      "topk_per_group",
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 2)
+        .select(col("o_custkey"), col("o_orderkey"),
+          round(col("o_totalprice"), 2).as("price"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+
     // Statistical aggregates (variance family): per-type dispersion of
     // the value column. Spark and DuckDB both aggregate in doubles;
     // round(2) absorbs partial-aggregation order differences.
