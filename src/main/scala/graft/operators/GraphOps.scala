@@ -158,7 +158,7 @@ object GraphOps {
       .localCheckpoint()
     var ranks = nodes.crossJoin(nRow)
       .select(col("node"), (lit(1.0) / col("nn")).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = eDeg
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .groupBy(col("dst").as("node"))
@@ -166,6 +166,10 @@ object GraphOps {
       ranks = nodes.join(contrib, Seq("node"), "left_outer").crossJoin(nRow)
         .select(col("node"),
           (lit(1.0 - d) / col("nn") + lit(d) * coalesce(col("csum"), lit(0.0))).as("pr"))
+      // truncate lineage every few rounds (the CC loop's rule): a
+      // convergence-length run would otherwise stack one join+agg plan
+      // per iteration into the optimizer and scheduler
+      if (i % 5 == 0 && i < iters) ranks = ranks.localCheckpoint()
     }
     ranks
   }
