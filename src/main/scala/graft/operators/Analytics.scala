@@ -180,6 +180,36 @@ object Analytics {
         .orderBy("o_custkey", "rn")
     },
 
+    // The same grouped top-k as a typed bounded-heap Aggregator
+    // (SURVEY.md §2.8's CascalogBuffer extension point): identical
+    // results to topk_per_group by construction AND by oracle — but the
+    // buffer is capped at k, reduce/merge are associative, and Spark
+    // combines map-side, so a single key with a billion rows ships at
+    // most k rows per upstream partition instead of sorting the whole
+    // group in one window task. The form to reach for under per-key
+    // skew.
+    withOracle(
+      "agg_topk_heap",
+      """SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price, rn FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders)
+        |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, okey, price) => (okey, price) }
+        .agg(graft.functions.TopKAgg.TopK(2).toColumn.name("top"))
+        .select(col("key").as("o_custkey"),
+          posexplode(col("top.items")).as(Seq("pos", "e")))
+        .select(col("o_custkey"), col("e.id").as("o_orderkey"),
+          round(col("e.value"), 2).as("price"), (col("pos") + 1).as("rn"))
+        .orderBy("o_custkey", "rn")
+    },
+
     // Statistical aggregates (variance family): per-type dispersion of
     // the value column. Spark and DuckDB both aggregate in doubles;
     // round(2) absorbs partial-aggregation order differences.
