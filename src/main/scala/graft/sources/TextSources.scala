@@ -53,6 +53,34 @@ object TextSources {
         .orderBy("event_type")
     },
 
+    // Whole-file binary ingest: `binaryFile` is how image/audio/video
+    // corpora enter Spark — one row per file with (path, length,
+    // content). Staged here as one file per document (partitionBy on a
+    // unique key), read back whole; the oracle predicts file count and
+    // total bytes from the source table (ASCII fixture: bytes = chars,
+    // +1 per file for the text writer's newline).
+    //
+    // Scale: binaryFile parallelizes by file; maxPartitionBytes groups
+    // small files per task, pathGlobFilter/recursiveFileLookup prune at
+    // listing time — the multimodal decode pipeline (Multimodal.scala)
+    // starts from exactly this row shape.
+    withOracle(
+      "source_binary",
+      """SELECT CAST(count(*) AS BIGINT) AS n_files,
+        |       CAST(sum(n_chars) + count(*) AS BIGINT) AS total_bytes
+        |FROM documents WHERE doc_id < 20""".stripMargin) { (s, dir) =>
+      val path = stage() + "/docs_bin"
+      Tables.documents(s, dir).where(col("doc_id") < 20)
+        .select(col("doc_id"), col("text"))
+        .write.partitionBy("doc_id").text(path)
+      s.read.format("binaryFile")
+        .option("pathGlobFilter", "*.txt")
+        .option("recursiveFileLookup", "true")
+        .load(path)
+        .agg(count(lit(1)).as("n_files"),
+          sum(length(col("content"))).as("total_bytes"))
+    },
+
     // ORC round-trip: the other columnar interchange format large
     // archives arrive in. Same pushdown properties as parquet (predicate
     // + column pruning reach the ORC reader), so the scale argument is

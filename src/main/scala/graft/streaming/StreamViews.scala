@@ -405,6 +405,23 @@ object StreamViews {
       }.orderBy("url", "hbv")
     },
 
+    // Streaming top-k: the "trending now" realtime view — complete-mode
+    // count per url with rank+limit applied per micro-batch emission.
+    // Sorting is legal in complete mode because the sink rewrites the
+    // whole (k-sized) result each trigger; state is the count map, the
+    // sort only ever touches distinct-url-sized data.
+    withOracle(
+      "stream_topk",
+      """SELECT event_type AS url, count(*) AS pv FROM events
+        |GROUP BY 1 ORDER BY pv DESC, url LIMIT 3""".stripMargin) { (s, dir) =>
+      runToMemory(s, dir, "complete") { src =>
+        src.groupBy(col("event_type").as("url"))
+          .agg(count(lit(1)).as("pv"))
+          .orderBy(col("pv").desc, col("url"))
+          .limit(3)
+      }
+    },
+
     // Continuous corpus intake: the pretraining funnel's row-local stages
     // (quality gate + language ID) applied to a DOCUMENT stream — the
     // "clean as you crawl" speed-layer path whose output must equal the
