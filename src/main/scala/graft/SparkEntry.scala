@@ -25,6 +25,7 @@ object SparkEntry {
       operators.VectorOps.defs ++
       operators.NearDedup.defs ++
       operators.Multimodal.defs ++
+      operators.Skew.defs ++
       operators.IngestOps.defs ++
       streaming.StreamViews.defs ++
       sources.TextSources.defs

@@ -46,4 +46,21 @@ object Skew {
     saltedAgg(df, keys, salt, Seq(
       ("n", count(lit(1)), c => sum(col(c))),
       ("total", sum(col(valueCol)), c => sum(col(c)))))
+
+  val defs: Seq[graft.QueryDef] = Seq(
+    // The salted aggregation DECLARED: count+sum per event_type — 5 hot
+    // keys over the whole fact stream, exactly the shape where a plain
+    // groupBy funnels each key's every row into one reducer. Stage 1
+    // spreads each key over 16 salted partials (map-side-combined),
+    // stage 2 merges 16 rows per key. round(2) absorbs the
+    // salt-order-dependent FP summation (documented numeric contract).
+    graft.QueryDef.withOracle(
+      "agg_salted",
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
+      saltedCountSum(graft.Tables.eventsRaw(s, dir), Seq("event_type"), "value")
+        .select(col("event_type"), col("n"), round(col("total"), 2).as("total"))
+        .orderBy("event_type")
+    }
+  )
 }
