@@ -25,8 +25,15 @@ object TopKAgg {
 
   /** (id, value) rows → the k largest by (value DESC, id ASC). */
   case class TopK(k: Int) extends Aggregator[(Long, Double), Buf, Buf] {
-    private def lt(a: Entry, b: Entry): Boolean =
-      a.value > b.value || (a.value == b.value && a.id < b.id)
+    // java.lang.Double.compare gives a TOTAL order (NaN comparable, -0.0
+    // < 0.0) — `>`/`==` on primitives is not a strict weak ordering under
+    // NaN, which would both corrupt the bounded-buffer gate (a real value
+    // neither beats nor ties a NaN floor, so it's dropped) and make merge
+    // split-order-dependent
+    private def lt(a: Entry, b: Entry): Boolean = {
+      val c = java.lang.Double.compare(b.value, a.value) // value DESC
+      c < 0 || (c == 0 && a.id < b.id)
+    }
 
     private def top(items: Seq[Entry]): Seq[Entry] =
       items.sortWith(lt).take(k)

@@ -26,29 +26,27 @@ object StreamViews {
 
   private val nameCounter = new AtomicInteger(0)
 
-  // the file source wants a directory of files (as Kafka wants a topic);
-  // stage the single table file into a temp dir once per sf dir — the
-  // staging cost is fixed setup, not per-query work
+  // The file source wants a directory of files (as Kafka wants a topic);
+  // stage table files into a temp dir via hardlinks, once per (variant,
+  // sf dir) — fixed setup cost, not per-query work. One helper for every
+  // staged layout so a staging fix (e.g. cross-filesystem EXDEV falling
+  // back to copy) lands in exactly one place.
   private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private def stagedDir(variant: String, dir: String,
+      links: (String, String)*): String =
+    stageCache.computeIfAbsent(s"$variant|$dir", _ => {
+      val stage = java.nio.file.Files.createTempDirectory(s"graft_stream_$variant")
+      links.foreach { case (fileName, table) =>
+        java.nio.file.Files.createLink(
+          stage.resolve(fileName), java.nio.file.Paths.get(Tables.path(dir, table)))
+      }
+      stage.toString
+    })
   private def stagedEventsDir(dir: String): String =
-    stageCache.computeIfAbsent(dir, _ => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_stream")
-      java.nio.file.Files.createLink(
-        stage.resolve("events.parquet"), java.nio.file.Paths.get(Tables.path(dir, "events")))
-      stage.toString
-    })
-
-  // doubled source for the re-delivery dedup query, cached like the
-  // single-copy staging dir
-  private val dupStageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+    stagedDir("events", dir, "events.parquet" -> "events")
+  // doubled source for the re-delivery dedup queries
   private def stagedDoubledEventsDir(dir: String): String =
-    dupStageCache.computeIfAbsent(dir, _ => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_stream_dup")
-      val src = java.nio.file.Paths.get(Tables.path(dir, "events"))
-      java.nio.file.Files.createLink(stage.resolve("a.parquet"), src)
-      java.nio.file.Files.createLink(stage.resolve("b.parquet"), src)
-      stage.toString
-    })
+    stagedDir("dup", dir, "a.parquet" -> "events", "b.parquet" -> "events")
 
   /** Run `f` with the shuffle-partition count a *streaming* query should
     * use for its state stores. A stateful streaming query instantiates
@@ -133,16 +131,9 @@ object StreamViews {
   private val ts = Tables.sql.tsSecs
   private val hb = s"($ts) // 3600"
 
-  // documents staged for the corpus-intake stream, cached like events
-  private val docsStageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // documents staged for the corpus-intake stream
   private def stagedDocsDir(dir: String): String =
-    docsStageCache.computeIfAbsent(dir, _ => {
-      val stage = java.nio.file.Files.createTempDirectory("graft_stream_docs")
-      java.nio.file.Files.createLink(
-        stage.resolve("documents.parquet"),
-        java.nio.file.Paths.get(Tables.path(dir, "documents")))
-      stage.toString
-    })
+    stagedDir("docs", dir, "documents.parquet" -> "documents")
 
   val defs: Seq[QueryDef] = Seq(
 

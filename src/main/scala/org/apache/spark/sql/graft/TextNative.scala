@@ -22,6 +22,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * ExpressionUtils are private[sql]; standard extension placement.
   */
 
+/** Whitespace tokenization with EXACT parity to both sides of every
+  * oracle: Spark's `split(text, "\\s+")` uses limit -1 (trailing empty
+  * tokens kept) and DuckDB's `string_split_regex` keeps them too, while
+  * Java's `String.split` default drops them — so "a b " is 3 tokens
+  * everywhere, never 2. The Pattern is compiled once, not per row.
+  */
+private[graft] object WsTokens {
+  private val WS = java.util.regex.Pattern.compile("\\s+")
+  def split(text: UTF8String): Array[String] = WS.split(text.toString.toLowerCase, -1)
+}
+
 /** Distinct word n-gram (shingle) set of lowercased text as 64-bit
   * FNV-1a hashes — hash identity stands in for string identity
   * (collision odds ~n²/2^64). Tokenization parity with
@@ -37,7 +48,7 @@ case class ShingleHash64(child: Expression, n: Int)
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   def compute(text: UTF8String): ArrayData = {
-    val toks = text.toString.toLowerCase.split("\\s+")
+    val toks = WsTokens.split(text)
     if (toks.length < n) UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
     else {
       val out = new scala.collection.mutable.HashSet[Long]
@@ -166,7 +177,7 @@ case class WinnowFingerprint(child: Expression, n: Int, w: Int)
   }
 
   def compute(text: UTF8String): ArrayData = {
-    val toks = text.toString.toLowerCase.split("\\s+")
+    val toks = WsTokens.split(text)
     val nSh = toks.length - (n - 1)
     if (nSh <= 0)
       new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
@@ -240,7 +251,7 @@ case class SimHash64(child: Expression)
   override def nullable: Boolean = true
 
   def compute(text: UTF8String): java.lang.Long = {
-    val toks = text.toString.toLowerCase.split("\\s+")
+    val toks = WsTokens.split(text)
     val tf = new java.util.HashMap[String, Int]
     var i = 0
     while (i < toks.length) {
@@ -313,7 +324,7 @@ case class TokenRepetition(child: Expression)
     StructField("top_bigram_cnt", LongType, nullable = false)))
 
   def compute(text: UTF8String): InternalRow = {
-    val toks = text.toString.toLowerCase.split("\\s+")
+    val toks = WsTokens.split(text)
     val tf = new java.util.HashMap[String, Int]
     var i = 0
     while (i < toks.length) {

@@ -9,7 +9,7 @@ class TextNativeSpec extends SparkSpec {
 
   /** Reference FNV-1a 3-shingle hasher (the documented contract). */
   private def refShingles(s: String, n: Int): Set[Long] = {
-    val toks = s.toLowerCase.split("\\s+")
+    val toks = s.toLowerCase.split("\\s+", -1)
     if (toks.length < n) Set.empty
     else (0 to toks.length - n).map { i =>
       var h = 0xcbf29ce484222325L
@@ -26,7 +26,8 @@ class TextNativeSpec extends SparkSpec {
       "the quick brown fox jumps over the lazy dog",
       "Mixed CASE Words and  double  spaces",
       "one two", // shorter than n=3 -> empty
-      "exactly three tokens")
+      "exactly three tokens",
+      "ends with a space ") // trailing empty token participates in shingles
     val got = texts.toDF("text")
       .select(TextFunctions.shingleHashes(col("text"), 3).as("hs"))
       .as[Array[Long]].collect()
@@ -75,7 +76,7 @@ class TextNativeSpec extends SparkSpec {
     * distinct token, tf-weighted bit sums, sign threshold at >= 0).
     */
   private def refSimhash(text: String): Option[Long] = {
-    val tf = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val tf = text.toLowerCase.split("\\s+", -1).filter(_.nonEmpty)
       .groupBy(identity).view.mapValues(_.length).toMap
     if (tf.isEmpty) None
     else {
@@ -116,7 +117,9 @@ class TextNativeSpec extends SparkSpec {
       (1L, "a a a a a"),                    // one token repeated
       (2L, "all distinct tokens right here"),
       (3L, "x"),                            // single token: no bigrams
-      (4L, "Go go GO stop go go"))          // case folding + hot bigram
+      (4L, "Go go GO stop go go"),          // case folding + hot bigram
+      (5L, "trailing space "),              // split keeps the trailing empty
+      (6L, "a b a b "))                     // trailing empty joins a bigram
     val df = texts.toDF("doc_id", "text")
     val native = df
       .select(col("doc_id"), TextNative.tokenRepetition(col("text")).as("st"))
@@ -125,7 +128,7 @@ class TextNativeSpec extends SparkSpec {
       .orderBy("doc_id")
       .as[(Long, Long, Long, Long, Long)].collect()
     texts.zip(native).foreach { case ((id, t), (gid, n, nd, tt, tb)) =>
-      val toks = t.toLowerCase.split("\\s+").toSeq
+      val toks = t.toLowerCase.split("\\s+", -1).toSeq
       val bigrams = toks.sliding(2).filter(_.size == 2).map(_.mkString(" ")).toSeq
       assert(gid == id)
       assert(n == toks.length, s"n_tokens for doc $id")

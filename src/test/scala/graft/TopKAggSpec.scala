@@ -26,6 +26,26 @@ class TopKAggSpec extends SparkSpec {
     assert(agg.merge(whole, agg.zero) == whole)
   }
 
+  test("NaN values keep a total order: results are split-independent and nothing is dropped wrongly") {
+    // Double.compare order: NaN sorts as the LARGEST value (matching
+    // Spark SQL's ORDER BY ... DESC NaN placement); the bounded-buffer
+    // gate must not become undefined when the floor is NaN
+    val rows = Seq((1L, Double.NaN), (2L, Double.NaN), (3L, 100.0), (4L, 50.0))
+    val agg2 = TopKAgg.TopK(2)
+    // NaN != NaN under primitive ==, so compare (id, bit pattern)
+    def canon(b: Buf) = b.items.map(e => (e.id, java.lang.Double.doubleToLongBits(e.value)))
+    val whole = rows.foldLeft(agg2.zero)(agg2.reduce)
+    assert(whole.items.map(_.id) == Seq(1L, 2L))
+    for (cut <- 1 until rows.size) {
+      val (a, b) = rows.splitAt(cut)
+      val merged = agg2.merge(a.foldLeft(agg2.zero)(agg2.reduce), b.foldLeft(agg2.zero)(agg2.reduce))
+      assert(canon(merged) == canon(whole), s"split at $cut")
+    }
+    // with k=3 the real value must survive below the NaNs
+    val whole3 = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(whole3.items.map(_.id) == Seq(1L, 2L, 3L))
+  }
+
   test("agg_topk_heap equals the window form on the same table at any partitioning") {
     val heap = SparkEntry.queries("agg_topk_heap")(spark, sf0001).collect().toSeq
     val window = SparkEntry.queries("topk_per_group")(spark, sf0001).collect().toSeq

@@ -33,7 +33,7 @@ class WinnowSpec extends SparkSpec {
     val text = ("the quick brown fox jumps over the lazy dog " * 4).trim
     val Seq(a, b) = Seq(fps(Seq((0L, text))), fps(Seq((0L, text))))
     assert(a(0L) == b(0L), "same text must fingerprint identically")
-    val nShingles = text.split("\\s+").length - 2
+    val nShingles = text.split("\\s+", -1).length - 2
     assert(a(0L).nonEmpty && a(0L).size < nShingles,
       s"expected 1..${nShingles - 1} fingerprints, got ${a(0L).size}")
   }
