@@ -2,7 +2,37 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, HllSketchEstimate, Literal}
+import org.apache.spark.sql.catalyst.expressions.aggregate.{AggregateExpression, Count, HllSketchAgg}
+import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.internal.SQLConf
+
+/** Opt-in COUNT(DISTINCT x) → HLL-sketch-estimate rewrite (the classic
+  * interactive-BI approximation toggle): with session conf
+  * `graft.sql.approxDistinct=true`, exact distinct aggregation — which
+  * plans as an Expand + two exchanges over the distinct keys — becomes a
+  * single-pass mergeable sketch (±~2% at lgK 14, the engine's HLL
+  * default). Opt-IN only: the conf defaults off and the driver's
+  * correctness gate runs exact; injected as a resolution rule so the
+  * rewrite happens before distinct-aggregate planning.
+  */
+case class ApproxDistinctRewrite(lgK: Int = 14) extends Rule[LogicalPlan] {
+  private def enabled: Boolean =
+    SQLConf.get.getConfString("graft.sql.approxDistinct", "false") == "true"
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!enabled) plan
+    else plan.resolveOperatorsUp {
+      case a: Aggregate => a.transformExpressions {
+        case ae @ AggregateExpression(Count(Seq(child)), _, true, None, _)
+            if child.resolved =>
+          HllSketchEstimate(
+            ae.copy(aggregateFunction = new HllSketchAgg(child, Literal(lgK)),
+              isDistinct = false))
+      }
+    }
+}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * functions into every session built with
@@ -17,6 +47,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(_ => ApproxDistinctRewrite())
     ext.injectFunction((
       FunctionIdentifier("fvdot"),
       info("fvdot", "fvdot(a, b) - dot product of two float arrays in double precision"),

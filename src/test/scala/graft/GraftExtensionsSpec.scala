@@ -46,4 +46,43 @@ class GraftExtensionsSpec extends AnyFunSuite {
       prevActive.foreach(SparkSession.setActiveSession)
     }
   }
+
+  test("graft.sql.approxDistinct=true rewrites COUNT(DISTINCT) to an HLL estimate; off stays exact") {
+    SparkTestSession.spark
+    val prevDefault = SparkSession.getDefaultSession
+    val prevActive = SparkSession.getActiveSession
+    SparkSession.clearDefaultSession()
+    SparkSession.clearActiveSession()
+    try {
+      val spark = SparkSession.builder()
+        .withExtensions(new org.apache.spark.sql.graft.GraftExtensions)
+        .getOrCreate()
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      Tables.eventsRaw(spark, "/root/testdata/sf0.001")
+        .createOrReplaceTempView("ext_events")
+      val q = "SELECT count(DISTINCT user_id) AS u FROM ext_events"
+      val exact = spark.sql(q).head().getLong(0)
+
+      spark.conf.set("graft.sql.approxDistinct", "true")
+      try {
+        val approxDf = spark.sql(q)
+        val plan = approxDf.queryExecution.optimizedPlan.toString
+        assert(plan.contains("hll_sketch_estimate"),
+          s"rewrite must appear in the plan:\n$plan")
+        val approx = approxDf.head().getLong(0)
+        assert(math.abs(approx - exact).toDouble / exact <= 0.02,
+          s"approx $approx vs exact $exact")
+      } finally spark.conf.set("graft.sql.approxDistinct", "false")
+
+      // conf off: exact plan, exact answer, no sketch anywhere
+      val offDf = spark.sql(q)
+      assert(!offDf.queryExecution.optimizedPlan.toString.contains("hll_sketch"))
+      assert(offDf.head().getLong(0) == exact)
+    } finally {
+      SparkSession.clearDefaultSession()
+      SparkSession.clearActiveSession()
+      prevDefault.foreach(SparkSession.setDefaultSession)
+      prevActive.foreach(SparkSession.setActiveSession)
+    }
+  }
 }
