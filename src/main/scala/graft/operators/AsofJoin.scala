@@ -36,7 +36,7 @@ object AsofJoin {
         lit(0).as("__side") :+ col(valueCol)): _*)
     val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    taggedLeft.select(taggedRight.columns.map(col): _*)
+    taggedLeft.select(taggedRight.columns.toIndexedSeq.map(col): _*)
       .unionAll(taggedRight)
       .withColumn(valueCol, last(col(valueCol), ignoreNulls = true).over(w))
       .where(col("__side") === 1)

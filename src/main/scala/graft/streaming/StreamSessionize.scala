@@ -42,7 +42,7 @@ object StreamSessionize {
       CompletedVisit(domain, user, v.startMs, v.nPageviews, v.nPageviews == 1)
 
     if (state.hasTimedOut) {
-      val out = state.getOption.map(completed).toIterator
+      val out = state.getOption.map(completed).iterator
       state.remove()
       out
     } else {
