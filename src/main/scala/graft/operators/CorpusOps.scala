@@ -334,6 +334,58 @@ object CorpusOps {
         .orderBy("doc_id")
     },
 
+    // Global training-order shuffle: assign every doc a deterministic
+    // pseudo-random shard and position — the "shuffle the corpus before
+    // the data loader reads it" step. Shard = first md5 NIBBLE VALUE mod
+    // 8 (uniform: 16 % 8 = 0 — the hex chars' ASCII codes are not
+    // contiguous, so char codes would skew), order within shard =
+    // (md5, doc_id) — no RNG state, so re-runs and engines agree;
+    // shard_pack preserves doc order and packs by budget, this permutes.
+    //
+    // Scale: the within-shard position is the distributed per-stratum
+    // prefix sum keyed by shard (`stratumPrefix`) — one range exchange,
+    // never a whole shard ranked through one task.
+    withOracle(
+      "shard_shuffle",
+      """SELECT doc_id, shard, CAST(row_number() OVER (PARTITION BY shard
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS pos
+        |FROM (SELECT doc_id,
+        |             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS INT) % 8 AS shard
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 1), 16, 10)
+            .cast("int") % 8).cast("string").as("lang"),
+          lit(1L).as("v"))
+      stratumPrefix(docs)
+        .select(col("doc_id"), col("lang").cast("int").as("shard"),
+          col("rank").as("pos"))
+        .orderBy("doc_id")
+    },
+
+    // Deterministic train/validation/test split by content-free hash:
+    // the first four md5 nibbles of the doc id bucket each row 80/10/10
+    // (uniform to within 65536-mod-100 rounding, ~0.002%) with no RNG
+    // state —
+    // stable under re-runs, engines, and partitionings, and disjoint by
+    // construction. Row-local (zero shuffles).
+    withOracle(
+      "split_train_eval",
+      """SELECT split, count(*) AS n_docs FROM (
+        |  SELECT CASE WHEN b < 80 THEN 'train'
+        |              WHEN b < 90 THEN 'valid' ELSE 'test' END AS split
+        |  FROM (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INT) % 100 AS b
+        |        FROM documents))
+        |GROUP BY split ORDER BY split""".stripMargin) { (s, dir) =>
+      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+      Tables.documents(s, dir)
+        .select(when(b < 80, "train").when(b < 90, "valid").otherwise("test").as("split"))
+        .groupBy("split").agg(count(lit(1)).as("n_docs"))
+        .orderBy("split")
+    },
+
     // Per-vector int8 quantization (min/max affine): the 4× memory cut
     // that makes billion-vector ANN serve from RAM. Declared as the
     // quantization *summary* (bounds + quantized-value checksum) so the
