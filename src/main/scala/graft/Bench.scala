@@ -78,8 +78,13 @@ object Bench {
     // Sorted by name: Map iteration order reshuffles whenever a query is
     // added, which changes which query pays each warm-cache/GC transition
     // and makes cross-round per-query comparisons noisy. A fixed order
-    // keeps timing attribution stable across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // keeps timing attribution stable across rounds. SPARK_GRAFT_ORDER=
+    // reverse exists only for controlled order-sensitivity experiments.
+    val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
+    val ordered =
+      if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) ordered0.reverse
+      else ordered0
+    val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true } catch {
