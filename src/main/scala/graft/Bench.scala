@@ -80,38 +80,79 @@ object Bench {
     // and makes cross-round per-query comparisons noisy. A fixed order
     // keeps timing attribution stable across rounds. SPARK_GRAFT_ORDER=
     // reverse exists only for controlled order-sensitivity experiments.
+    // SPARK_GRAFT_ONLY=a,b,c restricts the run to named queries — for
+    // local attribution probes only; the driver never sets it.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val ordered0 = SparkEntry.queries.toSeq.sortBy(_._1)
-    val ordered =
-      if (sys.env.get("SPARK_GRAFT_ORDER").contains("reverse")) ordered0.reverse
-      else ordered0
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val orderEnv = sys.env.get("SPARK_GRAFT_ORDER")
+    val ordered = orderEnv match {
+      case Some("reverse")       => ordered0.reverse
+      case None | Some("sorted") => ordered0
+      case Some(other) =>
+        // an unnoticed typo (e.g. "reversed") must not silently invalidate
+        // an order-sensitivity experiment
+        System.err.println(
+          s"[bench] WARNING: unrecognized SPARK_GRAFT_ORDER='$other'; using sorted order")
+        ordered0
+    }
+    // Single-run per-query times in this sandbox carry >2x environmental
+    // noise (page cache, GC, machine load — r6 vs r7 swung 3-5x both ways
+    // on identical binaries). Medians over N>=3 back-to-back reps are the
+    // smallest unit that supports per-query cross-round comparison.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(3)
+    System.err.println(
+      s"[bench] order=${if (ordered eq ordered0) "sorted" else "reverse"} reps=$reps queries=${ordered.size} sf=$sfDir")
+    def median(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      val n = s.size
+      if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
+    }
+    // localCheckpoint blocks (CC loops, staged ingests) are freed by the
+    // ContextCleaner only after a GC notices the RDD is unreachable; with
+    // a large heap, GC never runs on its own, dead blocks pile up in the
+    // block manager, and queries late in the suite pay for state leaked by
+    // earlier ones (the r7 mid-suite dedup-family "regression"). A forced
+    // GC between queries keeps each measurement starting from a clean
+    // block manager. SPARK_GRAFT_BENCH_GC=0 disables (for experiments).
+    val gcBetween = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
+    // (median, min) per query; -1 marks a failure so a fast crash can't
+    // masquerade as a speedup; failures don't contribute to the total
     val results = ordered.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true } catch {
+      if (gcBetween) { System.gc(); Thread.sleep(200) }
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch {
           case e: Throwable =>
-            errors += 1
             System.err.println(s"[bench] $name failed: $e")
-            false
+            -1.0
         }
-      // -1 marks a failure in the per-query map so a fast crash can't
-      // masquerade as a speedup; failures don't contribute to the total
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      }
+      if (times.exists(_ < 0)) { errors += 1; name -> (-1.0, -1.0) }
+      else name -> (median(times), times.min)
     }
     def fmt(v: Double): String = java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.map(_._2._1).filter(_ >= 0).sum
     // The harness tail-captures only the last ~2000 chars of output, and a
     // JSON line whose head (where "metric"/"value" live) is cut cannot be
     // parsed. So: full per-query detail first (complete in the full log,
     // possibly head-truncated in the tail), then ONE compact final line —
     // total + the slowest queries — guaranteed to fit whole in the window.
     val qsAll = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")
     println(s"""{"detail":$qsAll}""")
-    val slowest = results.toSeq.sortBy(-_._2).take(12)
-      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+    val qsMin = results.toSeq.sortBy(_._1)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v._2) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"errors":$errors,"sf":"$sfDir","total_sec":${fmt(total)}}""")
+    println(s"""{"detail_min":$qsMin}""")
+    val slowest = results.toSeq.sortBy(-_._2._1).take(12)
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v._1) }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"errors":$errors,"reps":$reps,"stat":"median","sf":"$sfDir","total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }

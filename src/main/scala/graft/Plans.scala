@@ -33,7 +33,7 @@ object Plans {
     // materializes eagerly via localCheckpoint, like contamination_check)
     "text_repetition", "text_pii_scrub", "text_unigram_logprob",
     "pack_sequences", "corpus_mix_weights", "window_lag_delta",
-    "agg_stats", "sink_partitioned")
+    "agg_stats")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
@@ -53,6 +53,18 @@ object Plans {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       sb.append(s"\n## $name\n\n```\n$plan```\n")
+    }
+    // sink_partitioned's query lambda runs its ingest eagerly when the
+    // DataFrame is built; dump the read-back plan (the half PlanSpec pins
+    // — PartitionFilters on the partition predicate) over a store staged
+    // once here, so regenerating PLANS.md doesn't re-run the write job
+    // inside plan construction.
+    locally {
+      val store = Files.createTempDirectory("graft_plans").toString + "/store"
+      graft.operators.IngestOps.stagePartitionedStore(spark, sfDir, store)
+      val df = graft.operators.IngestOps.partitionedReadBack(spark, store)
+      val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      sb.append(s"\n## sink_partitioned (read-back over a pre-staged store)\n\n```\n$plan```\n")
     }
     Files.writeString(Paths.get(out), sb.toString)
     spark.stop()

@@ -108,6 +108,32 @@ object FactStore {
       .parquet(masterPath)
   }
 
+  /** Opt-in BUCKETED master store for the person-key join path
+    * (BatchWorkflow.java:607-619's id-rewrite): materializes the caller's
+    * join-key expression as a `person_key` column and buckets+sorts the
+    * store by it. A scan of this store arrives at a person-key sort-merge
+    * join already hash-clustered — NO Exchange above the (100 TB) fact
+    * side; only the person-cardinality canonical-id map shuffles.
+    * Proven by BucketingSpec.
+    *
+    * Bucketing metadata lives in the table catalog, not in parquet, hence
+    * saveAsTable over an external `path` (deployments: any catalog-backed
+    * table; the plain [[ingest]] path stays catalog-free). Order matters
+    * at scale: deduplicate BEFORE this ingest — a post-scan distinct
+    * re-shuffles on the whole row and forfeits the co-location.
+    */
+  def ingestBucketed(facts: Dataset[Fact], table: String, path: String,
+      personKey: Column, nBuckets: Int = 32): Unit = {
+    invariantGuard(facts.toDF())
+      .withColumn("person_key", personKey)
+      .write.mode(SaveMode.Append)
+      .option("path", path)
+      .partitionBy("kind")
+      .bucketBy(nBuckets, "person_key").sortBy("person_key")
+      .format("parquet")
+      .saveAsTable(table)
+  }
+
   def readAll(spark: SparkSession, masterPath: String): Dataset[Fact] = {
     import spark.implicits._
     spark.read.parquet(masterPath).as[Fact]

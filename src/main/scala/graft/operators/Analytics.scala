@@ -138,9 +138,9 @@ object Analytics {
     withOracle(
       "props_json_extract",
       """SELECT event_type, count(*) AS n,
-        |       CAST(sum(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS BIGINT) AS k_sum,
-        |       min(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS k_min,
-        |       max(CAST(regexp_extract(props, '[0-9]+') AS BIGINT)) AS k_max
+        |       CAST(sum(CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT)) AS BIGINT) AS k_sum,
+        |       min(CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT)) AS k_min,
+        |       max(CAST(regexp_extract(props, '"k":\s*(-?[0-9]+)', 1) AS BIGINT)) AS k_max
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, dir) =>
       Tables.eventsRaw(s, dir)
         .select(col("event_type"),

@@ -5,6 +5,7 @@ import java.nio.file.Files
 import graft.{QueryDef, Tables}
 import graft.QueryDef.withOracle
 import graft.model.{Fact, FactKind, FactStore, PersonId}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ingest-pipeline operators declared as round-trip queries (SURVEY.md
@@ -158,15 +159,28 @@ object IngestOps {
          |FROM events WHERE event_type = 'purchase'
          |GROUP BY 1, 2 ORDER BY day""".stripMargin) { (s, dir) =>
       val store = newMaster()
-      Tables.events(s, dir)
-        .groupBy(col("event_type"),
-          graft.functions.TimeFunctions.fdiv(col("ts_secs"), 86400L).as("day"))
-        .agg(count(lit(1)).as("n"))
-        .write.partitionBy("event_type").parquet(store)
-      s.read.parquet(store)
-        .where(col("event_type") === "purchase")
-        .select(col("event_type"), col("day"), col("n"))
-        .orderBy("day")
+      stagePartitionedStore(s, dir, store)
+      partitionedReadBack(s, store)
     }
   )
+
+  /** Writer half of sink_partitioned: daily counts, partitionBy the
+    * low-cardinality dimension.
+    */
+  def stagePartitionedStore(s: SparkSession, dir: String, store: String): Unit =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"),
+        graft.functions.TimeFunctions.fdiv(col("ts_secs"), 86400L).as("day"))
+      .agg(count(lit(1)).as("n"))
+      .write.partitionBy("event_type").parquet(store)
+
+  /** Reader half: the partition-predicate read-back whose plan must show
+    * PartitionFilters (PlanSpec). Split from the writer so a plan dump
+    * can target a pre-staged store instead of re-running the ingest.
+    */
+  def partitionedReadBack(s: SparkSession, store: String): DataFrame =
+    s.read.parquet(store)
+      .where(col("event_type") === "purchase")
+      .select(col("event_type"), col("day"), col("n"))
+      .orderBy("day")
 }

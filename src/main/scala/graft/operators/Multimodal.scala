@@ -8,10 +8,10 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing (SURVEY.md §2.9): media treated as opaque
   * `binary` columns with typed metadata, processed by batched
   * per-partition extractors. The Spark-side shapes — schema, batch
-  * iteration, partitioning, output contract — are real and tested; the
-  * actual media decode is STUBBED (no image/audio libs in this
-  * container): `decodeStub` derives deterministic fake features from the
-  * bytes. Swapping in a real decoder changes only that one function.
+  * iteration, partitioning, output contract — are real and tested.
+  * Image media types get a REAL decode (JDK ImageIO — PNG/JPEG/GIF/BMP
+  * ship with the JVM, no external libs); other media types fall back to
+  * `decodeStub`, the seam an audio/video codec plugs into.
   *
   * Scale notes: extraction is `mapPartitions` over the binary column —
   * embarrassingly parallel, no shuffle; partition sizing is controlled
@@ -25,11 +25,15 @@ object Multimodal {
     */
   case class MediaRow(doc_id: Long, media_type: String, n_bytes: Long, payload: Array[Byte])
 
+  /** width/height are decode outputs of raster media; None for the
+    * byte-level fallback path.
+    */
   case class MediaFeatures(
       doc_id: Long, media_type: String, n_bytes: Long,
-      byte_mean: Double, feature: Array[Float])
+      byte_mean: Double, feature: Array[Float],
+      width: Option[Int] = None, height: Option[Int] = None)
 
-  /** STUB decoder — stands in for image/audio decode + feature extraction.
+  /** STUB decoder — stands in for the codecs the JVM lacks (audio/video).
     * Deterministic in the payload bytes: mean byte value and a 4-dim
     * "embedding" from rolling byte sums. Replace with a real codec to
     * productionize; the surrounding plumbing does not change.
@@ -50,6 +54,43 @@ object Multimodal {
       sum.toDouble / n, acc.map(a => (a.toDouble / n).toFloat))
   }
 
+  /** REAL raster decode via JDK ImageIO: byte_mean is the mean Rec.601
+    * luma over all pixels, the 4-dim feature is the mean (R, G, B, A)
+    * channels — an actual (tiny) image embedding, deterministic in the
+    * decoded pixels rather than the compressed bytes.
+    */
+  def decodeImage(r: MediaRow): MediaFeatures = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+    require(img != null, s"undecodable ${r.media_type} payload for doc ${r.doc_id}")
+    val w = img.getWidth
+    val h = img.getHeight
+    val chan = new Array[Double](4)
+    var lum = 0.0
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val argb = img.getRGB(x, y)
+        val rr = (argb >> 16) & 0xff
+        val g = (argb >> 8) & 0xff
+        val b = argb & 0xff
+        chan(0) += rr; chan(1) += g; chan(2) += b; chan(3) += (argb >>> 24) & 0xff
+        lum += 0.299 * rr + 0.587 * g + 0.114 * b
+        x += 1
+      }
+      y += 1
+    }
+    val n = math.max(w * h, 1)
+    MediaFeatures(r.doc_id, r.media_type, r.n_bytes,
+      lum / n, chan.map(c => (c / n).toFloat), Some(w), Some(h))
+  }
+
+  /** Per-media-type dispatch: real codec where the JVM has one, stub
+    * elsewhere.
+    */
+  def decode(r: MediaRow): MediaFeatures =
+    if (r.media_type.startsWith("image/")) decodeImage(r) else decodeStub(r)
+
   /** The documents table rendered as media rows (text bytes as the opaque
     * payload) — the binary-column ingest path.
     */
@@ -68,8 +109,11 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
-      // real pipeline: init decoder/codec once per partition here
-      rows.map(decodeStub)
+      // decoder init once per partition: ImageIO's plugin registry scans
+      // on first use per JVM; disabling the on-disk cache keeps executor
+      // tasks from contending on a temp directory
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(decode)
     }
   }
 

@@ -47,6 +47,51 @@ object TextOps {
       size(regexp_extract_all(col("text"), lit(PhonePat), lit(0)))
         .cast("long").as("n_phones"))
 
+  /** Per-doc mean negative log-likelihood under corpus unigram
+    * frequencies, with a BOUNDED vocabulary model:
+    *
+    *   - Frequency floor (`graft.unigram.minCount`, default 2): only
+    *     token types with count >= minCount enter the vocab relation;
+    *     everything else is OOV and backs off to count max(minCount-1,1).
+    *     Heaps'-law singletons are ~half of all types in raw web text, so
+    *     the floor alone removes the unbounded tail that would otherwise
+    *     grow the vocab toward 10^8-10^9 types at 100 TB.
+    *   - Size guard (`graft.unigram.maxVocab`, default 5M types): the
+    *     floored vocab is broadcast only when its type count fits; above
+    *     the guard the score join falls back to a shuffle join, which is
+    *     slower but cannot OOM the driver/executors.
+    *
+    * The total-token normalizer counts ALL occurrences (OOV included), so
+    * probabilities stay comparable across minCount settings. The one
+    * driver-side action is a two-scalar aggregate (total, vocab size) —
+    * the same pass the old plan spent materializing the broadcast `total`
+    * relation, now reused to pick the join strategy; no extra scan.
+    *
+    * Scale: building the vocab is the one corpus-wide token shuffle
+    * (train the LM once, score everything); the broadcast path keeps the
+    * exploded token stream shuffle-free until the per-doc aggregate,
+    * which collapses map-side (a doc's tokens are colocated).
+    */
+  def unigramLogprob(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val minCount = spark.conf.get("graft.unigram.minCount", "2").toInt
+    val maxVocab = spark.conf.get("graft.unigram.maxVocab", "5000000").toLong
+    val oovCount = math.max(minCount - 1, 1).toLong
+    val tok = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+    val vcAll = tok.groupBy("t").agg(count(lit(1)).as("c"))
+    val stats = vcAll.agg(
+      sum("c").as("total"),
+      sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("vtypes")).head()
+    val totalTokens = stats.getLong(0)
+    val vocabTypes = stats.getLong(1)
+    val vc = vcAll.where(col("c") >= minCount)
+    val vcSide = if (vocabTypes <= maxVocab) broadcast(vc) else vc
+    tok.join(vcSide, Seq("t"), "left_outer")
+      .groupBy("doc_id")
+      .agg(round(avg(-log(
+        coalesce(col("c"), lit(oovCount)) / lit(totalTokens))), 4).as("nll"))
+  }
+
   def shinglePairCte(src: String = "documents"): String =
     s"""toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
       |              FROM $src),
@@ -396,15 +441,12 @@ object TextOps {
     // CCNet/RefinedWeb in its unigram form): per-doc mean negative
     // log-likelihood under corpus token frequencies. High nll = rare
     // vocabulary (specialist text or noise), low = common-word text;
-    // pipelines cut the tails.
+    // pipelines cut the tails. Semantics and plan in unigramLogprob.
     //
-    // Scale: the vocab relation is token-TYPE-sized (Heaps' law — ~1M
-    // types for a 100 TB corpus), so the score join broadcasts it; the
-    // exploded token stream never shuffles for the join, and the per-doc
-    // aggregate collapses map-side (a doc's tokens are colocated — the
-    // shuffle carries one partial row per doc). Building the vocab is
-    // the one corpus-wide token shuffle, as in production (train the LM
-    // once, score everything).
+    // The oracle is the unbounded form: with the default minCount=2
+    // floor, an OOV token backs off to count minCount-1 = 1, which IS a
+    // singleton's true count — floored and unbounded scores are equal by
+    // construction, at any scale factor.
     withOracle(
       "text_unigram_logprob",
       """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
@@ -414,15 +456,7 @@ object TextOps {
         |SELECT doc_id, round(avg(-ln(c * 1.0 / total)), 4) AS nll
         |FROM tok JOIN vc USING (t) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
-      val tok = Tables.documents(s, dir)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      val vc = tok.groupBy("t").agg(count(lit(1)).as("c"))
-      val tot = vc.agg(sum("c").as("total"))
-      tok.join(broadcast(vc), "t")
-        .crossJoin(broadcast(tot))
-        .groupBy("doc_id")
-        .agg(round(avg(-log(col("c") / col("total"))), 4).as("nll"))
-        .orderBy("doc_id")
+      unigramLogprob(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Incremental dedup: the nightly-crawl step — drop each NEW doc

@@ -200,10 +200,18 @@ object VectorOps {
     * column-free aggregate job (no vector bytes read), paid once before
     * committing to an O(n²) join.
     */
-  def pairGuard(df: DataFrame, maxRows: Long = 200000L): Unit = {
+  /** Refuses the O(n²) all-pairs form above `maxRows`. 20k rows is already
+    * 2×10⁸ candidate pairs — roughly the most a single job should spend on
+    * the exact form; anything larger belongs on the bucketed paths
+    * (ann_lsh / near_dedup_minhash). Raise deliberately per-session via
+    * `graft.allpairs.maxRows` if a one-off exact run is really wanted.
+    */
+  def pairGuard(df: DataFrame, maxRows: Option[Long] = None): Unit = {
+    val cap = maxRows.getOrElse(
+      df.sparkSession.conf.get("graft.allpairs.maxRows", "20000").toLong)
     val n = df.count()
-    require(n <= maxRows,
-      s"all-pairs similarity on $n rows exceeds the $maxRows guard; use ann_lsh")
+    require(n <= cap,
+      s"all-pairs similarity on $n rows exceeds the $cap guard; use ann_lsh")
   }
 
   /** Deterministic sign-random-projection band codes: plane (t, p) is a

@@ -329,10 +329,18 @@ object StreamViews {
       s"""SELECT event_type AS url, $hb AS hbv, count(*) AS pageviews
          |FROM events GROUP BY 1, 2 ORDER BY url, hbv""".stripMargin) { (s, dir) =>
       val ev = graft.Tables.events(s, dir)
-      // deterministic cutoff at ~4/5 of the event-time span: the batch
-      // view owns [min, cutoff), the speed view [cutoff, max]
-      val mm = ev.agg(min(col("ts_secs")), max(col("ts_secs"))).head()
-      val cutoff = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 4 / 5
+      // The cutoff is DEPLOYMENT METADATA — the last batch run's high
+      // watermark, which a production serving layer reads from the batch
+      // pipeline's commit record, not from the data. `graft.serving.
+      // cutoffSecs` is that seam; only when unset do we derive a
+      // deterministic stand-in (~4/5 of the event-time span) with one
+      // 2-scalar min/max scan. The batch view owns [min, cutoff), the
+      // speed view [cutoff, max].
+      val cutoff = s.conf.getOption("graft.serving.cutoffSecs")
+        .map(_.toLong).getOrElse {
+          val mm = ev.agg(min(col("ts_secs")), max(col("ts_secs"))).head()
+          mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 4 / 5
+        }
       val batchView = ev.where(col("ts_secs") < cutoff)
         .groupBy(col("event_type").as("url"), hourBucket(col("ts_secs")).as("hbv"))
         .agg(count(lit(1)).as("pv"))
@@ -410,7 +418,10 @@ object StreamViews {
           .agg(count(lit(1)).as("pv"))
           .orderBy(col("pv").desc, col("url"))
           .limit(3)
-      }
+      // the memory sink happens to preserve the complete-mode emission
+      // order, but no sink contract promises it — re-sort the (k-sized)
+      // read-back rather than rely on it
+      }.orderBy(col("pv").desc, col("url"))
     },
 
     // Continuous corpus intake: the pretraining funnel's row-local stages

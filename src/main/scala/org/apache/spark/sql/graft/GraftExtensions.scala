@@ -21,12 +21,24 @@ case class ApproxDistinctRewrite(lgK: Int = 14) extends Rule[LogicalPlan] {
   private def enabled: Boolean =
     SQLConf.get.getConfString("graft.sql.approxDistinct", "false") == "true"
 
+  // HllSketchAgg only accepts these input types (its checkInputDataTypes);
+  // rewriting a count(DISTINCT <double>) would turn a valid exact query
+  // into an AnalysisException, so unsupported types stay exact.
+  private def sketchable(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.StringType |
+           org.apache.spark.sql.types.BinaryType => true
+      case _ => false
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!enabled) plan
     else plan.resolveOperatorsUp {
       case a: Aggregate => a.transformExpressions {
         case ae @ AggregateExpression(Count(Seq(child)), _, true, None, _)
-            if child.resolved =>
+            if child.resolved && sketchable(child.dataType) =>
           HllSketchEstimate(
             ae.copy(aggregateFunction = new HllSketchAgg(child, Literal(lgK)),
               isDistinct = false))

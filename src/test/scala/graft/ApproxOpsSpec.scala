@@ -102,4 +102,14 @@ class ApproxOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(byG("h") == byG("d") && byG("d") == byG("w") && byG("w") == byG("m"))
   }
+
+  test("pairGuard trips above the all-pairs cap and honors the conf override") {
+    val big = spark.range(30001).toDF("vec_id")
+    val ex = intercept[IllegalArgumentException](VectorOps.pairGuard(big))
+    assert(ex.getMessage.contains("exceeds the 20000"))
+    VectorOps.pairGuard(spark.range(20000).toDF("vec_id")) // at the cap: fine
+    spark.conf.set("graft.allpairs.maxRows", "40000")
+    try VectorOps.pairGuard(big) // raised deliberately: passes
+    finally spark.conf.unset("graft.allpairs.maxRows")
+  }
 }

@@ -34,4 +34,41 @@ class MultimodalSpec extends SparkSpec {
       assert(f.byte_mean > 0 && f.byte_mean < 256)
     }
   }
+
+  private def pngBytes(pixels: Array[Array[Int]]): Array[Byte] = {
+    val h = pixels.length
+    val w = pixels(0).length
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, pixels(y)(x))
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("image/png payloads get a REAL ImageIO decode with exact channel means (through the Spark path)") {
+    // 2x2: red, green / blue, opaque white — channel means are exact
+    // quarters, luma is the Rec.601 mix
+    val px = Array(
+      Array(0xffff0000, 0xff00ff00),
+      Array(0xff0000ff, 0xffffffff))
+    val png = pngBytes(px)
+    val media = Seq(MediaRow(7L, "image/png", png.length.toLong, png)).toDS()
+    val f = extractFeatures(media).collect().head
+    assert(f.width.contains(2) && f.height.contains(2), s"decoded size: ${f.width}x${f.height}")
+    // mean R = (255+0+0+255)/4, G = (0+255+0+255)/4, B = (0+0+255+255)/4, A = 255
+    assert(f.feature.toSeq == Seq(127.5f, 127.5f, 127.5f, 255.0f), f.feature.toSeq)
+    val lum = (0.299 * 255 + 0.587 * 255 + 0.114 * 255 + // white
+      0.299 * 255 + 0.587 * 255 + 0.114 * 255) / 4 // + red + green + blue = one full mix each
+    assert(math.abs(f.byte_mean - lum) < 1e-9, s"byte_mean=${f.byte_mean} expected=$lum")
+    // PNG is compressed: the decode provably ran on pixels, not payload
+    // bytes — the stub over the same payload gives a different answer
+    val stub = decodeStub(MediaRow(7L, "application/octet-stream", png.length.toLong, png))
+    assert(stub.byte_mean != f.byte_mean)
+  }
+
+  test("a corrupt image payload fails loudly, not silently") {
+    val bad = Seq(MediaRow(1L, "image/png", 4L, Array[Byte](1, 2, 3, 4))).toDS()
+    val ex = intercept[Exception](extractFeatures(bad).collect())
+    assert(ex.getMessage != null)
+  }
 }

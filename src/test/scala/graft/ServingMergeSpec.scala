@@ -40,4 +40,22 @@ class ServingMergeSpec extends SparkSpec {
       .agg(sum(col("pageviews"))).head().getLong(0)
     assert(merged == below + above)
   }
+
+  test("a conf-provided cutoff replaces the derived one (no min/max scan) and still merges exactly") {
+    val ev = Tables.events(spark, sf0001)
+    // pick a different split point than the derived 4/5 one: the median-ish
+    // 1/2 point, supplied the way a deployment would — from batch-run
+    // metadata via conf
+    val mm = ev.agg(min(col("ts_secs")), max(col("ts_secs"))).head()
+    val confCutoff = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2
+    spark.conf.set("graft.serving.cutoffSecs", confCutoff.toString)
+    try {
+      val merged = SparkEntry.queries("serving_merge")(spark, sf0001)
+        .agg(sum(col("pageviews"))).head().getLong(0)
+      assert(merged == ev.count(), "merged view must equal the full recompute at any cutoff")
+      // and the conf cutoff genuinely split the data (both views non-empty)
+      assert(ev.where(col("ts_secs") < confCutoff).limit(1).count() == 1)
+      assert(ev.where(col("ts_secs") >= confCutoff).limit(1).count() == 1)
+    } finally spark.conf.unset("graft.serving.cutoffSecs")
+  }
 }

@@ -58,4 +58,52 @@ class TextOpsSpec extends SparkSpec {
     val twice = TextOps.piiScrub(once).as[(Long, String, Long, Long)].head()
     assert(twice == ((0L, "reach me: <EMAIL> / <PHONE>", 0L, 0L)))
   }
+
+  // counts: a=3 b=2 c=1, total=6 (the OOV-inclusive normalizer)
+  private def unigramDocs = Seq((0L, "a a b"), (1L, "a b c")).toDF("doc_id", "text")
+
+  test("unigramLogprob: default floor matches the unbounded model exactly") {
+    // minCount=2 floors singletons out of the vocab, and they back off to
+    // count minCount-1 = 1 — their true count — so scores are identical
+    // to the unbounded model (this is what keeps the DuckDB oracle green)
+    val got = TextOps.unigramLogprob(unigramDocs).orderBy("doc_id")
+      .as[(Long, Double)].collect().toSeq
+    def nll(cs: Double*) = -cs.map(c => math.log(c / 6.0)).sum / cs.size
+    assert(math.abs(got(0)._2 - nll(3, 3, 2)) < 5e-5)
+    assert(math.abs(got(1)._2 - nll(3, 2, 1)) < 5e-5)
+  }
+
+  test("unigramLogprob: minCount floor bounds the vocab and backs off OOV") {
+    spark.conf.set("graft.unigram.minCount", "3")
+    try {
+      // vocab is now {a} only; b (count 2) and c (count 1) are OOV and
+      // score with backoff count minCount-1 = 2; normalizer stays 6
+      val got = TextOps.unigramLogprob(unigramDocs).orderBy("doc_id")
+        .as[(Long, Double)].collect().toSeq
+      def nll(cs: Double*) = -cs.map(c => math.log(c / 6.0)).sum / cs.size
+      assert(math.abs(got(0)._2 - nll(3, 3, 2)) < 5e-5)
+      assert(math.abs(got(1)._2 - nll(3, 2, 2)) < 5e-5)
+    } finally spark.conf.unset("graft.unigram.minCount")
+  }
+
+  test("unigramLogprob: above the maxVocab guard the score join is a shuffle join, same result") {
+    val onBroadcastPath = TextOps.unigramLogprob(unigramDocs)
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    spark.conf.set("graft.unigram.maxVocab", "1")
+    // suppress Catalyst's own small-table auto-broadcast (fixture-sized
+    // stats would hide the guard): the claim is that above the guard we
+    // no longer FORCE a broadcast of an arbitrarily large vocab
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = TextOps.unigramLogprob(unigramDocs)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"vocab above the guard must not broadcast:\n$plan")
+      val got = df.orderBy("doc_id").as[(Long, Double)].collect().toSeq
+      assert(got == onBroadcastPath, "join strategy must not change scores")
+    } finally {
+      spark.conf.unset("graft.unigram.maxVocab")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -1,29 +1,34 @@
 package graft
 
 import graft.functions.TopKAgg
-import graft.functions.TopKAgg.{Buf, Entry}
+import graft.functions.TopKAgg.{Buf, Entry, HeapBuf}
 
 class TopKAggSpec extends SparkSpec {
   import spark.implicits._
 
   private val agg = TopKAgg.TopK(3)
 
+  // HeapBuf equality is referential on its arrays — compare through
+  // finish(), the output the query actually consumes
+  private def items(b: HeapBuf): Seq[Entry] = agg.finish(b).items
+
   test("reduce keeps the buffer bounded at k and ordered (value desc, id asc)") {
     val rows = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0), (5L, 7.0), (6L, 9.0))
     val b = rows.foldLeft(agg.zero)(agg.reduce)
-    assert(b.items == Seq(Entry(9.0, 2L), Entry(9.0, 3L), Entry(9.0, 6L)))
-    assert(b.items.size <= 3)
+    assert(items(b) == Seq(Entry(9.0, 2L), Entry(9.0, 3L), Entry(9.0, 6L)))
+    assert(b.size <= 3 && b.values.length == 3 && b.ids.length == 3)
   }
 
   test("merge is order-insensitive: any split of the input gives the same top-k") {
     val rows = (1L to 40L).map(i => (i, (i * 7 % 13).toDouble))
-    val whole = rows.foldLeft(agg.zero)(agg.reduce)
+    val whole = items(rows.foldLeft(agg.zero)(agg.reduce))
     for (cut <- Seq(1, 13, 20, 39)) {
       val (a, b) = rows.splitAt(cut)
       val merged = agg.merge(a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
-      assert(merged == whole, s"split at $cut")
+      assert(items(merged) == whole, s"split at $cut")
     }
-    assert(agg.merge(whole, agg.zero) == whole)
+    val w2 = rows.foldLeft(agg.zero)(agg.reduce)
+    assert(items(agg.merge(w2, agg.zero)) == whole)
   }
 
   test("NaN values keep a total order: results are split-independent and nothing is dropped wrongly") {
@@ -35,15 +40,26 @@ class TopKAggSpec extends SparkSpec {
     // NaN != NaN under primitive ==, so compare (id, bit pattern)
     def canon(b: Buf) = b.items.map(e => (e.id, java.lang.Double.doubleToLongBits(e.value)))
     val whole = rows.foldLeft(agg2.zero)(agg2.reduce)
-    assert(whole.items.map(_.id) == Seq(1L, 2L))
+    assert(agg2.finish(whole).items.map(_.id) == Seq(1L, 2L))
     for (cut <- 1 until rows.size) {
       val (a, b) = rows.splitAt(cut)
       val merged = agg2.merge(a.foldLeft(agg2.zero)(agg2.reduce), b.foldLeft(agg2.zero)(agg2.reduce))
-      assert(canon(merged) == canon(whole), s"split at $cut")
+      assert(canon(agg2.finish(merged)) == canon(agg2.finish(whole)), s"split at $cut")
     }
     // with k=3 the real value must survive below the NaNs
     val whole3 = rows.foldLeft(agg.zero)(agg.reduce)
-    assert(whole3.items.map(_.id) == Seq(1L, 2L, 3L))
+    assert(items(whole3).map(_.id) == Seq(1L, 2L, 3L))
+  }
+
+  test("the buffer survives an encoder round trip mid-aggregation (sort-based fallback path)") {
+    val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+      agg.bufferEncoder.asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[HeapBuf]])
+    val ser = enc.createSerializer()
+    val de = enc.resolveAndBind().createDeserializer()
+    val half = Seq((1L, 5.0), (2L, 9.0)).foldLeft(agg.zero)(agg.reduce)
+    val roundTripped = de(ser(half).copy())
+    val resumed = Seq((3L, 7.0), (4L, 1.0)).foldLeft(roundTripped)(agg.reduce)
+    assert(items(resumed) == Seq(Entry(9.0, 2L), Entry(7.0, 3L), Entry(5.0, 1L)))
   }
 
   test("agg_topk_heap equals the window form on the same table at any partitioning") {
