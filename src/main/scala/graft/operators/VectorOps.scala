@@ -124,6 +124,15 @@ object VectorOps {
     noOracle("ann_ivf") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       annIvf(s, emb, probeFilter = col("vec_id") < 10, k = 5)
+    },
+
+    // The scale form of near_dedup_cosine: LSH-bucketed candidate pairs +
+    // exact-cosine verify at the same 0.4 threshold. Exact verification
+    // means every emitted pair is correct (subset of the all-pairs form);
+    // only recall is approximate → measured in ApproxOpsSpec, no oracle.
+    noOracle("near_dedup_cosine_lsh") { (s, dir) =>
+      cosineNearDupLsh(s, Tables.embeddings(s, dir), threshold = 0.4)
+        .orderBy("i", "j")
     }
   )
 
@@ -212,6 +221,47 @@ object VectorOps {
     val n = df.count()
     require(n <= cap,
       s"all-pairs similarity on $n rows exceeds the $cap guard; use ann_lsh")
+  }
+
+  /** Cosine near-dup PAIRS at scale (the embedding-dedup shape of
+    * SemDeDup-style pipelines): SRP-LSH banded candidates — a pair is a
+    * candidate when its vectors share a band code in ANY table — then
+    * exact-cosine verify on candidates only, then the threshold filter.
+    * This is the production replacement for the pairGuard-refused
+    * all-pairs `near_dedup_cosine`: cost is O(candidate pairs), tunable
+    * by (nTables, nPlanes), never O(n²).
+    *
+    * Parameter shape differs from top-k search (annLsh's 8×6): DEDUP
+    * must recall moderately-similar pairs down at the threshold, so fewer
+    * planes per band (higher per-band collision odds) and more tables.
+    * At cos = 0.4 a 4-bit band collides with p ≈ 0.63⁴ ≈ 0.16 and 16
+    * tables give ≈ 94% recall, rising steeply with similarity; measured
+    * against the exact form in ApproxOpsSpec.
+    *
+    * Scale: band codes are a zero-shuffle compiled pass (lshBandCodes);
+    * the candidate self-join shuffles on (t, code) with the same
+    * hot-bucket cap as the minhash path (degenerate embeddings — e.g.
+    * all-zero vectors sharing one code — would otherwise square inside
+    * one bucket); verification touches candidates only. Exact cosine at
+    * the end means NO false positives — only recall is approximate.
+    */
+  def cosineNearDupLsh(spark: SparkSession, emb: DataFrame, threshold: Double,
+      nTables: Int = 16, nPlanes: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val codes = lshBandCodes(spark, emb, nTables, nPlanes)
+    val banded = NearDedup.dropHotBuckets(codes, Seq("t", "code"), maxBucket, "srp-lsh")
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.t") === col("b.t") && col("a.code") === col("b.code") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"))
+      .distinct()
+    candidates
+      .join(emb.select(col("vec_id").as("i"), col("embedding").as("ei")), "i")
+      .join(emb.select(col("vec_id").as("j"), col("embedding").as("ej")), "j")
+      .withColumn("cos", cosine(col("ei"), col("ej")))
+      .where(col("cos") >= threshold)
+      .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
   }
 
   /** Deterministic sign-random-projection band codes: plane (t, p) is a

@@ -103,6 +103,31 @@ class ApproxOpsSpec extends SparkSpec {
     assert(byG("h") == byG("d") && byG("d") == byG("w") && byG("w") == byG("m"))
   }
 
+  test("near_dedup_cosine_lsh: no false positives, high recall vs the exact all-pairs form (sf0.01)") {
+    val emb = Tables.embeddings(spark, sf001)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = SparkEntry.queries("near_dedup_cosine")(spark, sf001)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    val lsh = VectorOps.cosineNearDupLsh(spark, emb, threshold = 0.4)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    // soundness: exact verification ⇒ every emitted pair is a true pair
+    // with the identical cosine
+    lsh.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive pair $k")
+      assert(exact(k) == c, s"cosine mismatch on $k: exact=${exact(k)} lsh=$c")
+    }
+    // recall at the 16×4 dedup shape: ≥ 80% of all threshold pairs, and
+    // ≥ 95% of the high-similarity (cos ≥ 0.6) pairs a dedup pass most
+    // needs (collision odds rise steeply with similarity)
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.8, s"recall $recall (${lsh.size}/${exact.size})")
+    val hi = exact.filter(_._2 >= 0.6)
+    if (hi.nonEmpty) {
+      val hiRecall = hi.keys.count(lsh.contains).toDouble / hi.size
+      assert(hiRecall >= 0.95, s"high-sim recall $hiRecall")
+    }
+  }
+
   test("pairGuard trips above the all-pairs cap and honors the conf override") {
     val big = spark.range(30001).toDF("vec_id")
     val ex = intercept[IllegalArgumentException](VectorOps.pairGuard(big))
