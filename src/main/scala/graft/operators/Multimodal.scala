@@ -123,8 +123,9 @@ object Multimodal {
     */
   val FrameBytes = 256
 
-  /** Stub "resize": stride-2 byte downsample standing in for an image
-    * resize — per-row payload transform with recomputed metadata.
+  /** Stub "resize": stride-2 byte downsample standing in for a media
+    * resize on types the JVM has no codec for — per-row payload
+    * transform with recomputed metadata.
     */
   def resizeStub(payload: Array[Byte]): Array[Byte] = {
     val out = new Array[Byte]((payload.length + 1) / 2)
@@ -132,6 +133,32 @@ object Multimodal {
     while (i < out.length) { out(i) = payload(i * 2); i += 1 }
     out
   }
+
+  /** REAL image resize for ImageIO-decodable payloads: decode, scale to
+    * max(1, dim/2) per axis (bilinear), re-encode PNG. Pure row-local
+    * payload→payload transform — the same mapPartitions shape as the
+    * stub, so swapping codecs never touches the plumbing.
+    */
+  def resizeImage(payload: Array[Byte]): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val w = math.max(1, img.getWidth / 2)
+    val h = math.max(1, img.getHeight / 2)
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_ARGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Media-type dispatch for resize, like [[decode]]. */
+  def resize(mediaType: String, payload: Array[Byte]): Array[Byte] =
+    if (mediaType.startsWith("image/")) resizeImage(payload) else resizeStub(payload)
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -163,8 +190,10 @@ object Multimodal {
         |       CAST((octet_length(encode(text)) + 1) // 2 AS BIGINT) AS n_resized
         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       import s.implicits._
+      // documents are text/plain → the stub path with its exact size
+      // arithmetic; image payloads route through the real ImageIO resize
       documentsAsMedia(Tables.documents(s, dir))
-        .map(r => (r.doc_id, r.n_bytes, resizeStub(r.payload).length.toLong))
+        .map(r => (r.doc_id, r.n_bytes, resize(r.media_type, r.payload).length.toLong))
         .toDF("doc_id", "n_bytes", "n_resized")
         .orderBy("doc_id")
     },

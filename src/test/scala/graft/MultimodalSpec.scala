@@ -66,6 +66,26 @@ class MultimodalSpec extends SparkSpec {
     assert(stub.byte_mean != f.byte_mean)
   }
 
+  test("image resize halves each axis through a real decode-scale-reencode cycle") {
+    // 4x4 solid color → resize → decode back: 2x2, same color (bilinear
+    // interpolation of a constant field is constant)
+    val px = Array.fill(4)(Array.fill(4)(0xff336699))
+    val resized = Multimodal.resize("image/png", pngBytes(px))
+    // PNG magic: the output is a re-encoded image, not sampled bytes
+    assert((resized(0) & 0xff) == 0x89 && resized(1) == 'P'.toByte)
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(resized))
+    assert(back.getWidth == 2 && back.getHeight == 2)
+    assert((0 until 2).forall(y => (0 until 2).forall(x => back.getRGB(x, y) == 0xff336699)))
+    // 1x1 floor: never resizes to zero
+    val tiny = Multimodal.resize("image/png", pngBytes(Array(Array(0xff000000))))
+    val backTiny = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tiny))
+    assert(backTiny.getWidth == 1 && backTiny.getHeight == 1)
+    // non-image media types keep the byte-stride stub (the oracle-checked
+    // size arithmetic path)
+    val stubbed = Multimodal.resize("text/plain", Array[Byte](1, 2, 3, 4, 5))
+    assert(stubbed.toSeq == Seq[Byte](1, 3, 5))
+  }
+
   test("a corrupt image payload fails loudly, not silently") {
     val bad = Seq(MediaRow(1L, "image/png", 4L, Array[Byte](1, 2, 3, 4))).toDS()
     val ex = intercept[Exception](extractFeatures(bad).collect())
