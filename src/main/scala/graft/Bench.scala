@@ -116,7 +116,11 @@ object Bench {
     // block manager, and queries late in the suite pay for state leaked by
     // earlier ones (the r7 mid-suite dedup-family "regression"). A forced
     // GC between queries keeps each measurement starting from a clean
-    // block manager. SPARK_GRAFT_BENCH_GC=0 disables (for experiments).
+    // block manager. Between REPS of one query no GC is needed: the
+    // leak only hurts once it accumulates across many queries (measured:
+    // cc_union, the leakiest query, is flat across 6 back-to-back reps
+    // standalone — 4.35-4.5 s; see BASELINE.md probe A). SPARK_GRAFT_
+    // BENCH_GC=0 disables (for experiments).
     val gcBetween = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
     // (median, min) per query; -1 marks a failure so a fast crash can't
     // masquerade as a speedup; failures don't contribute to the total

@@ -85,11 +85,19 @@ object Multimodal {
       lum / n, chan.map(c => (c / n).toFloat), Some(w), Some(h))
   }
 
+  /** True when the JVM ships a codec for this media type. Capability
+    * probe, not a prefix test: `image/webp` or `image/heic` payloads are
+    * perfectly valid media this JVM simply cannot decode — they must take
+    * the stub path, not crash the job.
+    */
+  def imageIoDecodable(mediaType: String): Boolean =
+    javax.imageio.ImageIO.getImageReadersByMIMEType(mediaType).hasNext
+
   /** Per-media-type dispatch: real codec where the JVM has one, stub
     * elsewhere.
     */
   def decode(r: MediaRow): MediaFeatures =
-    if (r.media_type.startsWith("image/")) decodeImage(r) else decodeStub(r)
+    if (imageIoDecodable(r.media_type)) decodeImage(r) else decodeStub(r)
 
   /** The documents table rendered as media rows (text bytes as the opaque
     * payload) — the binary-column ingest path.
@@ -156,9 +164,15 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** Media-type dispatch for resize, like [[decode]]. */
+  /** Media-type dispatch for resize, like [[decode]]. NOTE the image path
+    * re-encodes as PNG whatever the input format — a caller that carries
+    * `media_type` alongside the payload must set it to [[ResizedImageType]]
+    * on that path (bytes-in/bytes-out keeps the two stub/real paths
+    * signature-compatible; the in-repo resize query records sizes only).
+    */
+  val ResizedImageType = "image/png"
   def resize(mediaType: String, payload: Array[Byte]): Array[Byte] =
-    if (mediaType.startsWith("image/")) resizeImage(payload) else resizeStub(payload)
+    if (imageIoDecodable(mediaType)) resizeImage(payload) else resizeStub(payload)
 
   val defs: Seq[QueryDef] = Seq(
 

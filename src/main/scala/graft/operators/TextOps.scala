@@ -82,8 +82,11 @@ object TextOps {
     val stats = vcAll.agg(
       sum("c").as("total"),
       sum(when(col("c") >= minCount, 1L).otherwise(0L)).as("vtypes")).head()
-    val totalTokens = stats.getLong(0)
-    val vocabTypes = stats.getLong(1)
+    // empty/all-blank corpus: sum over zero rows is null — the result is
+    // empty either way, but building it must not NPE (and log(c/total)
+    // must not divide by zero on the no-rows plan)
+    val totalTokens = math.max(if (stats.isNullAt(0)) 0L else stats.getLong(0), 1L)
+    val vocabTypes = if (stats.isNullAt(1)) 0L else stats.getLong(1)
     val vc = vcAll.where(col("c") >= minCount)
     val vcSide = if (vocabTypes <= maxVocab) broadcast(vc) else vc
     tok.join(vcSide, Seq("t"), "left_outer")

@@ -91,4 +91,15 @@ class MultimodalSpec extends SparkSpec {
     val ex = intercept[Exception](extractFeatures(bad).collect())
     assert(ex.getMessage != null)
   }
+
+  test("image types the JVM has no codec for take the stub path instead of crashing") {
+    // a valid webp payload would be undecodable by ImageIO — capability
+    // dispatch must route it (and any unknown image subtype) to the stub
+    assert(!Multimodal.imageIoDecodable("image/webp"))
+    assert(Multimodal.imageIoDecodable("image/png"))
+    val rows = Seq(MediaRow(1L, "image/webp", 4L, Array[Byte](10, 20, 30, 40))).toDS()
+    val f = extractFeatures(rows).collect().head
+    assert(f.width.isEmpty && f.byte_mean == 25.0) // stub features, no throw
+    assert(Multimodal.resize("image/webp", Array[Byte](1, 2, 3)).toSeq == Seq[Byte](1, 3))
+  }
 }

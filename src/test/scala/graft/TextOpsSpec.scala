@@ -86,6 +86,11 @@ class TextOpsSpec extends SparkSpec {
     } finally spark.conf.unset("graft.unigram.minCount")
   }
 
+  test("unigramLogprob: an empty or all-blank corpus yields an empty result, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.unigramLogprob(empty).count() == 0)
+  }
+
   test("unigramLogprob: above the maxVocab guard the score join is a shuffle join, same result") {
     val onBroadcastPath = TextOps.unigramLogprob(unigramDocs)
       .orderBy("doc_id").as[(Long, Double)].collect().toSeq
