@@ -139,6 +139,12 @@ class PlanSpec extends SparkSpec {
       s"band-code computation must be a narrow map:\n${plan(df)}")
   }
 
+  test("near_dedup_cosine_lsh is bucketed: no cartesian/nested-loop pair generation") {
+    val p = plan(q("near_dedup_cosine_lsh"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"candidate pairs must come from the (t, code) equi-join:\n$p")
+  }
+
   test("minhash/simhash signatures are row-local (zero shuffles)") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sf0001)
