@@ -28,6 +28,18 @@ object Workflow {
   private def newMaster(): String =
     Files.createTempDirectory("graft_workflow").toString + "/master"
 
+  /** The reference's `Debug` print-through predicate
+    * (BatchWorkflow.java:277-282) mapped Spark-first: `Dataset.observe`
+    * attaches named metrics (row count + any extra aggregates) that
+    * materialize WITH the action that runs the query — no second scan, no
+    * executor-side printing. Read the numbers from
+    * `df.queryExecution.observedMetrics` (or a QueryExecutionListener in
+    * production) after the action. Rows pass through untouched.
+    */
+  def debugObserve(df: org.apache.spark.sql.DataFrame, name: String,
+      extra: org.apache.spark.sql.Column*): org.apache.spark.sql.DataFrame =
+    df.observe(name, count(lit(1)).as("rows"), extra: _*)
+
   /** Shared recursive-CTE body: the union-typed equiv graph of
     * equivFactsFromEvents, transitive closure, min-key canonical per node.
     */

@@ -20,6 +20,18 @@ class FactStoreSpec extends SparkSpec {
     Fact.pageProperty(PageId("http://foo.com/a"), 10, 70)
   ).toDS()
 
+  test("debugObserve reports pass-through metrics from the same action (the reference's Debug predicate)") {
+    val observed = graft.operators.Workflow.debugObserve(
+      sampleFacts.toDF(), "ingest_debug", sum(col("pedigree.trueAsOfSecs")).as("ts_sum"))
+    // rows unchanged, one action — collect() executes THIS Dataset's
+    // queryExecution (count() would plan a new one whose metrics the
+    // original handle never sees)
+    assert(observed.collect().length == 5)
+    val m = observed.queryExecution.observedMetrics("ingest_debug")
+    assert(m.getAs[Long]("rows") == 5L)
+    assert(m.getAs[Long]("ts_sum") == 60 + 62 + 100 + 50 + 70)
+  }
+
   test("round-trip: all fact kinds survive partitioned write + typed read") {
     val master = tmpMaster()
     FactStore.ingest(sampleFacts, master)
