@@ -51,6 +51,34 @@ class TopKAggSpec extends SparkSpec {
     assert(items(whole3).map(_.id) == Seq(1L, 2L, 3L))
   }
 
+  test("property: random inputs, random splits, random merge order == sorted-take-k reference") {
+    val rnd = new scala.util.Random(42)
+    def reference(rows: Seq[(Long, Double)], k: Int): Seq[Entry] =
+      rows.map { case (id, v) => Entry(v, id) }
+        .sortWith { (a, b) =>
+          val c = java.lang.Double.compare(b.value, a.value)
+          c < 0 || (c == 0 && a.id < b.id)
+        }.take(k)
+    def canon(es: Seq[Entry]) = es.map(e => (e.id, java.lang.Double.doubleToLongBits(e.value)))
+    for (trial <- 1 to 200) {
+      val k = 1 + rnd.nextInt(6)
+      val a = TopKAgg.TopK(k)
+      val n = rnd.nextInt(40)
+      // duplicate values and ids on purpose; occasional NaN/±0.0
+      val rows = Seq.fill(n)((rnd.nextInt(10).toLong, rnd.nextInt(5) match {
+        case 0 => Double.NaN
+        case 1 => if (rnd.nextBoolean()) 0.0 else -0.0
+        case _ => (rnd.nextInt(9) - 4).toDouble
+      }))
+      // random split into chunks, fold each, merge in random order
+      val chunks = rows.grouped(1 + rnd.nextInt(rows.size + 1)).toSeq
+      val bufs = rnd.shuffle(chunks.map(_.foldLeft(a.zero)(a.reduce)))
+      val merged = bufs.foldLeft(a.zero)(a.merge)
+      assert(canon(a.finish(merged).items) == canon(reference(rows, k)),
+        s"trial $trial k=$k rows=$rows")
+    }
+  }
+
   test("the buffer survives an encoder round trip mid-aggregation (sort-based fallback path)") {
     val enc = org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
       agg.bufferEncoder.asInstanceOf[org.apache.spark.sql.catalyst.encoders.AgnosticEncoder[HeapBuf]])
