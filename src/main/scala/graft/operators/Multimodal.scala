@@ -88,10 +88,15 @@ object Multimodal {
   /** True when the JVM ships a codec for this media type. Capability
     * probe, not a prefix test: `image/webp` or `image/heic` payloads are
     * perfectly valid media this JVM simply cannot decode — they must take
-    * the stub path, not crash the job.
+    * the stub path, not crash the job. Memoized per executor JVM: the
+    * registry scan is a lookup over plugin SPIs, far too slow to repeat
+    * per row, and a JVM's codec set never changes mid-job.
     */
+  private val decodableCache =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
   def imageIoDecodable(mediaType: String): Boolean =
-    javax.imageio.ImageIO.getImageReadersByMIMEType(mediaType).hasNext
+    decodableCache.computeIfAbsent(mediaType,
+      mt => javax.imageio.ImageIO.getImageReadersByMIMEType(mt).hasNext)
 
   /** Per-media-type dispatch: real codec where the JVM has one, stub
     * elsewhere.
