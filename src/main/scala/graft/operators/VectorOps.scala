@@ -223,20 +223,55 @@ object VectorOps {
       s"all-pairs similarity on $n rows exceeds the $cap guard; use ann_lsh")
   }
 
+  /** SRP-LSH parameters sized from the JOB, not constants: a fixed plane
+    * count is a scale bug — 4 planes = 16 buckets/table, so at 10⁹ rows
+    * every bucket holds ~10⁸ vectors, the bucket self-join squares, and
+    * the hot-bucket cap would drop every bucket (recall → 0).
+    *
+    *  - `nPlanes` grows with log₂(n / targetBucket) so the AVERAGE bucket
+    *    stays ~maxBucket/4 regardless of corpus size (capped at 24 bits).
+    *  - `nTables` then comes from the standard OR-amplification identity:
+    *    recall = 1 − (1 − p^b)^T with p = 1 − arccos(threshold)/π, solved
+    *    for T at `targetRecall` (capped at 256).
+    *
+    * Returns (nTables, nPlanes). When the cap truncates T — which
+    * happens for LOW thresholds at scale, where LSH is intrinsically
+    * weak (at cos 0.4, p^19 ≈ 1.5e-4: no table count recalls 90%) — the
+    * achievable recall is logged so the tradeoff is visible, not silent.
+    */
+  def lshDedupParams(threshold: Double, targetRecall: Double, nRows: Long,
+      maxBucket: Int): (Int, Int) = {
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
+    val nPlanes = math.min(24, math.max(4,
+      math.ceil(math.log(math.max(1.0, nRows.toDouble / (maxBucket / 4.0))) / math.log(2)).toInt))
+    val pb = math.pow(p, nPlanes)
+    val ideal = math.ceil(math.log(1 - targetRecall) / math.log(1 - pb))
+    val nTables = math.min(256.0, math.max(1.0, ideal)).toInt
+    if (ideal > nTables) {
+      val achievable = 1.0 - math.pow(1.0 - pb, nTables)
+      System.err.println(f"[graft] srp-lsh: threshold=$threshold%.2f needs " +
+        f"$ideal%.0f tables for recall $targetRecall%.2f at $nRows rows; capped at " +
+        f"$nTables → recall ≈ $achievable%.2f at the threshold (higher for more-similar pairs). " +
+        "Raise the threshold or accept the recall.")
+    }
+    (nTables, nPlanes)
+  }
+
   /** Cosine near-dup PAIRS at scale (the embedding-dedup shape of
     * SemDeDup-style pipelines): SRP-LSH banded candidates — a pair is a
     * candidate when its vectors share a band code in ANY table — then
     * exact-cosine verify on candidates only, then the threshold filter.
     * This is the production replacement for the pairGuard-refused
-    * all-pairs `near_dedup_cosine`: cost is O(candidate pairs), tunable
-    * by (nTables, nPlanes), never O(n²).
+    * all-pairs `near_dedup_cosine`: cost is O(candidate pairs), never
+    * O(n²).
     *
-    * Parameter shape differs from top-k search (annLsh's 8×6): DEDUP
-    * must recall moderately-similar pairs down at the threshold, so fewer
-    * planes per band (higher per-band collision odds) and more tables.
-    * At cos = 0.4 a 4-bit band collides with p ≈ 0.63⁴ ≈ 0.16 and 16
-    * tables give ≈ 94% recall, rising steeply with similarity; measured
-    * against the exact form in ApproxOpsSpec.
+    * Parameters default to [[lshDedupParams]] sized from a column-free
+    * count of the corpus (one cheap pre-job, like pairGuard's);
+    * pass both explicitly to pin a shape. DEDUP needs a different shape
+    * from top-k search (annLsh's 8×6): recall is required down at the
+    * threshold, so bucket width tracks the corpus and tables come from
+    * the amplification identity. Measured against the exact form in
+    * ApproxOpsSpec.
     *
     * Scale: band codes are a zero-shuffle compiled pass (lshBandCodes);
     * the candidate self-join shuffles on (t, code) with the same
@@ -246,9 +281,12 @@ object VectorOps {
     * the end means NO false positives — only recall is approximate.
     */
   def cosineNearDupLsh(spark: SparkSession, emb: DataFrame, threshold: Double,
-      nTables: Int = 16, nPlanes: Int = 4,
+      nTables: Int = 0, nPlanes: Int = 0, targetRecall: Double = 0.9,
       maxBucket: Int = 10000): DataFrame = {
-    val codes = lshBandCodes(spark, emb, nTables, nPlanes)
+    val (t, b) =
+      if (nTables > 0 && nPlanes > 0) (nTables, nPlanes)
+      else lshDedupParams(threshold, targetRecall, emb.count(), maxBucket)
+    val codes = lshBandCodes(spark, emb, t, b)
     val banded = NearDedup.dropHotBuckets(codes, Seq("t", "code"), maxBucket, "srp-lsh")
     val candidates = banded.as("a")
       .join(banded.as("b"),

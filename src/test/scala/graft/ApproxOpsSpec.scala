@@ -128,6 +128,24 @@ class ApproxOpsSpec extends SparkSpec {
     }
   }
 
+  test("lshDedupParams sizes buckets to the corpus and tables to the recall identity") {
+    // fixture scale: few rows → minimum planes, tables from the identity
+    val (tSmall, bSmall) = VectorOps.lshDedupParams(0.4, 0.9, 2000L, 10000)
+    assert(bSmall == 4)
+    assert(tSmall >= 10 && tSmall <= 20, s"tables=$tSmall")
+    // 10^9 rows at a real dedup threshold: planes grow with log2(n) so the
+    // average bucket stays ~maxBucket/4; tables stay modest because high
+    // similarity collides often
+    val (tBig, bBig) = VectorOps.lshDedupParams(0.9, 0.9, 1000000000L, 10000)
+    assert(bBig == 19, s"planes=$bBig") // log2(1e9/2500) ≈ 18.6
+    assert(1000000000.0 / math.pow(2, bBig) < 10000, "average bucket under the cap")
+    assert(tBig >= 20 && tBig <= 80, s"tables=$tBig")
+    // low threshold at scale: LSH is intrinsically weak — the table cap
+    // engages rather than exploding the job
+    val (tLow, _) = VectorOps.lshDedupParams(0.4, 0.9, 1000000000L, 10000)
+    assert(tLow == 256, s"tables=$tLow")
+  }
+
   test("pairGuard trips above the all-pairs cap and honors the conf override") {
     val big = spark.range(30001).toDF("vec_id")
     val ex = intercept[IllegalArgumentException](VectorOps.pairGuard(big))
