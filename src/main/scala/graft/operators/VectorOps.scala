@@ -123,7 +123,10 @@ object VectorOps {
     // the data. Approximate → recall measured in ApproxOpsSpec.
     noOracle("ann_ivf") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      annIvf(s, emb, probeFilter = col("vec_id") < 10, k = 5)
+      // fixture shape pinned at 16 cells so the recall measurement in
+      // ApproxOpsSpec stays comparable across rounds; production callers
+      // take the √n auto-sizing default
+      annIvf(s, emb, probeFilter = col("vec_id") < 10, k = 5, nCells = 16)
     },
 
     // The scale form of near_dedup_cosine: LSH-bucketed candidate pairs +
@@ -136,11 +139,26 @@ object VectorOps {
     }
   )
 
+  /** IVF cell count by the standard √n rule (FAISS-style): cells track
+    * the corpus so the average cell is √n rows — a CONSTANT cell count is
+    * a scale bug (16 cells at 10⁹ rows = 6×10⁷-row cells; nProbe of those
+    * is a near-full scan). Floor 16 (coarser quantizes poorly), cap 4096
+    * (k-means training cost; beyond this, shard the index).
+    */
+  def ivfCells(nRows: Long): Int =
+    math.max(16, math.min(4096, math.ceil(math.sqrt(nRows.toDouble)).toInt))
+
   /** IVF: train a seeded k-means coarse quantizer, assign corpus rows to
     * cells, search each probe's nProbe nearest cells, exact-rerank.
+    *
+    * `nCells = 0` (default) auto-sizes by [[ivfCells]]. Training runs on
+    * a seeded sample capped at `maxTrainRows`: the quantizer needs the
+    * density shape, not every row — full-corpus k-means at 10⁹ rows would
+    * cost ~10 corpus passes before the index even exists. Below the cap
+    * the sample is the whole corpus, so fixture results are unchanged.
     */
   def annIvf(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
-      nCells: Int = 16, nProbe: Int = 4): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 4, maxTrainRows: Long = 100000L): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     import spark.implicits._
@@ -149,7 +167,12 @@ object VectorOps {
     // (init + iterations) plus the assignment transform, and each would
     // otherwise re-read the source and re-run the conversion
     val feat = emb.withColumn("features", toVec(col("embedding"))).localCheckpoint()
-    val model = new KMeans().setK(nCells).setSeed(42).setMaxIter(10).fit(feat)
+    val n = feat.count() // cheap: counts the checkpoint just materialized
+    val cells = if (nCells > 0) nCells else ivfCells(n)
+    val train =
+      if (n <= maxTrainRows) feat
+      else feat.sample(withReplacement = false, maxTrainRows.toDouble / n, seed = 42)
+    val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10).fit(train)
     val assigned = model.transform(feat)
       .select(col("vec_id").as("c"), col("embedding").as("ce"),
         col("prediction").as("cell"))

@@ -146,6 +146,12 @@ class ApproxOpsSpec extends SparkSpec {
     assert(tLow == 256, s"tables=$tLow")
   }
 
+  test("ivfCells follows the sqrt-n rule between its floor and cap") {
+    assert(VectorOps.ivfCells(100L) == 16) // floor: tiny corpora
+    assert(VectorOps.ivfCells(1000000L) == 1000) // √n in the open range
+    assert(VectorOps.ivfCells(1000000000L) == 4096) // cap: shard beyond this
+  }
+
   test("pairGuard trips above the all-pairs cap and honors the conf override") {
     val big = spark.range(30001).toDF("vec_id")
     val ex = intercept[IllegalArgumentException](VectorOps.pairGuard(big))
