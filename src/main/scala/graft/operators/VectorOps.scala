@@ -113,7 +113,10 @@ object VectorOps {
     // (recall vs similarity_topk measured in AnnLshSpec) → no DuckDB oracle.
     noOracle("ann_lsh") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      annLsh(s, emb, probeFilter = col("vec_id") < 10, k = 5)
+      // fixture shape pinned (8×6) so AnnLsh recall in ApproxOpsSpec
+      // stays comparable across rounds; production callers take the
+      // corpus-sized auto default
+      annLsh(s, emb, probeFilter = col("vec_id") < 10, k = 5, nPlanes = 6)
     },
 
     // IVF ANN: k-means coarse quantizer (seeded, MLlib), corpus bucketed
@@ -203,10 +206,22 @@ object VectorOps {
   /** LSH-bucketed approximate top-k: band join on (table, code), distinct
     * candidate pairs, exact rerank. At 100 TB this replaces the all-pairs
     * join: cost is O(candidates), tunable by (nTables, nPlanes).
+    *
+    * `nPlanes = 0` (default) auto-sizes like the dedup path: planes grow
+    * with log₂(n) so a probe's per-table candidate bucket stays ~2.5k
+    * rows regardless of corpus size (floor 6, cap 24) — a constant plane
+    * count makes every probe scan corpus/2^planes rows, a near-full scan
+    * at scale. Table count stays a recall/cost knob for the caller
+    * (search recall depends on the neighbors' similarity, which unlike a
+    * dedup threshold is not known a priori).
     */
   def annLsh(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
-      nTables: Int = 8, nPlanes: Int = 6): DataFrame = {
-    val codes = lshBandCodes(spark, emb, nTables, nPlanes)
+      nTables: Int = 8, nPlanes: Int = 0): DataFrame = {
+    val b =
+      if (nPlanes > 0) nPlanes
+      else math.min(24, math.max(6,
+        math.ceil(math.log(math.max(1.0, emb.count() / 2500.0)) / math.log(2)).toInt))
+    val codes = lshBandCodes(spark, emb, nTables, b)
     val probes = emb.where(probeFilter).select(col("vec_id").as("p"), col("embedding").as("pe"))
     val probeCodes = codes.join(probes, col("vec_id") === col("p"))
       .select(col("p"), col("t"), col("code"))
