@@ -92,8 +92,12 @@ object IngestOps {
          |FROM ex WHERE url = 'purchase' AND g = 'w'
          |GROUP BY url, g, bucket ORDER BY url, g, bucket""".stripMargin) { (s, dir) =>
       val store = newMaster()
+      // the serving layer's shard count is deployment config (ElephantDB
+      // domains fix it at creation, BatchWorkflow.java:304-330); default
+      // 32 matches the fixture layout
+      val shards = s.conf.get("graft.kv.shards", "32").toInt
       BatchViews.pageviewsOverTime(s, dir)
-        .repartition(32, col("url"))
+        .repartition(shards, col("url"))
         .write.parquet(store)
       s.read.parquet(store)
         .where(col("url") === "purchase" && col("g") === "w")

@@ -78,6 +78,17 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val offDf = spark.sql(q)
       assert(!offDf.queryExecution.optimizedPlan.toString.contains("hll_sketch"))
       assert(offDf.head().getLong(0) == exact)
+
+      // unsketchable input types stay exact instead of becoming an
+      // AnalysisException (HllSketchAgg rejects doubles)
+      spark.conf.set("graft.sql.approxDistinct", "true")
+      try {
+        val dbl = spark.sql(
+          "SELECT count(DISTINCT cast(user_id AS DOUBLE)) AS u FROM ext_events")
+        assert(!dbl.queryExecution.optimizedPlan.toString.contains("hll_sketch"),
+          "a double column must not be rewritten")
+        assert(dbl.head().getLong(0) == exact)
+      } finally spark.conf.set("graft.sql.approxDistinct", "false")
     } finally {
       SparkSession.clearDefaultSession()
       SparkSession.clearActiveSession()
