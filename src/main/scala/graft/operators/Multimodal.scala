@@ -26,12 +26,14 @@ object Multimodal {
   case class MediaRow(doc_id: Long, media_type: String, n_bytes: Long, payload: Array[Byte])
 
   /** width/height are decode outputs of raster media; None for the
-    * byte-level fallback path.
+    * byte-level fallback path. `decode_error` is None on success and the
+    * failure message on the quarantine path — downstream filters on it.
     */
   case class MediaFeatures(
       doc_id: Long, media_type: String, n_bytes: Long,
       byte_mean: Double, feature: Array[Float],
-      width: Option[Int] = None, height: Option[Int] = None)
+      width: Option[Int] = None, height: Option[Int] = None,
+      decode_error: Option[String] = None)
 
   /** STUB decoder — stands in for the codecs the JVM lacks (audio/video).
     * Deterministic in the payload bytes: mean byte value and a 4-dim
@@ -99,10 +101,29 @@ object Multimodal {
       mt => javax.imageio.ImageIO.getImageReadersByMIMEType(mt).hasNext)
 
   /** Per-media-type dispatch: real codec where the JVM has one, stub
-    * elsewhere.
+    * elsewhere. Fails loudly on a corrupt payload — the right default for
+    * a correctness-first pass; see [[decodeQuarantine]] for the
+    * skip-and-count policy a corpus-scale extraction usually wants.
     */
   def decode(r: MediaRow): MediaFeatures =
     if (imageIoDecodable(r.media_type)) decodeImage(r) else decodeStub(r)
+
+  /** Quarantine decode: a payload the codec rejects (truncated PNG,
+    * lying media_type) yields a null-feature row FLAGGED via
+    * `decode_error` instead of killing the task — at corpus scale one
+    * bad row aborting a whole extraction pass is a costly policy, so the
+    * caller chooses. Only decode failures are caught (IO / image-format
+    * errors); genuine bugs (OOM, NPE) still propagate.
+    */
+  def decodeQuarantine(r: MediaRow): MediaFeatures =
+    try decode(r)
+    catch {
+      case e @ (_: java.io.IOException | _: IllegalArgumentException |
+                _: javax.imageio.IIOException) =>
+        MediaFeatures(r.doc_id, r.media_type, r.n_bytes,
+          byte_mean = Double.NaN, feature = Array.empty[Float],
+          decode_error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+    }
 
   /** The documents table rendered as media rows (text bytes as the opaque
     * payload) — the binary-column ingest path.
@@ -119,14 +140,15 @@ object Multimodal {
     * real decoder plugs into (one decoder init per partition, streamed
     * rows).
     */
-  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  def extractFeatures(media: Dataset[MediaRow],
+      quarantine: Boolean = false): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { rows =>
       // decoder init once per partition: ImageIO's plugin registry scans
       // on first use per JVM; disabling the on-disk cache keeps executor
       // tasks from contending on a temp directory
       javax.imageio.ImageIO.setUseCache(false)
-      rows.map(decode)
+      if (quarantine) rows.map(decodeQuarantine) else rows.map(decode)
     }
   }
 

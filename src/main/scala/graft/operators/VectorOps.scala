@@ -165,22 +165,27 @@ object VectorOps {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     import spark.implicits._
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    // materialize the converted features once: k-means runs ~10 passes
-    // (init + iterations) plus the assignment transform, and each would
-    // otherwise re-read the source and re-run the conversion
-    val feat = emb.withColumn("features", toVec(col("embedding"))).localCheckpoint()
-    val n = feat.count() // cheap: counts the checkpoint just materialized
+    val n = emb.count() // column-free count: no vector bytes read
     val cells = if (nCells > 0) nCells else ivfCells(n)
-    val train =
-      if (n <= maxTrainRows) feat
-      else feat.sample(withReplacement = false, maxTrainRows.toDouble / n, seed = 42)
+    // train on the BOUNDED sample only: the ml.Vector conversion (a boxing
+    // UDF) and the localCheckpoint that feeds k-means' ~10 passes touch at
+    // most maxTrainRows rows, never the corpus — at 10⁹ rows the old
+    // full-corpus feat + checkpoint was the scale bug
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val sampled =
+      if (n <= maxTrainRows) emb
+      else emb.sample(withReplacement = false, maxTrainRows.toDouble / n, seed = 42)
+    val train = sampled.withColumn("features", toVec(col("embedding"))).localCheckpoint()
     val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10).fit(train)
-    val assigned = model.transform(feat)
-      .select(col("vec_id").as("c"), col("embedding").as("ce"),
-        col("prediction").as("cell"))
-    val centroids = model.clusterCenters.zipWithIndex
-      .map { case (v, i) => (i, v.toArray.map(_.toFloat)) }
+    val centroidArr: Array[Array[Float]] =
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    // corpus-wide cell assignment: one streamed codegen pass against the
+    // broadcast-sized centroid table — no ml.Vector boxing, no checkpoint
+    val assigned = emb.select(col("vec_id").as("c"), col("embedding").as("ce"),
+      org.apache.spark.sql.graft.SrpNative
+        .nearestCentroid(col("embedding"), centroidArr).as("cell"))
+    val centroids = centroidArr.zipWithIndex
+      .map { case (v, i) => (i, v) }
       .toSeq.toDF("cell", "centroid")
     val probes = emb.where(probeFilter)
       .select(col("vec_id").as("p"), col("embedding").as("pe"))
@@ -214,13 +219,20 @@ object VectorOps {
     * at scale. Table count stays a recall/cost knob for the caller
     * (search recall depends on the neighbors' similarity, which unlike a
     * dedup threshold is not known a priori).
+    *
+    * Auto-sizing needs the corpus row count; pass `nRows` when the
+    * caller already knows it (a catalog stat, a prior count) to skip the
+    * column-free count job over a possibly uncached `emb`.
     */
   def annLsh(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
-      nTables: Int = 8, nPlanes: Int = 0): DataFrame = {
+      nTables: Int = 8, nPlanes: Int = 0, nRows: Long = 0L): DataFrame = {
     val b =
       if (nPlanes > 0) nPlanes
-      else math.min(24, math.max(6,
-        math.ceil(math.log(math.max(1.0, emb.count() / 2500.0)) / math.log(2)).toInt))
+      else {
+        val n = if (nRows > 0) nRows else emb.count()
+        math.min(24, math.max(6,
+          math.ceil(math.log(math.max(1.0, n / 2500.0)) / math.log(2)).toInt))
+      }
     val codes = lshBandCodes(spark, emb, nTables, b)
     val probes = emb.where(probeFilter).select(col("vec_id").as("p"), col("embedding").as("pe"))
     val probeCodes = codes.join(probes, col("vec_id") === col("p"))
@@ -279,20 +291,42 @@ object VectorOps {
     */
   def lshDedupParams(threshold: Double, targetRecall: Double, nRows: Long,
       maxBucket: Int): (Int, Int) = {
-    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
-    val nPlanes = math.min(24, math.max(4,
+    val nPlanes = lshDedupPlanes(nRows, maxBucket)
+    (lshDedupTables(threshold, targetRecall, nPlanes, nRows), nPlanes)
+  }
+
+  /** Plane count alone: log₂(n / (maxBucket/4)), floor 4, cap 24 — the
+    * bucket-width half of [[lshDedupParams]], exposed so a caller pinning
+    * only the table count still gets corpus-sized buckets.
+    */
+  def lshDedupPlanes(nRows: Long, maxBucket: Int): Int =
+    math.min(24, math.max(4,
       math.ceil(math.log(math.max(1.0, nRows.toDouble / (maxBucket / 4.0))) / math.log(2)).toInt))
+
+  /** Table count alone, from the OR-amplification identity at a GIVEN
+    * plane count — the recall half of [[lshDedupParams]]. When p^b
+    * underflows to 0 (very low threshold × many planes) no finite table
+    * count reaches the target, so the cap engages with the same logged
+    * warning instead of the log(1-0)=0 division silently yielding 1
+    * table — the exact opposite of the intended weak-LSH behavior.
+    */
+  def lshDedupTables(threshold: Double, targetRecall: Double, nPlanes: Int,
+      nRows: Long): Int = {
+    val p = 1.0 - math.acos(math.min(1.0, math.max(-1.0, threshold))) / math.Pi
     val pb = math.pow(p, nPlanes)
-    val ideal = math.ceil(math.log(1 - targetRecall) / math.log(1 - pb))
+    val ideal =
+      if (pb > 0.0) math.ceil(math.log(1 - targetRecall) / math.log(1 - pb))
+      else Double.PositiveInfinity
     val nTables = math.min(256.0, math.max(1.0, ideal)).toInt
     if (ideal > nTables) {
       val achievable = 1.0 - math.pow(1.0 - pb, nTables)
       System.err.println(f"[graft] srp-lsh: threshold=$threshold%.2f needs " +
-        f"$ideal%.0f tables for recall $targetRecall%.2f at $nRows rows; capped at " +
+        (if (ideal.isPosInfinity) "unboundedly many" else f"$ideal%.0f") +
+        f" tables for recall $targetRecall%.2f at $nRows rows; capped at " +
         f"$nTables → recall ≈ $achievable%.2f at the threshold (higher for more-similar pairs). " +
         "Raise the threshold or accept the recall.")
     }
-    (nTables, nPlanes)
+    nTables
   }
 
   /** Cosine near-dup PAIRS at scale (the embedding-dedup shape of
@@ -304,8 +338,11 @@ object VectorOps {
     * O(n²).
     *
     * Parameters default to [[lshDedupParams]] sized from a column-free
-    * count of the corpus (one cheap pre-job, like pairGuard's);
-    * pass both explicitly to pin a shape. DEDUP needs a different shape
+    * count of the corpus (one cheap pre-job, like pairGuard's); each can
+    * also be pinned INDEPENDENTLY — an explicit `nPlanes` still gets its
+    * table count from the recall identity at that width, and an explicit
+    * `nTables` still gets corpus-sized buckets — so passing just one
+    * never silently discards it. DEDUP needs a different shape
     * from top-k search (annLsh's 8×6): recall is required down at the
     * threshold, so bucket width tracks the corpus and tables come from
     * the amplification identity. Measured against the exact form in
@@ -323,7 +360,14 @@ object VectorOps {
       maxBucket: Int = 10000): DataFrame = {
     val (t, b) =
       if (nTables > 0 && nPlanes > 0) (nTables, nPlanes)
-      else lshDedupParams(threshold, targetRecall, emb.count(), maxBucket)
+      else {
+        val n = emb.count()
+        val planes = if (nPlanes > 0) nPlanes else lshDedupPlanes(n, maxBucket)
+        val tables =
+          if (nTables > 0) nTables
+          else lshDedupTables(threshold, targetRecall, planes, n)
+        (tables, planes)
+      }
     val codes = lshBandCodes(spark, emb, t, b)
     val banded = NearDedup.dropHotBuckets(codes, Seq("t", "code"), maxBucket, "srp-lsh")
     val candidates = banded.as("a")
@@ -345,46 +389,18 @@ object VectorOps {
     * sign. Output one row per (vec_id, t) with the k-bit `code`.
     *
     * All nTables codes are computed in ONE compiled pass over the float
-    * array per row — zero shuffles and no per-dimension row blowup (the
-    * posexplode-and-regroup form shuffled dims× the corpus twice; at 768
-    * dims that is 768× the rows through two exchanges). The tiny
-    * tables×planes×dims weight matrix is precomputed on the driver and
-    * ships in the task closure.
+    * array per row — the native whole-stage-codegen'd
+    * [[org.apache.spark.sql.graft.SrpBandCodes]] expression (zero
+    * shuffles, no per-row Seq[Float] boxing, no per-dimension row blowup;
+    * the posexplode-and-regroup form shuffled dims× the corpus twice).
+    * A null embedding yields a null code array → no rows after
+    * posexplode, matching the historical UDF form.
     */
   def lshBandCodes(spark: SparkSession, emb: DataFrame,
       nTables: Int, nPlanes: Int): DataFrame = {
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
-    // weights[t*nPlanes + p][d]: deterministic Gaussian hyperplanes
-    val weights: Array[Array[Double]] =
-      Array.tabulate(nTables * nPlanes) { tp =>
-        val rnd = new java.util.Random(0x5eed0000L + tp)
-        Array.fill(dims)(rnd.nextGaussian())
-      }
-    val codesUdf = udf { (v: Seq[Float]) =>
-      if (v == null) null // null embedding -> no rows after posexplode
-      else {
-        // ragged rows: ignore dimensions beyond the sampled width (the
-        // old explode+join form dropped them via the inner weight join)
-        val n = math.min(v.length, dims)
-        val out = new Array[Long](nTables)
-        var t = 0
-        while (t < nTables) {
-          var code = 0L
-          var p = 0
-          while (p < nPlanes) {
-            val w = weights(t * nPlanes + p)
-            var acc = 0.0
-            var d = 0
-            while (d < n) { acc += w(d) * v(d); d += 1 }
-            if (acc >= 0) code |= 1L << p
-            p += 1
-          }
-          out(t) = code
-          t += 1
-        }
-        out
-      }
-    }
-    emb.select(col("vec_id"), posexplode(codesUdf(col("embedding"))).as(Seq("t", "code")))
+    val codes = org.apache.spark.sql.graft.SrpNative
+      .srpBandCodes(col("embedding"), nTables, nPlanes, dims)
+    emb.select(col("vec_id"), posexplode(codes).as(Seq("t", "code")))
   }
 }

@@ -58,11 +58,52 @@ object StreamViews {
     * `graft.stream.statePartitions` for large keyspaces (it only applies
     * to new checkpoints — these queries stage fresh ones per run).
     */
-  private def withStateParallelism[A](spark: SparkSession)(f: => A): A = {
+  private def withStateParallelism[A](spark: SparkSession)(f: => A): A =
+    withStreamStateConf(spark)(f)
+
+  /** Fully-qualified provider for `graft.stream.stateStore=rocksdb`. */
+  val RocksDBProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Run `f` with the streaming-state configuration the graft confs ask
+    * for, restoring the session's settings afterwards. Two seams:
+    *
+    *  - `graft.stream.statePartitions` (default 8): a stateful streaming
+    *    query instantiates (and per-microbatch commits) one state store
+    *    per shuffle partition, so state parallelism must be sized to the
+    *    STATE volume, not the session's batch shuffle setting — measured
+    *    3.3× on the stateful queries here (32 → 8 partitions at sf0.1).
+    *    Pinned into the checkpoint at query start; production raises it
+    *    for large keyspaces (applies to new checkpoints only — these
+    *    queries stage fresh ones per run).
+    *  - `graft.stream.stateStore` = `memory` (default) | `rocksdb`: the
+    *    100 TB answer for sessionize/dedup state. The default provider
+    *    keeps every key's state on the executor HEAP — fine at test
+    *    scale, an OOM at a 10⁹-user keyspace. RocksDB spills state to
+    *    executor-local disk with changelog checkpointing — the role
+    *    Cassandra plays in the reference speed layer
+    *    (CassandraState.java:47-59), minus the extra cluster. Results
+    *    are provider-independent (StateStoreSpec pins it).
+    */
+  private[graft] def withStreamStateConf[A](spark: SparkSession)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
     val prev = spark.conf.get(key)
+    val prevProv = spark.conf.getOption(provKey)
     spark.conf.set(key, spark.conf.get("graft.stream.statePartitions", "8"))
-    try f finally spark.conf.set(key, prev)
+    spark.conf.get("graft.stream.stateStore", "memory") match {
+      case "rocksdb" => spark.conf.set(provKey, RocksDBProvider)
+      case "memory" => () // provider default (HDFSBackedStateStoreProvider)
+      case other => throw new IllegalArgumentException(
+        s"graft.stream.stateStore must be memory|rocksdb, got '$other'")
+    }
+    try f finally {
+      spark.conf.set(key, prev)
+      prevProv match {
+        case Some(v) => spark.conf.set(provKey, v)
+        case None => spark.conf.unset(provKey)
+      }
+    }
   }
 
   /** Run a streaming transform of the events table to completion

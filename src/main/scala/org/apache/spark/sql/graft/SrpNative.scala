@@ -1,0 +1,159 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.types.{AbstractDataType, ArrayType, DataType, FloatType, IntegerType, LongType}
+
+/** All sign-random-projection band codes of a float-array embedding in one
+  * whole-stage-codegen'd row-local pass — `nTables` codes of `nPlanes` bits
+  * each, bit p of table t = sign of the dot with deterministic Gaussian
+  * hyperplane (t, p).
+  *
+  * This is the native replacement for the closure-UDF form that previously
+  * fed ann_lsh and near_dedup_cosine_lsh: the UDF paid a per-row
+  * `Seq[Float]` conversion through the Scala-UDF converter layer on the
+  * hottest vector path in the engine, exactly the boxing cost FloatVecDot
+  * was built to avoid. Same hyperplane family (Random(0x5eed0000 + t*b+p)
+  * Gaussians), same accumulation order, same ragged-row truncation — the
+  * emitted codes are bit-identical to the UDF's, so index shapes and
+  * recall fixtures don't move.
+  *
+  * `dims` is the sampled embedding width: the hyperplanes are materialized
+  * once per executor (transient lazy, ~tables×planes×dims doubles, ≤ a few
+  * MB at any sane shape) instead of shipping per-row work through a
+  * driver closure. Rows longer than `dims` project their first `dims`
+  * components (the historical explode+join form dropped them via the
+  * inner weight join); shorter rows project what they have.
+  *
+  * Lives under org.apache.spark.sql because ExpectsInputTypes /
+  * ExpressionUtils are private[sql]; standard extension placement.
+  */
+case class SrpBandCodes(child: Expression, nTables: Int, nPlanes: Int, dims: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+  require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63], got $nPlanes")
+  require(dims >= 1, s"dims must be >= 1, got $dims")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  // weights[t*nPlanes + p][d]: deterministic Gaussian hyperplanes, seeded
+  // per plane so codes are reproducible across executors and rounds
+  @transient private lazy val weights: Array[Array[Double]] =
+    Array.tabulate(nTables * nPlanes) { tp =>
+      val rnd = new java.util.Random(0x5eed0000L + tp)
+      Array.fill(dims)(rnd.nextGaussian())
+    }
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = math.min(v.numElements(), dims)
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var code = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val w = weights(t * nPlanes + p)
+        var acc = 0.0
+        var d = 0
+        while (d < n) { acc += w(d) * v.getFloat(d); d += 1 }
+        if (acc >= 0) code |= 1L << p
+        p += 1
+      }
+      out(t) = code
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srp", this, classOf[SrpBandCodes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBandCodes =
+    copy(child = newChild)
+
+  override def prettyName: String = "srp_band_codes"
+}
+
+/** Index of the nearest centroid (squared Euclidean, ties → lowest index,
+  * matching MLlib's findClosest) over a float-array embedding — the IVF
+  * cell-assignment pass as one codegen'd row-local expression.
+  *
+  * Replaces `KMeansModel.transform` on the FULL corpus: transform requires
+  * boxing every row into an ml.linalg.Vector (a per-row UDF conversion)
+  * and, the way it was previously staged, a corpus-sized localCheckpoint.
+  * The centroid table is tiny (≤4096 cells × dims floats — ≤ ~12 MB at
+  * the cap) and rides the task binary, which Spark broadcasts; the corpus
+  * streams through untouched. K-means TRAINING still runs in MLlib on the
+  * bounded sample — only the corpus-wide assignment is de-MLlib'd.
+  *
+  * Distances use the exact Σ(x−c)² form in double precision (no norm-trick
+  * cancellation), over the common prefix when row and centroid widths
+  * differ (ragged rows, as in [[SrpBandCodes]]).
+  */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(centroids.nonEmpty, "centroid table must be non-empty")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = IntegerType
+
+  def compute(v: ArrayData): Int = {
+    var best = 0
+    var bestD = Double.MaxValue
+    var cIdx = 0
+    while (cIdx < centroids.length) {
+      val c = centroids(cIdx)
+      val n = math.min(v.numElements(), c.length)
+      var d = 0.0
+      var i = 0
+      while (i < n) {
+        val diff = v.getFloat(i).toDouble - c(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      if (d < bestD) { bestD = d; best = cIdx }
+      cIdx += 1
+    }
+    best
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("nc", this, classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroid =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroid"
+}
+
+object SrpNative {
+
+  /** `srp_band_codes(vec, nTables, nPlanes, dims)` as a Column. */
+  def srpBandCodes(vec: Column, nTables: Int, nPlanes: Int, dims: Int): Column =
+    ExpressionUtils.column(
+      SrpBandCodes(ExpressionUtils.expression(vec), nTables, nPlanes, dims))
+
+  /** `nearest_centroid(vec)` against a fixed centroid table, as a Column. */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
+    ExpressionUtils.column(
+      NearestCentroid(ExpressionUtils.expression(vec), centroids))
+}

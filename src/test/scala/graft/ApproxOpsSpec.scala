@@ -146,6 +146,36 @@ class ApproxOpsSpec extends SparkSpec {
     assert(tLow == 256, s"tables=$tLow")
   }
 
+  test("lshDedupTables engages the cap when p^b underflows instead of collapsing to 1 table") {
+    // threshold -1 → collision probability 0 → p^b == 0: no finite table
+    // count reaches the target; the 256 cap (with the logged warning) must
+    // engage, not the log(1-0)=0 division's silent 1-table answer
+    assert(VectorOps.lshDedupTables(-1.0, 0.9, 24, 1000000L) == 256)
+    // sanity either side of the underflow: a workable regime stays modest
+    assert(VectorOps.lshDedupTables(0.9, 0.9, 19, 1000000000L) <= 80)
+  }
+
+  test("cosineNearDupLsh honors a single pinned shape parameter (no silent discard)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    // pinning only nPlanes must keep that width and still derive tables
+    // from the recall identity at it; soundness (exact verify ⇒ no false
+    // positives) holds for any shape, so the run itself is the check
+    val pinnedPlanes = VectorOps.cosineNearDupLsh(spark, emb, threshold = 0.4, nPlanes = 4)
+    val auto = VectorOps.cosineNearDupLsh(spark, emb, threshold = 0.4)
+    assert(pinnedPlanes.count() > 0)
+    // pinning only nTables keeps corpus-sized buckets; tiny table count →
+    // recall at most the auto shape's (subset soundness still exact)
+    val pinnedTables = VectorOps.cosineNearDupLsh(spark, emb, threshold = 0.4, nTables = 2)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val autoPairs = auto.select("i", "j").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pinnedTables.nonEmpty)
+    val exact = SparkEntry.queries("near_dedup_cosine")(spark, sf0001)
+      .select("i", "j").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pinnedTables.subsetOf(exact) && autoPairs.subsetOf(exact),
+      "every emitted pair must be a true pair regardless of pinned shape")
+  }
+
   test("ivfCells follows the sqrt-n rule between its floor and cap") {
     assert(VectorOps.ivfCells(100L) == 16) // floor: tiny corpora
     assert(VectorOps.ivfCells(1000000L) == 1000) // √n in the open range

@@ -92,6 +92,24 @@ class MultimodalSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("quarantine mode survives corrupt payloads: flagged null-feature rows, good rows untouched") {
+    val good = pngBytes(Array(Array(0xffff0000)))
+    val rows = Seq(
+      MediaRow(1L, "image/png", 4L, Array[Byte](1, 2, 3, 4)), // truncated garbage
+      MediaRow(2L, "image/png", good.length.toLong, good),
+      MediaRow(3L, "text/plain", 2L, Array[Byte](10, 20))
+    ).toDS()
+    val f = extractFeatures(rows, quarantine = true).collect()
+      .map(m => m.doc_id -> m).toMap
+    assert(f(1L).decode_error.isDefined, "corrupt row must carry its failure")
+    assert(f(1L).byte_mean.isNaN && f(1L).feature.isEmpty)
+    assert(f(2L).decode_error.isEmpty && f(2L).width.contains(1), "good image decodes normally")
+    assert(f(3L).decode_error.isEmpty && f(3L).byte_mean == 15.0, "stub path unaffected")
+    // skip-and-count: the flag column is the count
+    assert(extractFeatures(rows, quarantine = true)
+      .filter(_.decode_error.isDefined).count() == 1)
+  }
+
   test("image types the JVM has no codec for take the stub path instead of crashing") {
     // a valid webp payload would be undecodable by ImageIO — capability
     // dispatch must route it (and any unknown image subtype) to the stub

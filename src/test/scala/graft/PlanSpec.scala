@@ -139,6 +139,29 @@ class PlanSpec extends SparkSpec {
       s"band-code computation must be a narrow map:\n${plan(df)}")
   }
 
+  test("band codes are the native codegen expression, not a Scala UDF") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val df = operators.VectorOps.lshBandCodes(spark, emb, 8, 6)
+    df.collect() // AQE reveals codegen spans only in the executed plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("srp_band_codes"), s"native expression missing:\n$p")
+    assert(!p.contains("UDF"), s"band codes must not go through the UDF converter layer:\n$p")
+    assert(p.contains("*("), s"band-code projection must be whole-stage codegen'd:\n$p")
+  }
+
+  test("annIvf assigns cells natively: no MLlib vector boxing in the query plan") {
+    import org.apache.spark.sql.functions.col
+    val emb = Tables.embeddings(spark, sf0001)
+    val df = operators.VectorOps.annIvf(spark, emb, col("vec_id") < 10, k = 5, nCells = 16)
+    val p = df.queryExecution.executedPlan.toString
+    // the toVec UDF and localCheckpoint exist only on the bounded TRAINING
+    // sample (materialized before this plan); the corpus-wide plan streams
+    // through nearest_centroid with no boxing and no corpus checkpoint
+    assert(p.contains("nearest_centroid"), s"native assignment missing:\n$p")
+    assert(!p.contains("UDF"), s"corpus pass must not box through a UDF:\n$p")
+    assert(!p.toLowerCase.contains("checkpoint"), s"no corpus-sized checkpoint:\n$p")
+  }
+
   test("near_dedup_cosine_lsh is bucketed: no cartesian/nested-loop pair generation") {
     val p = plan(q("near_dedup_cosine_lsh"))
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
