@@ -1,0 +1,92 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.operators.{NearDedup, TextOps, VectorOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-round recall measurement for the approximate operator family,
+  * against each operator's EXACT counterpart on the fixture tables —
+  * committed as `RECALL_r{N}.json` so recall drift across rounds is
+  * visible the way bench/correctness drift already is.
+  *
+  * Baselines: ann_lsh / ann_ivf vs the brute-force `similarity_topk`
+  * top-5; near_dedup_minhash vs exact shingle Jaccard at the same
+  * threshold; near_dedup_simhash vs brute-force all-pairs Hamming over
+  * the same signatures; near_dedup_cosine_lsh vs the exact all-pairs
+  * `near_dedup_cosine`. All five approximate paths verify exactly on
+  * their candidate sets, so precision is 1.0 by construction (checked in
+  * the specs) — recall is the one number that can drift.
+  */
+object Recall {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
+    val out = if (args.length > 1) args(1) else "RECALL.json"
+    val spark = SparkSession.builder()
+      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "8") + "]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def pairSet(df: DataFrame): Set[(Long, Long)] =
+      df.select(df.columns(0), df.columns(1)).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(got: Set[(Long, Long)], truth: Set[(Long, Long)]): Double =
+      if (truth.isEmpty) 1.0 else (got & truth).size.toDouble / truth.size
+
+    def topk(name: String): Set[(Long, Long)] =
+      pairSet(SparkEntry.queries(name)(spark, sfDir).select("probe_id", "neighbor_id"))
+
+    // ANN search: fixture index shapes vs the brute-force scan
+    val brute = topk("similarity_topk")
+    val annLsh = recall(topk("ann_lsh"), brute)
+    val annIvf = recall(topk("ann_ivf"), brute)
+
+    // minhash text dedup vs exact shingle Jaccard at the declared 0.5
+    val docs = Tables.documents(spark, sfDir)
+    val hashed = docs.select(col("doc_id"),
+      functions.TextFunctions.shingleHashes(col("text"), 3).as("hs"))
+    val exactJac = pairSet(
+      TextOps.ngramJaccardPairsFromHashes(hashed, 0.5).select("i", "j"))
+    val minhash = recall(
+      pairSet(SparkEntry.queries("near_dedup_minhash")(spark, sfDir).select("i", "j")),
+      exactJac)
+
+    // simhash vs brute-force all-pairs Hamming over the same signatures
+    // (the pigeonhole band join is exact up to the hot-bucket cap — this
+    // measures what the cap actually costs on the fixture corpus)
+    val sigs = NearDedup.simhashSignatures(docs)
+    val a = sigs.select(col("doc_id").as("i"), col("simhash").as("ha"))
+    val b = sigs.select(col("doc_id").as("j"), col("simhash").as("hb"))
+    val exactSim = pairSet(a.join(b, col("i") < col("j"))
+      .where(bit_count(expr("ha ^ hb")) <= 3).select("i", "j"))
+    val simhash = recall(
+      pairSet(SparkEntry.queries("near_dedup_simhash")(spark, sfDir).select("i", "j")),
+      exactSim)
+
+    // embedding dedup: LSH candidates + exact verify vs exact all-pairs
+    val exactCos = pairSet(
+      SparkEntry.queries("near_dedup_cosine")(spark, sfDir).select("i", "j"))
+    val cosLsh = recall(
+      pairSet(SparkEntry.queries("near_dedup_cosine_lsh")(spark, sfDir).select("i", "j")),
+      exactCos)
+
+    val json =
+      f"""{"sf": "$sfDir",
+         | "ops": {
+         |  "ann_lsh":              {"recall": $annLsh%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
+         |  "ann_ivf":              {"recall": $annIvf%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
+         |  "near_dedup_minhash":   {"recall": $minhash%.4f, "baseline": "exact ngram jaccard @0.5", "truth_size": ${exactJac.size}},
+         |  "near_dedup_simhash":   {"recall": $simhash%.4f, "baseline": "all-pairs hamming <=3", "truth_size": ${exactSim.size}},
+         |  "near_dedup_cosine_lsh":{"recall": $cosLsh%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}}
+         | }}""".stripMargin
+    Files.writeString(Paths.get(out), json + "\n")
+    println(s"[recall] wrote $out")
+    println(json)
+    spark.stop()
+  }
+}

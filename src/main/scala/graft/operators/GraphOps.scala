@@ -145,6 +145,15 @@ object GraphOps {
     * edge re-shuffle (the CC loop's layout trick); contributions
     * aggregate map-side per dst. The node count is a one-row broadcast,
     * never a driver constant baked into the plan by collect.
+    *
+    * Each iteration SNAPS pr to 12 decimals: parallel double summation
+    * is order-dependent (±~1e-16 across partition schedules), and this
+    * graph's rational arithmetic produces values that terminate exactly
+    * ON a rounding boundary (0.0022675 at sf0.1), so without the snap
+    * the final round(…,6) flips between runs AND between engines — the
+    * oracle applies the same 12-digit snap per step, making the whole
+    * power iteration bit-deterministic in both. 12 digits: ~3000× above
+    * summation noise, below any digit the 6-digit report can see.
     */
   def pageRank(edges: DataFrame, iters: Int = 3, d: Double = 0.85): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
@@ -165,7 +174,8 @@ object GraphOps {
         .agg(sum(col("pr") / col("outdeg")).as("csum"))
       ranks = nodes.join(contrib, Seq("node"), "left_outer").crossJoin(nRow)
         .select(col("node"),
-          (lit(1.0 - d) / col("nn") + lit(d) * coalesce(col("csum"), lit(0.0))).as("pr"))
+          round(lit(1.0 - d) / col("nn") + lit(d) * coalesce(col("csum"), lit(0.0)), 12)
+            .as("pr"))
       // truncate lineage every few rounds (the CC loop's rule): a
       // convergence-length run would otherwise stack one join+agg plan
       // per iteration into the optimizer and scheduler
@@ -218,8 +228,12 @@ object GraphOps {
     // oracle so both engines compute the same closed form.
     withOracle(
       "graph_pagerank", {
+        // round(…, 12) per step mirrors pageRank's per-iteration snap —
+        // see its scaladoc: without it, order-dependent double summation
+        // lands boundary values (0.0022675) on either side of the final
+        // 6-digit round, across runs and across engines
         def step(prev: String, cur: String): String =
-          s"""$cur AS (SELECT nodes.node, 0.15 / nn + 0.85 * coalesce(c.s, 0) AS pr
+          s"""$cur AS (SELECT nodes.node, round(0.15 / nn + 0.85 * coalesce(c.s, 0), 12) AS pr
              |  FROM nodes CROSS JOIN n
              |  LEFT JOIN (SELECT e.dst AS node, sum($prev.pr / od.outdeg) AS s
              |             FROM e JOIN od USING (src) JOIN $prev ON $prev.node = e.src
