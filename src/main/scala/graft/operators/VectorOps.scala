@@ -109,13 +109,16 @@ object VectorOps {
     // Sign-random-projection LSH ANN, multi-table banded: L tables of k
     // deterministic ±1 hyperplanes each → per-table k-bit code; candidates
     // are vectors sharing a probe's code in ANY table (OR over tables,
-    // classic LSH amplification), then exact cosine rerank. Approximate
-    // (recall vs similarity_topk measured in AnnLshSpec) → no DuckDB oracle.
+    // classic LSH amplification), plus — multi-probe — any code one
+    // low-margin bit-flip away on the probe side; then exact cosine
+    // rerank. Approximate (recall vs similarity_topk measured in
+    // ApproxOpsSpec) → no DuckDB oracle.
     noOracle("ann_lsh") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      // fixture shape pinned (8×6) so AnnLsh recall in ApproxOpsSpec
-      // stays comparable across rounds; production callers take the
-      // corpus-sized auto default
+      // fixture shape pinned (8 tables × 6 planes, 2 flip probes — the
+      // round-9 multi-probe default) so recall in ApproxOpsSpec and
+      // RECALL_r{N}.json stays comparable across rounds; production
+      // callers take the corpus-sized auto default
       annLsh(s, emb, probeFilter = col("vec_id") < 10, k = 5, nPlanes = 6)
     },
 
@@ -223,9 +226,18 @@ object VectorOps {
     * Auto-sizing needs the corpus row count; pass `nRows` when the
     * caller already knows it (a catalog stat, a prior count) to skip the
     * column-free count job over a possibly uncached `emb`.
+    *
+    * `nFlips` enables MULTI-PROBE on the probe side (Lv et al., VLDB'07):
+    * each table is probed with its base code plus the `nFlips` codes one
+    * lowest-margin bit-flip away, so near-boundary neighbors are found
+    * without more tables. Corpus codes are untouched — at a fixed recall
+    * target this shrinks the index (tables ≈ the dominant cost: corpus
+    * code replicas shuffled into the candidate join) several-fold. 0
+    * restores single-probe.
     */
   def annLsh(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
-      nTables: Int = 8, nPlanes: Int = 0, nRows: Long = 0L): DataFrame = {
+      nTables: Int = 8, nPlanes: Int = 0, nRows: Long = 0L,
+      nFlips: Int = 2): DataFrame = {
     val b =
       if (nPlanes > 0) nPlanes
       else {
@@ -233,10 +245,20 @@ object VectorOps {
         math.min(24, math.max(6,
           math.ceil(math.log(math.max(1.0, n / 2500.0)) / math.log(2)).toInt))
       }
-    val codes = lshBandCodes(spark, emb, nTables, b)
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val codes = lshBandCodes(spark, emb, nTables, b, dims)
     val probes = emb.where(probeFilter).select(col("vec_id").as("p"), col("embedding").as("pe"))
-    val probeCodes = codes.join(probes, col("vec_id") === col("p"))
-      .select(col("p"), col("t"), col("code"))
+    // probe-side codes come straight from the probe embeddings (not a join
+    // back into the corpus codes): one compiled pass over the small probe
+    // set, emitting (1+nFlips) codes per table — pos/(1+nFlips) recovers
+    // the table id from the expression's table-major layout. (t, code)
+    // rows are distinct by construction: flips differ from the base and
+    // each other within a table.
+    val stride = 1 + nFlips
+    val probeCodes = probes
+      .select(col("p"), posexplode(org.apache.spark.sql.graft.SrpNative
+        .srpMultiProbeCodes(col("pe"), nTables, b, dims, nFlips)).as(Seq("pos", "code")))
+      .select(col("p"), (col("pos") / stride).cast("int").as("t"), col("code"))
     val candidates = codes
       .join(broadcast(probeCodes), Seq("t", "code"))
       .where(col("p") =!= col("vec_id"))
@@ -395,12 +417,17 @@ object VectorOps {
     * the posexplode-and-regroup form shuffled dims× the corpus twice).
     * A null embedding yields a null code array → no rows after
     * posexplode, matching the historical UDF form.
+    *
+    * Pass `dims` when the caller already sampled the embedding width to
+    * skip this function's one-row probe job.
     */
   def lshBandCodes(spark: SparkSession, emb: DataFrame,
-      nTables: Int, nPlanes: Int): DataFrame = {
-    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+      nTables: Int, nPlanes: Int, dims: Int = 0): DataFrame = {
+    val d =
+      if (dims > 0) dims
+      else emb.select(size(col("embedding"))).head().getInt(0)
     val codes = org.apache.spark.sql.graft.SrpNative
-      .srpBandCodes(col("embedding"), nTables, nPlanes, dims)
+      .srpBandCodes(col("embedding"), nTables, nPlanes, d)
     emb.select(col("vec_id"), posexplode(codes).as(Seq("t", "code")))
   }
 }

@@ -46,10 +46,7 @@ case class SrpBandCodes(child: Expression, nTables: Int, nPlanes: Int, dims: Int
   // weights[t*nPlanes + p][d]: deterministic Gaussian hyperplanes, seeded
   // per plane so codes are reproducible across executors and rounds
   @transient private lazy val weights: Array[Array[Double]] =
-    Array.tabulate(nTables * nPlanes) { tp =>
-      val rnd = new java.util.Random(0x5eed0000L + tp)
-      Array.fill(dims)(rnd.nextGaussian())
-    }
+    SrpNative.hyperplanes(nTables, nPlanes, dims)
 
   def compute(v: ArrayData): ArrayData = {
     val n = math.min(v.numElements(), dims)
@@ -145,12 +142,119 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** Multi-probe SRP codes for the PROBE side of an LSH search (Lv et al.,
+  * VLDB'07): per table, the base band code plus the `nFlips` codes obtained
+  * by flipping — one at a time — the bits whose projection margin |w·v| is
+  * smallest. A neighbor that lands one low-confidence bit away in some
+  * table is found WITHOUT another table: at a fixed recall target this cuts
+  * the table count (≈ index size and candidate-join width) several-fold,
+  * which at 100 TB is the difference between T and ~T/(1+nFlips) corpus
+  * code replicas being shuffled into the candidate join.
+  *
+  * Output layout: `nTables × (1 + nFlips)` longs, table-major —
+  * `out[t*(1+nFlips)]` is table t's base code (bit-identical to
+  * [[SrpBandCodes]]: same hyperplane family, same accumulation order),
+  * followed by its flip probes in ascending-margin order (margin ties break
+  * on bit index, so the layout is deterministic). `posexplode` then
+  * `pos / (1+nFlips)` recovers the table id. The corpus side keeps the
+  * plain single-code expression — multi-probe is a probe-side-only widening.
+  */
+case class SrpMultiProbeCodes(child: Expression, nTables: Int, nPlanes: Int,
+    dims: Int, nFlips: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(nTables >= 1, s"nTables must be >= 1, got $nTables")
+  require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63], got $nPlanes")
+  require(dims >= 1, s"dims must be >= 1, got $dims")
+  require(nFlips >= 0 && nFlips < nPlanes,
+    s"nFlips must be in [0, nPlanes), got $nFlips at $nPlanes planes")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val weights: Array[Array[Double]] =
+    SrpNative.hyperplanes(nTables, nPlanes, dims)
+
+  def compute(v: ArrayData): ArrayData = {
+    val n = math.min(v.numElements(), dims)
+    val stride = 1 + nFlips
+    val out = new Array[Long](nTables * stride)
+    val margins = new Array[Double](nPlanes)
+    val used = new Array[Boolean](nPlanes)
+    var t = 0
+    while (t < nTables) {
+      var code = 0L
+      var p = 0
+      while (p < nPlanes) {
+        val w = weights(t * nPlanes + p)
+        var acc = 0.0
+        var d = 0
+        while (d < n) { acc += w(d) * v.getFloat(d); d += 1 }
+        if (acc >= 0) code |= 1L << p
+        margins(p) = math.abs(acc)
+        used(p) = false
+        p += 1
+      }
+      out(t * stride) = code
+      // nFlips smallest margins, one flip each: selection over ≤63 planes
+      // (strict < keeps the first bit index on margin ties)
+      var f = 0
+      while (f < nFlips) {
+        var best = -1
+        var bestM = Double.MaxValue
+        var q = 0
+        while (q < nPlanes) {
+          if (!used(q) && margins(q) < bestM) { bestM = margins(q); best = q }
+          q += 1
+        }
+        used(best) = true
+        out(t * stride + 1 + f) = code ^ (1L << best)
+        f += 1
+      }
+      t += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("srpmp", this, classOf[SrpMultiProbeCodes].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SrpMultiProbeCodes =
+    copy(child = newChild)
+
+  override def prettyName: String = "srp_multiprobe_codes"
+}
+
 object SrpNative {
+
+  /** Deterministic Gaussian hyperplanes, seeded per (table, plane) — the
+    * ONE hyperplane family both the corpus-side [[SrpBandCodes]] and the
+    * probe-side [[SrpMultiProbeCodes]] draw from, so their base codes are
+    * bit-identical by construction.
+    */
+  private[graft] def hyperplanes(nTables: Int, nPlanes: Int,
+      dims: Int): Array[Array[Double]] =
+    Array.tabulate(nTables * nPlanes) { tp =>
+      val rnd = new java.util.Random(0x5eed0000L + tp)
+      Array.fill(dims)(rnd.nextGaussian())
+    }
 
   /** `srp_band_codes(vec, nTables, nPlanes, dims)` as a Column. */
   def srpBandCodes(vec: Column, nTables: Int, nPlanes: Int, dims: Int): Column =
     ExpressionUtils.column(
       SrpBandCodes(ExpressionUtils.expression(vec), nTables, nPlanes, dims))
+
+  /** `srp_multiprobe_codes(vec, nTables, nPlanes, dims, nFlips)` as a Column. */
+  def srpMultiProbeCodes(vec: Column, nTables: Int, nPlanes: Int, dims: Int,
+      nFlips: Int): Column =
+    ExpressionUtils.column(
+      SrpMultiProbeCodes(ExpressionUtils.expression(vec), nTables, nPlanes, dims, nFlips))
 
   /** `nearest_centroid(vec)` against a fixed centroid table, as a Column. */
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =

@@ -49,6 +49,44 @@ class ApproxOpsSpec extends SparkSpec {
     assert(recall >= 0.3, s"recall@5 was $recall")
   }
 
+  test("multi-probe LSH: recall never below single-probe at the same shape (sf0.001)") {
+    // flip probes only WIDEN each probe's candidate set (the base code is
+    // always probed), so recall@k vs brute force is monotone in nFlips —
+    // the property that lets multi-probe trade tables for probes at scale
+    val emb = Tables.embeddings(spark, sf0001)
+    def recallAt(flips: Int): Double = {
+      val got = VectorOps.annLsh(spark, emb, probeFilter = $"vec_id" < 10,
+        k = 5, nPlanes = 6, nFlips = flips)
+        .select($"probe_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val brute = SparkEntry.queries("similarity_topk")(spark, sf0001)
+        .select($"probe_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      (brute & got).size.toDouble / brute.size
+    }
+    val single = recallAt(0)
+    val multi = recallAt(2)
+    assert(multi >= single,
+      s"multi-probe recall $multi fell below single-probe $single")
+  }
+
+  test("multi-probe base codes are bit-identical to the corpus-side expression") {
+    // the probe and corpus sides draw from ONE hyperplane family: position
+    // t*(1+nFlips) of the multi-probe layout must equal table t's plain
+    // band code for every row, or probes silently stop finding their own
+    // bucket
+    val emb = Tables.embeddings(spark, sf0001).limit(200)
+    val dims = emb.select(size($"embedding")).head().getInt(0)
+    val mismatches = emb.select(
+      org.apache.spark.sql.graft.SrpNative
+        .srpBandCodes($"embedding", 4, 6, dims).as("base"),
+      org.apache.spark.sql.graft.SrpNative
+        .srpMultiProbeCodes($"embedding", 4, 6, dims, 2).as("mp"))
+      .where(expr("exists(sequence(0, 3), t -> base[t] != mp[t * 3])"))
+      .count()
+    assert(mismatches == 0, "probe-side base codes diverged from srp_band_codes")
+  }
+
   test("ann_ivf recall@5 vs brute force >= 0.5 (sf0.001)") {
     val brute = SparkEntry.queries("similarity_topk")(spark, sf0001)
       .select($"probe_id", $"neighbor_id").collect()

@@ -149,6 +149,20 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("*("), s"band-code projection must be whole-stage codegen'd:\n$p")
   }
 
+  test("multi-probe probe codes are native, codegen'd, and shuffle-free") {
+    import org.apache.spark.sql.functions.{col, posexplode}
+    val emb = Tables.embeddings(spark, sf0001).where(col("vec_id") < 10)
+    val dims = 64
+    val df = emb.select(col("vec_id"), posexplode(org.apache.spark.sql.graft.SrpNative
+      .srpMultiProbeCodes(col("embedding"), 8, 6, dims, 2)).as(Seq("pos", "code")))
+    assert(shuffles(df) == 0,
+      s"probe-code computation must be a narrow map:\n${plan(df)}")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("srp_multiprobe_codes"), s"native expression missing:\n$p")
+    assert(!p.contains("UDF"), s"probe codes must not go through the UDF converter layer:\n$p")
+  }
+
   test("annIvf assigns cells natively: no MLlib vector boxing in the query plan") {
     import org.apache.spark.sql.functions.col
     val emb = Tables.embeddings(spark, sf0001)
