@@ -242,6 +242,50 @@ object Relational {
       ev.join(broadcast(idmap), col("user_id") === col("node"), "left_outer")
         .select(col("event_id"), coalesce(col("canonical"), col("user_id")).as("person"))
         .orderBy("event_id")
+    },
+
+    // Bloom-prune shuffle join: prefilter the fact side with a bloom built
+    // on the (filtered) build side's keys, then exact-join. Urgent orders
+    // are a minority of orderkeys, so most lineitem rows drop before the
+    // exchange. Oracle is the PLAIN join — no-false-negatives + exact join
+    // means prune changes nothing but the shuffled byte count.
+    withOracle(
+      "join_bloom_prune",
+      """SELECT l_returnflag, count(*) AS n_items,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin) { (s, dir) =>
+      val urgent = Tables.orders(s, dir)
+        .where(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      bloomPruneJoin(
+        Tables.lineitem(s, dir).select("l_orderkey", "l_returnflag", "l_extendedprice"),
+        "l_orderkey", urgent, "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), round(sum("l_extendedprice"), 2).as("revenue"))
+        .orderBy("l_returnflag")
     }
   )
+
+  /** Inner-join `big ⋈ build` on the given keys, pruning `big` with a
+    * bloom filter over `build`'s keys before the join so non-matching
+    * rows never reach the shuffle (see
+    * [[org.apache.spark.sql.graft.BloomPrune]]). The join is pinned to
+    * sort-merge: the operator exists for the both-sides-too-big-to-
+    * broadcast regime, and the pin keeps the prune-before-exchange shape
+    * observable at test scale. `expectedItems` sizes the filter; 0 means
+    * count the build side (one cheap columnar scan — the build side is
+    * the small one by contract).
+    */
+  def bloomPruneJoin(
+      big: org.apache.spark.sql.DataFrame, bigKey: String,
+      build: org.apache.spark.sql.DataFrame, buildKey: String,
+      expectedItems: Long = 0L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.BloomPrune
+    val n = if (expectedItems > 0) expectedItems else build.count()
+    val bloom = BloomPrune.buildBloom(build, col(buildKey), n)
+    big.where(BloomPrune.mightContain(bloom, col(bigKey)))
+      .join(build.hint("merge"), col(bigKey) === col(buildKey))
+  }
 }

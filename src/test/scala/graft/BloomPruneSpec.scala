@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+import org.apache.spark.sql.execution.{FilterExec, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+
+import graft.operators.Relational
+
+/** Bloom-prune join: result identity with the plain join (no false
+  * negatives + exact join), prune-before-exchange plan shape, and the
+  * empty-build degenerate case.
+  */
+class BloomPruneSpec extends SparkSpec {
+
+  private def nodes(p: SparkPlan): Seq[SparkPlan] = {
+    val children = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case other => other.children
+    }
+    p +: children.flatMap(nodes)
+  }
+
+  private def lineitem = Tables.lineitem(spark, sf0001)
+    .select("l_orderkey", "l_returnflag", "l_extendedprice")
+  private def urgent = Tables.orders(spark, sf0001)
+    .where(col("o_orderpriority") === "1-URGENT").select("o_orderkey")
+
+  test("bloomPruneJoin returns exactly the plain join's rows") {
+    val pruned = Relational.bloomPruneJoin(lineitem, "l_orderkey", urgent, "o_orderkey")
+    val plain = lineitem.join(urgent, col("l_orderkey") === col("o_orderkey"))
+    assert(pruned.count() === plain.count())
+    assert(pruned.exceptAll(plain).isEmpty && plain.exceptAll(pruned).isEmpty)
+    assert(pruned.count() > 0, "fixture must exercise a non-empty join")
+  }
+
+  test("bloom probe filter sits below the big side's shuffle exchange") {
+    val pruned = Relational.bloomPruneJoin(lineitem, "l_orderkey", urgent, "o_orderkey")
+    pruned.count() // materialize so AQE finalizes the plan
+    val all = nodes(pruned.queryExecution.executedPlan)
+    val bloomFilters = all.collect {
+      case f: FilterExec if f.condition.exists(_.isInstanceOf[BloomFilterMightContain]) => f
+    }
+    assert(bloomFilters.nonEmpty, "expected a might_contain filter in the plan")
+    // The filter's own subtree must reach the parquet scan without any
+    // shuffle in between: pruning happens in the scan stage.
+    val subtree = bloomFilters.flatMap(nodes)
+    assert(!subtree.exists(_.isInstanceOf[ShuffleExchangeLike]),
+      "bloom probe must run before the exchange, not after")
+    assert(subtree.exists(_.nodeName.toLowerCase.contains("scan")),
+      "bloom probe must sit directly on the scan stage")
+  }
+
+  test("empty build side yields the empty join, not an error") {
+    val none = Tables.orders(spark, sf0001)
+      .where(col("o_orderpriority") === "NO-SUCH-PRIORITY").select("o_orderkey")
+    val pruned = Relational.bloomPruneJoin(lineitem, "l_orderkey", none, "o_orderkey")
+    assert(pruned.count() === 0)
+  }
+
+  test("declared query matches the unpruned recompute") {
+    val q = SparkEntry.queries("join_bloom_prune")(spark, sf0001)
+    val recompute = lineitem
+      .join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_items"), round(sum("l_extendedprice"), 2).as("revenue"))
+      .orderBy("l_returnflag")
+    assert(q.collect().toSeq === recompute.collect().toSeq)
+  }
+}
