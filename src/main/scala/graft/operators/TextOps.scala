@@ -476,23 +476,24 @@ object TextOps {
     // pipeline_pretraining_corpus_scale.
     withOracle(
       "dedup_incremental",
-      s"""WITH ${TextOps.shinglePairCte()},
-         |bipair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-         |           FROM sh a JOIN sh b
-         |             ON a.s = b.s AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
-         |           GROUP BY 1, 2),
-         |neardrop AS (SELECT DISTINCT j FROM bipair
-         |             JOIN sizes na ON i = na.doc_id JOIN sizes nb ON j = nb.doc_id
-         |             WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
-         |exactdrop AS (SELECT DISTINCT d.doc_id AS j FROM documents d
-         |              JOIN documents e ON md5(d.text) = md5(e.text)
-         |              WHERE d.doc_id % 5 = 0 AND e.doc_id % 5 <> 0)
-         |SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS n_tokens
-         |FROM documents
-         |WHERE doc_id % 5 = 0
-         |  AND doc_id NOT IN (SELECT j FROM neardrop UNION SELECT j FROM exactdrop)
-         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      TextOps.incrementalDedupOracleSql) { (s, dir) =>
       TextOps.incrementalDedup(Tables.documents(s, dir),
+        col("doc_id") % 5 === 0, threshold = 0.1).orderBy("doc_id")
+    },
+
+    // Bloom-prefiltered incremental dedup: identical semantics to
+    // dedup_incremental (same oracle SQL), but a bloom filter over the
+    // EXISTING corpus's content hashes gates the exact anti-join and one
+    // over the existing side's bounded shingles gates the bipartite
+    // Jaccard join, so definitely-new rows never reach either exchange
+    // (see BloomPrune). At 100 TB the nightly batch is a sliver of the
+    // master store's key space — the blooms turn both shuffles from
+    // O(new batch) to O(probable-dup slice), and no-false-negatives +
+    // the exact downstream join/verify keep the result row-identical.
+    withOracle(
+      "dedup_incremental_bloom",
+      TextOps.incrementalDedupOracleSql) { (s, dir) =>
+      TextOps.incrementalDedupBloom(Tables.documents(s, dir),
         col("doc_id") % 5 === 0, threshold = 0.1).orderBy("doc_id")
     },
 
@@ -600,6 +601,28 @@ object TextOps {
     * reaches `threshold` (near). Emits (doc_id, n_tokens) of survivors —
     * the shape the ingest step appends to the master corpus.
     */
+  /** Shared oracle for dedup_incremental and dedup_incremental_bloom —
+    * the bloom prefilters cannot change the result (no false negatives;
+    * false positives die in the exact join), so both run the plain SQL.
+    */
+  def incrementalDedupOracleSql: String =
+    s"""WITH ${shinglePairCte()},
+       |bipair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
+       |           FROM sh a JOIN sh b
+       |             ON a.s = b.s AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
+       |           GROUP BY 1, 2),
+       |neardrop AS (SELECT DISTINCT j FROM bipair
+       |             JOIN sizes na ON i = na.doc_id JOIN sizes nb ON j = nb.doc_id
+       |             WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
+       |exactdrop AS (SELECT DISTINCT d.doc_id AS j FROM documents d
+       |              JOIN documents e ON md5(d.text) = md5(e.text)
+       |              WHERE d.doc_id % 5 = 0 AND e.doc_id % 5 <> 0)
+       |SELECT doc_id, len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+       |FROM documents
+       |WHERE doc_id % 5 = 0
+       |  AND doc_id NOT IN (SELECT j FROM neardrop UNION SELECT j FROM exactdrop)
+       |ORDER BY doc_id""".stripMargin
+
   def incrementalDedup(docs: DataFrame, isNew: org.apache.spark.sql.Column,
       threshold: Double, maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
     val base = docs
@@ -631,6 +654,63 @@ object TextOps {
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
         .localCheckpoint() // materialize the small survivor set, free the cache
     } finally base.unpersist()
+  }
+
+  /** [[incrementalDedup]] with bloom prefilters on both join inputs: the
+    * new batch's content hashes are gated by a bloom over the EXISTING
+    * corpus's hashes before the exact-dup join, and the new side's
+    * bounded shingle rows by a bloom over the existing side's bounded
+    * shingles before the bipartite Jaccard join. A pruned row provably
+    * contributes nothing (blooms have no false negatives and both
+    * downstream joins are exact equi-joins on the bloomed key), so the
+    * survivor set is row-identical to [[incrementalDedup]] — only the
+    * shuffled volume changes. That is the 100 TB win: the nightly batch
+    * mostly does NOT collide with the master store, and the ~1 %-FPP
+    * filters keep those rows out of both exchanges entirely.
+    */
+  def incrementalDedupBloom(docs: DataFrame, isNew: org.apache.spark.sql.Column,
+      threshold: Double, maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
+    import org.apache.spark.sql.graft.BloomPrune
+    val base = docs
+      .select(col("doc_id"), col("text"), isNew.as("is_new"),
+        shingleHashes(col("text"), 3).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // the bounded shingle relation is read four ways below (bloom build,
+    // sizing count, old-side join input, new-side prefilter) — persist it
+    // too, or dropHotBuckets' frequency aggregate reruns per consumer
+    val sh = base.select(col("doc_id"), col("is_new"), explode(col("hs")).as("s"))
+    val bounded = NearDedup.dropHotBuckets(sh, Seq("s"), maxShingleFreq,
+      "incremental-dedup-bloom shingle")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val existingHashes = base.where(!col("is_new"))
+        .select(md5(col("text")).as("h")).distinct()
+      val hashBloom = BloomPrune.buildBloom(
+        existingHashes, col("h"), base.where(!col("is_new")).count())
+      val exactDrop = base.where(col("is_new"))
+        .select(col("doc_id"), md5(col("text")).as("h"))
+        .where(BloomPrune.mightContain(hashBloom, col("h")))
+        .join(existingHashes, "h")
+        .select("doc_id")
+      val oldSh = bounded.where(!col("is_new")).select(col("doc_id").as("i"), col("s"))
+      val newSh = bounded.where(col("is_new")).select(col("doc_id").as("j"), col("s"))
+      // row count (not distinct) as expectedItems: a conservative
+      // overestimate only lowers the false-positive rate
+      val shingleBloom = BloomPrune.buildBloom(oldSh, col("s"), oldSh.count())
+      val sizes = base.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+      val nearDrop = oldSh
+        .join(newSh.where(BloomPrune.mightContain(shingleBloom, col("s"))), "s")
+        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+        .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        .where(col("inter") / (col("ni") + col("nj") - col("inter")).cast("double")
+          >= threshold)
+        .select(col("j").as("doc_id"))
+      base.where(col("is_new"))
+        .join(exactDrop.unionAll(nearDrop).distinct(), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tokens"))
+        .localCheckpoint() // materialize the small survivor set, free the caches
+    } finally { bounded.unpersist(); base.unpersist() }
   }
 
   /** Default hot-shingle cap for the exact sparse similarity join: a

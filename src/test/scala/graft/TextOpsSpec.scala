@@ -51,6 +51,38 @@ class TextOpsSpec extends SparkSpec {
     assert(got == Set(10L, 11L), s"both new docs survive the cross-corpus check: $got")
   }
 
+  test("incrementalDedupBloom returns exactly incrementalDedup's survivor set") {
+    import org.apache.spark.sql.functions.col
+    val existing = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val docs = Seq(
+      (0L, existing),
+      (1L, "completely unrelated material about distributed query engines and shuffles"),
+      (10L, existing),                           // new: exact dup of 0
+      (11L, existing + " extra trailing words"), // new: near dup of 0
+      (12L, "fresh new content with entirely different vocabulary throughout the body"),
+      (13L, "another novel document sharing no shingles with anything already ingested")
+    ).toDF("doc_id", "text")
+    val exact = TextOps.incrementalDedup(docs, col("doc_id") >= 10, threshold = 0.5)
+      .as[(Long, Int)].collect().toSet
+    val bloomed = TextOps.incrementalDedupBloom(docs, col("doc_id") >= 10, threshold = 0.5)
+      .as[(Long, Int)].collect().toSet
+    assert(bloomed == exact, s"bloom prefilter must not change the result: $bloomed vs $exact")
+    assert(bloomed.map(_._1) == Set(12L, 13L))
+  }
+
+  test("incrementalDedupBloom with an empty existing corpus keeps every new doc") {
+    import org.apache.spark.sql.functions.col
+    // empty build side → null bloom → might_contain is null-filtered, and
+    // both drop stages are empty: all new docs must survive
+    val docs = Seq(
+      (10L, "first document of a brand new corpus with nothing before it"),
+      (11L, "second document equally novel relative to the empty master store")
+    ).toDF("doc_id", "text")
+    val got = TextOps.incrementalDedupBloom(docs, col("doc_id") >= 10, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == Set(10L, 11L), s"empty existing corpus drops nothing: $got")
+  }
+
   test("piiScrub is idempotent: scrubbing scrubbed text changes nothing") {
     val docs = Seq((0L, "reach me: a@b.com / 555-123-4567")).toDF("doc_id", "text")
     val once = TextOps.piiScrub(docs).select("doc_id", "clean")
