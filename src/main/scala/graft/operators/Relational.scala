@@ -265,6 +265,32 @@ object Relational {
         .groupBy("l_returnflag")
         .agg(count(lit(1)).as("n_items"), round(sum("l_extendedprice"), 2).as("revenue"))
         .orderBy("l_returnflag")
+    },
+
+    // Bloom-split id rewrite: the !!newId left-outer rewrite
+    // (BatchWorkflow.java:679-686) in the regime where the canonical-id
+    // map is person-cardinality — too big to broadcast, and SPARSE in the
+    // event stream's key space (here 2% of ids). The plain plan shuffles
+    // EVERY event on user_id; the bloom split routes definite non-members
+    // straight to the identity mapping (no shuffle) and left-outer-joins
+    // only the probable members, where false positives coalesce back to
+    // identity. Oracle is the plain left-outer rewrite.
+    withOracle(
+      "rewrite_join_bloom",
+      """WITH idmap AS (
+        |  SELECT DISTINCT user_id AS node, user_id % 37 AS canonical
+        |  FROM events WHERE user_id % 50 = 0 AND user_id % 37 <> user_id)
+        |SELECT event_id, coalesce(canonical, user_id) AS person
+        |FROM events LEFT JOIN idmap ON user_id = node
+        |ORDER BY event_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsRaw(s, dir).select("event_id", "user_id")
+      val idmap = ev
+        .select(col("user_id").as("node"), (col("user_id") % 37).as("canonical"))
+        .where(col("node") % 50 === 0 && col("canonical") =!= col("node"))
+        .distinct()
+      bloomRewriteLeftOuter(ev, "user_id", idmap, "node", "canonical", "person")
+        .select("event_id", "person")
+        .orderBy("event_id")
     }
   )
 
@@ -287,5 +313,33 @@ object Relational {
     val bloom = BloomPrune.buildBloom(build, col(buildKey), n)
     big.where(BloomPrune.mightContain(bloom, col(bigKey)))
       .join(build.hint("merge"), col(bigKey) === col(buildKey))
+  }
+
+  /** The left-outer "rewrite" form of the bloom prune: append to `rows`
+    * a column `out` = the map's `mapVal` where `key` matches `mapKey`,
+    * else `key` itself — WITHOUT shuffling rows that cannot match. The
+    * bloom over the map's keys splits the input: definite non-members map
+    * to identity with no exchange; probable members go through a pinned
+    * sort-merge left-outer join where false positives coalesce back to
+    * identity — so the union is row-identical to the plain left-outer
+    * rewrite. Costs a second scan of `rows` (one per branch), which at
+    * scale is the standard trade: a cheap columnar re-scan against
+    * shuffling the ~98% of rows a sparse map can never rewrite. A null
+    * bloom (empty map) routes everything to the identity branch.
+    */
+  def bloomRewriteLeftOuter(
+      rows: org.apache.spark.sql.DataFrame, key: String,
+      map: org.apache.spark.sql.DataFrame, mapKey: String, mapVal: String,
+      out: String, expectedItems: Long = 0L): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.graft.BloomPrune
+    val n = if (expectedItems > 0) expectedItems else map.count()
+    val bloom = BloomPrune.buildBloom(map, col(mapKey), n)
+    val hit = coalesce(BloomPrune.mightContain(bloom, col(key)), lit(false))
+    val keep = rows.columns.map(col).toSeq
+    val miss = rows.where(!hit).select(keep :+ col(key).as(out): _*)
+    val maybe = rows.where(hit)
+      .join(map.hint("merge"), col(key) === col(mapKey), "left_outer")
+      .select(keep :+ coalesce(col(mapVal), col(key)).as(out): _*)
+    maybe.unionAll(miss)
   }
 }

@@ -62,6 +62,38 @@ class BloomPruneSpec extends SparkSpec {
     assert(pruned.count() === 0)
   }
 
+  test("bloomRewriteLeftOuter returns exactly the plain left-outer rewrite") {
+    val ev = Tables.eventsRaw(spark, sf0001).select("event_id", "user_id")
+    // sf0.001 user ids span only 0..14, so use a map rule that is live at
+    // this scale: every third id rewrites to id+1000, the rest are absent
+    val idmap = ev
+      .select(col("user_id").as("node"), (col("user_id") + 1000L).as("canonical"))
+      .where(col("node") % 3 === 0)
+      .distinct()
+    val split = Relational
+      .bloomRewriteLeftOuter(ev, "user_id", idmap, "node", "canonical", "person")
+      .select("event_id", "person")
+    val plain = ev.join(idmap, col("user_id") === col("node"), "left_outer")
+      .select(col("event_id"), coalesce(col("canonical"), col("user_id")).as("person"))
+    assert(split.count() === plain.count())
+    assert(split.exceptAll(plain).isEmpty && plain.exceptAll(split).isEmpty)
+    // both branches must be live: some ids rewritten, most identity
+    val rewritten = split.join(
+      ev.select(col("event_id"), col("user_id")), "event_id")
+      .where(col("person") =!= col("user_id")).count()
+    assert(rewritten > 0 && rewritten < split.count())
+  }
+
+  test("bloomRewriteLeftOuter with an empty map is the identity mapping") {
+    val ev = Tables.eventsRaw(spark, sf0001).select("event_id", "user_id")
+    val empty = ev.select(col("user_id").as("node"),
+      col("user_id").as("canonical")).where(lit(false))
+    val got = Relational
+      .bloomRewriteLeftOuter(ev, "user_id", empty, "node", "canonical", "person")
+    assert(got.where(col("person") =!= col("user_id")).count() === 0)
+    assert(got.count() === ev.count())
+  }
+
   test("declared query matches the unpruned recompute") {
     val q = SparkEntry.queries("join_bloom_prune")(spark, sf0001)
     val recompute = lineitem
