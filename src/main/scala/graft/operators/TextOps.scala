@@ -154,6 +154,52 @@ object TextOps {
         .limit(20)
     },
 
+    // Per-doc top-3 salient terms, tf-idf family: rank by the INTEGER
+    // relevance key (tf desc, then document-frequency asc = rarest-first,
+    // then term) so top-k selection is exact across engines, and emit the
+    // conventional ln-idf score as a rounded output attribute. Selection
+    // by floats would hinge on libm ulp agreement between Spark and the
+    // oracle; the integer key is the same ordering wherever scores don't
+    // tie in real arithmetic, and deterministic where they do.
+    //
+    // Scale: tf is a (doc,term) map-side-combinable aggregate; df
+    // aggregates tf (term-cardinality — vocabulary-sized, NOT corpus-
+    // sized); the tf⋈df join shuffles on term with partial aggregation
+    // upstream, the same shape every distributed tf-idf uses. The doc
+    // count rides a one-row broadcast totals join. No driver loops.
+    withOracle(
+      "text_tfidf_topk",
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |              FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),
+        |df AS (SELECT t, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, t AS term, tf, df,
+        |         round(tf * ln(n_docs * 1.0 / df), 4) AS tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY tf DESC, df ASC, t ASC) AS rk
+        |  FROM tf JOIN df USING (t) CROSS JOIN n)
+        |SELECT doc_id, rk, term, tf, df, tfidf FROM ranked
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("t").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tf").desc, col("df").asc, col("t").asc)
+      tf.join(dfreq, "t").crossJoin(broadcast(nDocs))
+        .withColumn("tfidf",
+          round(col("tf") * log(col("n_docs").cast("double") / col("df")), 4))
+        .withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("t").as("term"),
+          col("tf"), col("df"), col("tfidf"))
+        .orderBy("doc_id", "rk")
+    },
+
     // Per-doc token count (whitespace tokenization).
     withOracle(
       "text_token_count",

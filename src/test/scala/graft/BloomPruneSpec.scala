@@ -84,6 +84,28 @@ class BloomPruneSpec extends SparkSpec {
     assert(rewritten > 0 && rewritten < split.count())
   }
 
+  test("rewrite split's identity branch reaches its scan with no exchange") {
+    val ev = Tables.eventsRaw(spark, sf0001).select("event_id", "user_id")
+    val idmap = ev
+      .select(col("user_id").as("node"), (col("user_id") + 1000L).as("canonical"))
+      .where(col("node") % 3 === 0)
+      .distinct()
+    val split = Relational
+      .bloomRewriteLeftOuter(ev, "user_id", idmap, "node", "canonical", "person")
+    split.count()
+    val all = nodes(split.queryExecution.executedPlan)
+    val unions = all.filter(_.nodeName.toLowerCase.contains("union"))
+    assert(unions.nonEmpty, "expected a union of the two branches")
+    // at least one union input (the definite-non-member branch) must be a
+    // pure scan pipeline: bloom filter + project, zero exchanges
+    val shuffleFree = unions.head.children.exists { c =>
+      val sub = nodes(c)
+      !sub.exists(_.isInstanceOf[ShuffleExchangeLike]) &&
+        sub.exists(_.nodeName.toLowerCase.contains("scan"))
+    }
+    assert(shuffleFree, "identity branch must not shuffle")
+  }
+
   test("bloomRewriteLeftOuter with an empty map is the identity mapping") {
     val ev = Tables.eventsRaw(spark, sf0001).select("event_id", "user_id")
     val empty = ev.select(col("user_id").as("node"),
