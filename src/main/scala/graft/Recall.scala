@@ -74,6 +74,9 @@ object Recall {
     val cosLsh = recall(
       pairSet(SparkEntry.queries("near_dedup_cosine_lsh")(spark, sfDir).select("i", "j")),
       exactCos)
+    val semantic = recall(
+      pairSet(SparkEntry.queries("near_dedup_semantic")(spark, sfDir).select("i", "j")),
+      exactCos)
 
     val json =
       f"""{"sf": "$sfDir",
@@ -82,7 +85,8 @@ object Recall {
          |  "ann_ivf":              {"recall": $annIvf%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "near_dedup_minhash":   {"recall": $minhash%.4f, "baseline": "exact ngram jaccard @0.5", "truth_size": ${exactJac.size}},
          |  "near_dedup_simhash":   {"recall": $simhash%.4f, "baseline": "all-pairs hamming <=3", "truth_size": ${exactSim.size}},
-         |  "near_dedup_cosine_lsh":{"recall": $cosLsh%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}}
+         |  "near_dedup_cosine_lsh":{"recall": $cosLsh%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},
+         |  "near_dedup_semantic":  {"recall": $semantic%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}}
          | }}""".stripMargin
     Files.writeString(Paths.get(out), json + "\n")
     println(s"[recall] wrote $out")

@@ -142,8 +142,58 @@ object VectorOps {
     noOracle("near_dedup_cosine_lsh") { (s, dir) =>
       cosineNearDupLsh(s, Tables.embeddings(s, dir), threshold = 0.4)
         .orderBy("i", "j")
+    },
+
+    // Cluster-scoped embedding dedup (SemDeDup family, Abbas et al.
+    // 2023): the corpus partitions into k-means cells and pairs are
+    // compared WITHIN cells only — candidate volume falls from n² to
+    // Σ|cell|² with √n-sized cells. Misses only cross-cell pairs
+    // (Voronoi-boundary straddlers); every emitted pair is exact-cosine
+    // verified → subset of the all-pairs form, recall in ApproxOpsSpec.
+    noOracle("near_dedup_semantic") { (s, dir) =>
+      // fixture shape pinned at 8 cells so recall stays comparable
+      // across rounds; production callers take the √n auto default
+      cosineNearDupSemantic(s, Tables.embeddings(s, dir), threshold = 0.4,
+        nCells = 8).orderBy("i", "j")
     }
   )
+
+  /** SemDeDup-style cluster-scoped near-dup pairs: assign every vector to
+    * its nearest trained centroid in one streamed codegen pass (the same
+    * [[trainQuantizer]]/nearestCentroid machinery IVF search uses), then
+    * self-join per cell with exact cosine at `threshold`. The shuffle
+    * carries one corpus copy keyed by cell; a cell's pairs never leave
+    * its partition. `maxCell` (conf `graft.semantic.maxCell`) is the
+    * hot-cell quadratic guard — an over-full cell (degenerate clustering,
+    * duplicate-heavy corpora) is dropped and LOGGED by dropHotBuckets,
+    * the same lossy-but-loud policy as the minhash/SRP band paths.
+    * Cross-cell near-dups are missed by design; the LSH path is the
+    * recall-targeted alternative, this one is the throughput-targeted
+    * form (no code replicas, one partition-local quadratic pass).
+    */
+  def cosineNearDupSemantic(spark: SparkSession, emb: DataFrame,
+      threshold: Double, nCells: Int = 0,
+      maxTrainRows: Long = 100000L, maxCell: Int = 0): DataFrame = {
+    val n = emb.count()
+    val cells = if (nCells > 0) nCells else ivfCells(n)
+    val cap =
+      if (maxCell > 0) maxCell
+      else spark.conf.getOption("graft.semantic.maxCell").map(_.toInt).getOrElse(5000)
+    val centroidArr = trainQuantizer(emb, cells, maxTrainRows, n)
+    val assigned = emb.select(col("vec_id"), col("embedding"),
+      org.apache.spark.sql.graft.SrpNative
+        .nearestCentroid(col("embedding"), centroidArr).as("cell"))
+    val bounded = NearDedup.dropHotBuckets(assigned, Seq("cell"), cap, "semantic-cell")
+    val a = bounded.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ei"))
+    val b = bounded.select(col("cell"), col("vec_id").as("j"), col("embedding").as("ej"))
+    a.join(b, Seq("cell"))
+      .where(col("i") < col("j"))
+      .withColumn("cos", cosine(col("ei"), col("ej")))
+      .where(col("cos") >= threshold)
+      // no distinct: each vector lives in exactly one cell, so a pair can
+      // surface at most once — unlike the multi-table LSH candidate join
+      .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+  }
 
   /** IVF cell count by the standard √n rule (FAISS-style): cells track
     * the corpus so the average cell is √n rows — a CONSTANT cell count is
@@ -163,25 +213,35 @@ object VectorOps {
     * cost ~10 corpus passes before the index even exists. Below the cap
     * the sample is the whole corpus, so fixture results are unchanged.
     */
-  def annIvf(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
-      nCells: Int = 0, nProbe: Int = 4, maxTrainRows: Long = 100000L): DataFrame = {
+  /** Train the sample-bounded seeded k-means coarse quantizer shared by
+    * [[annIvf]] and [[cosineNearDupSemantic]]. The ml.Vector conversion
+    * (a boxing UDF) and the localCheckpoint feeding k-means' ~10 passes
+    * touch at most `maxTrainRows` rows, never the corpus — at 10⁹ rows a
+    * full-corpus feat + checkpoint is the scale bug. Returns the centroid
+    * table (broadcast-sized: ≤4096 × dims floats); the checkpoint is
+    * released before returning.
+    */
+  def trainQuantizer(emb: DataFrame, cells: Int, maxTrainRows: Long,
+      nRows: Long): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val sampled =
+      if (nRows <= maxTrainRows) emb
+      else emb.sample(withReplacement = false, maxTrainRows.toDouble / nRows, seed = 42)
+    val train = sampled.withColumn("features", toVec(col("embedding"))).localCheckpoint()
+    try {
+      val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10).fit(train)
+      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    } finally train.unpersist()
+  }
+
+  def annIvf(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
+      nCells: Int = 0, nProbe: Int = 4, maxTrainRows: Long = 100000L): DataFrame = {
     import spark.implicits._
     val n = emb.count() // column-free count: no vector bytes read
     val cells = if (nCells > 0) nCells else ivfCells(n)
-    // train on the BOUNDED sample only: the ml.Vector conversion (a boxing
-    // UDF) and the localCheckpoint that feeds k-means' ~10 passes touch at
-    // most maxTrainRows rows, never the corpus — at 10⁹ rows the old
-    // full-corpus feat + checkpoint was the scale bug
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val sampled =
-      if (n <= maxTrainRows) emb
-      else emb.sample(withReplacement = false, maxTrainRows.toDouble / n, seed = 42)
-    val train = sampled.withColumn("features", toVec(col("embedding"))).localCheckpoint()
-    val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10).fit(train)
-    val centroidArr: Array[Array[Float]] =
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
+    val centroidArr: Array[Array[Float]] = trainQuantizer(emb, cells, maxTrainRows, n)
     // corpus-wide cell assignment: one streamed codegen pass against the
     // broadcast-sized centroid table — no ml.Vector boxing, no checkpoint
     val assigned = emb.select(col("vec_id").as("c"), col("embedding").as("ce"),

@@ -166,6 +166,27 @@ class ApproxOpsSpec extends SparkSpec {
     }
   }
 
+  test("near_dedup_semantic: no false positives, within-cell recall vs the exact form (sf0.01)") {
+    val emb = Tables.embeddings(spark, sf001)
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
+    val exact = SparkEntry.queries("near_dedup_cosine")(spark, sf001)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    val sem = VectorOps.cosineNearDupSemantic(spark, emb, threshold = 0.4, nCells = 8)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    // soundness: exact cosine inside cells ⇒ every emitted pair is a true
+    // pair with the identical cosine
+    sem.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive pair $k")
+      assert(exact(k) == c, s"cosine mismatch on $k: exact=${exact(k)} sem=$c")
+    }
+    // cluster scoping only loses Voronoi-boundary straddlers; on the
+    // fixture most threshold pairs co-cluster — require half, and report
+    // the measured value so RECALL artifacts can track drift
+    val recall = sem.size.toDouble / exact.size
+    assert(recall >= 0.5, s"semantic recall $recall (${sem.size}/${exact.size})")
+    info(s"semantic dedup recall at 8 cells: $recall (${sem.size}/${exact.size})")
+  }
+
   test("lshDedupParams sizes buckets to the corpus and tables to the recall identity") {
     // fixture scale: few rows → minimum planes, tables from the identity
     val (tSmall, bSmall) = VectorOps.lshDedupParams(0.4, 0.9, 2000L, 10000)
