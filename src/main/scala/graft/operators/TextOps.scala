@@ -105,6 +105,14 @@ object TextOps {
       |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
       |         GROUP BY 1, 2)""".stripMargin
 
+  /** Span length for text_span_dedup: long enough that natural-language
+    * collisions are rare, short enough to catch template boilerplate
+    * (Lee et al. use 50 BPE tokens at web scale; 8 words suits the
+    * fixture corpus and the semantics are length-independent).
+    * Declared before `defs` — its oracle SQL interpolates it eagerly.
+    */
+  val SpanDedupN = 8
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup by content hash: keep the smallest doc_id per md5 group.
@@ -578,8 +586,65 @@ object TextOps {
         .select(col("doc_id"), col("st.n_tokens"), col("st.n_distinct"),
           col("st.top_token_cnt"), col("st.top_bigram_cnt"))
         .orderBy("doc_id")
+    },
+
+    // Corpus-level duplicated-SPAN detection (Lee et al. 2022
+    // "Deduplicating Training Data Makes Language Models Better" §4.1, at
+    // shingle rather than suffix-array granularity): an 8-token span that
+    // appears verbatim in >= 2 distinct documents is "duplicated"; emit
+    // per-doc span counts and the duplicated fraction — the filter signal
+    // span-level dedup thresholds on. Complements text_exact_dedup /
+    // near_dedup_* (document granularity) and text_repetition
+    // (within-document): this is the cross-document span granularity.
+    //
+    // Scale: span signatures are distinct 64-bit FNV hashes from the
+    // native one-pass ShingleHash64 expression (row-local, zero
+    // shuffles); the corpus then shuffles once on span hash for the
+    // >= 2-docs test and once on doc_id for the per-doc rollup. The
+    // dup-span join is (hash,doc)-sparse — output cardinality equals its
+    // input, so a boilerplate span hot key inflates one partition's rows
+    // linearly, not quadratically (AQE skew split covers the tail). At
+    // 100 TB, winnowFingerprints (already native) subsamples spans
+    // ~2/(w+1) with the SIGMOD'03 shared-run guarantee when the full
+    // span stream is too wide. Oracle counts span STRINGS; the engine
+    // counts 64-bit hashes — identical absent FNV collisions (odds
+    // ~n²/2⁶⁴, the text_ngram_jaccard assumption).
+    withOracle(
+      "text_span_dedup",
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, ${(0 until SpanDedupN).map(k => s"l[i+$k]").mkString(" || ' ' || ")} AS s
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-${SpanDedupN - 1}, 0))) AS i) g),
+        |dup AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 2),
+        |per AS (SELECT doc_id, count(*) AS n_spans FROM sh GROUP BY doc_id),
+        |dpd AS (SELECT doc_id, count(*) AS n_dup FROM sh JOIN dup USING (s) GROUP BY doc_id)
+        |SELECT per.doc_id, per.n_spans,
+        |       coalesce(dpd.n_dup, CAST(0 AS BIGINT)) AS n_dup_spans,
+        |       round(coalesce(dpd.n_dup, 0) * 1.0 / per.n_spans, 4) AS dup_ratio
+        |FROM per LEFT JOIN dpd USING (doc_id)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      spanDedup(Tables.documents(s, dir), SpanDedupN).orderBy("doc_id")
     }
   )
+
+  /** Per-doc duplicated-span statistics: docs with >= 1 span (>= n
+    * tokens) emit (doc_id, n_spans, n_dup_spans, dup_ratio); shorter
+    * docs have no spans and no row, in engine and oracle alike.
+    */
+  def spanDedup(docs: DataFrame, n: Int): DataFrame = {
+    val sh = docs
+      .select(col("doc_id"), explode(shingleHashes(col("text"), n)).as("h"))
+    val dup = sh.groupBy("h").agg(count(lit(1)).as("nd"))
+      .where(col("nd") >= 2).select("h")
+    val perDoc = sh.groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    val dupPerDoc = sh.join(dup, "h")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    perDoc.join(dupPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+        round(coalesce(col("n_dup"), lit(0L)) * lit(1.0) / col("n_spans"), 4)
+          .as("dup_ratio"))
+  }
 
   /** The pre-dedup pretraining funnel: quality gate + language filter
     * fused into ONE row-local pass over the corpus scan (predLang is a

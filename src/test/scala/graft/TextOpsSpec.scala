@@ -143,4 +143,41 @@ class TextOpsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("spanDedup flags exactly the spans shared across documents") {
+    // docs 0 and 1 share one verbatim 4-token run ("alpha beta gamma
+    // delta" at different offsets); doc 2 is disjoint; doc 3 is too
+    // short to have any 4-token span and must emit no row.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "prefix words here alpha beta gamma delta"),
+      (2L, "one two three four five six"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanDedup(docs, 4).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 0: spans at offsets 1..3 -> 3 spans, 1 duplicated
+    // doc 1: spans at offsets 1..4 -> 4 spans, 1 duplicated
+    assert(got == Seq(
+      (0L, 3L, 1L, 0.3333),
+      (1L, 4L, 1L, 0.25),
+      (2L, 3L, 0L, 0.0)))
+  }
+
+  test("spanDedup counts a span ONCE per doc even when it repeats within the doc") {
+    // "x y x y x y" repeats the span "x y x y" internally but no other
+    // doc shares it: distinct-per-doc signatures mean it is NOT
+    // corpus-duplicated (within-doc repetition is text_repetition's job).
+    val docs = Seq(
+      (0L, "x y x y x y"),
+      (1L, "totally different words entirely here now")
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanDedup(docs, 4).orderBy("doc_id")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    // doc 0 has 3 span positions but only 2 DISTINCT spans
+    // ("x y x y", "y x y x"); none shared with doc 1.
+    assert(got == Seq(
+      (0L, 2L, 0L, 0.0),
+      (1L, 3L, 0L, 0.0)))
+  }
 }
