@@ -212,6 +212,21 @@ class PlanSpec extends SparkSpec {
       s"winnowing must be a narrow map:\n${plan(fp)}")
   }
 
+  test("span dedup: signatures row-local, partial aggs on every exchange, no cartesian") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001)
+    val sig = docs.select(col("doc_id"),
+      explode(functions.TextFunctions.shingleHashes(
+        col("text"), operators.TextOps.SpanDedupN)).as("h"))
+    assert(shuffles(sig) == 0,
+      s"span signatures must be a narrow map:\n${plan(sig)}")
+    val p = plan(operators.TextOps.spanDedup(docs, operators.TextOps.SpanDedupN))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"span dedup joins must stay equi-joins:\n$p")
+    // every final HashAggregate is fed by a partial one, not a raw exchange
+    assert(p.contains("HashAggregate"), s"expected hash aggregation:\n$p")
+  }
+
   test("shard_pack shuffles the corpus once (range partition), rest is partition-count-sized") {
     import org.apache.spark.sql.functions._
     import graft.functions.TextFunctions.tokens
