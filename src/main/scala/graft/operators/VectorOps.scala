@@ -179,10 +179,16 @@ object VectorOps {
     val cap =
       if (maxCell > 0) maxCell
       else spark.conf.getOption("graft.semantic.maxCell").map(_.toInt).getOrElse(5000)
-    val centroidArr = trainQuantizer(emb, cells, maxTrainRows, n)
-    val assigned = emb.select(col("vec_id"), col("embedding"),
+    // spherical quantizer (see annIvf): cells partition by the metric
+    // the dedup thresholds on (cosine), so fewer near-dup pairs straddle
+    // a Voronoi boundary; the exact verify still runs on raw vectors
+    val unitEmb = withUnit(emb, "embedding", "unit")
+    val centroidArr = trainQuantizer(
+      unitEmb.select(col("vec_id"), col("unit").as("embedding")),
+      cells, maxTrainRows, n)
+    val assigned = unitEmb.select(col("vec_id"), col("embedding"),
       org.apache.spark.sql.graft.SrpNative
-        .nearestCentroid(col("embedding"), centroidArr).as("cell"))
+        .nearestCentroid(col("unit"), centroidArr).as("cell"))
     val bounded = NearDedup.dropHotBuckets(assigned, Seq("cell"), cap, "semantic-cell")
     val a = bounded.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ei"))
     val b = bounded.select(col("cell"), col("vec_id").as("j"), col("embedding").as("ej"))
@@ -221,6 +227,19 @@ object VectorOps {
     * table (broadcast-sized: ≤4096 × dims floats); the checkpoint is
     * released before returning.
     */
+  /** Adds `dst` = L2-normalized copy of float-array column `src` (zero
+    * vectors pass through unchanged). The norm is a projected column
+    * computed once per row — NOT an expression inside the per-element
+    * lambda, which would re-evaluate the O(d) norm per element (O(d²)
+    * per row at embedding width).
+    */
+  def withUnit(df: DataFrame, src: String, dst: String): DataFrame =
+    df.withColumn("_nrm", l2norm(col(src)))
+      .withColumn(dst, when(col("_nrm") > 0,
+        transform(col(src), x => (x / col("_nrm")).cast("float")))
+        .otherwise(col(src)))
+      .drop("_nrm")
+
   def trainQuantizer(emb: DataFrame, cells: Int, maxTrainRows: Long,
       nRows: Long): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
@@ -241,20 +260,34 @@ object VectorOps {
     import spark.implicits._
     val n = emb.count() // column-free count: no vector bytes read
     val cells = if (nCells > 0) nCells else ivfCells(n)
-    val centroidArr: Array[Array[Float]] = trainQuantizer(emb, cells, maxTrainRows, n)
+    // Cosine IVF lives on the UNIT sphere (spherical quantizer): train,
+    // assign, and probe-select all on L2-normalized vectors, where L2
+    // cell geometry is monotone in cosine. A mixed-metric index — L2
+    // assignment over raw vectors, raw-dot probe selection, cosine
+    // rerank — routes probes into cells their true cosine neighbors were
+    // never assigned to, a direct recall hole on unnormalized corpora.
+    // Raw vectors still feed the exact rerank (cosine is
+    // scale-invariant, so emitted scores are unchanged).
+    val unitEmb = withUnit(emb, "embedding", "unit")
+    val centroidArr: Array[Array[Float]] = trainQuantizer(
+      unitEmb.select(col("vec_id"), col("unit").as("embedding")),
+      cells, maxTrainRows, n)
     // corpus-wide cell assignment: one streamed codegen pass against the
     // broadcast-sized centroid table — no ml.Vector boxing, no checkpoint
-    val assigned = emb.select(col("vec_id").as("c"), col("embedding").as("ce"),
+    val assigned = unitEmb.select(col("vec_id").as("c"), col("embedding").as("ce"),
       org.apache.spark.sql.graft.SrpNative
-        .nearestCentroid(col("embedding"), centroidArr).as("cell"))
+        .nearestCentroid(col("unit"), centroidArr).as("cell"))
     val centroids = centroidArr.zipWithIndex
       .map { case (v, i) => (i, v) }
       .toSeq.toDF("cell", "centroid")
-    val probes = emb.where(probeFilter)
-      .select(col("vec_id").as("p"), col("embedding").as("pe"))
-    // nProbe nearest cells per probe (tiny: nCells × probes)
+    val probes = withUnit(emb.where(probeFilter), "embedding", "pu")
+      .select(col("vec_id").as("p"), col("embedding").as("pe"), col("pu"))
+    // nProbe nearest cells per probe (tiny: nCells × probes), ranked by
+    // the SAME metric assignment used: L2 on the unit sphere. Minimizing
+    // |p̂ − c|² = 1 + |c|² − 2·p̂·c ≡ maximizing p̂·c − |c|²/2.
     val probeCells = probes.crossJoin(broadcast(centroids))
-      .withColumn("d", dot(col("pe"), col("centroid")))
+      .withColumn("d", dot(col("pu"), col("centroid")) -
+        lit(0.5) * dot(col("centroid"), col("centroid")))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
       .where(col("rnk") <= nProbe)
