@@ -78,8 +78,31 @@ object Recall {
       pairSet(SparkEntry.queries("near_dedup_semantic")(spark, sfDir).select("i", "j")),
       exactCos)
 
+    // Recall/cost CURVES for the two ANN knobs, at the pinned fixture
+    // shapes: the headline numbers above are OPERATING POINTS on these
+    // curves, not ceilings — the curve is what shows the knob works
+    // (monotone, reaching ~1.0) and what a recall target costs.
+    val lshCurve = Seq(0, 2, 5, 8, 12).map { f =>
+      val r = recall(pairSet(VectorOps.annLsh(spark, Tables.embeddings(spark, sfDir),
+        probeFilter = col("vec_id") < 10, k = 5, nPlanes = 6, nFlips = f)
+        .select("probe_id", "neighbor_id")), brute)
+      f -> r
+    }
+    val ivfCurve = Seq(1, 2, 4, 8).map { p =>
+      val r = recall(pairSet(VectorOps.annIvf(spark, Tables.embeddings(spark, sfDir),
+        probeFilter = col("vec_id") < 10, k = 5, nCells = 16, nProbe = p)
+        .select("probe_id", "neighbor_id")), brute)
+      p -> r
+    }
+    def curveJson(c: Seq[(Int, Double)]): String =
+      c.map { case (x, r) => f""""$x": $r%.4f""" }.mkString("{", ", ", "}")
+
     val json =
       f"""{"sf": "$sfDir",
+         | "curves": {
+         |  "ann_lsh_by_nflips_8x6":  ${curveJson(lshCurve)},
+         |  "ann_ivf_by_nprobe_16c":  ${curveJson(ivfCurve)}
+         | },
          | "ops": {
          |  "ann_lsh":              {"recall": $annLsh%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "ann_ivf":              {"recall": $annIvf%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},

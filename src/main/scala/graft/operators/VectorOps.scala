@@ -320,13 +320,15 @@ object VectorOps {
     * caller already knows it (a catalog stat, a prior count) to skip the
     * column-free count job over a possibly uncached `emb`.
     *
-    * `nFlips` enables MULTI-PROBE on the probe side (Lv et al., VLDB'07):
-    * each table is probed with its base code plus the `nFlips` codes one
-    * lowest-margin bit-flip away, so near-boundary neighbors are found
-    * without more tables. Corpus codes are untouched — at a fixed recall
-    * target this shrinks the index (tables ≈ the dominant cost: corpus
-    * code replicas shuffled into the candidate join) several-fold. 0
-    * restores single-probe.
+    * `nFlips` enables MULTI-PROBE on the probe side (Lv et al., VLDB'07
+    * §4): each table is probed with its base code plus the `nFlips` best
+    * 1-or-2-bit perturbations ranked by summed projection margin, so
+    * near-boundary neighbors are found without more tables. Corpus codes
+    * are untouched — at a fixed recall target this shrinks the index
+    * (tables ≈ the dominant cost: corpus code replicas shuffled into the
+    * candidate join) several-fold. 0 restores single-probe; the first
+    * two probes are always the two lowest-margin single flips, so shapes
+    * pinned at nFlips ≤ 2 are unchanged by the 2-bit extension.
     */
   def annLsh(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
       nTables: Int = 8, nPlanes: Int = 0, nRows: Long = 0L,

@@ -143,19 +143,29 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
 }
 
 /** Multi-probe SRP codes for the PROBE side of an LSH search (Lv et al.,
-  * VLDB'07): per table, the base band code plus the `nFlips` codes obtained
-  * by flipping — one at a time — the bits whose projection margin |w·v| is
-  * smallest. A neighbor that lands one low-confidence bit away in some
-  * table is found WITHOUT another table: at a fixed recall target this cuts
-  * the table count (≈ index size and candidate-join width) several-fold,
-  * which at 100 TB is the difference between T and ~T/(1+nFlips) corpus
-  * code replicas being shuffled into the candidate join.
+  * VLDB'07 §4): per table, the base band code plus `nFlips` perturbed
+  * codes — the 1-bit and 2-bit flip sets ranked by summed projection
+  * margin Σ|w·v| over the flipped bits (a low margin means low confidence
+  * in that bit, so flipping it is the likeliest place a near neighbor's
+  * code differs). A neighbor that lands one or two low-confidence bits
+  * away in some table is found WITHOUT another table: at a fixed recall
+  * target this cuts the table count (≈ index size and candidate-join
+  * width) several-fold, which at 100 TB is the difference between T and
+  * ~T/(1+nFlips) corpus code replicas being shuffled into the candidate
+  * join.
+  *
+  * Probe order is deterministic: ascending margin sum, ties broken by
+  * fewer flipped bits then lower bit mask. Under that order the first two
+  * probes are always the two lowest-margin SINGLE flips (a pair's sum is
+  * ≥ the larger of its members, and the cardinality tie-break covers the
+  * zero-margin edge), so shapes pinned at `nFlips ≤ 2` are bit-identical
+  * to the earlier single-flip-only form. `nFlips` may range up to
+  * nPlanes + C(nPlanes, 2), the full 1+2-bit perturbation family.
   *
   * Output layout: `nTables × (1 + nFlips)` longs, table-major —
   * `out[t*(1+nFlips)]` is table t's base code (bit-identical to
   * [[SrpBandCodes]]: same hyperplane family, same accumulation order),
-  * followed by its flip probes in ascending-margin order (margin ties break
-  * on bit index, so the layout is deterministic). `posexplode` then
+  * followed by its probes in rank order. `posexplode` then
   * `pos / (1+nFlips)` recovers the table id. The corpus side keeps the
   * plain single-code expression — multi-probe is a probe-side-only widening.
   */
@@ -166,8 +176,8 @@ case class SrpMultiProbeCodes(child: Expression, nTables: Int, nPlanes: Int,
   require(nTables >= 1, s"nTables must be >= 1, got $nTables")
   require(nPlanes >= 1 && nPlanes <= 63, s"nPlanes must be in [1, 63], got $nPlanes")
   require(dims >= 1, s"dims must be >= 1, got $dims")
-  require(nFlips >= 0 && nFlips < nPlanes,
-    s"nFlips must be in [0, nPlanes), got $nFlips at $nPlanes planes")
+  require(nFlips >= 0 && nFlips <= nPlanes + nPlanes * (nPlanes - 1) / 2,
+    s"nFlips must be in [0, nPlanes + C(nPlanes,2)], got $nFlips at $nPlanes planes")
 
   override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
 
@@ -176,12 +186,17 @@ case class SrpMultiProbeCodes(child: Expression, nTables: Int, nPlanes: Int,
   @transient private lazy val weights: Array[Array[Double]] =
     SrpNative.hyperplanes(nTables, nPlanes, dims)
 
+  // 1-bit and 2-bit perturbation candidates per table
+  @transient private lazy val nCand: Int = nPlanes + nPlanes * (nPlanes - 1) / 2
+
   def compute(v: ArrayData): ArrayData = {
     val n = math.min(v.numElements(), dims)
     val stride = 1 + nFlips
     val out = new Array[Long](nTables * stride)
     val margins = new Array[Double](nPlanes)
-    val used = new Array[Boolean](nPlanes)
+    val scores = new Array[Double](nCand)
+    val masks = new Array[Long](nCand)
+    val used = new Array[Boolean](nCand)
     var t = 0
     while (t < nTables) {
       var code = 0L
@@ -193,24 +208,56 @@ case class SrpMultiProbeCodes(child: Expression, nTables: Int, nPlanes: Int,
         while (d < n) { acc += w(d) * v.getFloat(d); d += 1 }
         if (acc >= 0) code |= 1L << p
         margins(p) = math.abs(acc)
-        used(p) = false
         p += 1
       }
       out(t * stride) = code
-      // nFlips smallest margins, one flip each: selection over ≤63 planes
-      // (strict < keeps the first bit index on margin ties)
-      var f = 0
-      while (f < nFlips) {
-        var best = -1
-        var bestM = Double.MaxValue
-        var q = 0
-        while (q < nPlanes) {
-          if (!used(q) && margins(q) < bestM) { bestM = margins(q); best = q }
-          q += 1
+      if (nFlips > 0) {
+        // candidate table: singles then pairs (summed margins)
+        var c = 0
+        var i = 0
+        while (i < nPlanes) {
+          scores(c) = margins(i); masks(c) = 1L << i; used(c) = false
+          c += 1; i += 1
         }
-        used(best) = true
-        out(t * stride + 1 + f) = code ^ (1L << best)
-        f += 1
+        i = 0
+        while (i < nPlanes) {
+          var j = i + 1
+          while (j < nPlanes) {
+            scores(c) = margins(i) + margins(j)
+            masks(c) = (1L << i) | (1L << j)
+            used(c) = false
+            c += 1; j += 1
+          }
+          i += 1
+        }
+        // nFlips best candidates by (score, bit count, mask) — partial
+        // selection: probe rows are few, nCand ≤ ~2k, nFlips small
+        var f = 0
+        while (f < nFlips) {
+          var best = -1
+          var bestS = Double.MaxValue
+          var bestBits = Int.MaxValue
+          var bestMask = Long.MaxValue
+          var q = 0
+          while (q < nCand) {
+            if (!used(q)) {
+              val s = scores(q)
+              if (s < bestS) {
+                bestS = s; best = q
+                bestBits = java.lang.Long.bitCount(masks(q)); bestMask = masks(q)
+              } else if (s == bestS) {
+                val bits = java.lang.Long.bitCount(masks(q))
+                if (bits < bestBits || (bits == bestBits && masks(q) < bestMask)) {
+                  best = q; bestBits = bits; bestMask = masks(q)
+                }
+              }
+            }
+            q += 1
+          }
+          used(best) = true
+          out(t * stride + 1 + f) = code ^ masks(best)
+          f += 1
+        }
       }
       t += 1
     }

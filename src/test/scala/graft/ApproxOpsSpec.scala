@@ -87,6 +87,31 @@ class ApproxOpsSpec extends SparkSpec {
     assert(mismatches == 0, "probe-side base codes diverged from srp_band_codes")
   }
 
+  test("multi-probe perturbations: first two are single flips, rest within Hamming 2, all distinct") {
+    // the (score, bit count, mask) rank order guarantees probes 1..2 are
+    // the two lowest-margin SINGLE flips (pinned-shape compatibility with
+    // the pre-2-bit form) and every probe is a distinct 1-or-2-bit
+    // perturbation of the base code
+    val emb = Tables.embeddings(spark, sf0001).limit(100)
+    val dims = emb.select(size($"embedding")).head().getInt(0)
+    val nFlips = 8
+    val rows = emb.select(org.apache.spark.sql.graft.SrpNative
+      .srpMultiProbeCodes($"embedding", 4, 6, dims, nFlips).as("mp"))
+      .collect().map(_.getSeq[Long](0))
+    rows.foreach { codes =>
+      (0 until 4).foreach { t =>
+        val table = codes.slice(t * (1 + nFlips), (t + 1) * (1 + nFlips))
+        val base = table.head
+        val probes = table.tail
+        assert(probes.distinct.size == nFlips, "probe codes must be distinct")
+        assert(probes.forall(p => java.lang.Long.bitCount(p ^ base) <= 2),
+          "every probe must be within Hamming distance 2 of the base")
+        assert(probes.take(2).forall(p => java.lang.Long.bitCount(p ^ base) == 1),
+          "the first two probes must be single-bit flips (pinned-shape compat)")
+      }
+    }
+  }
+
   test("ann_ivf recall@5 vs brute force >= 0.5 (sf0.001)") {
     val brute = SparkEntry.queries("similarity_topk")(spark, sf0001)
       .select($"probe_id", $"neighbor_id").collect()
