@@ -11,11 +11,11 @@ import org.apache.spark.sql.functions._
   * committed as `RECALL_r{N}.json` so recall drift across rounds is
   * visible the way bench/correctness drift already is.
   *
-  * Baselines: ann_lsh / ann_ivf vs the brute-force `similarity_topk`
-  * top-5; near_dedup_minhash vs exact shingle Jaccard at the same
-  * threshold; near_dedup_simhash vs brute-force all-pairs Hamming over
-  * the same signatures; near_dedup_cosine_lsh vs the exact all-pairs
-  * `near_dedup_cosine`. All five approximate paths verify exactly on
+  * Baselines: ann_lsh / ann_ivf / ann_pq vs the brute-force
+  * `similarity_topk` top-5; near_dedup_minhash vs exact shingle Jaccard
+  * at the same threshold; near_dedup_simhash vs brute-force all-pairs
+  * Hamming over the same signatures; near_dedup_cosine_lsh vs the exact
+  * all-pairs `near_dedup_cosine`. All the approximate paths verify exactly on
   * their candidate sets, so precision is 1.0 by construction (checked in
   * the specs) — recall is the one number that can drift.
   */
@@ -45,6 +45,7 @@ object Recall {
     val brute = topk("similarity_topk")
     val annLsh = recall(topk("ann_lsh"), brute)
     val annIvf = recall(topk("ann_ivf"), brute)
+    val annPq = recall(topk("ann_pq"), brute)
 
     // minhash text dedup vs exact shingle Jaccard at the declared 0.5
     val docs = Tables.documents(spark, sfDir)
@@ -94,6 +95,12 @@ object Recall {
         .select("probe_id", "neighbor_id")), brute)
       p -> r
     }
+    val pqCurve = Seq(2, 4, 8, 12, 16).map { rr =>
+      val r = recall(pairSet(VectorOps.annPq(spark, Tables.embeddings(spark, sfDir),
+        probeFilter = col("vec_id") < 10, k = 5, m = 8, ks = 16, rerank = rr)
+        .select("probe_id", "neighbor_id")), brute)
+      rr -> r
+    }
     def curveJson(c: Seq[(Int, Double)]): String =
       c.map { case (x, r) => f""""$x": $r%.4f""" }.mkString("{", ", ", "}")
 
@@ -101,11 +108,13 @@ object Recall {
       f"""{"sf": "$sfDir",
          | "curves": {
          |  "ann_lsh_by_nflips_8x6":  ${curveJson(lshCurve)},
-         |  "ann_ivf_by_nprobe_16c":  ${curveJson(ivfCurve)}
+         |  "ann_ivf_by_nprobe_16c":  ${curveJson(ivfCurve)},
+         |  "ann_pq_by_rerank_8x16":  ${curveJson(pqCurve)}
          | },
          | "ops": {
          |  "ann_lsh":              {"recall": $annLsh%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "ann_ivf":              {"recall": $annIvf%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
+         |  "ann_pq":               {"recall": $annPq%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "near_dedup_minhash":   {"recall": $minhash%.4f, "baseline": "exact ngram jaccard @0.5", "truth_size": ${exactJac.size}},
          |  "near_dedup_simhash":   {"recall": $simhash%.4f, "baseline": "all-pairs hamming <=3", "truth_size": ${exactSim.size}},
          |  "near_dedup_cosine_lsh":{"recall": $cosLsh%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},

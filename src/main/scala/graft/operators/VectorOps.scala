@@ -144,6 +144,25 @@ object VectorOps {
         .orderBy("i", "j")
     },
 
+    // Product-quantization ANN (Jégou et al., TPAMI 2011): the corpus is
+    // compressed to m one-byte sub-codes per vector, probes score the
+    // codes through per-probe ADC lookup tables, and only the top
+    // rerank·k candidates touch raw vectors for the exact rerank. The
+    // memory-bounded scan form: at 100 TB the code table is ~m bytes per
+    // vector (16 B vs 256 B for 64 float dims), so the full-corpus scan
+    // PQ does per probe batch reads 16× less data than a raw scan — and
+    // composes with IVF cells when pruning is also wanted. Approximate →
+    // recall vs similarity_topk measured in ApproxOpsSpec / RECALL.
+    noOracle("ann_pq") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      // fixture shape pinned (8 subspaces × 16 centroids, rerank 8 —
+      // recall 0.70 at sf0.001, monotone in both knobs: see the
+      // RECALL_r{N}.json curve) so recall stays comparable across
+      // rounds; production callers take the corpus-sized codebook auto
+      annPq(s, emb, probeFilter = col("vec_id") < 10, k = 5, m = 8, ks = 16,
+        rerank = 8)
+    },
+
     // Cluster-scoped embedding dedup (SemDeDup family, Abbas et al.
     // 2023): the corpus partitions into k-means cells and pairs are
     // compared WITHIN cells only — candidate volume falls from n² to
@@ -295,6 +314,187 @@ object VectorOps {
     assigned
       .join(broadcast(probeCells), Seq("cell"))
       .where(col("p") =!= col("c"))
+      .withColumn("cos", cosine(col("pe"), col("ce")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("p").orderBy(col("cos").desc, col("c"))))
+      .where(col("rank") <= k)
+      .select(col("p").as("probe_id"), col("rank"), col("c").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** Centroids per PQ subspace, sized to the corpus: k-means wants ~50
+    * training points per centroid, so small corpora train small books;
+    * 256 is the byte-code ceiling (and the standard PQ operating point).
+    */
+  def pqCodebookSize(nRows: Long): Int =
+    math.min(256, math.max(16, (nRows / 50).toInt))
+
+  /** Train per-subspace PQ codebooks on the bounded sample: dims split
+    * into `m` contiguous windows (remainder dims widen the first few —
+    * widths ride the codebook itself, see PqNative). The sample is
+    * COLLECTED once (bounded: ≤ maxTrainRows × dims floats, ~25 MB at
+    * the 100k cap × 64 dims — the sample crosses the wire, never the
+    * corpus) and all m sub-codebooks train driver-locally in parallel:
+    * seeded k-means++ init + 10 Lloyd iterations over w-dim windows.
+    * This is the FAISS shape — m distributed k-means cascades over a
+    * few-MB sample would pay m× job-scheduling overhead to move no
+    * data. A subspace that trains fewer than `ks` distinct centroids is
+    * padded by repeating its last centroid — padding duplicates lose
+    * every argmin tie to the lower index, so they are never encoded,
+    * and they keep all subspaces at one common `ks` so PqAdc's
+    * `s·ks + code` indexing holds.
+    */
+  def trainPqCodebooks(emb: DataFrame, m: Int, ks: Int, dims: Int,
+      maxTrainRows: Long, nRows: Long): Array[Array[Array[Float]]] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    require(m >= 1 && m <= dims, s"m must be in [1, dims=$dims], got $m")
+    val base = dims / m
+    val rem = dims % m
+    val widths = Array.tabulate(m)(s => base + (if (s < rem) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _).init
+    val sampled =
+      if (nRows <= maxTrainRows) emb
+      else emb.sample(withReplacement = false, maxTrainRows.toDouble / nRows, seed = 42)
+    val pts: Array[Array[Float]] =
+      sampled.select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    require(pts.nonEmpty, "PQ training sample is empty")
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val trained = (0 until m).map { s =>
+      Future {
+        val off = offsets(s)
+        val w = widths(s)
+        // subspace window, zero-padded past ragged row ends (matches the
+        // encoder's common-prefix rule: missing dims contribute nothing)
+        val sub = pts.map { v =>
+          val a = new Array[Double](w)
+          var i = 0
+          while (i < w && off + i < v.length) { a(i) = v(off + i).toDouble; i += 1 }
+          a
+        }
+        val centers = kmeansLocal(sub, math.min(ks, sub.length), 42L + s)
+        val asF = centers.map(_.map(_.toFloat))
+        if (asF.length >= ks) asF.take(ks)
+        else asF ++ Array.fill(ks - asF.length)(asF.last)
+      }
+    }
+    Await.result(Future.sequence(trained), Duration.Inf).toArray
+  }
+
+  /** Seeded driver-local k-means: k-means++ init + `iters` Lloyd steps,
+    * squared-Euclidean, ties → lowest index (as NearestCentroid/PqEncode
+    * break them), empty clusters keep their previous center. Bounded by
+    * construction — callers pass the ≤maxTrainRows sample — and
+    * deterministic: one private Random per call, no thread interplay.
+    */
+  private def kmeansLocal(points: Array[Array[Double]], ks: Int, seed: Long,
+      iters: Int = 10): Array[Array[Double]] = {
+    val rnd = new java.util.Random(seed)
+    val n = points.length
+    val w = points(0).length
+    def dist2(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var i = 0
+      while (i < w) { val t = a(i) - b(i); d += t * t; i += 1 }
+      d
+    }
+    val centers = new Array[Array[Double]](ks)
+    centers(0) = points(rnd.nextInt(n)).clone()
+    val d2 = Array.fill(n)(Double.MaxValue)
+    var c = 1
+    while (c < ks) {
+      var i = 0
+      while (i < n) { d2(i) = math.min(d2(i), dist2(points(i), centers(c - 1))); i += 1 }
+      val total = d2.sum
+      if (total <= 0) centers(c) = points(rnd.nextInt(n)).clone()
+      else {
+        var r = rnd.nextDouble() * total
+        var j = 0
+        while (j < n - 1 && r > d2(j)) { r -= d2(j); j += 1 }
+        centers(c) = points(j).clone()
+      }
+      c += 1
+    }
+    val assign = new Array[Int](n)
+    var it = 0
+    while (it < iters) {
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var k = 0
+        while (k < ks) {
+          val d = dist2(points(i), centers(k))
+          if (d < bestD) { bestD = d; best = k }
+          k += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(ks)(new Array[Double](w))
+      val counts = new Array[Int](ks)
+      i = 0
+      while (i < n) {
+        val k = assign(i); counts(k) += 1
+        val p = points(i); val sm = sums(k)
+        var d = 0
+        while (d < w) { sm(d) += p(d); d += 1 }
+        i += 1
+      }
+      var k = 0
+      while (k < ks) {
+        if (counts(k) > 0) {
+          val sm = sums(k)
+          var d = 0
+          while (d < w) { sm(d) /= counts(k); d += 1 }
+          centers(k) = sm
+        }
+        k += 1
+      }
+      it += 1
+    }
+    centers
+  }
+
+  /** PQ/ADC approximate top-k: encode the (unit-normalized) corpus to m
+    * byte codes, score every code row against each probe's broadcast ADC
+    * lookup table, keep the `rerank·k` best per probe, exact-rerank those
+    * against raw vectors. Spherical PQ: codes quantize UNIT vectors, so
+    * the ADC score approximates the cosine directly (|x̂| ≈ 1) — raw
+    * vectors still feed the exact rerank, so emitted scores are true
+    * cosines like every other ANN path here.
+    *
+    * Scale shape: the scored table is (id, m bytes) — the compressed
+    * index — so the per-probe-batch scan reads dims·4/m× less than raw
+    * embeddings; candidates alone rejoin the raw corpus by id. `ks = 0`
+    * auto-sizes by [[pqCodebookSize]]; pass `nRows` to skip the sizing
+    * count when known. PQ prunes BYTES, not rows — compose with IVF
+    * (cell-restrict the code table) when row pruning is also wanted.
+    */
+  def annPq(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
+      m: Int = 8, ks: Int = 0, rerank: Int = 4, maxTrainRows: Long = 100000L,
+      nRows: Long = 0L): DataFrame = {
+    import org.apache.spark.sql.graft.PqNative
+    val n = if (nRows > 0) nRows else emb.count()
+    val kCent = if (ks > 0) ks else pqCodebookSize(n)
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val unitEmb = withUnit(emb, "embedding", "unit")
+    val books = trainPqCodebooks(
+      unitEmb.select(col("unit").as("embedding")), m, kCent, dims, maxTrainRows, n)
+    // the compressed index: one streamed codegen pass, (id, m bytes) out
+    val codes = unitEmb.select(col("vec_id").as("c"),
+      PqNative.pqEncode(col("unit"), books).as("codes"))
+    val probes = withUnit(emb.where(probeFilter), "embedding", "pu")
+      .select(col("vec_id").as("p"), col("embedding").as("pe"),
+        PqNative.pqLut(col("pu"), books).as("lut"))
+    val candidates = codes
+      .join(broadcast(probes.select(col("p"), col("lut"))), col("p") =!= col("c"))
+      .withColumn("score", PqNative.pqAdc(col("lut"), col("codes"), kCent))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("p").orderBy(col("score").desc, col("c"))))
+      .where(col("rnk") <= rerank * k)
+      .select(col("p"), col("c"))
+    candidates
+      .join(emb.select(col("vec_id").as("c"), col("embedding").as("ce")), "c")
+      .join(broadcast(probes.select(col("p"), col("pe"))), "p")
       .withColumn("cos", cosine(col("pe"), col("ce")))
       .withColumn("rank",
         row_number().over(Window.partitionBy("p").orderBy(col("cos").desc, col("c"))))

@@ -123,6 +123,52 @@ class ApproxOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 was $recall")
   }
 
+  test("ann_pq recall@5 vs brute force >= 0.5 (sf0.001)") {
+    val brute = SparkEntry.queries("similarity_topk")(spark, sf0001)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = SparkEntry.queries("ann_pq")(spark, sf0001)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & pq).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 was $recall")
+  }
+
+  test("pq native: ADC score equals dot with the code reconstruction, codes in range") {
+    import org.apache.spark.sql.graft.PqNative
+    val emb = Tables.embeddings(spark, sf0001)
+    val dims = emb.select(size($"embedding")).head().getInt(0)
+    val (m, ks) = (8, 16)
+    val unit = VectorOps.withUnit(emb, "embedding", "unit")
+    val books = VectorOps.trainPqCodebooks(
+      unit.select($"unit".as("embedding")), m, ks, dims,
+      maxTrainRows = 100000L, nRows = emb.count())
+    assert(books.length == m && books.forall(_.length == ks))
+    assert(books.map(_(0).length).sum == dims, "subspace widths must tile dims")
+    val rows = unit.limit(50)
+      .select($"unit", PqNative.pqEncode($"unit", books).as("codes"),
+        PqNative.pqLut($"unit", books).as("lut"),
+        PqNative.pqAdc(PqNative.pqLut($"unit", books),
+          PqNative.pqEncode($"unit", books), ks).as("adc"))
+      .collect()
+    val offsets = books.scanLeft(0)((a, b) => a + b(0).length).init
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val codes = r.getAs[Array[Byte]](1)
+      val adc = r.getDouble(3)
+      assert(codes.length == m)
+      assert(codes.forall(c => (c & 0xFF) < ks), "codes must index the codebook")
+      // reconstruction: concatenated chosen centroids; ADC must equal its
+      // dot with the row exactly (same subspace accumulation order)
+      val recon = codes.zipWithIndex.flatMap { case (c, s) => books(s)(c & 0xFF) }
+      val bySub = books.indices.map { s =>
+        val off = offsets(s); val w = books(s)(0).length
+        (off until off + w).map(i => v(i).toDouble * recon(i).toDouble).sum
+      }.sum
+      assert(math.abs(adc - bySub) < 1e-9, s"adc $adc != reconstruction dot $bySub")
+    }
+  }
+
   test("ann_lsh reported cosines are exact for returned pairs") {
     val emb = Tables.embeddings(spark, sf0001)
     val lsh = SparkEntry.queries("ann_lsh")(spark, sf0001)
