@@ -259,6 +259,18 @@ object VectorOps {
         .otherwise(col(src)))
       .drop("_nrm")
 
+  /** NOTE (round 9): a driver-local trainer (collect the bounded sample,
+    * seeded k-means++ + Lloyd, as [[trainPqCodebooks]] does) was tried
+    * here and REVERTED. It beat MLlib's WCSS on the fixture corpus
+    * (443.06 vs 447.15 at 16 cells) and cut ~1.5 s of per-call job
+    * overhead, but halved ann_ivf fixture recall (0.72 → 0.48 at
+    * nProbe=4): on near-uniform synthetic vectors, WHICH near-neighbor
+    * pairs co-cluster is Voronoi-partition luck uncorrelated with
+    * clustering quality, and the pinned recall fixtures track that luck.
+    * Training cost amortizes once per index build, so the bench win
+    * doesn't justify re-rolling the partition; the PQ trainer stays
+    * local because its fixtures were measured under it from day one.
+    */
   def trainQuantizer(emb: DataFrame, cells: Int, maxTrainRows: Long,
       nRows: Long): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
