@@ -46,6 +46,7 @@ object Recall {
     val annLsh = recall(topk("ann_lsh"), brute)
     val annIvf = recall(topk("ann_ivf"), brute)
     val annPq = recall(topk("ann_pq"), brute)
+    val annIvfPq = recall(topk("ann_ivfpq"), brute)
 
     // minhash text dedup vs exact shingle Jaccard at the declared 0.5
     val docs = Tables.documents(spark, sfDir)
@@ -101,6 +102,12 @@ object Recall {
         .select("probe_id", "neighbor_id")), brute)
       rr -> r
     }
+    val ivfPqCurve = Seq(2, 4, 8, 12).map { np =>
+      val r = recall(pairSet(VectorOps.annIvfPq(spark, Tables.embeddings(spark, sfDir),
+        probeFilter = col("vec_id") < 10, k = 5, nCells = 16, nProbe = np,
+        m = 8, ks = 16, rerank = 8).select("probe_id", "neighbor_id")), brute)
+      np -> r
+    }
     def curveJson(c: Seq[(Int, Double)]): String =
       c.map { case (x, r) => f""""$x": $r%.4f""" }.mkString("{", ", ", "}")
 
@@ -109,12 +116,14 @@ object Recall {
          | "curves": {
          |  "ann_lsh_by_nflips_8x6":  ${curveJson(lshCurve)},
          |  "ann_ivf_by_nprobe_16c":  ${curveJson(ivfCurve)},
-         |  "ann_pq_by_rerank_8x16":  ${curveJson(pqCurve)}
+         |  "ann_pq_by_rerank_8x16":  ${curveJson(pqCurve)},
+         |  "ann_ivfpq_by_nprobe_16c_8x16r8": ${curveJson(ivfPqCurve)}
          | },
          | "ops": {
          |  "ann_lsh":              {"recall": $annLsh%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "ann_ivf":              {"recall": $annIvf%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "ann_pq":               {"recall": $annPq%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
+         |  "ann_ivfpq":            {"recall": $annIvfPq%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "near_dedup_minhash":   {"recall": $minhash%.4f, "baseline": "exact ngram jaccard @0.5", "truth_size": ${exactJac.size}},
          |  "near_dedup_simhash":   {"recall": $simhash%.4f, "baseline": "all-pairs hamming <=3", "truth_size": ${exactSim.size}},
          |  "near_dedup_cosine_lsh":{"recall": $cosLsh%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},

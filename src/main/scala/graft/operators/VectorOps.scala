@@ -163,6 +163,21 @@ object VectorOps {
         rerank = 8)
     },
 
+    // IVF + residual PQ (FAISS IndexIVFPQ shape): the coarse quantizer
+    // prunes ROWS (probes touch nProbe of nCells cells) and residual PQ
+    // codes shrink the BYTES scanned inside those cells — together the
+    // actual production ANN at 100 TB, where either alone still reads
+    // too much. Scored via dot(p,x) ≈ dot(p,c_cell) + ADC(p, r_x) over
+    // residual codebooks; exact rerank on raw vectors as everywhere.
+    noOracle("ann_ivfpq") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      // fixture shape pinned (16 cells × probe 8, 8×16 residual PQ,
+      // rerank 8) so recall stays comparable across rounds; production
+      // callers take the √n / corpus-sized auto defaults
+      annIvfPq(s, emb, probeFilter = col("vec_id") < 10, k = 5, nCells = 16,
+        nProbe = 8, m = 8, ks = 16, rerank = 8)
+    },
+
     // Cluster-scoped embedding dedup (SemDeDup family, Abbas et al.
     // 2023): the corpus partitions into k-means cells and pairs are
     // compared WITHIN cells only — candidate volume falls from n² to
@@ -500,6 +515,91 @@ object VectorOps {
     val candidates = codes
       .join(broadcast(probes.select(col("p"), col("lut"))), col("p") =!= col("c"))
       .withColumn("score", PqNative.pqAdc(col("lut"), col("codes"), kCent))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("p").orderBy(col("score").desc, col("c"))))
+      .where(col("rnk") <= rerank * k)
+      .select(col("p"), col("c"))
+    candidates
+      .join(emb.select(col("vec_id").as("c"), col("embedding").as("ce")), "c")
+      .join(broadcast(probes.select(col("p"), col("pe"))), "p")
+      .withColumn("cos", cosine(col("pe"), col("ce")))
+      .withColumn("rank",
+        row_number().over(Window.partitionBy("p").orderBy(col("cos").desc, col("c"))))
+      .where(col("rank") <= k)
+      .select(col("p").as("probe_id"), col("rank"), col("c").as("neighbor_id"),
+        round(col("cos"), 4).as("cos"))
+      .orderBy("probe_id", "rank")
+  }
+
+  /** IVF + residual PQ: cells from the shared spherical coarse quantizer
+    * prune rows, per-cell RESIDUALS (unit vector − cell centroid) are
+    * PQ-encoded so the scanned index row is (id, cell, m bytes), and a
+    * probe's approximate dot against corpus vector x decomposes exactly
+    * as dot(p, c_cell) + dot(p, r_x): the first term is computed once per
+    * (probe, probed cell) — nProbe numbers — and the second reads m LUT
+    * entries per candidate via [[org.apache.spark.sql.graft.PqAdc]].
+    * Residual encoding is what makes PQ codebooks sharp here: residuals
+    * concentrate near 0 with cell-local structure, so the same code
+    * budget quantizes them much more finely than raw vectors (Jégou et
+    * al., TPAMI 2011 §IV). Candidates are ranked by the approximate dot,
+    * the top `rerank·k` rejoin raw vectors for the exact cosine rerank —
+    * same contract as every ANN path here: emitted cosines are exact,
+    * only recall is approximate.
+    *
+    * Scale: probes touch nProbe/nCells of the rows and m bytes per row
+    * touched — the row-pruning of [[annIvf]] times the byte-shrink of
+    * [[annPq]]. Auto-sizing: cells by [[ivfCells]], codebook by
+    * [[pqCodebookSize]]; the PQ books train on the SAME bounded sample
+    * discipline as everything else (residuals of ≤ maxTrainRows rows).
+    */
+  def annIvfPq(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
+      nCells: Int = 0, nProbe: Int = 4, m: Int = 8, ks: Int = 0,
+      rerank: Int = 4, maxTrainRows: Long = 100000L, nRows: Long = 0L): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.PqNative
+    val n = if (nRows > 0) nRows else emb.count()
+    val cells = if (nCells > 0) nCells else ivfCells(n)
+    val kCent = if (ks > 0) ks else pqCodebookSize(n)
+    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val unitEmb = withUnit(emb, "embedding", "unit")
+    val centroidArr = trainQuantizer(
+      unitEmb.select(col("vec_id"), col("unit").as("embedding")),
+      cells, maxTrainRows, n)
+    val centroids = centroidArr.zipWithIndex
+      .map { case (v, i) => (i, v) }
+      .toSeq.toDF("cell", "centroid")
+    // per-row residual vs the assigned cell's centroid: cell assignment
+    // is one codegen pass, the centroid lookup a broadcast join against
+    // the cells-sized table, the subtraction a codegen'd zip_with
+    val assigned = unitEmb.select(col("vec_id").as("c"), col("unit"),
+      org.apache.spark.sql.graft.SrpNative
+        .nearestCentroid(col("unit"), centroidArr).as("cell"))
+      .join(broadcast(centroids), "cell")
+      .withColumn("residual",
+        zip_with(col("unit"), col("centroid"), (u, cv) => (u - cv).cast("float")))
+    val books = trainPqCodebooks(
+      assigned.select(col("residual").as("embedding")), m, kCent, dims,
+      maxTrainRows, n)
+    // the compressed index: (id, cell, m bytes) — residual PQ codes
+    val codes = assigned.select(col("c"), col("cell"),
+      PqNative.pqEncode(col("residual"), books).as("codes"))
+    val probes = withUnit(emb.where(probeFilter), "embedding", "pu")
+      .select(col("vec_id").as("p"), col("embedding").as("pe"), col("pu"),
+        PqNative.pqLut(col("pu"), books).as("lut"))
+    // nProbe nearest cells per probe, with dot(p, centroid) carried as
+    // the cell-constant half of the decomposed score (same spherical-L2
+    // ranking as annIvf: maximize p̂·c − |c|²/2)
+    val probeCells = probes.crossJoin(broadcast(centroids))
+      .withColumn("pdotc", dot(col("pu"), col("centroid")))
+      .withColumn("d", col("pdotc") - lit(0.5) * dot(col("centroid"), col("centroid")))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
+      .where(col("rnk") <= nProbe)
+      .select(col("p"), col("cell"), col("pdotc"), col("lut"))
+    val candidates = codes
+      .join(broadcast(probeCells), Seq("cell"))
+      .where(col("p") =!= col("c"))
+      .withColumn("score", col("pdotc") + PqNative.pqAdc(col("lut"), col("codes"), kCent))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("p").orderBy(col("score").desc, col("c"))))
       .where(col("rnk") <= rerank * k)

@@ -134,6 +134,28 @@ class ApproxOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 was $recall")
   }
 
+  test("ann_ivfpq recall@5 vs brute force >= 0.5 (sf0.001)") {
+    val brute = SparkEntry.queries("similarity_topk")(spark, sf0001)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val got = SparkEntry.queries("ann_ivfpq")(spark, sf0001)
+      .select($"probe_id", $"neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & got).size.toDouble / brute.size
+    assert(recall >= 0.5, s"recall@5 was $recall")
+  }
+
+  test("ann_ivfpq reported cosines are exact for returned pairs") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = SparkEntry.queries("ann_ivfpq")(spark, sf0001)
+    val a = emb.select($"vec_id".as("probe_id"), $"embedding".as("pa"))
+    val b = emb.select($"vec_id".as("neighbor_id"), $"embedding".as("pb"))
+    val bad = got.join(a, "probe_id").join(b, "neighbor_id")
+      .withColumn("exact", round(VectorOps.cosine($"pa", $"pb"), 4))
+      .where($"exact" =!= $"cos").count()
+    assert(bad == 0)
+  }
+
   test("pq native: ADC score equals dot with the code reconstruction, codes in range") {
     import org.apache.spark.sql.graft.PqNative
     val emb = Tables.embeddings(spark, sf0001)
