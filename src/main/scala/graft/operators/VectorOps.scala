@@ -355,7 +355,7 @@ object VectorOps {
     * 256 is the byte-code ceiling (and the standard PQ operating point).
     */
   def pqCodebookSize(nRows: Long): Int =
-    math.min(256, math.max(16, (nRows / 50).toInt))
+    math.min(256L, math.max(16L, nRows / 50)).toInt
 
   /** Train per-subspace PQ codebooks on the bounded sample: dims split
     * into `m` contiguous windows (remainder dims widen the first few —

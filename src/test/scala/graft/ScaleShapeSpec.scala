@@ -88,4 +88,42 @@ class ScaleShapeSpec extends SparkSpec {
     assert(t2 < 256 && quiet.toString.isEmpty,
       s"high-threshold regime must not warn (tables=$t2, stderr='${quiet.toString}')")
   }
+
+  test("pqCodebookSize tracks n/50 between its floor and byte-code cap") {
+    for (exp <- 2 to 12) {
+      val n = math.pow(10.0, exp).toLong
+      val ks = VectorOps.pqCodebookSize(n)
+      assert(ks == math.max(16L, math.min(256L, n / 50)).toInt,
+        s"pqCodebookSize($n)=$ks is not clamped n/50")
+    }
+    // the cap is the hard byte-code ceiling: codes are unsigned bytes
+    assert(VectorOps.pqCodebookSize(Long.MaxValue) == 256)
+  }
+
+  test("sample-bounded PQ training on a 100k corpus yields live, full-width codebooks") {
+    val n = 100000L
+    val dims = 16
+    val emb = syntheticEmb(n, dims)
+    val ks = VectorOps.pqCodebookSize(n)
+    assert(ks == 256, s"100k rows should hit the byte ceiling, got $ks")
+    // training must touch only the 20k sample (the sampling branch), not
+    // the corpus — if this collected all 100k the time and memory double
+    val books = VectorOps.trainPqCodebooks(
+      emb.select(col("embedding")), m = 8, ks = ks, dims = dims,
+      maxTrainRows = 20000L, nRows = n)
+    assert(books.length == 8 && books.forall(_.length == ks))
+    assert(books.map(_(0).length).sum == dims, "subspace widths must tile dims")
+    // encode the full corpus: every row compresses to exactly m bytes and
+    // the codebooks are LIVE — a collapsed subspace (most rows on a few
+    // codes) would mean the trainer quantizes a spread corpus poorly and
+    // ADC ranking degenerates toward ties
+    val codeRows = emb.select(org.apache.spark.sql.graft.PqNative
+      .pqEncode(col("embedding"), books).as("codes"))
+      .collect().map(_.getAs[Array[Byte]](0))
+    assert(codeRows.forall(_.length == 8), "every row must compress to m bytes")
+    (0 until 8).foreach { s =>
+      val live = codeRows.iterator.map(c => c(s) & 0xFF).toSet.size
+      assert(live >= ks / 2, s"subspace $s uses only $live of $ks codes")
+    }
+  }
 }
