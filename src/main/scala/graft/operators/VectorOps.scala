@@ -491,15 +491,24 @@ object VectorOps {
     *
     * Scale shape: the scored table is (id, m bytes) — the compressed
     * index — so the per-probe-batch scan reads dims·4/m× less than raw
-    * embeddings; candidates alone rejoin the raw corpus by id. `ks = 0`
-    * auto-sizes by [[pqCodebookSize]]; pass `nRows` to skip the sizing
-    * count when known. PQ prunes BYTES, not rows — compose with IVF
-    * (cell-restrict the code table) when row pruning is also wanted.
+    * embeddings; candidates alone rejoin the raw corpus by id. Candidate
+    * selection is the map-side-combinable [[graft.functions.TopKAgg]]
+    * heap, NOT a row_number window: the ADC scan scores the whole corpus
+    * per probe, and a per-probe window would shuffle every scored row
+    * into one partition per probe (corpus-sized per-key volume — the
+    * exact skew the heap agg exists for); the heap ships at most
+    * rerank·k rows per upstream partition per probe, and its
+    * (score DESC, id ASC) order is the window's, so the selected set is
+    * identical. `ks = 0` auto-sizes by [[pqCodebookSize]]; pass `nRows`
+    * to skip the sizing count when known. PQ prunes BYTES, not rows —
+    * compose with IVF (cell-restrict the code table) when row pruning
+    * is also wanted.
     */
   def annPq(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
       m: Int = 8, ks: Int = 0, rerank: Int = 4, maxTrainRows: Long = 100000L,
       nRows: Long = 0L): DataFrame = {
     import org.apache.spark.sql.graft.PqNative
+    import spark.implicits._
     val n = if (nRows > 0) nRows else emb.count()
     val kCent = if (ks > 0) ks else pqCodebookSize(n)
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
@@ -515,10 +524,13 @@ object VectorOps {
     val candidates = codes
       .join(broadcast(probes.select(col("p"), col("lut"))), col("p") =!= col("c"))
       .withColumn("score", PqNative.pqAdc(col("lut"), col("codes"), kCent))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("p").orderBy(col("score").desc, col("c"))))
-      .where(col("rnk") <= rerank * k)
-      .select(col("p"), col("c"))
+      .select(col("p"), col("c"), col("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, c, score) => (c, score) }
+      .agg(graft.functions.TopKAgg.TopK(rerank * k).toColumn.name("top"))
+      .select(col("key").as("p"), explode(col("top.items")).as("e"))
+      .select(col("p"), col("e.id").as("c"))
     candidates
       .join(emb.select(col("vec_id").as("c"), col("embedding").as("ce")), "c")
       .join(broadcast(probes.select(col("p"), col("pe"))), "p")
@@ -596,14 +608,23 @@ object VectorOps {
         row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
       .where(col("rnk") <= nProbe)
       .select(col("p"), col("cell"), col("pdotc"), col("lut"))
+    // candidate selection via the map-side-combinable top-k heap (see
+    // annPq): probed cells still hold nProbe/nCells of the corpus, so a
+    // per-probe row_number window would concentrate that volume into one
+    // partition per probe; the heap ships ≤ rerank·k rows per upstream
+    // partition per probe and selects the identical (score DESC, id ASC)
+    // set
     val candidates = codes
       .join(broadcast(probeCells), Seq("cell"))
       .where(col("p") =!= col("c"))
       .withColumn("score", col("pdotc") + PqNative.pqAdc(col("lut"), col("codes"), kCent))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("p").orderBy(col("score").desc, col("c"))))
-      .where(col("rnk") <= rerank * k)
-      .select(col("p"), col("c"))
+      .select(col("p"), col("c"), col("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, c, score) => (c, score) }
+      .agg(graft.functions.TopKAgg.TopK(rerank * k).toColumn.name("top"))
+      .select(col("key").as("p"), explode(col("top.items")).as("e"))
+      .select(col("p"), col("e.id").as("c"))
     candidates
       .join(emb.select(col("vec_id").as("c"), col("embedding").as("ce")), "c")
       .join(broadcast(probes.select(col("p"), col("pe"))), "p")
