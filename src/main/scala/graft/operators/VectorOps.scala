@@ -338,15 +338,22 @@ object VectorOps {
         row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
       .where(col("rnk") <= nProbe)
       .select(col("p"), col("pe"), col("cell"))
+    // top-k per probe via the map-side-combinable heap (identical
+    // (cos DESC, id ASC) selection as a row_number window — see annPq):
+    // a probe's candidate set is nProbe/nCells of the corpus, which a
+    // per-probe window would concentrate into one partition per probe
     assigned
       .join(broadcast(probeCells), Seq("cell"))
       .where(col("p") =!= col("c"))
       .withColumn("cos", cosine(col("pe"), col("ce")))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("p").orderBy(col("cos").desc, col("c"))))
-      .where(col("rank") <= k)
-      .select(col("p").as("probe_id"), col("rank"), col("c").as("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
+      .select(col("p"), col("c"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, c, cos) => (c, cos) }
+      .agg(graft.functions.TopKAgg.TopK(k).toColumn.name("top"))
+      .select(col("key").as("p"), posexplode(col("top.items")).as(Seq("pos", "e")))
+      .select(col("p").as("probe_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("neighbor_id"), round(col("e.value"), 4).as("cos"))
       .orderBy("probe_id", "rank")
   }
 
@@ -692,15 +699,24 @@ object VectorOps {
       .where(col("p") =!= col("vec_id"))
       .select(col("p"), col("vec_id").as("c"))
       .distinct()
+    // top-k per probe via the map-side-combinable heap (identical
+    // (cos DESC, id ASC) selection as a row_number window — see annPq):
+    // at the auto-sized shapes a probe's candidate set is ~2.5k rows per
+    // table × nTables, all of which a per-probe window would concentrate
+    // into one partition per probe
+    import spark.implicits._
     candidates
       .join(emb.select(col("vec_id").as("c"), col("embedding").as("ce")), "c")
       .join(broadcast(probes), "p")
       .withColumn("cos", cosine(col("pe"), col("ce")))
-      .withColumn("rank",
-        row_number().over(Window.partitionBy("p").orderBy(col("cos").desc, col("c"))))
-      .where(col("rank") <= k)
-      .select(col("p").as("probe_id"), col("rank"), col("c").as("neighbor_id"),
-        round(col("cos"), 4).as("cos"))
+      .select(col("p"), col("c"), col("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, c, cos) => (c, cos) }
+      .agg(graft.functions.TopKAgg.TopK(k).toColumn.name("top"))
+      .select(col("key").as("p"), posexplode(col("top.items")).as(Seq("pos", "e")))
+      .select(col("p").as("probe_id"), (col("pos") + 1).as("rank"),
+        col("e.id").as("neighbor_id"), round(col("e.value"), 4).as("cos"))
       .orderBy("probe_id", "rank")
   }
 
