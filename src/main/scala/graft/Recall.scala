@@ -47,6 +47,7 @@ object Recall {
     val annIvf = recall(topk("ann_ivf"), brute)
     val annPq = recall(topk("ann_pq"), brute)
     val annIvfPq = recall(topk("ann_ivfpq"), brute)
+    val annIndexed = recall(topk("ann_ivfpq_indexed"), brute)
 
     // minhash text dedup vs exact shingle Jaccard at the declared 0.5
     val docs = Tables.documents(spark, sfDir)
@@ -124,6 +125,7 @@ object Recall {
          |  "ann_ivf":              {"recall": $annIvf%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "ann_pq":               {"recall": $annPq%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "ann_ivfpq":            {"recall": $annIvfPq%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
+         |  "ann_ivfpq_indexed":    {"recall": $annIndexed%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "near_dedup_minhash":   {"recall": $minhash%.4f, "baseline": "exact ngram jaccard @0.5", "truth_size": ${exactJac.size}},
          |  "near_dedup_simhash":   {"recall": $simhash%.4f, "baseline": "all-pairs hamming <=3", "truth_size": ${exactSim.size}},
          |  "near_dedup_cosine_lsh":{"recall": $cosLsh%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},

@@ -178,6 +178,26 @@ object VectorOps {
         nProbe = 8, m = 8, ks = 16, rerank = 8)
     },
 
+    // The PERSISTENT form of ann_ivfpq — the lambda-architecture shape
+    // (reference: BatchWorkflow's precomputed batch views): build the
+    // index once (train + encode + write cell-partitioned codes, the
+    // on-disk inverted lists), APPEND a second batch encoded with the
+    // saved codebooks (no retrain — the nightly-crawl path), search the
+    // prebuilt table with partition pruning reading only probed cells.
+    // Approximate → recall tracked with the family in ApproxOpsSpec /
+    // VectorIndexSpec; exact-equality-with-in-query pinned there too.
+    noOracle("ann_ivfpq_indexed") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val idx = java.nio.file.Files.createTempDirectory("graft_vecindex").toString
+      // lifecycle under the pinned 16×(8×16) shape: build on even ids,
+      // append odd ids with the build's codebooks, search the union
+      VectorIndex.buildIvfPq(s, emb.where(col("vec_id") % 2 === 0), idx,
+        nCells = 16, m = 8, ks = 16)
+      VectorIndex.appendIvfPq(s, emb.where(col("vec_id") % 2 === 1), idx)
+      VectorIndex.searchIvfPq(s, idx, emb,
+        probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8, rerank = 8)
+    },
+
     // Cluster-scoped embedding dedup (SemDeDup family, Abbas et al.
     // 2023): the corpus partitions into k-means cells and pairs are
     // compared WITHIN cells only — candidate volume falls from n² to
@@ -574,8 +594,6 @@ object VectorOps {
   def annIvfPq(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
       nCells: Int = 0, nProbe: Int = 4, m: Int = 8, ks: Int = 0,
       rerank: Int = 4, maxTrainRows: Long = 100000L, nRows: Long = 0L): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.graft.PqNative
     val n = if (nRows > 0) nRows else emb.count()
     val cells = if (nCells > 0) nCells else ivfCells(n)
     val kCent = if (ks > 0) ks else pqCodebookSize(n)
@@ -584,25 +602,61 @@ object VectorOps {
     val centroidArr = trainQuantizer(
       unitEmb.select(col("vec_id"), col("unit").as("embedding")),
       cells, maxTrainRows, n)
+    val assigned = ivfPqAssign(spark, unitEmb, centroidArr)
+    val books = trainPqCodebooks(
+      assigned.select(col("residual").as("embedding")), m, kCent, dims,
+      maxTrainRows, n)
+    val codes = ivfPqEncode(assigned, books)
+    ivfPqSearch(spark, codes, emb, emb.where(probeFilter), centroidArr, books,
+      k, nProbe, rerank)
+  }
+
+  /** Cell assignment + residual for the IVF-PQ family: one codegen pass
+    * for the nearest (spherical) centroid, a broadcast join against the
+    * cells-sized centroid table, a codegen'd zip_with for the residual.
+    * Input needs `vec_id`, `embedding`, `unit` (see [[withUnit]]).
+    */
+  def ivfPqAssign(spark: SparkSession, unitEmb: DataFrame,
+      centroidArr: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
     val centroids = centroidArr.zipWithIndex
       .map { case (v, i) => (i, v) }
       .toSeq.toDF("cell", "centroid")
-    // per-row residual vs the assigned cell's centroid: cell assignment
-    // is one codegen pass, the centroid lookup a broadcast join against
-    // the cells-sized table, the subtraction a codegen'd zip_with
-    val assigned = unitEmb.select(col("vec_id").as("c"), col("unit"),
+    unitEmb.select(col("vec_id").as("c"), col("unit"),
       org.apache.spark.sql.graft.SrpNative
         .nearestCentroid(col("unit"), centroidArr).as("cell"))
       .join(broadcast(centroids), "cell")
       .withColumn("residual",
         zip_with(col("unit"), col("centroid"), (u, cv) => (u - cv).cast("float")))
-    val books = trainPqCodebooks(
-      assigned.select(col("residual").as("embedding")), m, kCent, dims,
-      maxTrainRows, n)
-    // the compressed index: (id, cell, m bytes) — residual PQ codes
-    val codes = assigned.select(col("c"), col("cell"),
-      PqNative.pqEncode(col("residual"), books).as("codes"))
-    val probes = withUnit(emb.where(probeFilter), "embedding", "pu")
+  }
+
+  /** The compressed index rows: (id, cell, m residual-PQ bytes). */
+  def ivfPqEncode(assigned: DataFrame,
+      books: Array[Array[Array[Float]]]): DataFrame =
+    assigned.select(col("c"), col("cell"), org.apache.spark.sql.graft.PqNative
+      .pqEncode(col("residual"), books).as("codes"))
+
+  /** Search a (c, cell, codes) table — computed in-query ([[annIvfPq]])
+    * or read from a prebuilt index ([[VectorIndex]]) — with the
+    * decomposed score dot(p,c_cell) + ADC(residual codes). The probed
+    * cell set is collected (probes × nProbe values, probe-batch-sized)
+    * and pushed as a `cell IN (...)` filter BEFORE the candidate join:
+    * over a cell-partitioned on-disk index that filter is partition
+    * pruning — the scan reads only the probed inverted lists, the IVF
+    * contract on disk. Candidate selection and final ranking use the
+    * map-side top-k heap (see [[annPq]]).
+    */
+  def ivfPqSearch(spark: SparkSession, codes: DataFrame, emb: DataFrame,
+      probesRaw: DataFrame, centroidArr: Array[Array[Float]],
+      books: Array[Array[Array[Float]]], k: Int, nProbe: Int,
+      rerank: Int): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.graft.PqNative
+    val kCent = books(0).length
+    val centroids = centroidArr.zipWithIndex
+      .map { case (v, i) => (i, v) }
+      .toSeq.toDF("cell", "centroid")
+    val probes = withUnit(probesRaw, "embedding", "pu")
       .select(col("vec_id").as("p"), col("embedding").as("pe"), col("pu"),
         PqNative.pqLut(col("pu"), books).as("lut"))
     // nProbe nearest cells per probe, with dot(p, centroid) carried as
@@ -615,13 +669,10 @@ object VectorOps {
         row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
       .where(col("rnk") <= nProbe)
       .select(col("p"), col("cell"), col("pdotc"), col("lut"))
-    // candidate selection via the map-side-combinable top-k heap (see
-    // annPq): probed cells still hold nProbe/nCells of the corpus, so a
-    // per-probe row_number window would concentrate that volume into one
-    // partition per probe; the heap ships ≤ rerank·k rows per upstream
-    // partition per probe and selects the identical (score DESC, id ASC)
-    // set
+    val probedCells = probeCells.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
     val candidates = codes
+      .where(col("cell").isin(probedCells: _*))
       .join(broadcast(probeCells), Seq("cell"))
       .where(col("p") =!= col("c"))
       .withColumn("score", col("pdotc") + PqNative.pqAdc(col("lut"), col("codes"), kCent))
