@@ -57,6 +57,51 @@ class VectorIndexSpec extends SparkSpec {
     assert(stored == expected, "appended codes diverged from the saved-codebook encoding")
   }
 
+  test("streaming foreachBatch appends land identically to a batch append (speed layer)") {
+    // the reference's batch/speed split applied to the index view: the
+    // batch layer builds (train + encode + write), the speed layer only
+    // APPENDS through the saved codebooks — so a streamed micro-batch
+    // must produce byte-identical index rows to the same data appended
+    // in one batch call
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf0001)
+    val evens = emb.where($"vec_id" % 2 === 0)
+    val odds = emb.where($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val batchDir = freshDir()
+    val streamDir = freshDir()
+    VectorIndex.buildIvfPq(spark, evens, batchDir, nCells = 16, m = 8, ks = 16)
+    VectorIndex.buildIvfPq(spark, evens, streamDir, nCells = 16, m = 8, ks = 16)
+    VectorIndex.appendIvfPq(spark,
+      emb.where($"vec_id" % 2 === 1), batchDir)
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        VectorIndex.appendIvfPq(spark, batch, streamDir)
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    // two micro-batches: the append path must not care how rows arrive
+    val (half1, half2) = odds.splitAt(odds.length / 2)
+    input.addData(half1.toSeq); q.processAllAvailable()
+    input.addData(half2.toSeq); q.processAllAvailable()
+    q.stop()
+    def indexRows(dir: String) = spark.read.parquet(dir + "/codes")
+      .select($"c", $"cell", hex($"codes").as("h")).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(indexRows(streamDir) == indexRows(batchDir),
+      "streamed appends diverged from the batch append")
+    // and the served answers agree
+    val probes = emb.where($"vec_id" < 10)
+    val a = VectorIndex.searchIvfPq(spark, batchDir, emb, probes, k = 5,
+      nProbe = 8, rerank = 8).collect().map(_.toSeq).toSeq
+    val b = VectorIndex.searchIvfPq(spark, streamDir, emb, probes, k = 5,
+      nProbe = 8, rerank = 8).collect().map(_.toSeq).toSeq
+    assert(a == b)
+  }
+
   test("search scans only the probed cells' partitions (inverted lists on disk)") {
     val emb = Tables.embeddings(spark, sf0001)
     val dir = freshDir()
