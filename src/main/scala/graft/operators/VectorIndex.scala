@@ -89,6 +89,12 @@ object VectorIndex {
   /** Append `newEmb` encoded with the SAVED codebooks: only the new rows
     * are written (into their cells' partition directories); existing
     * files and codebooks are untouched.
+    *
+    * Append-only semantics, like `FactStore.ingest` (and the reference's
+    * Pail.absorb): appending an id twice stores it twice, and both rows
+    * can then surface as candidates. Dedup BEFORE appending — the
+    * `dedup_incremental` path is the intended upstream — rather than
+    * paying a (p, c) distinct inside every search.
     */
   def appendIvfPq(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
     val (coarse, books) = readCodebooks(spark, dir)

@@ -652,6 +652,8 @@ object VectorOps {
       rerank: Int): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.graft.PqNative
+    require(k >= 1 && nProbe >= 1 && rerank >= 1,
+      s"k, nProbe, rerank must all be >= 1, got k=$k nProbe=$nProbe rerank=$rerank")
     val kCent = books(0).length
     val centroids = centroidArr.zipWithIndex
       .map { case (v, i) => (i, v) }
