@@ -100,6 +100,25 @@ class VectorIndexSpec extends SparkSpec {
     val b = VectorIndex.searchIvfPq(spark, streamDir, emb, probes, k = 5,
       nProbe = 8, rerank = 8).collect().map(_.toSeq).toSeq
     assert(a == b)
+    // consolidate: micro-batch appends left >1 file in multi-write cells;
+    // the compaction leaves one per cell, identical rows, same answers
+    def filesPerCell(dir: String): Map[String, Int] = {
+      val root = new java.io.File(dir + "/codes")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .toMap
+    }
+    val before = filesPerCell(streamDir)
+    assert(before.values.exists(_ > 1),
+      s"expected multi-file cells after build+2 streamed appends, got $before")
+    val rowsBefore = indexRows(streamDir)
+    VectorIndex.consolidate(spark, streamDir)
+    val after = filesPerCell(streamDir)
+    assert(after.values.forall(_ == 1), s"cells not compacted to one file: $after")
+    assert(indexRows(streamDir) == rowsBefore, "consolidate changed the row multiset")
+    val c = VectorIndex.searchIvfPq(spark, streamDir, emb, probes, k = 5,
+      nProbe = 8, rerank = 8).collect().map(_.toSeq).toSeq
+    assert(c == b, "consolidate changed search answers")
   }
 
   test("search scans only the probed cells' partitions (inverted lists on disk)") {
