@@ -121,6 +121,28 @@ class VectorIndexSpec extends SparkSpec {
     assert(c == b, "consolidate changed search answers")
   }
 
+  test("ANN candidate selection combines map-side (partial+final heap agg in the plan)") {
+    // the scale claim behind the TopKAgg swap (all four ANN paths): the
+    // per-probe top-k buffer must merge BEFORE the exchange, or every
+    // scored row of a probe crosses the wire into one partition — pinned
+    // here on ann_pq, whose ADC scan scores the whole corpus per probe
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec
+    val df = SparkEntry.queries("ann_pq")(spark, sf0001)
+    df.collect()
+    def nodes(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case s: QueryStageExec => Seq(s.plan)
+      case other => other.children
+    }).flatMap(nodes)
+    val aggs = nodes(df.queryExecution.executedPlan).collect {
+      case a: ObjectHashAggregateExec => a
+    }
+    assert(aggs.size >= 2, s"expected partial+final typed aggregation:\n" +
+      df.queryExecution.executedPlan)
+  }
+
   test("search scans only the probed cells' partitions (inverted lists on disk)") {
     val emb = Tables.embeddings(spark, sf0001)
     val dir = freshDir()
