@@ -311,9 +311,12 @@ object VectorOps {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    // null embeddings don't train (they'd NPE the toVec boxing), matching
+    // the assignment side where nearest_centroid of null is null
+    val nonNull = emb.where(col("embedding").isNotNull)
     val sampled =
-      if (nRows <= maxTrainRows) emb
-      else emb.sample(withReplacement = false, maxTrainRows.toDouble / nRows, seed = 42)
+      if (nRows <= maxTrainRows) nonNull
+      else nonNull.sample(withReplacement = false, maxTrainRows.toDouble / nRows, seed = 42)
     val train = sampled.withColumn("features", toVec(col("embedding"))).localCheckpoint()
     try {
       val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10).fit(train)
@@ -411,8 +414,11 @@ object VectorOps {
     val sampled =
       if (nRows <= maxTrainRows) emb
       else emb.sample(withReplacement = false, maxTrainRows.toDouble / nRows, seed = 42)
+    // null embeddings don't train (same skip policy as lshBandCodes'
+    // null → null code); they'd NPE the collect otherwise
     val pts: Array[Array[Float]] =
-      sampled.select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+      sampled.select(col("embedding")).where(col("embedding").isNotNull)
+        .collect().map(_.getSeq[Float](0).toArray)
     require(pts.nonEmpty, "PQ training sample is empty")
     implicit val ec: ExecutionContext = ExecutionContext.global
     val trained = (0 until m).map { s =>

@@ -100,6 +100,18 @@ class ScaleShapeSpec extends SparkSpec {
     assert(VectorOps.pqCodebookSize(Long.MaxValue) == 256)
   }
 
+  test("quantizer trainers skip null embeddings instead of crashing") {
+    val withNulls = syntheticEmb(200, 8)
+      .withColumn("embedding",
+        when(col("vec_id") % 7 === 0, lit(null)).otherwise(col("embedding")))
+    val books = VectorOps.trainPqCodebooks(withNulls, m = 2, ks = 4, dims = 8,
+      maxTrainRows = 100000L, nRows = 200L)
+    assert(books.length == 2 && books.forall(_.length == 4))
+    val coarse = VectorOps.trainQuantizer(withNulls, cells = 4,
+      maxTrainRows = 100000L, nRows = 200L)
+    assert(coarse.length == 4)
+  }
+
   test("sample-bounded PQ training on a 100k corpus yields live, full-width codebooks") {
     val n = 100000L
     val dims = 16
