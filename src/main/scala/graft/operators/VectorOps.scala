@@ -198,6 +198,34 @@ object VectorOps {
         probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8, rerank = 8)
     },
 
+    // The embedding-side capstone pipeline (the vector analogue of
+    // pipeline_pretraining_corpus): near-dup PAIRS via SRP-LSH + exact
+    // verify → connected components → keep the min-id canonical per
+    // cluster (the same apply rule as near_dedup_apply) → build the
+    // persistent IVF-PQ index on the SURVIVORS → serve a probe batch
+    // from it. This is the production embedding-corpus flow end to end:
+    // dedup before indexing (duplicates waste index bytes and crowd
+    // top-k lists with copies), index once, serve many. Rows-only
+    // (approximate components) + EmbeddingPipelineSpec.
+    noOracle("pipeline_embedding_corpus") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val pairs = cosineNearDupLsh(s, emb, threshold = 0.4)
+        .select(col("i").as("src"), col("j").as("dst"))
+      // cc's output column is renamed: `label` is already a column of the
+      // embeddings table (the class annotation), and the ambiguity would
+      // fail resolution in the survivor filter
+      val cc = GraphOps.connectedComponents(pairs)
+        .select(col("node").as("vec_id"), col("label").as("canonical"))
+      val survivors = emb
+        .join(cc, Seq("vec_id"), "left_outer")
+        .where(col("canonical").isNull || col("canonical") === col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_embpipe").toString
+      VectorIndex.buildIvfPq(s, survivors, idx, nCells = 16, m = 8, ks = 16)
+      VectorIndex.searchIvfPq(s, idx, survivors,
+        probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8, rerank = 8)
+    },
+
     // Cluster-scoped embedding dedup (SemDeDup family, Abbas et al.
     // 2023): the corpus partitions into k-means cells and pairs are
     // compared WITHIN cells only — candidate volume falls from n² to
