@@ -28,14 +28,52 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** Raw events. The parquet stores `ts` as TIMESTAMP(NANOS), which Spark's
-    * parquet reader rejects by default; `nanosAsLong` maps it to LongType
-    * (epoch nanoseconds). Session-level conf, safe to set at read time.
+  /** The events file's on-disk schema — what a streaming file source must
+    * declare to read the parquet as-is (before [[normalizeTs]]).
     */
-  def eventsRaw(spark: SparkSession, dir: String): DataFrame = {
+  def eventsFileSchema(spark: SparkSession, dir: String): org.apache.spark.sql.types.StructType =
+    eventsFile(spark, dir).schema
+
+  /** The events relation exactly as stored — `ts` in whatever physical
+    * type the generator used. Callers normalize with [[normalizeTs]].
+    */
+  def eventsFile(spark: SparkSession, dir: String): DataFrame = {
+    // generator-era compat: TIMESTAMP(NANOS) parquet is rejected by the
+    // reader unless mapped to LongType (harmless when ts is micros)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, dir, "events")
   }
+
+  /** Normalize a raw events relation's `ts` to epoch NANOSECONDS as
+    * LongType — the engine's internal timestamp currency (the reference
+    * keeps integer epochs too, schema.thrift:71-75). The generator has
+    * shipped `ts` as TIMESTAMP(NANOS) (→ LongType under `nanosAsLong`)
+    * and as timestamp[us] (→ TimestampNTZType) across rounds; both map
+    * to the same instants here, so every downstream bucket/window/asof
+    * and every DuckDB oracle (`epoch_ns(ts)` accepts either physical
+    * type) is schema-drift-proof. NTZ wall times are interpreted as UTC
+    * — exactly DuckDB's `epoch_ns` reading — by pinning the session
+    * timezone before the cast to an instant.
+    */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema("ts").dataType match {
+      case LongType => df
+      case TimestampNTZType =>
+        df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
+        df.withColumn("ts", unix_micros(col("ts").cast(TimestampType)) * lit(1000L))
+      case TimestampType =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type $other (expected LONG nanos or a timestamp)")
+    }
+  }
+
+  /** Raw events with `ts` normalized to epoch-nanos LongType (see
+    * [[normalizeTs]]). Everything batch-side reads events through here.
+    */
+  def eventsRaw(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(eventsFile(spark, dir))
 
   /** Events decorated with the pageview-proxy columns:
     *  - ts_secs: epoch seconds (integer division of nanos — matches the

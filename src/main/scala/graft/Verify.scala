@@ -18,7 +18,8 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      // events.parquet stores TIMESTAMP(NANOS); read as LongType nanos.
+      // NANOS-era events.parquet compat; Tables.normalizeTs handles the
+      // timestamp[us] generator era (either way ts → LongType nanos).
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // one rename per task at commit instead of task->job->final: the
       // ingest queries pay two parquet commits each by design, and v1's

@@ -51,14 +51,25 @@ object StreamSource {
 
   /** The events stream every speed-layer query reads. `fileDir` is only
     * evaluated (and only stages files) on the default file path.
+    *
+    * The file branch declares the parquet's OWN schema (a streaming
+    * source must state one up front; the staged files are hard links to
+    * the generator's parquet, whose `ts` physical type has drifted
+    * across rounds) and then routes through [[graft.Tables.normalizeTs]]
+    * so every consumer sees epoch-nanos LongType — same contract as the
+    * batch-side `Tables.eventsRaw`. The kafka branch decodes to the
+    * caller's (already-normalized) schema; normalizeTs is a no-op there.
     */
   def events(spark: SparkSession, schema: StructType, fileDir: => String): DataFrame =
     resolve(k => spark.conf.getOption(k)) match {
       case SourceSpec("parquet", _) =>
-        spark.readStream.schema(schema).parquet(fileDir)
+        val dir = fileDir
+        val fileSchema = spark.read.parquet(dir).schema
+        graft.Tables.normalizeTs(spark.readStream.schema(fileSchema).parquet(dir))
       case SourceSpec(format, options) =>
-        decodeKafka(options.foldLeft(spark.readStream.format(format)) {
-          case (r, (k, v)) => r.option(k, v)
-        }.load(), schema)
+        graft.Tables.normalizeTs(
+          decodeKafka(options.foldLeft(spark.readStream.format(format)) {
+            case (r, (k, v)) => r.option(k, v)
+          }.load(), schema))
     }
 }

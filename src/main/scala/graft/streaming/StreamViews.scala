@@ -319,8 +319,7 @@ object StreamViews {
       "SELECT count(*) AS n FROM events") { (s, dir) =>
       withStateParallelism(s) {
         val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = Tables.eventsRaw(s, dir).schema
+        val schema = Tables.eventsFileSchema(s, dir)
         val q = s.readStream.schema(schema).parquet(stagedDoubledEventsDir(dir))
           .dropDuplicates("event_id")
           .groupBy().count()
@@ -343,9 +342,9 @@ object StreamViews {
       "SELECT count(*) AS n FROM events") { (s, dir) =>
       withStateParallelism(s) {
         val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-        s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        val schema = Tables.eventsRaw(s, dir).schema
-        val q = s.readStream.schema(schema).parquet(stagedDoubledEventsDir(dir))
+        val schema = Tables.eventsFileSchema(s, dir)
+        val q = Tables.normalizeTs(
+            s.readStream.schema(schema).parquet(stagedDoubledEventsDir(dir)))
           .withColumn("ts_event", tsSecs(col("ts")).cast("timestamp"))
           .withWatermark("ts_event", "1 hour")
           .dropDuplicatesWithinWatermark("event_id")
