@@ -80,6 +80,9 @@ object Recall {
     val semantic = recall(
       pairSet(SparkEntry.queries("near_dedup_semantic")(spark, sfDir).select("i", "j")),
       exactCos)
+    val semanticMulti = recall(
+      pairSet(SparkEntry.queries("near_dedup_semantic_multi")(spark, sfDir).select("i", "j")),
+      exactCos)
 
     // Recall/cost CURVES for the two ANN knobs, at the pinned fixture
     // shapes: the headline numbers above are OPERATING POINTS on these
@@ -129,7 +132,8 @@ object Recall {
          |  "near_dedup_minhash":   {"recall": $minhash%.4f, "baseline": "exact ngram jaccard @0.5", "truth_size": ${exactJac.size}},
          |  "near_dedup_simhash":   {"recall": $simhash%.4f, "baseline": "all-pairs hamming <=3", "truth_size": ${exactSim.size}},
          |  "near_dedup_cosine_lsh":{"recall": $cosLsh%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},
-         |  "near_dedup_semantic":  {"recall": $semantic%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}}
+         |  "near_dedup_semantic":  {"recall": $semantic%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},
+         |  "near_dedup_semantic_multi": {"recall": $semanticMulti%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}}
          | }}""".stripMargin
     Files.writeString(Paths.get(out), json + "\n")
     println(s"[recall] wrote $out")

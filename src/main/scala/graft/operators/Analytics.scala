@@ -231,6 +231,95 @@ object Analytics {
           round(stddev_samp("value"), 2).as("sd_v"),
           round(min("value"), 2).as("min_v"), round(max("value"), 2).as("max_v"))
         .orderBy("event_type")
+    },
+
+    // Ordered conversion funnel view → click → purchase: a user reaches
+    // step n+1 at the first step-(n+1) event AT OR AFTER their step-n
+    // arrival time. The canonical product-analytics query over the same
+    // pageview stream the reference's views aggregate.
+    //
+    // Scale: each stage is a map-combinable min-aggregate keyed by user
+    // (user-cardinality, skew-free) followed by an equi-join on user_id
+    // against a set that only SHRINKS stage over stage — at 100 TB the
+    // stage-2+ scans prune by event_type at the parquet reader and the
+    // shrinking arrival relation makes each successive join cheaper
+    // (broadcastable once conversion whittles it under the threshold).
+    // All integer arithmetic; no float ordering anywhere.
+    withOracle(
+      "funnel_steps",
+      s"""WITH s1 AS (
+         |  SELECT user_id, min(${Tables.sql.tsSecs}) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (
+         |  SELECT e.user_id, min(${Tables.sql.tsSecs}) AS t2
+         |  FROM events e JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND ${Tables.sql.tsSecs} >= t1
+         |  GROUP BY e.user_id),
+         |s3 AS (
+         |  SELECT e.user_id, min(${Tables.sql.tsSecs}) AS t3
+         |  FROM events e JOIN s2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND ${Tables.sql.tsSecs} >= t2
+         |  GROUP BY e.user_id)
+         |SELECT step, step_type, n_users FROM (
+         |  SELECT 1 AS step, 'view' AS step_type, count(*) AS n_users FROM s1
+         |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         |ORDER BY step""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsRaw(s, dir)
+        .select(col("user_id"), col("event_type"),
+          graft.functions.TimeFunctions.tsSecs(col("ts")).as("ts_secs"))
+      def stage(prev: org.apache.spark.sql.DataFrame, prevT: String,
+          step: String, outT: String) =
+        ev.where(col("event_type") === step)
+          .join(prev, "user_id")
+          .where(col("ts_secs") >= col(prevT))
+          .groupBy("user_id").agg(min("ts_secs").as(outT))
+      val s1 = ev.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_secs").as("t1"))
+      val s2 = stage(s1, "t1", "click", "t2")
+      val s3 = stage(s2, "t2", "purchase", "t3")
+      def level(df: org.apache.spark.sql.DataFrame, step: Int, name: String) =
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(step).as("step"), lit(name).as("step_type"), col("n_users"))
+      level(s1, 1, "view")
+        .unionAll(level(s2, 2, "click"))
+        .unionAll(level(s3, 3, "purchase"))
+        .orderBy("step")
+    },
+
+    // Weekly cohort retention: cohort = the ISO-epoch week of a user's
+    // first event, cell (cohort_wk, wk_offset) = distinct users from that
+    // cohort active wk_offset weeks later. The standard retention matrix
+    // over the reference's pageview-stream shape.
+    //
+    // Scale: first-seen is a map-combinable min-aggregate on user_id; the
+    // activity join shuffles both sides on user_id (user-cardinality — no
+    // hot keys); the distinct collapses to (user, cohort, offset) with
+    // partial aggregation before the final matrix aggregate, whose result
+    // is weeks² — tiny. Integer week arithmetic end to end (truncating
+    // division, non-negative epochs — same contract as ts_secs).
+    withOracle(
+      "cohort_retention",
+      s"""WITH wk AS (
+         |  SELECT user_id, ${Tables.sql.tsSecs} // 604800 AS wk FROM events),
+         |first AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY user_id),
+         |act AS (
+         |  SELECT DISTINCT w.user_id, f.cohort_wk, w.wk - f.cohort_wk AS wk_offset
+         |  FROM wk w JOIN first f USING (user_id))
+         |SELECT cohort_wk, wk_offset, count(*) AS n_users
+         |FROM act GROUP BY cohort_wk, wk_offset
+         |ORDER BY cohort_wk, wk_offset""".stripMargin) { (s, dir) =>
+      val wk = Tables.eventsRaw(s, dir)
+        .select(col("user_id"),
+          graft.functions.TimeFunctions.tsSecs(col("ts")).as("ts_secs"))
+        .select(col("user_id"), expr("ts_secs div 604800").as("wk"))
+      val first = wk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
+      wk.join(first, "user_id")
+        .select(col("user_id"), col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))
+        .distinct()
+        .groupBy("cohort_wk", "wk_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "wk_offset")
     }
   )
 }

@@ -208,6 +208,74 @@ object TextOps {
         .orderBy("doc_id", "rk")
     },
 
+    // BM25 ranked retrieval (Robertson-Spärck Jones, k1=1.2 b=0.75): score
+    // the corpus against a fixed 3-term query, emit the global top-10.
+    // The serving-side complement of text_tfidf_topk: that one
+    // characterizes documents, this one answers a query.
+    //
+    // Both engines evaluate the same expression tree (left-associative,
+    // identical literals) so the rounded scores hash-match; ranking and
+    // the k-boundary use the ROUNDED score with doc_id tie-break, so
+    // top-k selection agrees wherever the rounded values do.
+    //
+    // Scale: tf is a map-combinable (doc,term) aggregate; the query-term
+    // filter prunes the posting relation BEFORE any join (3 terms, not
+    // the vocabulary); df aggregates those pruned postings (3 rows); dl
+    // is a doc-cardinality aggregate joined on doc_id; corpus stats ride
+    // a one-row broadcast. Global top-10 selection is the map-side
+    // TopKAgg heap — each task ships at most 10 rows, no single-partition
+    // window over every matching document.
+    withOracle(
+      "text_bm25_topk",
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |              FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['spark', 'merge', 'vector']) AS t),
+        |df AS (SELECT t, count(*) AS df FROM tf JOIN q USING (t) GROUP BY t),
+        |scored AS (
+        |  SELECT tf.doc_id,
+        |         sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+        |             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        |  FROM tf JOIN q USING (t) JOIN df USING (t) JOIN dl USING (doc_id)
+        |       CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, round(score, 4) AS bm25,
+        |         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT rank, doc_id, bm25 FROM ranked WHERE rank <= 10
+        |ORDER BY rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val qTerms = Seq("spark", "merge", "vector")
+      val docs = Tables.documents(s, dir)
+      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .where(col("t") =!= "")
+        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+      val tfq = tf.where(col("t").isin(qTerms: _*))
+      val dfreq = tfq.groupBy("t").agg(count(lit(1)).as("df"))
+      tfq.join(dfreq, "t")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib",
+          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1))
+            * col("tf") * lit(2.2)
+            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+        .groupBy("doc_id").agg(round(sum("contrib"), 4).as("bm25"))
+        .select(col("doc_id"), col("bm25"))
+        .as[(Long, Double)]
+        .groupByKey(_ => 0)
+        .mapValues { case (id, v) => (id, v) }
+        .agg(graft.functions.TopKAgg.TopK(10).toColumn.name("top"))
+        .select(posexplode(col("top.items")).as(Seq("pos", "e")))
+        .select((col("pos") + 1).as("rank"), col("e.id").as("doc_id"),
+          col("e.value").as("bm25"))
+        .orderBy("rank")
+    },
+
     // Per-doc token count (whitespace tokenization).
     withOracle(
       "text_token_count",

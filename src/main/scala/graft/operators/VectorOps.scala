@@ -237,6 +237,16 @@ object VectorOps {
       // across rounds; production callers take the √n auto default
       cosineNearDupSemantic(s, Tables.embeddings(s, dir), threshold = 0.4,
         nCells = 8).orderBy("i", "j")
+    },
+
+    // Multi-assignment variant: same 8 cells, each vector in its 2
+    // nearest — recovers the Voronoi-boundary pairs single assignment
+    // structurally misses (the dominant recall hole of the cluster-scoped
+    // form) for 2× candidate volume. Recall vs the exact form tracked
+    // beside the single-assign number in ApproxOpsSpec / RECALL.
+    noOracle("near_dedup_semantic_multi") { (s, dir) =>
+      cosineNearDupSemantic(s, Tables.embeddings(s, dir), threshold = 0.4,
+        nCells = 8, nAssign = 2).orderBy("i", "j")
     }
   )
 
@@ -252,10 +262,19 @@ object VectorOps {
     * Cross-cell near-dups are missed by design; the LSH path is the
     * recall-targeted alternative, this one is the throughput-targeted
     * form (no code replicas, one partition-local quadratic pass).
+    *
+    * `nAssign > 1` turns on MULTI-ASSIGNMENT (cluster overlap): each
+    * vector joins its nAssign nearest cells, so a pair straddling a
+    * Voronoi boundary still co-occurs wherever their cell sets
+    * intersect — the build-side analogue of IVF's nProbe, trading
+    * nAssign× corpus replicas in the per-cell join for the boundary
+    * pairs single assignment structurally misses. Candidates then need a
+    * distinct (a pair may share several cells) before the exact verify.
     */
   def cosineNearDupSemantic(spark: SparkSession, emb: DataFrame,
       threshold: Double, nCells: Int = 0,
-      maxTrainRows: Long = 100000L, maxCell: Int = 0): DataFrame = {
+      maxTrainRows: Long = 100000L, maxCell: Int = 0,
+      nAssign: Int = 1): DataFrame = {
     val n = emb.count()
     val cells = if (nCells > 0) nCells else ivfCells(n)
     val cap =
@@ -268,19 +287,40 @@ object VectorOps {
     val centroidArr = trainQuantizer(
       unitEmb.select(col("vec_id"), col("unit").as("embedding")),
       cells, maxTrainRows, n)
-    val assigned = unitEmb.select(col("vec_id"), col("embedding"),
-      org.apache.spark.sql.graft.SrpNative
-        .nearestCentroid(col("unit"), centroidArr).as("cell"))
-    val bounded = NearDedup.dropHotBuckets(assigned, Seq("cell"), cap, "semantic-cell")
-    val a = bounded.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ei"))
-    val b = bounded.select(col("cell"), col("vec_id").as("j"), col("embedding").as("ej"))
-    a.join(b, Seq("cell"))
-      .where(col("i") < col("j"))
-      .withColumn("cos", cosine(col("ei"), col("ej")))
-      .where(col("cos") >= threshold)
-      // no distinct: each vector lives in exactly one cell, so a pair can
-      // surface at most once — unlike the multi-table LSH candidate join
-      .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+    if (nAssign <= 1) {
+      val assigned = unitEmb.select(col("vec_id"), col("embedding"),
+        org.apache.spark.sql.graft.SrpNative
+          .nearestCentroid(col("unit"), centroidArr).as("cell"))
+      val bounded = NearDedup.dropHotBuckets(assigned, Seq("cell"), cap, "semantic-cell")
+      val a = bounded.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ei"))
+      val b = bounded.select(col("cell"), col("vec_id").as("j"), col("embedding").as("ej"))
+      a.join(b, Seq("cell"))
+        .where(col("i") < col("j"))
+        .withColumn("cos", cosine(col("ei"), col("ej")))
+        .where(col("cos") >= threshold)
+        // no distinct: each vector lives in exactly one cell, so a pair can
+        // surface at most once — unlike the multi-table LSH candidate join
+        .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+    } else {
+      // multi-assign: explode the nAssign-nearest cells, dedup candidate
+      // PAIRS (id-only — no embedding bytes ride the quadratic join),
+      // then verify exactly once per pair, the LSH-path shape
+      val assigned = unitEmb.select(col("vec_id"),
+        explode(org.apache.spark.sql.graft.SrpNative
+          .nearestCentroids(col("unit"), centroidArr, nAssign)).as("cell"))
+      val bounded = NearDedup.dropHotBuckets(assigned, Seq("cell"), cap, "semantic-cell")
+      val candidates = bounded.select(col("cell"), col("vec_id").as("i"))
+        .join(bounded.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
+        .where(col("i") < col("j"))
+        .select(col("i"), col("j"))
+        .distinct()
+      candidates
+        .join(emb.select(col("vec_id").as("i"), col("embedding").as("ei")), "i")
+        .join(emb.select(col("vec_id").as("j"), col("embedding").as("ej")), "j")
+        .withColumn("cos", cosine(col("ei"), col("ej")))
+        .where(col("cos") >= threshold)
+        .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+    }
   }
 
   /** IVF cell count by the standard √n rule (FAISS-style): cells track

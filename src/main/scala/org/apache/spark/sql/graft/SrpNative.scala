@@ -142,6 +142,79 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
   override def prettyName: String = "nearest_centroid"
 }
 
+/** The `n` nearest centroid indices in ascending-distance order (squared
+  * Euclidean, ties → lowest index) — the multi-assignment generalization
+  * of [[NearestCentroid]]. Cluster-scoped dedup (SemDeDup family) misses
+  * every pair straddling a Voronoi boundary under single assignment;
+  * assigning each vector to its `n` nearest cells lets boundary pairs
+  * co-occur in a shared cell at the cost of n× corpus replicas in the
+  * per-cell self-join — the standard cluster-overlap recall/cost knob
+  * (same trade as IVF's nProbe, but on the build side). Element 0 is
+  * exactly [[NearestCentroid]]'s answer, so n=1 degenerates to the
+  * single-assign behavior.
+  */
+case class NearestCentroids(child: Expression, centroids: Array[Array[Float]],
+    n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(centroids.nonEmpty, "centroid table must be non-empty")
+  require(n >= 1 && n <= centroids.length,
+    s"n must be in [1, ${centroids.length}], got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(ArrayType(FloatType))
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  def compute(v: ArrayData): ArrayData = {
+    val k = centroids.length
+    val dist = new Array[Double](k)
+    var cIdx = 0
+    while (cIdx < k) {
+      val c = centroids(cIdx)
+      val m = math.min(v.numElements(), c.length)
+      var d = 0.0
+      var i = 0
+      while (i < m) {
+        val diff = v.getFloat(i).toDouble - c(i).toDouble
+        d += diff * diff
+        i += 1
+      }
+      dist(cIdx) = d
+      cIdx += 1
+    }
+    // partial selection sort: n is small (2-4 in practice), k ≤ 4096
+    val out = new Array[Int](n)
+    val used = new Array[Boolean](k)
+    var s = 0
+    while (s < n) {
+      var best = -1
+      var bestD = Double.MaxValue
+      var q = 0
+      while (q < k) {
+        if (!used(q) && dist(q) < bestD) { bestD = dist(q); best = q }
+        q += 1
+      }
+      used(best) = true
+      out(s) = best
+      s += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("ncs", this, classOf[NearestCentroids].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): NearestCentroids =
+    copy(child = newChild)
+
+  override def prettyName: String = "nearest_centroids"
+}
+
 /** Multi-probe SRP codes for the PROBE side of an LSH search (Lv et al.,
   * VLDB'07 §4): per table, the base band code plus `nFlips` perturbed
   * codes — the 1-bit and 2-bit flip sets ranked by summed projection
@@ -307,4 +380,9 @@ object SrpNative {
   def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
     ExpressionUtils.column(
       NearestCentroid(ExpressionUtils.expression(vec), centroids))
+
+  /** `nearest_centroids(vec, n)` — the n nearest cells, as a Column. */
+  def nearestCentroids(vec: Column, centroids: Array[Array[Float]], n: Int): Column =
+    ExpressionUtils.column(
+      NearestCentroids(ExpressionUtils.expression(vec), centroids, n))
 }

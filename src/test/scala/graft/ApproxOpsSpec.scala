@@ -278,6 +278,25 @@ class ApproxOpsSpec extends SparkSpec {
     val recall = sem.size.toDouble / exact.size
     assert(recall >= 0.5, s"semantic recall $recall (${sem.size}/${exact.size})")
     info(s"semantic dedup recall at 8 cells: $recall (${sem.size}/${exact.size})")
+
+    // multi-assignment (2 nearest cells): every single-assign pair is
+    // still found (cell sets are supersets of the single cell), the
+    // boundary pairs it adds are exact-verified (no false positives),
+    // and recall strictly improves on the fixture
+    val multi = VectorOps.cosineNearDupSemantic(spark, emb, threshold = 0.4,
+      nCells = 8, nAssign = 2)
+      .collect().map(r => key(r) -> r.getDouble(2)).toMap
+    multi.foreach { case (k, c) =>
+      assert(exact.contains(k), s"false positive pair $k (multi-assign)")
+      assert(exact(k) == c, s"cosine mismatch on $k: exact=${exact(k)} multi=$c")
+    }
+    sem.keys.foreach { k =>
+      assert(multi.contains(k), s"multi-assign lost single-assign pair $k")
+    }
+    val multiRecall = multi.size.toDouble / exact.size
+    assert(multiRecall >= recall,
+      s"multi-assign recall $multiRecall below single-assign $recall")
+    info(s"semantic dedup recall at 8 cells, nAssign=2: $multiRecall (${multi.size}/${exact.size})")
   }
 
   test("lshDedupParams sizes buckets to the corpus and tables to the recall identity") {
