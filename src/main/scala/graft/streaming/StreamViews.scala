@@ -499,6 +499,52 @@ object StreamViews {
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
       s.table(name).orderBy("doc_id")
+    },
+
+    // Speed-layer conversion funnel: per-user stateful funnel progress
+    // (StreamFunnel — exact under any arrival order via the (min view,
+    // clicks, purchases) sufficient statistic; emitted stage is monotone
+    // across batches) in update mode; the serving read takes max(stage)
+    // per user and rolls up cumulative step counts. Final state must
+    // equal the batch funnel_steps view — same oracle SQL.
+    withOracle(
+      "stream_funnel",
+      s"""WITH s1 AS (
+         |  SELECT user_id, min($ts) AS t1 FROM events
+         |  WHERE event_type = 'view' GROUP BY user_id),
+         |s2 AS (
+         |  SELECT e.user_id, min($ts) AS t2
+         |  FROM events e JOIN s1 USING (user_id)
+         |  WHERE event_type = 'click' AND $ts >= t1
+         |  GROUP BY e.user_id),
+         |s3 AS (
+         |  SELECT e.user_id, min($ts) AS t3
+         |  FROM events e JOIN s2 USING (user_id)
+         |  WHERE event_type = 'purchase' AND $ts >= t2
+         |  GROUP BY e.user_id)
+         |SELECT step, step_type, n_users FROM (
+         |  SELECT 1 AS step, 'view' AS step_type, count(*) AS n_users FROM s1
+         |  UNION ALL SELECT 2, 'click', count(*) FROM s2
+         |  UNION ALL SELECT 3, 'purchase', count(*) FROM s3)
+         |ORDER BY step""".stripMargin) { (s, dir) =>
+      val sink = runToMemory(s, dir, "update") { src =>
+        import s.implicits._
+        val evs = withTsSecs(src)
+          .where(col("event_type").isin("view", "click", "purchase"))
+          .select(col("user_id").as("user"),
+            when(col("event_type") === "view", 1)
+              .when(col("event_type") === "click", 2)
+              .otherwise(3).as("step"),
+            col("ts_secs").as("tsSecs"))
+          .as[StreamFunnel.FunnelEvent]
+        StreamFunnel.progress(s, evs).toDF()
+      }
+      val per = sink.groupBy("user").agg(max("stage").as("stage"))
+      def level(st: Int, name: String) =
+        per.where(col("stage") >= st).agg(count(lit(1)).as("n_users"))
+          .select(lit(st).as("step"), lit(name).as("step_type"), col("n_users"))
+      level(1, "view").unionAll(level(2, "click")).unionAll(level(3, "purchase"))
+        .orderBy("step")
     }
   )
 }
