@@ -73,6 +73,38 @@ object Uniques {
         .groupBy("url", "g", "bucket")
         .agg(hll_sketch_estimate(hll_union_agg(col("sketch"), lit(false))).as("approx_uniques"))
         .orderBy("url", "g", "bucket")
+    },
+
+    // Audience overlap between event-type segments via Theta sketches —
+    // the set-ALGEBRA tier HLL cannot provide: HLL sketches only union,
+    // but "how many unique users did segments A and B share" needs an
+    // intersection (and A−B a difference) over the already-aggregated
+    // sketches. The Theta sketch (Dasgupta et al., KMV family) supports
+    // all three closed over sketch bytes, so segment-overlap matrices
+    // come from one corpus scan + segment²-sized sketch algebra.
+    //
+    // Scale: one map-combinable sketch agg per segment (the shuffle
+    // carries KB-sized sketches, not users), then a segments×segments
+    // pair join over a segments-sized relation — corpus bytes are read
+    // once, the quadratic part touches kilobytes. Estimates are exact
+    // below the sketch's nominal-entries capacity (the KMV sample is
+    // lossless until 4096 hashes at the default lgK=12); error bounds at
+    // scale are spec'd in ApproxOpsSpec against the exact self-join.
+    noOracle("theta_segment_overlap") { (s, dir) =>
+      val sk = Tables.eventsRaw(s, dir)
+        .groupBy(col("event_type").as("seg"))
+        .agg(theta_sketch_agg(col("user_id")).as("sk"))
+      val a = sk.select(col("seg").as("seg_a"), col("sk").as("ska"))
+      val b = sk.select(col("seg").as("seg_b"), col("sk").as("skb"))
+      a.join(b, col("seg_a") < col("seg_b"))
+        .select(col("seg_a"), col("seg_b"),
+          round(theta_sketch_estimate(col("ska"))).cast("long").as("uniques_a"),
+          round(theta_sketch_estimate(col("skb"))).cast("long").as("uniques_b"),
+          round(theta_sketch_estimate(theta_union(col("ska"), col("skb"))))
+            .cast("long").as("uniques_union"),
+          round(theta_sketch_estimate(theta_intersection(col("ska"), col("skb"))))
+            .cast("long").as("uniques_both"))
+        .orderBy("seg_a", "seg_b")
     }
   )
 }

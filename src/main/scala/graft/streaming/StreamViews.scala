@@ -501,6 +501,22 @@ object StreamViews {
       s.table(name).orderBy("doc_id")
     },
 
+    // Streaming mergeable quantiles: per-event-type p50/p95 of the value
+    // column via KLL sketches — the speed-layer form of the exact batch
+    // `agg_percentile`. Like stream_hll, the state IS the sketch
+    // (mergeable, bounded: ~KB per group at k=200 regardless of stream
+    // length), so percentile serving never retains raw values; rank-error
+    // bounds vs the exact batch percentiles are spec'd in ApproxOpsSpec.
+    noOracle("stream_quantiles") { (s, dir) =>
+      runToMemory(s, dir, "complete") { src =>
+        src.groupBy(col("event_type"))
+          .agg(kll_sketch_agg_double(col("value")).as("sk"))
+          .select(col("event_type"),
+            round(kll_sketch_get_quantile_double(col("sk"), lit(0.5)), 4).as("p50"),
+            round(kll_sketch_get_quantile_double(col("sk"), lit(0.95)), 4).as("p95"))
+      }.orderBy("event_type")
+    },
+
     // Speed-layer conversion funnel: per-user stateful funnel progress
     // (StreamFunnel — exact under any arrival order via the (min view,
     // clicks, purchases) sufficient statistic; emitted stage is monotone

@@ -22,6 +22,47 @@ class ApproxOpsSpec extends SparkSpec {
     }
   }
 
+  test("theta segment overlap matches exact set algebra (sf0.001 events)") {
+    // at fixture cardinality (< the sketch's 4096 nominal entries) the KMV
+    // sample is lossless, so union/intersection estimates are EXACT; at
+    // scale the standard theta error bounds apply — this pins the algebra
+    // wiring, not the sampling
+    val ev = Tables.eventsRaw(spark, sf0001)
+    val overlap = SparkEntry.queries("theta_segment_overlap")(spark, sf0001).collect()
+    assert(overlap.length == 10, s"expected C(5,2)=10 segment pairs, got ${overlap.length}")
+    val users = ev.select($"event_type", $"user_id").distinct().collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    overlap.foreach { r =>
+      val (a, b) = (r.getString(0), r.getString(1))
+      val (sa, sb) = (users(a), users(b))
+      assert(r.getLong(2) == sa.size, s"$a uniques: ${r.getLong(2)} vs ${sa.size}")
+      assert(r.getLong(3) == sb.size, s"$b uniques: ${r.getLong(3)} vs ${sb.size}")
+      assert(r.getLong(4) == (sa | sb).size, s"$a|$b union: ${r.getLong(4)} vs ${(sa | sb).size}")
+      assert(r.getLong(5) == (sa & sb).size, s"$a&$b intersect: ${r.getLong(5)} vs ${(sa & sb).size}")
+    }
+  }
+
+  test("stream_quantiles within KLL rank-error bounds of exact percentiles (sf0.001)") {
+    // KLL k=200 one-sided rank error ≈ 1.65%; allow 3% of rank on each
+    // side: the estimated p50 must sit between the exact p47 and p53
+    // value quantiles (ditto p95 ± 3%), per event_type
+    val ev = Tables.eventsRaw(spark, sf0001)
+    val got = SparkEntry.queries("stream_quantiles")(spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val bounds = ev.groupBy("event_type")
+      .agg(expr("percentile(value, 0.47)").as("lo50"), expr("percentile(value, 0.53)").as("hi50"),
+        expr("percentile(value, 0.92)").as("lo95"), expr("percentile(value, 0.98)").as("hi95"))
+      .collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(got.keySet == bounds.keySet)
+    got.foreach { case (et, (p50, p95)) =>
+      val (lo50, hi50, lo95, hi95) = bounds(et)
+      assert(p50 >= lo50 && p50 <= hi50, s"$et p50=$p50 outside [$lo50, $hi50]")
+      assert(p95 >= lo95 && p95 <= hi95, s"$et p95=$p95 outside [$lo95, $hi95]")
+    }
+  }
+
   test("hll hour->day sketch merge equals day-level sketch estimate") {
     val ev = Tables.events(spark, sf0001)
       .withColumn("hb", graft.functions.TimeFunctions.hourBucket($"ts_secs"))
