@@ -26,6 +26,7 @@ object SparkEntry {
       operators.NearDedup.defs ++
       operators.Multimodal.defs ++
       operators.Skew.defs ++
+      operators.Quality.defs ++
       operators.Layout.defs ++
       operators.IngestOps.defs ++
       streaming.StreamViews.defs ++

@@ -157,6 +157,58 @@ object IngestOps {
     // queries into a directory listing instead of a full scan — the read
     // side must show PartitionFilters, not a post-scan filter
     // (PlanSpec-pinned).
+    // MERGE-style snapshot upsert — the INCREMENTAL serving-layer update
+    // the reference's recompute-everything batch views deliberately avoid
+    // (SURVEY §0: ElephantDB views are rebuilt wholesale). When a nightly
+    // changes batch (upserts + deletes) is much smaller than the
+    // snapshot, rebuilding is waste: the merge is one left-anti join of
+    // the snapshot against the (broadcastable) change keys plus a union
+    // of the surviving changes. The changes batch here is derived
+    // deterministically from orders so the oracle can replay it: keys
+    // %10==0 update price, %10==3 delete, %10==7 insert under a fresh
+    // key.
+    //
+    // Scale: changes ≪ snapshot → the anti join broadcasts the change
+    // keys (AQE picks it below threshold) and the snapshot streams
+    // through once; over a key-partitioned store only partitions holding
+    // changed keys need rewriting. No full-outer join — the anti+union
+    // form never shuffles the snapshot.
+    withOracle(
+      "snapshot_upsert",
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 'D' FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000000, o_custkey, o_totalprice + 0.5, 'I'
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |merged AS (
+        |  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+        |  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM ch WHERE op <> 'D')
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM merged ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val base = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+      val upd = base.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 1000).as("o_totalprice"), lit("U").as("op"))
+      val del = base.where(col("o_orderkey") % 10 === 3)
+        .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
+          lit(null).cast("double").as("o_totalprice"), lit("D").as("op"))
+      val ins = base.where(col("o_orderkey") % 10 === 7)
+        .select((col("o_orderkey") + 10000000000L).as("o_orderkey"), col("o_custkey"),
+          (col("o_totalprice") + 0.5).as("o_totalprice"), lit("I").as("op"))
+      val changes = upd.unionAll(del).unionAll(ins)
+      base.join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+        .unionAll(changes.where(col("op") =!= "D").drop("op"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     withOracle(
       "sink_partitioned",
       s"""SELECT event_type, (${Tables.sql.tsSecs}) // 86400 AS day, count(*) AS n
