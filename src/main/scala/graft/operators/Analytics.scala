@@ -32,6 +32,23 @@ object Analytics {
         .orderBy("rf", "ls")
     },
 
+    // CUBE: all 2^k grouping-set subtotals (the rollup's lattice
+    // completion — rollup gives the hierarchy, cube every margin).
+    // Same NULL-sentinel discipline as agg_rollup_sets.
+    withOracle(
+      "agg_cube",
+      """SELECT coalesce(l_returnflag, '*') AS rf, coalesce(l_linestatus, '*') AS ls,
+        |       count(*) AS n, round(sum(l_extendedprice), 2) AS total
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin) { (s, dir) =>
+      Tables.lineitem(s, dir)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+        .select(coalesce(col("l_returnflag"), lit("*")).as("rf"),
+          coalesce(col("l_linestatus"), lit("*")).as("ls"), col("n"), col("total"))
+        .orderBy("rf", "ls")
+    },
+
     // Interpolated percentiles per group (quality-cutoff shape for the
     // training pipeline: e.g. drop docs below the p5 quality score).
     withOracle(

@@ -205,6 +205,39 @@ object Relational {
         .orderBy("c_custkey")
     },
 
+    // Full outer join: two per-order aggregates with guaranteed one-sided
+    // rows (orders with no 'R' lines; orders with ≤4 lines), null sides
+    // coalesced to a sentinel. Completes the declared join surface
+    // (inner / left / semi / anti / asof / range / interval / full).
+    // Scale: both sides shuffle on the same key, so the join itself adds
+    // no exchange beyond the aggregates'; full-outer can't broadcast
+    // (both sides must surface unmatched rows) — the sort-merge shape is
+    // the right one at any size.
+    withOracle(
+      "join_full_outer",
+      """WITH a AS (
+        |  SELECT l_orderkey, count(*) AS r_lines FROM lineitem
+        |  WHERE l_returnflag = 'R' GROUP BY 1),
+        |b AS (
+        |  SELECT l_orderkey, count(*) AS tail_lines FROM lineitem
+        |  WHERE l_linenumber > 4 GROUP BY 1)
+        |SELECT coalesce(a.l_orderkey, b.l_orderkey) AS okey,
+        |       CAST(coalesce(r_lines, -1) AS BIGINT) AS r_lines,
+        |       CAST(coalesce(tail_lines, -1) AS BIGINT) AS tail_lines
+        |FROM a FULL OUTER JOIN b ON a.l_orderkey = b.l_orderkey
+        |ORDER BY okey""".stripMargin) { (s, dir) =>
+      val li = Tables.lineitem(s, dir)
+      val a = li.where(col("l_returnflag") === "R")
+        .groupBy(col("l_orderkey").as("ak")).agg(count(lit(1)).as("r_lines"))
+      val b = li.where(col("l_linenumber") > 4)
+        .groupBy(col("l_orderkey").as("bk")).agg(count(lit(1)).as("tail_lines"))
+      a.join(b, col("ak") === col("bk"), "full_outer")
+        .select(coalesce(col("ak"), col("bk")).as("okey"),
+          coalesce(col("r_lines"), lit(-1L)).as("r_lines"),
+          coalesce(col("tail_lines"), lit(-1L)).as("tail_lines"))
+        .orderBy("okey")
+    },
+
     // !!newId ungrounded-var left outer join (BatchWorkflow.java:679-686):
     // pageviews left-joined to a canonical-id map; unmatched keep their id.
     // The map here is a deterministic synthetic equiv relation over events
