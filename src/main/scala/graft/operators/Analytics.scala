@@ -32,6 +32,29 @@ object Analytics {
         .orderBy("rf", "ls")
     },
 
+    // Misra-Gries heavy hitters (FreqSketch): frequency estimation with
+    // at most k counters of state, where the exact top-k keeps one
+    // counter per DISTINCT key. Fixture keys (5 event types) sit below
+    // k=8, where the sketch provably never decrements — counts are exact
+    // and deterministic, so this DECLARES with a full oracle; the
+    // k < cardinality regime (bounds, merge behavior) is FreqSketchSpec's
+    // job. Scale: the Aggregator combines map-side (ObjectHashAggregate
+    // partial+final) — each task ships ≤ k counters, adversarial key
+    // cardinality can't grow state or shuffle.
+    withOracle(
+      "approx_heavy_hitters",
+      """SELECT event_type AS key, count(*) AS est
+        |FROM events GROUP BY 1 ORDER BY est DESC, key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      Tables.eventsRaw(s, dir)
+        .select(col("event_type")).as[String]
+        .groupByKey(_ => 0)
+        .agg(graft.functions.FreqSketch.MisraGries(8).toColumn.name("sk"))
+        .select(explode(col("sk.items")).as("e"))
+        .select(col("e.key").as("key"), col("e.count").as("est"))
+        .orderBy(col("est").desc, col("key"))
+    },
+
     // CUBE: all 2^k grouping-set subtotals (the rollup's lattice
     // completion — rollup gives the hierarchy, cube every margin).
     // Same NULL-sentinel discipline as agg_rollup_sets.

@@ -501,6 +501,29 @@ object StreamViews {
       s.table(name).orderBy("doc_id")
     },
 
+    // Streaming heavy hitters: trending keys under BOUNDED state — the
+    // exact stream_topk's count-map state is key-cardinality-sized, this
+    // one's is ≤ k counters whatever the cardinality (Misra-Gries,
+    // FreqSketch). Complete mode sinks the one summary row per trigger;
+    // the serving read explodes it. Fixture keys sit below k=8 where the
+    // sketch is provably exact → same oracle as the batch form; the
+    // k < cardinality bounds live in FreqSketchSpec.
+    withOracle(
+      "stream_heavy_hitters",
+      """SELECT event_type AS key, count(*) AS est
+        |FROM events GROUP BY 1 ORDER BY est DESC, key""".stripMargin) { (s, dir) =>
+      runToMemory(s, dir, "complete") { src =>
+        import s.implicits._
+        src.select(col("event_type")).as[String]
+          .groupByKey(_ => 0)
+          .agg(graft.functions.FreqSketch.MisraGries(8).toColumn.name("sk"))
+          .toDF()
+      }
+        .select(explode(col("sk.items")).as("e"))
+        .select(col("e.key").as("key"), col("e.count").as("est"))
+        .orderBy(col("est").desc, col("key"))
+    },
+
     // Streaming mergeable quantiles: per-event-type p50/p95 of the value
     // column via KLL sketches — the speed-layer form of the exact batch
     // `agg_percentile`. Like stream_hll, the state IS the sketch

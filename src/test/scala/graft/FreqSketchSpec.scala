@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.FreqSketch
+import graft.functions.FreqSketch.{MGBuf, MisraGries}
+import org.apache.spark.sql.functions._
+
+/** Misra-Gries sketch: exactness below k, the n/(k+1) error bound and
+  * heavy-hitter retention under k < cardinality, merge bound under
+  * arbitrary splits, and map-side partial aggregation in the plan.
+  */
+class FreqSketchSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def foldAll(mg: MisraGries, xs: Seq[String]): Map[String, Long] =
+    xs.foldLeft(mg.zero)((b, x) => mg.reduce(b, x)).m
+
+  // deterministic skewed stream: zipf-ish over 20 keys, 4000 items
+  private val stream: Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(4000)(s"k${math.min(19, math.abs(rnd.nextGaussian() * 4).toInt)}")
+  }
+  private val truth: Map[String, Long] =
+    stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+
+  test("exact counts when distinct keys never exceed k") {
+    val mg = MisraGries(25) // 20 distinct < k
+    val got = foldAll(mg, stream)
+    assert(got == truth)
+  }
+
+  test("n/(k+1) lower-bound error and heavy-hitter retention at k=8") {
+    val mg = MisraGries(8)
+    val got = foldAll(mg, stream)
+    assert(got.size <= 8)
+    val slack = stream.size.toDouble / (8 + 1)
+    got.foreach { case (ky, est) =>
+      assert(est <= truth(ky), s"$ky overestimated: $est > ${truth(ky)}")
+      assert(est >= truth(ky) - slack, s"$ky est $est below ${truth(ky)} - $slack")
+    }
+    // every key with true frequency > n/(k+1) must be retained
+    truth.filter(_._2 > slack).keys.foreach { hh =>
+      assert(got.contains(hh), s"heavy hitter $hh lost")
+    }
+  }
+
+  test("merged partitions obey the same bound as the sequential fold") {
+    val mg = MisraGries(8)
+    val parts = stream.grouped(977).toSeq // uneven splits
+    val merged = parts.map(p => MGBuf(foldAll(mg, p)))
+      .reduce((a, b) => mg.merge(a, b)).m
+    assert(merged.size <= 8)
+    val slack = stream.size.toDouble / (8 + 1)
+    merged.foreach { case (ky, est) =>
+      assert(est <= truth(ky) && est >= truth(ky) - slack,
+        s"$ky merged est $est outside [${truth(ky) - slack}, ${truth(ky)}]")
+    }
+    truth.filter(_._2 > slack).keys.foreach { hh =>
+      assert(merged.contains(hh), s"heavy hitter $hh lost after merge")
+    }
+  }
+
+  test("approx_heavy_hitters aggregates map-side (partial ObjectHashAggregate)") {
+    val plan = SparkEntry.queries("approx_heavy_hitters")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val aggs = "(?m)ObjectHashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate, plan:\n$plan")
+  }
+}
