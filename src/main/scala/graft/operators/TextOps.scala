@@ -276,6 +276,47 @@ object TextOps {
         .orderBy("rank")
     },
 
+    // Fixed-size overlapping token-window chunking (size 32, stride 24 —
+    // 8-token overlap): the corpus prep primitive for training-sequence
+    // and RAG-passage construction. Chunk c of a doc covers tokens
+    // [c·stride, c·stride+size); starts sweep while < n_tokens, so tail
+    // chunks shrink but every token lands in ≥1 chunk. Chunk text is
+    // emitted as md5 (compact, exact — the same cross-engine md5 contract
+    // text_exact_dedup uses).
+    //
+    // Scale: entirely row-local — one generate per doc, zero shuffles
+    // before the output sort; chunking 100 TB is a map-only pass that
+    // runs at source parallelism.
+    withOracle(
+      "text_chunk",
+      """WITH t AS (
+        |  SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+        |  FROM documents),
+        |n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        |c AS (SELECT doc_id, toks, n,
+        |             unnest(range(0, CAST(ceil(n / 24.0) AS BIGINT))) AS chunk_id
+        |      FROM n)
+        |SELECT doc_id, chunk_id, chunk_id * 24 AS start_tok,
+        |       len(toks[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n)]) AS n_tokens,
+        |       md5(array_to_string(toks[chunk_id * 24 + 1 : least(chunk_id * 24 + 32, n)], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .withColumn("n", size(col("toks")))
+        // split of a non-null string returns ≥1 element, so ceil(n/24) ≥ 1
+        // and the sequence is never descending (see the tokens scaladoc)
+        .select(col("doc_id"), col("toks"), col("n"),
+          explode(sequence(lit(0L), ceil(col("n") / 24.0).cast("long") - 1)).as("chunk_id"))
+        .withColumn("start_tok", col("chunk_id") * 24)
+        .withColumn("piece",
+          slice(col("toks"), (col("start_tok") + 1).cast("int"),
+            least(lit(32), col("n") - col("start_tok")).cast("int")))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          size(col("piece")).cast("long").as("n_tokens"),
+          md5(concat_ws(" ", col("piece")).cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Per-doc token count (whitespace tokenization).
     withOracle(
       "text_token_count",
