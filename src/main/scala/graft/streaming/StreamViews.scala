@@ -524,6 +524,42 @@ object StreamViews {
         .orderBy(col("est").desc, col("key"))
     },
 
+    // Speed-layer cohort retention: per-user stateful week set
+    // (StreamCohort). Late events can LOWER the cohort week and remap
+    // every offset, so emissions supersede rather than accumulate — each
+    // carries a version and the serving read keeps the latest per user
+    // before exploding into the matrix. Same oracle as the batch view.
+    withOracle(
+      "stream_cohort",
+      s"""WITH wk AS (
+         |  SELECT user_id, $ts // 604800 AS wk FROM events),
+         |first AS (SELECT user_id, min(wk) AS cohort_wk FROM wk GROUP BY user_id),
+         |act AS (
+         |  SELECT DISTINCT w.user_id, f.cohort_wk, w.wk - f.cohort_wk AS wk_offset
+         |  FROM wk w JOIN first f USING (user_id))
+         |SELECT cohort_wk, wk_offset, count(*) AS n_users
+         |FROM act GROUP BY cohort_wk, wk_offset
+         |ORDER BY cohort_wk, wk_offset""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val sink = runToMemory(s, dir, "update") { src =>
+        import s.implicits._
+        val evs = withTsSecs(src)
+          .select(col("user_id").as("user"),
+            expr("ts_secs div 604800").as("wk"))
+          .as[StreamCohort.WeekEvent]
+        StreamCohort.progress(s, evs).toDF()
+      }
+      val latest = sink
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user").orderBy(col("version").desc)))
+        .where(col("rn") === 1)
+      latest
+        .select(col("cohortWk").as("cohort_wk"), explode(col("offsets")).as("wk_offset"))
+        .groupBy("cohort_wk", "wk_offset")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort_wk", "wk_offset")
+    },
+
     // Streaming mergeable quantiles: per-event-type p50/p95 of the value
     // column via KLL sketches — the speed-layer form of the exact batch
     // `agg_percentile`. Like stream_hll, the state IS the sketch
