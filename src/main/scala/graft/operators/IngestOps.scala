@@ -190,20 +190,66 @@ object IngestOps {
         |  SELECT o_orderkey, o_custkey, o_totalprice FROM ch WHERE op <> 'D')
         |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM merged ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
-      val base = Tables.orders(s, dir)
-        .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
-      val upd = base.where(col("o_orderkey") % 10 === 0)
+      val base = ordersBase(s, dir)
+      applyUpsert(base, upsertChanges(base))
         .select(col("o_orderkey"), col("o_custkey"),
-          (col("o_totalprice") + 1000).as("o_totalprice"), lit("U").as("op"))
-      val del = base.where(col("o_orderkey") % 10 === 3)
-        .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
-          lit(null).cast("double").as("o_totalprice"), lit("D").as("op"))
-      val ins = base.where(col("o_orderkey") % 10 === 7)
-        .select((col("o_orderkey") + 10000000000L).as("o_orderkey"), col("o_custkey"),
-          (col("o_totalprice") + 0.5).as("o_totalprice"), lit("I").as("op"))
-      val changes = upd.unionAll(del).unionAll(ins)
-      base.join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
-        .unionAll(changes.where(col("op") =!= "D").drop("op"))
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
+    // The STREAMED form of snapshot_upsert: the changes batch arrives as
+    // a stream (one file per microbatch via maxFilesPerTrigger) and
+    // foreachBatch applies each slice to the parquet serving store —
+    // merge to a temp dir, then an atomic FS rename swap (the same
+    // claim-by-rename discipline as FactStore.snapshot). Change keys are
+    // disjoint, so sequential application over ANY batching converges to
+    // the one-shot batch merge — proven by sharing its oracle. This is
+    // the relational analogue of the vector index's streamed appends:
+    // the speed layer MAINTAINS the serving view instead of rebuilding
+    // it.
+    withOracle(
+      "stream_upsert",
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 'D' FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000000, o_custkey, o_totalprice + 0.5, 'I'
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |merged AS (
+        |  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+        |  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM ch WHERE op <> 'D')
+        |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM merged ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.streaming.Trigger
+      val root = Files.createTempDirectory("graft_supsert").toString
+      val storeDir = s"$root/store"
+      val changesDir = s"$root/changes"
+      val base = ordersBase(s, dir)
+      base.write.parquet(storeDir)
+      upsertChanges(base).repartition(4).write.parquet(changesDir)
+      val schema = s.read.parquet(changesDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(changesDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val store = s.read.parquet(storeDir)
+          val merged = store
+            .join(batch.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+            .unionByName(batch.where(col("op") =!= "D").drop("op"))
+          val tmp = s"$storeDir.tmp"
+          merged.write.mode("overwrite").parquet(tmp)
+          val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(storeDir))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(storeDir)
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy("o_orderkey")
@@ -219,6 +265,38 @@ object IngestOps {
       partitionedReadBack(s, store)
     }
   )
+
+  /** The snapshot side of the upsert pair: orders' stable 3-column
+    * serving projection.
+    */
+  private def ordersBase(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+
+  /** Deterministic changes batch derived from the snapshot itself so the
+    * oracle can replay it: keys %10==0 update price (+1000), %10==3
+    * delete, %10==7 insert under a fresh key (+1e10, price +0.5 —
+    * boundary-safe for the 2-decimal round). Key sets are disjoint, so
+    * applying any partition of the batch sequentially converges to the
+    * one-shot merge (what stream_upsert exercises).
+    */
+  private def upsertChanges(base: DataFrame): DataFrame = {
+    val upd = base.where(col("o_orderkey") % 10 === 0)
+      .select(col("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 1000).as("o_totalprice"), lit("U").as("op"))
+    val del = base.where(col("o_orderkey") % 10 === 3)
+      .select(col("o_orderkey"), lit(null).cast("long").as("o_custkey"),
+        lit(null).cast("double").as("o_totalprice"), lit("D").as("op"))
+    val ins = base.where(col("o_orderkey") % 10 === 7)
+      .select((col("o_orderkey") + 10000000000L).as("o_orderkey"), col("o_custkey"),
+        (col("o_totalprice") + 0.5).as("o_totalprice"), lit("I").as("op"))
+    upd.unionAll(del).unionAll(ins)
+  }
+
+  /** MERGE: snapshot rows whose key is untouched + surviving changes. */
+  private def applyUpsert(base: DataFrame, changes: DataFrame): DataFrame =
+    base.join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionAll(changes.where(col("op") =!= "D").drop("op"))
 
   /** Writer half of sink_partitioned: daily counts, partitionBy the
     * low-cardinality dimension.
