@@ -47,6 +47,39 @@ object Skew {
       ("n", count(lit(1)), c => sum(col(c))),
       ("total", sum(col(valueCol)), c => sum(col(c)))))
 
+  /** Salted shuffle join for a skewed fact key: each fact row takes an
+    * arbitrary salt in [0, salt) and the dim side is REPLICATED across
+    * all salt values, so the join key becomes (key, salt) and one hot
+    * key's rows spread over `salt` reducers instead of funneling into
+    * one. Exact — every fact row meets precisely the one dim replica
+    * carrying its salt, so the result is row-identical to the plain
+    * join (inner, on `factKey = dimKey`).
+    *
+    * This is the manual form of AQE's skew-join split, for the cases
+    * AQE can't reach: a sort-merge partition it can't subdivide without
+    * breaking a co-located downstream, a shuffled-hash join, or a skew
+    * known AHEAD of runtime (a planted hot user, a null-heavy key)
+    * where paying `salt`× dim replication up front beats a mid-query
+    * replan. Cost model: dim shuffle volume grows salt×, fact volume is
+    * unchanged — right when |dim| ≪ |fact| but dim is still past the
+    * broadcast threshold (a broadcastable dim needs no salting at all).
+    *
+    * `dim`'s non-key columns must not collide with `fact`'s.
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
+      dimKey: String, salt: Int = 16): DataFrame = {
+    val salted = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salt)))
+    val replicated = dim
+      .withColumn("__salt", explode(array((0 until salt).map(i => lit(i.toLong)): _*)))
+      .withColumnRenamed(dimKey, "__dimkey")
+    salted
+      .join(replicated,
+        salted(factKey) === replicated("__dimkey") &&
+          salted("__salt") === replicated("__salt"))
+      .drop("__salt").drop("__dimkey")
+  }
+
   val defs: Seq[graft.QueryDef] = Seq(
     // The salted aggregation DECLARED: count+sum per event_type — 5 hot
     // keys over the whole fact stream, exactly the shape where a plain
@@ -61,6 +94,27 @@ object Skew {
       saltedCountSum(graft.Tables.eventsRaw(s, dir), Seq("event_type"), "value")
         .select(col("event_type"), col("n"), round(col("total"), 2).as("total"))
         .orderBy("event_type")
+    },
+
+    // The salted JOIN declared: events (fact, 150 users over the whole
+    // stream — hot keys) ⋈ customer (dim) on user_id = c_custkey, spread
+    // over 8 salts, then rolled up per market segment. Inner-join ≡ the
+    // plain join row for row (each fact row meets exactly its own salt's
+    // dim replica), so the oracle is the unsalted SQL; round(2) absorbs
+    // salt-order FP summation as in agg_salted. SkewSpec pins equality
+    // against the direct join under a disabled broadcast threshold and
+    // that the hot key actually spreads.
+    graft.QueryDef.withOracle(
+      "join_salted",
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val fact = graft.Tables.eventsRaw(s, dir).select(col("user_id"), col("value"))
+      val dim = graft.Tables.customer(s, dir).select(col("c_custkey"), col("c_mktsegment"))
+      saltedJoin(fact, dim, "user_id", "c_custkey", salt = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+        .orderBy("c_mktsegment")
     }
   )
 }

@@ -34,6 +34,34 @@ class SkewSpec extends SparkSpec {
     assert(salted == direct)
   }
 
+  test("salted join equals the plain join with broadcast disabled") {
+    // 90% of fact rows share one hot key; dim carries distinct payloads
+    val fact = (1 to 5000).map { i =>
+      val k = if (i % 10 == 0) (i % 97).toLong + 100L else 7L
+      (k, i.toLong)
+    }.toDF("k", "v")
+    val dim = (0 to 300).map(i => (i.toLong, s"d$i")).toDF("dk", "payload")
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val direct = fact.join(dim, $"k" === $"dk").drop("dk")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val salted = Skew.saltedJoin(fact, dim, "k", "dk", salt = 8)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+        .groupBy(identity).view.mapValues(_.size).toMap
+      assert(salted == direct)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+
+  test("salted join replicates the dim side across every salt value") {
+    val fact = (1 to 200).map(i => (1L, i.toLong)).toDF("k", "v")
+    val dim = Seq((1L, "one")).toDF("dk", "payload")
+    // every fact row must find its replica: full row count preserved
+    val n = Skew.saltedJoin(fact, dim, "k", "dk", salt = 8).count()
+    assert(n == 200L)
+  }
+
   test("salted stage 1 actually spreads the hot key across salts") {
     val df = (1 to 2000).map(i => ("hot", i.toLong)).toDF("k", "v")
     val salts = df
