@@ -255,6 +255,37 @@ object IngestOps {
         .orderBy("o_orderkey")
     },
 
+    // CDC between two serving-snapshot VERSIONS: the batch layer
+    // recomputes its views wholesale (BatchWorkflow.java's whole-view
+    // rebuild; ElephantDB then ships entire shards) — at 100 TB the
+    // scale-correct hand-off is the DELTA between the old and new
+    // snapshot, which is what incremental serving stores (and
+    // downstream caches/indexes) actually consume. diff(old, new)
+    // emits exactly the I/U/D change batch whose application to `old`
+    // reproduces `new` (roundtrip identity pinned in FactStoreSpec).
+    // Declared on the upsert pair's own snapshots, so the diff must
+    // recover the original change batch — and shares its derivable
+    // oracle.
+    withOracle(
+      "snapshot_diff",
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 'D' FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000000, o_custkey, o_totalprice + 0.5, 'I'
+        |  FROM orders WHERE o_orderkey % 10 = 7)
+        |SELECT o_orderkey, op, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        |FROM ch ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
+      val base = ordersBase(s, dir)
+      val next = applyUpsert(base, upsertChanges(base))
+      snapshotDiff(base, next, "o_orderkey")
+        .select(col("o_orderkey"), col("op"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     withOracle(
       "sink_partitioned",
       s"""SELECT event_type, (${Tables.sql.tsSecs}) // 86400 AS day, count(*) AS n
@@ -297,6 +328,41 @@ object IngestOps {
   private def applyUpsert(base: DataFrame, changes: DataFrame): DataFrame =
     base.join(changes.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
       .unionAll(changes.where(col("op") =!= "D").drop("op"))
+
+  /** CDC diff of two snapshot versions keyed by `key`: emits the minimal
+    * I/U/D change batch taking `old` to `neu` — inserts and updates carry
+    * the NEW payload, deletes carry nulls, unchanged keys emit nothing
+    * (payload compared null-safely column by column). Output matches
+    * [[applyUpsert]]'s changes contract, so `applyUpsert(old,
+    * snapshotDiff(old, neu)) ≡ neu` (the roundtrip identity FactStoreSpec
+    * pins).
+    *
+    * Scale shape: ONE full-outer sort-merge join on the snapshot key —
+    * the unavoidable shape when neither version can broadcast — and a
+    * row-local compare; with both versions written through
+    * [[graft.model.FactStore.ingestBucketed]]-style bucketing on the key
+    * the join co-locates and the exchange disappears.
+    */
+  def snapshotDiff(old: DataFrame, neu: DataFrame, key: String): DataFrame = {
+    val payload = old.columns.filterNot(_ == key).toSeq
+    require(payload.toSet == neu.columns.filterNot(_ == key).toSet,
+      s"snapshot schemas differ: ${old.columns.mkString(",")} vs ${neu.columns.mkString(",")}")
+    val o = old.select((col(key) +: payload.map(c => col(c).as(s"__o_$c")) :+
+      lit(true).as("__in_old")): _*)
+    val n = neu.select((col(key) +: payload.map(c => col(c).as(s"__n_$c")) :+
+      lit(true).as("__in_new")): _*)
+    val changed = payload.map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduce(_ || _)
+    o.join(n, Seq(key), "full_outer")
+      .withColumn("op",
+        when(col("__in_old").isNull, "I")
+          .when(col("__in_new").isNull, "D")
+          .when(changed, "U"))
+      .where(col("op").isNotNull)
+      .select((col(key) +: payload.map(c =>
+        when(col("op") === "D", lit(null)).otherwise(col(s"__n_$c")).as(c)) :+
+        col("op")): _*)
+  }
 
   /** Writer half of sink_partitioned: daily counts, partitionBy the
     * low-cardinality dimension.

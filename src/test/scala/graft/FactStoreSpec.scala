@@ -115,6 +115,32 @@ class FactStoreSpec extends SparkSpec {
       "aborted ingest must not leave committed files")
   }
 
+  test("snapshotDiff roundtrip: applying the diff to old reproduces new exactly") {
+    import spark.implicits._
+    val old = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, null, 40.0))
+      .toDF("k", "s", "v")
+    val neu = Seq((1L, "a", 10.0), (2L, "B", 20.0), (4L, null, 41.0), (5L, "e", 50.0))
+      .toDF("k", "s", "v")
+    val diff = graft.operators.IngestOps.snapshotDiff(old, neu, "k")
+    val ops = diff.collect().map(r => (r.getLong(0), r.getString(3))).toMap
+    // 1 unchanged → absent; 2 payload change → U; 3 removed → D;
+    // 4 null-safe compare still sees the v change → U; 5 added → I
+    assert(ops == Map(2L -> "U", 3L -> "D", 4L -> "U", 5L -> "I"))
+    val reapplied = old
+      .join(diff.select("k"), Seq("k"), "left_anti")
+      .unionAll(diff.where(col("op") =!= "D").drop("op"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    val expected = neu.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(reapplied == expected)
+  }
+
+  test("snapshotDiff of identical snapshots is empty") {
+    import spark.implicits._
+    val snap = Seq((1L, "a", 10.0), (2L, null, 20.0)).toDF("k", "s", "v")
+    val snap2 = Seq((2L, null, 20.0), (1L, "a", 10.0)).toDF("k", "s", "v")
+    assert(graft.operators.IngestOps.snapshotDiff(snap, snap2, "k").count() == 0L)
+  }
+
   test("PersonId sort order matches Thrift compareTo (cookie tag < user_id tag)") {
     val ids = Seq(PersonId.ofUser(5), PersonId.ofCookie("ZZZ"),
       PersonId.ofUser(1), PersonId.ofCookie("AAA"))
