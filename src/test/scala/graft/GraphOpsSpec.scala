@@ -27,4 +27,33 @@ class GraphOpsSpec extends SparkSpec {
     val total = got.map(_._2).sum
     assert(total < 1.0 && total > 0.5, s"total rank $total")
   }
+
+  test("incremental CC equals full recompute when new edges merge old components") {
+    import spark.implicits._
+    // old graph: three components {1,2,3}, {10,11}, {20,21,22}
+    val oldEdges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L), (21L, 22L))
+      .toDF("src", "dst")
+    // new batch: merges {10,11} into {1,2,3}, adds a brand-new component
+    // {30,31}, and attaches a brand-new node 23 to {20,21,22}
+    val newEdges = Seq((3L, 10L), (30L, 31L), (22L, 23L)).toDF("src", "dst")
+    val labels = GraphOps.connectedComponents(oldEdges)
+    val inc = GraphOps.connectedComponentsIncremental(labels, newEdges)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val full = GraphOps.connectedComponents(oldEdges.unionAll(newEdges))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(inc == full)
+    // the merged component relabeled to the global min across BOTH halves
+    assert(inc(11L) == 1L && inc(23L) == 20L && inc(31L) == 30L)
+  }
+
+  test("incremental CC with an empty new batch reproduces the old labeling") {
+    import spark.implicits._
+    val oldEdges = Seq((5L, 6L), (6L, 7L)).toDF("src", "dst")
+    val labels = GraphOps.connectedComponents(oldEdges)
+    val inc = GraphOps.connectedComponentsIncremental(
+      labels, Seq.empty[(Long, Long)].toDF("src", "dst"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(inc == expected)
+  }
 }
