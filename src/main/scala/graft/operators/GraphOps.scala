@@ -225,6 +225,20 @@ object GraphOps {
       |  SELECT DISTINCT user_id, user_id % 7 FROM events WHERE user_id % 7 <> user_id)""".stripMargin
   private val edgesCte = s"WITH $edgesBody"
 
+  /** The recursive-CTE closure labeling of the equiv graph — shared by
+    * `connected_components`, `cc_incremental`, and the speed-layer
+    * `stream_cc`, which must all land the identical labeling.
+    */
+  private[graft] val ccOracleSql: String =
+    s"""WITH RECURSIVE $edgesBody,
+       |edges AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach AS (
+       |  SELECT node, node AS m FROM nodes
+       |  UNION
+       |  SELECT e2.b AS node, r.m FROM reach r JOIN edges e2 ON e2.a = r.node)
+       |SELECT node, min(m) AS canonical FROM reach GROUP BY node ORDER BY node""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // EdgifyEquiv (BatchWorkflow.java:561-568): equiv facts -> edge tuples.
@@ -296,14 +310,7 @@ object GraphOps {
     // Spark path is the scalable one).
     withOracle(
       "connected_components",
-      s"""WITH RECURSIVE $edgesBody,
-         |edges AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
-         |nodes AS (SELECT DISTINCT a AS node FROM edges),
-         |reach AS (
-         |  SELECT node, node AS m FROM nodes
-         |  UNION
-         |  SELECT e2.b AS node, r.m FROM reach r JOIN edges e2 ON e2.a = r.node)
-         |SELECT node, min(m) AS canonical FROM reach GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+      ccOracleSql) { (s, dir) =>
       connectedComponents(equivEdges(s, dir))
         .select(col("node"), col("label").as("canonical"))
         .orderBy("node")
@@ -316,14 +323,7 @@ object GraphOps {
     // labeling — so it shares connected_components' oracle.
     withOracle(
       "cc_incremental",
-      s"""WITH RECURSIVE $edgesBody,
-         |edges AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
-         |nodes AS (SELECT DISTINCT a AS node FROM edges),
-         |reach AS (
-         |  SELECT node, node AS m FROM nodes
-         |  UNION
-         |  SELECT e2.b AS node, r.m FROM reach r JOIN edges e2 ON e2.a = r.node)
-         |SELECT node, min(m) AS canonical FROM reach GROUP BY node ORDER BY node""".stripMargin) { (s, dir) =>
+      ccOracleSql) { (s, dir) =>
       val edges = equivEdges(s, dir)
       val isNew = (col("src") * 31 + col("dst")) % 4 === 0
       val labels = connectedComponents(edges.where(!isNew))

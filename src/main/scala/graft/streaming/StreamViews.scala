@@ -560,6 +560,53 @@ object StreamViews {
         .orderBy("cohort_wk", "wk_offset")
     },
 
+    // Speed-layer user-id normalization: the equiv-edge stream absorbs
+    // into a persistent label store one microbatch at a time via
+    // incremental CC (GraphOps.connectedComponentsIncremental — the
+    // prior labeling's node-sized star edges union the new batch, never
+    // the full historical edge set). foreachBatch maintains the store
+    // under the same atomic rename swap as stream_upsert. Folding ANY
+    // batching sequentially lands the full recompute's labeling, so the
+    // query shares connected_components' recursive-CTE oracle.
+    withOracle(
+      "stream_cc",
+      graft.operators.GraphOps.ccOracleSql) { (s, dir) =>
+      val root = java.nio.file.Files.createTempDirectory("graft_scc").toString
+      val eventsDir = s"$root/events"
+      val labelsDir = s"$root/labels"
+      Tables.eventsRaw(s, dir).select("user_id").repartition(4)
+        .write.parquet(eventsDir)
+      val schema = s.read.parquet(eventsDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(eventsDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          val edges = batch
+            .select(col("user_id").as("src"),
+              explode(array(col("user_id") % 37, col("user_id") % 41,
+                col("user_id") % 7)).as("dst"))
+            .where(col("src") =!= col("dst")).distinct()
+          val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
+          val existing =
+            if (fs.exists(new org.apache.hadoop.fs.Path(labelsDir)))
+              s.read.parquet(labelsDir)
+            else s.range(0).select(col("id").as("node"), col("id").as("label"))
+          val updated = graft.operators.GraphOps
+            .connectedComponentsIncremental(existing, edges)
+          val tmp = s"$labelsDir.tmp"
+          updated.write.mode("overwrite").parquet(tmp)
+          fs.delete(new org.apache.hadoop.fs.Path(labelsDir), true)
+          fs.rename(new org.apache.hadoop.fs.Path(tmp),
+            new org.apache.hadoop.fs.Path(labelsDir))
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.read.parquet(labelsDir)
+        .select(col("node"), col("label").as("canonical"))
+        .orderBy("node")
+    },
+
     // Streaming mergeable quantiles: per-event-type p50/p95 of the value
     // column via KLL sketches — the speed-layer form of the exact batch
     // `agg_percentile`. Like stream_hll, the state IS the sketch
