@@ -167,6 +167,45 @@ object Analytics {
         .orderBy("user_id", "event_id")
     },
 
+    // SCD Type-2 dimension build: the change stream (per-user event_type
+    // transitions) becomes versioned rows with [valid_from, valid_to)
+    // and an is_current flag — a new version opens only when the value
+    // CHANGES (consecutive duplicates collapse), the warehouse history
+    // table property_latest's latest-wins view is derived from. Both
+    // windows share one (user_id; ts, event_id) partitioning, so the
+    // whole build rides a single shuffle; at 100 TB the change capture
+    // runs per partition after one exchange on the dimension key.
+    withOracle(
+      "scd2_history",
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type AS val, ${Tables.sql.tsSecs} AS ts, event_id
+         |  FROM events),
+         |ch AS (
+         |  SELECT user_id, val, ts, event_id,
+         |         lag(val) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+         |  FROM ev),
+         |flt AS (SELECT user_id, val, ts, event_id FROM ch
+         |        WHERE prev IS NULL OR val <> prev),
+         |v AS (
+         |  SELECT user_id, val, ts AS valid_from,
+         |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+         |  FROM flt)
+         |SELECT user_id, val, valid_from, valid_to,
+         |       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+         |FROM v ORDER BY user_id, valid_from, val""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("user_id").orderBy(col("ts_secs"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_type").as("val"),
+          col("ts_secs"), col("event_id"))
+        .withColumn("prev", lag(col("val"), 1).over(w))
+        .where(col("prev").isNull || col("val") =!= col("prev"))
+        .withColumn("valid_to", lead(col("ts_secs"), 1).over(w))
+        .select(col("user_id"), col("val"), col("ts_secs").as("valid_from"),
+          col("valid_to"),
+          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+        .orderBy("user_id", "valid_from", "val")
+    },
+
     // Semi-structured extraction: parse the JSON props payload into a
     // typed column and aggregate it — the schema-on-read step every
     // event pipeline runs on its property bag. Spark side uses real

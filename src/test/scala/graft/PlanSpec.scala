@@ -67,6 +67,14 @@ class PlanSpec extends SparkSpec {
       s"totals must come from the aggregate, not a second scan: ${scans.size}")
   }
 
+  test("scd2_history's two windows share one shuffle (same partitioning)") {
+    // lag (change capture) and lead (valid_to) both window over
+    // (user_id; ts_secs, event_id): a second exchange would mean the
+    // window specs diverged. +1 exchange for the final total sort.
+    assert(shuffles(q("scd2_history")) <= 2,
+      "change-capture and versioning windows must reuse one partitioning")
+  }
+
   test("text_unigram_logprob broadcasts the vocab (no sort-merge join)") {
     val p = plan(q("text_unigram_logprob"))
     assert(p.contains("BroadcastHashJoin"), p)
