@@ -78,4 +78,74 @@ object FreqSketch {
     override def bufferEncoder: Encoder[MGBuf] = Encoders.product[MGBuf]
     override def outputEncoder: Encoder[Summary] = Encoders.product[Summary]
   }
+
+  case class CMSketch(counts: Seq[Long])
+
+  /** Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05): d hash rows ×
+    * w counters; a key increments one cell per row and a point query
+    * takes the MIN over its d cells. Complements Misra-Gries in the
+    * sketch family: MG answers "which keys are heavy" (it keeps keys,
+    * but only k of them), CM answers "how frequent is THIS key" for ANY
+    * key — state is a fixed d·w counter grid whatever the cardinality,
+    * and merge is pointwise addition (exactly lossless, unlike MG's
+    * subtract-and-drop), so partial aggregation ships d·w longs per task.
+    *
+    * Guarantees: estimate ≥ trueCount always (increments are never
+    * lost); estimate ≤ trueCount + ⌈e/w·n⌉ with probability 1 − e^(−d)
+    * per query (n = stream length). Collision-free cardinalities (≪ w)
+    * estimate EXACTLY — the fixture queries pin that against the exact
+    * GROUP BY; the bounds under forced collisions live in FreqSketchSpec.
+    */
+  case class CountMin(w: Int, d: Int) extends Aggregator[String, CMSketch, CMSketch] {
+    require(w >= 2 && d >= 1, s"count-min needs w >= 2, d >= 1, got ($w, $d)")
+
+    override def zero: CMSketch = CMSketch(new Array[Long](w * d).toSeq)
+
+    override def reduce(b: CMSketch, key: String): CMSketch = {
+      val a = b.counts.toArray
+      var r = 0
+      while (r < d) {
+        a(r * w + CountMin.cell(key, r, w)) += 1
+        r += 1
+      }
+      CMSketch(a.toSeq)
+    }
+
+    override def merge(a: CMSketch, b: CMSketch): CMSketch = {
+      if (a.counts.forall(_ == 0L)) b
+      else if (b.counts.forall(_ == 0L)) a
+      else {
+        val x = a.counts.toArray
+        val y = b.counts
+        var i = 0
+        while (i < x.length) { x(i) += y(i); i += 1 }
+        CMSketch(x.toSeq)
+      }
+    }
+
+    override def finish(b: CMSketch): CMSketch = b
+
+    override def bufferEncoder: Encoder[CMSketch] = Encoders.product[CMSketch]
+    override def outputEncoder: Encoder[CMSketch] = Encoders.product[CMSketch]
+  }
+
+  object CountMin {
+    /** Row r's cell for `key`: seeded Murmur3, floor-mod into [0, w). */
+    private[functions] def cell(key: String, r: Int, w: Int): Int =
+      java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key, r), w)
+
+    /** Point query: min over the key's d cells. Serving-side readout for
+      * a handful of probe keys — not a per-fact-row hot path.
+      */
+    def estimate(counts: Seq[Long], w: Int, d: Int, key: String): Long = {
+      var best = Long.MaxValue
+      var r = 0
+      while (r < d) {
+        val c = counts(r * w + cell(key, r, w))
+        if (c < best) best = c
+        r += 1
+      }
+      best
+    }
+  }
 }

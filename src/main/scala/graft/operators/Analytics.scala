@@ -55,6 +55,37 @@ object Analytics {
         .orderBy(col("est").desc, col("key"))
     },
 
+    // Count-Min point-frequency estimates (FreqSketch.CountMin): the
+    // sketch answers "how frequent is THIS key" for ANY key under fixed
+    // d·w state whatever the cardinality — the complement of
+    // Misra-Gries' "which keys are heavy". One pass builds the grid
+    // (map-side partial merge = pointwise add, exactly lossless); the
+    // readout cross-joins the one-row sketch against the probe keys
+    // (serving-side, key-cardinality-sized — the estimate UDF never
+    // touches fact rows). At the fixture's 5 keys ≪ w=1024 the
+    // estimates are collision-free and EXACT, so the oracle is the
+    // exact GROUP BY; the over-estimate-only and eps·n bounds under
+    // forced collisions are pinned in FreqSketchSpec.
+    withOracle(
+      "approx_count_min",
+      """SELECT event_type AS key, count(*) AS est
+        |FROM events GROUP BY 1 ORDER BY key""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val (w, d) = (1024, 3)
+      val ev = Tables.eventsRaw(s, dir)
+      val sk = ev.select(col("event_type")).as[String]
+        .groupByKey(_ => 0)
+        .agg(graft.functions.FreqSketch.CountMin(w, d).toColumn.name("sk"))
+        .select(col("sk.counts").as("counts"))
+      val est = udf((counts: Seq[Long], key: String) =>
+        graft.functions.FreqSketch.CountMin.estimate(counts, w, d, key))
+      ev.select(col("event_type")).distinct()
+        .crossJoin(sk)
+        .select(col("event_type").as("key"),
+          est(col("counts"), col("event_type")).as("est"))
+        .orderBy("key")
+    },
+
     // CUBE: all 2^k grouping-set subtotals (the rollup's lattice
     // completion — rollup gives the hierarchy, cube every margin).
     // Same NULL-sentinel discipline as agg_rollup_sets.

@@ -65,4 +65,44 @@ class FreqSketchSpec extends SparkSpec {
     val aggs = "(?m)ObjectHashAggregate".r.findAllIn(plan).size
     assert(aggs >= 2, s"expected partial+final ObjectHashAggregate, plan:\n$plan")
   }
+
+  private def cmFold(cm: FreqSketch.CountMin, xs: Seq[String]): FreqSketch.CMSketch =
+    xs.foldLeft(cm.zero)((b, x) => cm.reduce(b, x))
+
+  test("count-min never underestimates, and meets the eps*n bound under forced collisions") {
+    // w=32 against 20 distinct keys forces real cell sharing
+    val cm = FreqSketch.CountMin(32, 3)
+    val sk = cmFold(cm, stream)
+    val epsN = math.ceil(math.E / 32 * stream.size).toLong
+    truth.foreach { case (ky, t) =>
+      val est = FreqSketch.CountMin.estimate(sk.counts, 32, 3, ky)
+      assert(est >= t, s"$ky underestimated: $est < $t")
+      assert(est <= t + epsN, s"$ky est $est above $t + $epsN")
+    }
+    // a never-seen key reads only others' collisions: bounded the same way
+    val ghost = FreqSketch.CountMin.estimate(sk.counts, 32, 3, "never-seen")
+    assert(ghost <= epsN, s"ghost key read $ghost > $epsN")
+  }
+
+  test("count-min merge is exactly the sequential fold (pointwise add)") {
+    val cm = FreqSketch.CountMin(64, 4)
+    val whole = cmFold(cm, stream)
+    val merged = stream.grouped(977).toSeq.map(cmFold(cm, _)).reduce(cm.merge)
+    assert(merged.counts == whole.counts)
+  }
+
+  test("count-min is exact when cardinality is collision-free (large w)") {
+    val cm = FreqSketch.CountMin(4096, 3)
+    val sk = cmFold(cm, stream)
+    truth.foreach { case (ky, t) =>
+      assert(FreqSketch.CountMin.estimate(sk.counts, 4096, 3, ky) == t)
+    }
+  }
+
+  test("approx_count_min aggregates map-side (partial ObjectHashAggregate)") {
+    val plan = SparkEntry.queries("approx_count_min")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val aggs = "(?m)ObjectHashAggregate".r.findAllIn(plan).size
+    assert(aggs >= 2, s"expected partial+final ObjectHashAggregate, plan:\n$plan")
+  }
 }
