@@ -87,6 +87,94 @@ object Multimodal {
       lum / n, chan.map(c => (c / n).toFloat), Some(w), Some(h))
   }
 
+  /** 64-bit difference hash (dHash, the classic perceptual image hash):
+    * mean-pool the decoded image onto a 9-wide × 8-tall grayscale grid,
+    * then bit (x, y) = cell(x+1, y) > cell(x, y) — 8 comparisons × 8
+    * rows. Comparisons are invariant under any monotone brightness
+    * shift, and near-duplicate images (recompressed, lightly edited)
+    * land within small Hamming distance, so the signature plugs
+    * straight into the simhash pigeonhole band join
+    * ([[NearDedup.hamming64NearDups]]) for image near-dedup at corpus
+    * scale — O(candidates), never all-pairs.
+    */
+  def dHashImage(img: java.awt.image.BufferedImage): Long = {
+    val (gw, gh) = (9, 8)
+    val w = img.getWidth
+    val h = img.getHeight
+    val sum = new Array[Double](gw * gh)
+    val cnt = new Array[Long](gw * gh)
+    var py = 0
+    while (py < h) {
+      val gy = py * gh / h
+      var px = 0
+      while (px < w) {
+        val gx = px * gw / w
+        val argb = img.getRGB(px, py)
+        val gray = 0.299 * ((argb >> 16) & 0xff) + 0.587 * ((argb >> 8) & 0xff) +
+          0.114 * (argb & 0xff)
+        sum(gy * gw + gx) += gray
+        cnt(gy * gw + gx) += 1
+        px += 1
+      }
+      py += 1
+    }
+    def cell(gx: Int, gy: Int): Double = {
+      val i = gy * gw + gx
+      if (cnt(i) == 0) 0.0 else sum(i) / cnt(i)
+    }
+    var hash = 0L
+    var gy = 0
+    while (gy < gh) {
+      var gx = 0
+      while (gx < gw - 1) {
+        if (cell(gx + 1, gy) > cell(gx, gy)) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  /** Stub dHash for codecless types: the same 9×8-grid comparison rule
+    * over bytes sampled at stride positions — deterministic, so dedup
+    * plumbing over non-raster payloads stays testable; identical
+    * payloads hash identically, the codec swaps in per type.
+    */
+  def dHashStub(payload: Array[Byte]): Long = {
+    if (payload.isEmpty) return 0L
+    def cell(gx: Int, gy: Int): Int =
+      payload(((gy * 9 + gx).toLong * payload.length / 72).toInt) & 0xff
+    var hash = 0L
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 8) {
+        if (cell(gx + 1, gy) > cell(gx, gy)) hash |= 1L << (gy * 8 + gx)
+        gx += 1
+      }
+      gy += 1
+    }
+    hash
+  }
+
+  def dHash(r: MediaRow): Long =
+    if (imageIoDecodable(r.media_type)) {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"undecodable ${r.media_type} payload for doc ${r.doc_id}")
+      dHashImage(img)
+    } else dHashStub(r.payload)
+
+  /** Per-row perceptual hashes — the same mapPartitions decoder-init
+    * shape as [[extractFeatures]].
+    */
+  def phashes(media: Dataset[MediaRow]): DataFrame = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map(r => (r.doc_id, dHash(r)))
+    }.toDF("doc_id", "phash")
+  }
+
   /** True when the JVM ships a codec for this media type. Capability
     * probe, not a prefix test: `image/webp` or `image/heic` payloads are
     * perfectly valid media this JVM simply cannot decode — they must take
@@ -219,6 +307,38 @@ object Multimodal {
       extractFeatures(documentsAsMedia(Tables.documents(s, dir)))
         .select(col("doc_id"), col("n_bytes"), round(col("byte_mean"), 4).as("byte_mean"))
         .orderBy("doc_id")
+    },
+
+    // Perceptual hashes per media row (dHash — real pooled-grayscale
+    // comparisons on raster types, stride-sampled byte grid on
+    // codecless ones). Deterministic but pixel-level, so not
+    // SQL-expressible; MultimodalSpec pins analytic values (gradient
+    // image → all-ones hash, monotone brightness invariance) through
+    // the Spark path.
+    noOracle("multimodal_phash") { (s, dir) =>
+      phashes(documentsAsMedia(Tables.documents(s, dir)))
+        .orderBy("doc_id")
+    },
+
+    // Image near-dedup: dHash signatures through the same pigeonhole
+    // band join as text simhash (shared hamming64NearDups) — never an
+    // all-pairs comparison. The corpus has no duplicate payloads, so
+    // the dup population is constructed from the input itself (the
+    // upsertChanges discipline): a "re-crawl" copy of every media row
+    // with its first byte perturbed — a one-cell edit the perceptual
+    // hash absorbs (hamming ≤ 1 ≤ the threshold) the way it absorbs a
+    // recompression artifact on a raster. Each original must pair with
+    // exactly its own re-crawl; original×original and re-crawl×
+    // re-crawl pairs would be false positives.
+    noOracle("near_dedup_phash") { (s, dir) =>
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val recrawl = documentsAsMedia(
+        docs.withColumn("text", concat(lit("Z"), expr("substring(text, 2)"))))
+        .map(r => r.copy(doc_id = r.doc_id + 1000000L))
+      val ph = phashes(documentsAsMedia(docs).union(recrawl))
+      NearDedup.hamming64NearDups(ph, "phash", maxDist = 2)
+        .orderBy("i", "j")
     },
 
     // Resize shape: per-row payload -> smaller payload with updated

@@ -205,21 +205,31 @@ object NearDedup {
     * `Int.MaxValue` to disable.
     */
   def simhashNearDups(docs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = 10000): DataFrame =
+    hamming64NearDups(simhashSignatures(docs), "simhash", maxDist, maxBucket)
+
+  /** Pairs of 64-bit signatures within Hamming distance ≤ maxDist — the
+    * pigeonhole band join shared by simhash (text) and dHash
+    * (perceptual image hash): any pair at distance ≤ 3 agrees exactly
+    * on ≥ 1 of the 4 16-bit chunks; verification = bit_count(xor) on
+    * candidates only. `sig` must carry (doc_id, `hashCol`: long).
+    */
+  def hamming64NearDups(sig: DataFrame, hashCol: String, maxDist: Int = 3,
       maxBucket: Int = 10000): DataFrame = {
     require(maxDist <= 3, "4-chunk pigeonhole covers Hamming distance <= 3")
-    val sig = simhashSignatures(docs)
     val chunks = (0 until 4).map(cix =>
-      struct(lit(cix).as("cix"), expr(s"(simhash >> ${cix * 16}) & 65535").as("cv")))
-    val bandedAll = sig.select(col("doc_id"), col("simhash"), explode(array(chunks: _*)).as("c"))
-      .select(col("doc_id"), col("simhash"), col("c.cix").as("cix"), col("c.cv").as("cv"))
+      struct(lit(cix).as("cix"), expr(s"($hashCol >> ${cix * 16}) & 65535").as("cv")))
+    val bandedAll = sig
+      .select(col("doc_id"), col(hashCol).as("h64"), explode(array(chunks: _*)).as("c"))
+      .select(col("doc_id"), col("h64"), col("c.cix").as("cix"), col("c.cv").as("cv"))
     // same hot-bucket guard as the minhash band join
-    val banded = dropHotBuckets(bandedAll, Seq("cix", "cv"), maxBucket, "simhash")
+    val banded = dropHotBuckets(bandedAll, Seq("cix", "cv"), maxBucket, hashCol)
     banded.as("a")
       .join(banded.as("b"),
         col("a.cix") === col("b.cix") && col("a.cv") === col("b.cv") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"),
-        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+        col("a.h64").as("ha"), col("b.h64").as("hb"))
       .distinct()
       .withColumn("hamming", bit_count(expr("ha ^ hb" )))
       .where(col("hamming") <= maxDist)

@@ -120,4 +120,53 @@ class MultimodalSpec extends SparkSpec {
     assert(f.width.isEmpty && f.byte_mean == 25.0) // stub features, no throw
     assert(Multimodal.resize("image/webp", Array[Byte](1, 2, 3)).toSeq == Seq[Byte](1, 3))
   }
+
+  private def gradientPng(reversed: Boolean = false, shift: Int = 0): Array[Byte] = {
+    // 18x16: gray strictly increases with x (or decreases when
+    // reversed); `shift` raises every pixel uniformly (clamped away by
+    // construction: values stay < 256)
+    val px = Array.tabulate(16, 18) { (_, x) =>
+      val g = (if (reversed) 17 - x else x) * 10 + shift
+      0xff000000 | (g << 16) | (g << 8) | g
+    }
+    pngBytes(px.map(_.toArray))
+  }
+
+  test("dHash of a left-to-right gradient is analytically all ones; reversed, all zeros") {
+    // every 9x8 grid cell pools a 2x2 block whose mean strictly
+    // increases with gx, so every comparison bit is set
+    val inc = Multimodal.dHash(MediaRow(1L, "image/png",
+      gradientPng().length.toLong, gradientPng()))
+    assert(inc == -1L, f"expected all-64-bits-set, got $inc%016x")
+    val dec = Multimodal.dHash(MediaRow(2L, "image/png",
+      gradientPng(reversed = true).length.toLong, gradientPng(reversed = true)))
+    assert(dec == 0L, f"expected zero hash, got $dec%016x")
+  }
+
+  test("dHash is invariant under a uniform brightness shift; near-dedup pairs shifted copies") {
+    val a = gradientPng()
+    val b = gradientPng(shift = 60) // same comparisons, +60 brightness
+    val c = gradientPng(reversed = true) // opposite: hamming 64
+    val media = Seq(
+      MediaRow(1L, "image/png", a.length.toLong, a),
+      MediaRow(2L, "image/png", b.length.toLong, b),
+      MediaRow(3L, "image/png", c.length.toLong, c)).toDS()
+    val ph = Multimodal.phashes(media)
+    val m = ph.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L), "brightness shift must not change the hash")
+    assert(java.lang.Long.bitCount(m(1L) ^ m(3L)) == 64)
+    val pairs = graft.operators.NearDedup.hamming64NearDups(ph, "phash", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)), s"got ${pairs.toSeq}")
+  }
+
+  test("stub dHash: identical payloads hash identically, empty payload hashes to 0") {
+    val p = Array.tabulate(100)(i => ((i * 37) % 251).toByte)
+    val h1 = Multimodal.dHashStub(p)
+    assert(h1 == Multimodal.dHashStub(p.clone()))
+    assert(Multimodal.dHashStub(Array.empty[Byte]) == 0L)
+    // a different payload separates (deterministic, not a tautology:
+    // reversed stride samples give different comparisons)
+    assert(h1 != Multimodal.dHashStub(p.reverse))
+  }
 }
