@@ -273,6 +273,36 @@ object CorpusOps {
         .orderBy("doc_id")
     },
 
+    // Weighted sampling without replacement (Efraimidis & Spirakis,
+    // IPL'06): each doc draws priority u^(1/w) from a DETERMINISTIC
+    // hash-uniform u (48 md5 bits of the doc id — no RNG state, so
+    // re-runs, engines, and partitionings all agree) with w = n_chars,
+    // and the sample is the global top-k by priority — longer docs
+    // proportionally likelier, exactly the length-weighted corpus
+    // sampling a mixture builder wants. Scale: priorities are row-local
+    // and the top-k executes as TakeOrderedAndProject (map-side k rows
+    // per task), never a global sort. round(12) snaps the ranking key
+    // to a shared grid before comparison (the pageRank discipline:
+    // libm pow may differ in the last ulp across engines).
+    withOracle(
+      "sample_weighted",
+      """WITH pr AS (
+        |  SELECT doc_id, lang, n_chars,
+        |         round(pow((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12) AS BIGINT) + 0.5)
+        |                   / 281474976710656.0, 1.0 / n_chars), 12) AS priority
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, priority
+        |FROM pr ORDER BY priority DESC, doc_id LIMIT 20""".stripMargin) { (s, dir) =>
+      // u in (0,1) from the first 12 md5 nibbles: (h + 0.5) / 16^12
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("long") + lit(0.5)) / lit(281474976710656.0)
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          round(pow(u, lit(1.0) / col("n_chars")), 12).as("priority"))
+        .orderBy(col("priority").desc, col("doc_id"))
+        .limit(20)
+    },
+
     // Token-budget shard packing: assign each doc (in doc_id order) to the
     // training shard its starting token offset falls in — the "write
     // ~equal-token shards" step before tokenizer workers pick them up.

@@ -75,6 +75,11 @@ class PlanSpec extends SparkSpec {
       "change-capture and versioning windows must reuse one partitioning")
   }
 
+  test("sample_weighted selects top-k via TakeOrderedAndProject, not a global sort") {
+    val p = plan(q("sample_weighted"))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("text_unigram_logprob broadcasts the vocab (no sort-merge join)") {
     val p = plan(q("text_unigram_logprob"))
     assert(p.contains("BroadcastHashJoin"), p)
