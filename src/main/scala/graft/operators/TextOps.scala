@@ -162,6 +162,35 @@ object TextOps {
         .limit(20)
     },
 
+    // One BPE training step: corpus-wide adjacent character-pair counts
+    // within words — the argmax pair is the merge a byte-pair-encoding
+    // tokenizer learns next (Sennrich et al., ACL'16). The whole pass is
+    // row-local generate (token → its len−1 bigrams via
+    // transform/sequence, codegen) into a map-side-combinable count;
+    // top-20 selection is TakeOrderedAndProject. At 100 TB this is the
+    // shape each BPE iteration actually runs: one scan, partial aggs,
+    // pair-vocabulary-sized shuffle — the corpus never re-materializes.
+    withOracle(
+      "bpe_pair_counts",
+      """WITH w AS (
+        |  SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+        |  FROM documents),
+        |b AS (
+        |  SELECT substr(w, CAST(i AS INT), 2) AS pair
+        |  FROM w, unnest(range(1, length(w))) AS t(i)
+        |  WHERE length(w) >= 2)
+        |SELECT pair, count(*) AS n FROM b
+        |GROUP BY pair ORDER BY n DESC, pair LIMIT 20""".stripMargin) { (s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(tokens(col("text"))).as("w"))
+        .where(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    },
+
     // Per-doc top-3 salient terms, tf-idf family: rank by the INTEGER
     // relevance key (tf desc, then document-frequency asc = rarest-first,
     // then term) so top-k selection is exact across engines, and emit the
