@@ -43,6 +43,33 @@ object AsofJoin {
       .drop("__side")
   }
 
+  /** The FORWARD mirror: for each left row, attach `valueCol` of the
+    * EARLIEST right row with rightTs >= leftTs, per key — "next event
+    * after" semantics (next click after an impression, next restock
+    * after a stockout). Same single-shuffle interleave; the window runs
+    * currentRow → unboundedFollowing with `first(..., ignoreNulls)`,
+    * and at equal timestamps the left side sorts first so a
+    * simultaneous right row stays inside the frame (>= semantics,
+    * matching DuckDB's forward ASOF which oracles it).
+    */
+  def asofJoinForward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCol: String): DataFrame = {
+    val leftCols = left.columns.filterNot(_ == valueCol)
+    val taggedLeft = left.withColumn("__side", lit(0))
+      .withColumn(valueCol, lit(null).cast(right.schema(valueCol).dataType))
+    val taggedRight = right.select(
+      (Seq(col(key), col(ts)) ++
+        leftCols.filterNot(c => c == key || c == ts).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(1).as("__side") :+ col(valueCol)): _*)
+    val w = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    taggedLeft.select(taggedRight.columns.toIndexedSeq.map(col): _*)
+      .unionAll(taggedRight)
+      .withColumn(valueCol, first(col(valueCol), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .drop("__side")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Attribution shape: each purchase joined as-of to the same user's
@@ -63,6 +90,25 @@ object AsofJoin {
       asofJoin(purchases, clicks, key = "user_id", ts = "ts", valueCol = "click_id")
         .select(col("purchase_id"), col("user_id"), col("click_id"))
         .orderBy("purchase_id")
+    },
+
+    // The forward direction: each impression (view) joined as-of to the
+    // same user's NEXT click at-or-after it — time-to-convert shape.
+    withOracle(
+      "join_asof_forward",
+      """SELECT v.event_id AS view_id, v.user_id, c.event_id AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'view') v
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON v.user_id = c.user_id AND v.ts <= c.ts
+        |ORDER BY view_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsRaw(s, dir)
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"), col("event_id").as("view_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      asofJoinForward(views, clicks, key = "user_id", ts = "ts", valueCol = "click_id")
+        .select(col("view_id"), col("user_id"), col("click_id"))
+        .orderBy("view_id")
     }
   )
 }

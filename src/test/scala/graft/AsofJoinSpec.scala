@@ -24,6 +24,25 @@ class AsofJoinSpec extends SparkSpec {
       12L -> None))     // no prior click
   }
 
+  test("forward asof <= semantics: equal ts matches, earliest-next wins, no-next is null") {
+    val views = Seq(
+      (1L, 100L, 10L), // equal-ts click exists
+      (1L, 95L, 11L),  // between clicks: earliest next is ts=100
+      (2L, 70L, 12L)   // user's clicks all earlier -> null
+    ).toDF("user_id", "ts", "view_id")
+    val clicks = Seq(
+      (1L, 90L, 20L), (1L, 100L, 21L), (1L, 101L, 22L),
+      (2L, 60L, 23L)
+    ).toDF("user_id", "ts", "click_id")
+    val got = AsofJoin.asofJoinForward(views, clicks, "user_id", "ts", "click_id")
+      .collect().map(r => r.getAs[Long]("view_id") ->
+        Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)).toMap
+    assert(got == Map(
+      10L -> Some(21L), // ts=100 click matches at equal ts
+      11L -> Some(21L), // earliest next (100), not later ones
+      12L -> None))     // no later click
+  }
+
   test("asof join is deterministic under repartitioning") {
     val ev = Tables.eventsRaw(spark, sf0001)
     import org.apache.spark.sql.functions._
