@@ -277,6 +277,71 @@ object NearDedup {
         .where(col("label").isNull || col("label") === col("doc_id"))
         .select(col("doc_id"))
         .orderBy("doc_id")
+    },
+
+    // The NIGHTLY form of the apply step — the canonical clustering is
+    // MAINTAINED, never recomputed over the full corpus: the prior
+    // state is the existing corpus's CC labeling (node-sized), the new
+    // batch contributes only the pairs that TOUCH it (bipartite
+    // new×existing + new×new — existing×existing pair generation never
+    // runs again), and the absorb is incremental CC over (prior stars ∪
+    // new pairs). Composes dedup_incremental's bipartite join shape
+    // with cc_incremental's labeling maintenance; the result must equal
+    // the full batch recompute, so it shares near_dedup_apply's oracle.
+    // The hot-shingle cap counts total frequency across old+new,
+    // matching the batch form (at scale a cap tripped by frequency the
+    // existing-only pass undercounted is the same lossy-drop tradeoff
+    // dropHotBuckets already logs).
+    graft.QueryDef.withOracle(
+      "near_dedup_apply_incremental",
+      s"""WITH RECURSIVE ${TextOps.shinglePairCte()},
+        |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
+        |        JOIN sizes nb ON j = nb.doc_id
+        |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
+        |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (SELECT node, node AS m FROM nodes
+        |          UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
+        |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node)
+        |SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        |WHERE cc.canonical IS NULL OR cc.canonical = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val isNew = col("doc_id") % 4 === 0
+      val hashed = docs
+        .select(col("doc_id"), isNew.as("is_new"),
+          shingleHashes(col("text"), 3).as("hs"))
+        .where(col("hs").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        // prior state: clustering of the existing corpus only
+        val pairsE = TextOps.ngramJaccardPairsFromHashes(
+          hashed.where(!col("is_new")).select("doc_id", "hs"), 0.1)
+          .select(col("i").as("src"), col("j").as("dst"))
+        val labels = GraphOps.connectedComponents(pairsE)
+        // nightly absorb: pairs touching the new batch only
+        val sh = hashed.select(col("doc_id"), col("is_new"), explode(col("hs")).as("s"))
+        val bounded = dropHotBuckets(sh, Seq("s"), TextOps.MaxShingleFreq,
+          "incremental-apply shingle")
+        val sizes = hashed.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+        val newSh = bounded.where(col("is_new")).select(col("doc_id").as("j"), col("s"))
+        val bip = bounded.where(!col("is_new")).select(col("doc_id").as("i"), col("s"))
+          .join(newSh, "s").select(col("i"), col("j"))
+        val nn = newSh.select(col("j").as("i"), col("s"))
+          .join(newSh, "s").where(col("i") < col("j")).select(col("i"), col("j"))
+        val pairsNew = bip.unionAll(nn)
+          .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+          .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+          .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+          .where(col("inter") / (col("ni") + col("nj") - col("inter")).cast("double")
+            >= 0.1)
+          .select(col("i").as("src"), col("j").as("dst"))
+        val cc = GraphOps.connectedComponentsIncremental(labels, pairsNew)
+        docs.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+          .where(col("label").isNull || col("label") === col("doc_id"))
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      } finally hashed.unpersist()
     }
   )
 }
