@@ -560,6 +560,28 @@ object StreamViews {
         .orderBy("cohort_wk", "wk_offset")
     },
 
+    // Stream-static enrichment: the event stream joins the customer
+    // dimension (static parquet relation — Spark re-plans it per
+    // microbatch, so a dim refresh is picked up between batches) and
+    // rolls up per market segment in complete mode. The join
+    // broadcasts the dim under the normal batch threshold inside each
+    // microbatch — the canonical speed-layer enrichment shape: state
+    // is the segments-sized aggregate, never the joined stream. Same
+    // oracle as the batch join rollup.
+    withOracle(
+      "stream_join_dim",
+      """SELECT c_mktsegment, count(*) AS n, round(sum(value), 2) AS total
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin) { (s, dir) =>
+      val dim = Tables.customer(s, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))
+      runToMemory(s, dir, "complete") { src =>
+        src.join(dim, src("user_id") === dim("c_custkey"))
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
+      }.orderBy("c_mktsegment")
+    },
+
     // Speed-layer user-id normalization: the equiv-edge stream absorbs
     // into a persistent label store one microbatch at a time via
     // incremental CC (GraphOps.connectedComponentsIncremental — the
