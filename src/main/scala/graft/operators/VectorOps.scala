@@ -80,6 +80,49 @@ object VectorOps {
         .orderBy("probe_id", "rank")
     },
 
+    // METADATA-FILTERED similarity search — the modern vector-store
+    // query shape: top-k among corpus vectors satisfying a predicate
+    // (here: the probe's own class label — search-within-category).
+    // The filter lands BEFORE the join, so non-matching corpus rows
+    // never meet a probe (at 100 TB it composes with the IVF index:
+    // label-partitioned or predicate-pushed cells, scanning only
+    // matching inverted lists); selection is the map-side TopKAgg heap,
+    // never a per-probe window over the scored corpus.
+    graft.QueryDef.withOracle(
+      "similarity_topk_filtered",
+      """WITH probes AS (SELECT vec_id AS p, label AS pl, CAST(embedding AS DOUBLE[]) AS pe
+        |                FROM embeddings WHERE vec_id < 10),
+        |corpus AS (SELECT vec_id AS c, label AS cl, CAST(embedding AS DOUBLE[]) AS ce
+        |           FROM embeddings),
+        |sims AS (
+        |  SELECT p, c, list_dot_product(pe, ce) /
+        |         (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |  FROM probes JOIN corpus ON pl = cl AND p <> c),
+        |ranked AS (
+        |  SELECT p, c, cos, row_number() OVER (PARTITION BY p ORDER BY cos DESC, c) AS rnk
+        |  FROM sims)
+        |SELECT p AS probe_id, rnk AS rank, c AS neighbor_id, round(cos, 4) AS cos
+        |FROM ranked WHERE rnk <= 5 ORDER BY probe_id, rank""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val probes = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("p"), col("label").as("pl"), col("embedding").as("pe"))
+      val corpus = emb
+        .select(col("vec_id").as("c"), col("label").as("cl"), col("embedding").as("ce"))
+      corpus.join(broadcast(probes),
+          col("pl") === col("cl") && col("p") =!= col("c"))
+        .withColumn("cos", cosine(col("pe"), col("ce")))
+        .select(col("p"), col("c"), col("cos"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues { case (_, c, cos) => (c, cos) }
+        .agg(graft.functions.TopKAgg.TopK(5).toColumn.name("top"))
+        .select(col("key").as("p"), posexplode(col("top.items")).as(Seq("pos", "e")))
+        .select(col("p").as("probe_id"), (col("pos") + 1).as("rank"),
+          col("e.id").as("neighbor_id"), round(col("e.value"), 4).as("cos"))
+        .orderBy("probe_id", "rank")
+    },
+
     // Exact embedding-cosine near-dup pairs (threshold 0.4). All-pairs is
     // the *correctness* form; it is guarded for scale — see pairGuard —
     // and the LSH path below is the production form at 100 TB.
