@@ -56,6 +56,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("snapshotDiff roundtrip and minimality hold on random snapshot pairs") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      // old and new snapshots over overlapping key ranges with random
+      // payloads (nullable string + double) — some keys dropped, some
+      // added, some changed, some identical
+      def snap(keys: Seq[Long]): Seq[(Long, String, Double)] = keys.map { k =>
+        (k, if (rnd.nextBoolean()) s"v${rnd.nextInt(3)}" else null,
+          rnd.nextInt(5).toDouble)
+      }
+      val oldKeys = (0L to 30L).filter(_ => rnd.nextBoolean())
+      val newKeys = (0L to 30L).filter(_ => rnd.nextBoolean())
+      val old = snap(oldKeys).toDF("k", "s", "v")
+      val neu = snap(newKeys).toDF("k", "s", "v")
+      val diff = graft.operators.IngestOps.snapshotDiff(old, neu, "k")
+      val reapplied = old
+        .join(diff.select("k"), Seq("k"), "left_anti")
+        .unionAll(diff.where(col("op") =!= "D").drop("op"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      val expected = neu.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+      assert(reapplied == expected, s"seed=$seed")
+      // minimality: identical rows emit nothing
+      val oldMap = old.collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      val neuMap = neu.collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(2))).toMap
+      val unchanged = oldMap.keySet.intersect(neuMap.keySet)
+        .filter(k => oldMap(k) == neuMap(k))
+      val emitted = diff.collect().map(r => r.getLong(0)).toSet
+      assert(unchanged.intersect(emitted).isEmpty,
+        s"seed=$seed: unchanged keys ${unchanged.intersect(emitted)} emitted")
+    }
+  }
+
   /** Reference sessionizer: sorted timestamps, split on gap > 900. */
   private def refSessions(ts: Seq[Long]): Seq[Int] = {
     val sorted = ts.sorted
