@@ -56,6 +56,22 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("incremental CC matches union-find over random edge splits") {
+    (1 to 5).foreach { seed =>
+      val rnd = new scala.util.Random(100 + seed)
+      val edges = List.fill(10 + rnd.nextInt(20))(
+        (rnd.nextInt(23).toLong, rnd.nextInt(23).toLong))
+        .filter { case (a, b) => a != b }
+      val expected = unionFind(edges)
+      // random old/new split, including possibly-empty halves
+      val (oldE, newE) = edges.partition(_ => rnd.nextBoolean())
+      val labels = GraphOps.connectedComponents(oldE.toDF("src", "dst"))
+      val got = GraphOps.connectedComponentsIncremental(labels, newE.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, s"seed=$seed old=$oldE new=$newE")
+    }
+  }
+
   test("snapshotDiff roundtrip and minimality hold on random snapshot pairs") {
     (1 to 5).foreach { seed =>
       val rnd = new scala.util.Random(seed)
