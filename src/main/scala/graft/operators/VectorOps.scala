@@ -178,6 +178,18 @@ object VectorOps {
       annIvf(s, emb, probeFilter = col("vec_id") < 10, k = 5, nCells = 16)
     },
 
+    // Metadata-filtered IVF — the SCALE form of similarity_topk_filtered:
+    // the predicate (even class labels here) drops non-matching rows
+    // before cell assignment and the candidate join, so a selective
+    // filter shrinks the scan instead of the rerank. Approximate →
+    // ApproxOpsSpec pins that every neighbor satisfies the filter and
+    // measures recall against the exact filtered form.
+    noOracle("ann_ivf_filtered") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      annIvf(s, emb, probeFilter = col("vec_id") < 10, k = 5, nCells = 16,
+        nProbe = 8, corpusFilter = col("label") % 2 === 0)
+    },
+
     // The scale form of near_dedup_cosine: LSH-bucketed candidate pairs +
     // exact-cosine verify at the same 0.4 threshold. Exact verification
     // means every emitted pair is correct (subset of the all-pairs form);
@@ -435,8 +447,18 @@ object VectorOps {
     } finally train.unpersist()
   }
 
+  /** `corpusFilter` is the METADATA-FILTERED search seam (the modern
+    * vector-store shape: top-k among rows satisfying a predicate). The
+    * quantizer still trains on the full corpus — the index is built
+    * once, filters vary per query — and the predicate lands on the
+    * assigned relation BEFORE the candidate join, where Catalyst pushes
+    * it into the scan (on the persistent index: into the codes-table
+    * read, so non-matching inverted-list entries never join). Default
+    * `lit(true)` = unfiltered.
+    */
   def annIvf(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
-      nCells: Int = 0, nProbe: Int = 4, maxTrainRows: Long = 100000L): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 4, maxTrainRows: Long = 100000L,
+      corpusFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
     val n = emb.count() // column-free count: no vector bytes read
     val cells = if (nCells > 0) nCells else ivfCells(n)
@@ -453,10 +475,13 @@ object VectorOps {
       unitEmb.select(col("vec_id"), col("unit").as("embedding")),
       cells, maxTrainRows, n)
     // corpus-wide cell assignment: one streamed codegen pass against the
-    // broadcast-sized centroid table — no ml.Vector boxing, no checkpoint
-    val assigned = unitEmb.select(col("vec_id").as("c"), col("embedding").as("ce"),
-      org.apache.spark.sql.graft.SrpNative
-        .nearestCentroid(col("unit"), centroidArr).as("cell"))
+    // broadcast-sized centroid table — no ml.Vector boxing, no checkpoint;
+    // the metadata filter lands before assignment so non-matching rows
+    // never compute a cell or reach the candidate join
+    val assigned = unitEmb.where(corpusFilter)
+      .select(col("vec_id").as("c"), col("embedding").as("ce"),
+        org.apache.spark.sql.graft.SrpNative
+          .nearestCentroid(col("unit"), centroidArr).as("cell"))
     val centroids = centroidArr.zipWithIndex
       .map { case (v, i) => (i, v) }
       .toSeq.toDF("cell", "centroid")

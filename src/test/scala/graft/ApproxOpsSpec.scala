@@ -164,6 +164,36 @@ class ApproxOpsSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall@5 was $recall")
   }
 
+  test("ann_ivf_filtered: every neighbor satisfies the filter; recall vs exact filtered >= 0.5") {
+    import org.apache.spark.sql.expressions.Window
+    val emb = Tables.embeddings(spark, sf0001)
+    val got = SparkEntry.queries("ann_ivf_filtered")(spark, sf0001)
+      .persist()
+    try {
+      // soundness: no odd-label neighbor can appear
+      val oddLabels = emb.where($"label" % 2 === 1)
+        .select($"vec_id".as("neighbor_id"))
+      assert(got.join(oddLabels, "neighbor_id").count() == 0,
+        "a neighbor violated the corpus filter")
+      // recall vs the exact filtered brute force at the same predicate
+      val probes = emb.where($"vec_id" < 10)
+        .select($"vec_id".as("p"), $"embedding".as("pe"))
+      val corpus = emb.where($"label" % 2 === 0)
+        .select($"vec_id".as("c"), $"embedding".as("ce"))
+      val brute = corpus.join(broadcast(probes), $"p" =!= $"c")
+        .withColumn("cos", VectorOps.cosine($"pe", $"ce"))
+        .withColumn("rnk",
+          row_number().over(Window.partitionBy("p").orderBy($"cos".desc, $"c")))
+        .where($"rnk" <= 5)
+        .select($"p", $"c").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val ivf = got.select($"probe_id", $"neighbor_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val recall = (brute & ivf).size.toDouble / brute.size
+      assert(recall >= 0.5, s"filtered recall@5 was $recall")
+    } finally got.unpersist()
+  }
+
   test("ann_pq recall@5 vs brute force >= 0.5 (sf0.001)") {
     val brute = SparkEntry.queries("similarity_topk")(spark, sf0001)
       .select($"probe_id", $"neighbor_id").collect()
