@@ -49,6 +49,23 @@ object Recall {
     val annIvfPq = recall(topk("ann_ivfpq"), brute)
     val annIndexed = recall(topk("ann_ivfpq_indexed"), brute)
 
+    // metadata-filtered IVF vs the exact filtered brute force at the
+    // same predicate (even labels, the declared query's shape)
+    val bruteFiltered = {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(spark, sfDir)
+      val fProbes = emb.where(col("vec_id") < 10)
+        .select(col("vec_id").as("p"), col("embedding").as("pe"))
+      val fCorpus = emb.where(col("label") % 2 === 0)
+        .select(col("vec_id").as("c"), col("embedding").as("ce"))
+      pairSet(fCorpus.join(broadcast(fProbes), col("p") =!= col("c"))
+        .withColumn("cos", VectorOps.cosine(col("pe"), col("ce")))
+        .withColumn("rnk", row_number().over(
+          Window.partitionBy("p").orderBy(col("cos").desc, col("c"))))
+        .where(col("rnk") <= 5).select("p", "c"))
+    }
+    val annIvfFiltered = recall(topk("ann_ivf_filtered"), bruteFiltered)
+
     // minhash text dedup vs exact shingle Jaccard at the declared 0.5
     val docs = Tables.documents(spark, sfDir)
     val hashed = docs.select(col("doc_id"),
@@ -129,6 +146,7 @@ object Recall {
          |  "ann_pq":               {"recall": $annPq%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "ann_ivfpq":            {"recall": $annIvfPq%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
          |  "ann_ivfpq_indexed":    {"recall": $annIndexed%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},
+         |  "ann_ivf_filtered":     {"recall": $annIvfFiltered%.4f, "baseline": "exact filtered brute force (label %% 2 = 0)", "truth_size": ${bruteFiltered.size}},
          |  "near_dedup_minhash":   {"recall": $minhash%.4f, "baseline": "exact ngram jaccard @0.5", "truth_size": ${exactJac.size}},
          |  "near_dedup_simhash":   {"recall": $simhash%.4f, "baseline": "all-pairs hamming <=3", "truth_size": ${exactSim.size}},
          |  "near_dedup_cosine_lsh":{"recall": $cosLsh%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},
