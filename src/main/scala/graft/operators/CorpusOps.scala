@@ -506,6 +506,43 @@ object CorpusOps {
           round(sum("n_tokens").over(w) / (count(lit(1)).over(w) * col("n_tokens")), 4)
             .as("weight"))
         .orderBy("source")
+    },
+
+    // The feed order corpus_mix_weights implies: weighted-fair-queuing
+    // interleave of sources into one global training stream. Each doc's
+    // virtual finish time is rank_in_source / weight_source; with the
+    // uniform-mixture weight w_s ∝ 1/n_tokens_s that is rank_s ·
+    // n_tokens_s up to a shared constant — ALL-INTEGER, so the order is
+    // engine-exact with no float grid. Small sources recycle faster
+    // (their ranks scale by a smaller token total), so every prefix of
+    // the stream holds the mixture's proportions — the property a
+    // curriculum-free data loader wants from epoch 0. Scale: per-source
+    // md5 rank (the stratumPrefix distributed-prefix shape at 100 TB),
+    // source-totals broadcast join, and the output sort is a range
+    // exchange on the priority key — no global single-partition window.
+    withOracle(
+      "corpus_interleave",
+      """WITH t AS (SELECT source,
+        |             sum(len(string_split_regex(lower(text), '\s+'))) AS n_tokens
+        |           FROM documents GROUP BY source),
+        |r AS (SELECT doc_id, source, row_number() OVER (
+        |        PARTITION BY source
+        |        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |      FROM documents)
+        |SELECT r.doc_id, r.source, rnk, CAST(rnk * n_tokens AS BIGINT) AS priority
+        |FROM r JOIN t USING (source)
+        |ORDER BY priority, doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val totals = docs.groupBy("source")
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens"))
+      val rw = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs.select(col("doc_id"), col("source"))
+        .withColumn("rnk", row_number().over(rw))
+        .join(broadcast(totals), "source")
+        .select(col("doc_id"), col("source"), col("rnk"),
+          (col("rnk") * col("n_tokens")).as("priority"))
+        .orderBy("priority", "doc_id")
     }
   )
 }
