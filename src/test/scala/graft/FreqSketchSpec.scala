@@ -99,6 +99,27 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  test("count-min inner product bounds the exact equi-join size") {
+    val rnd = new scala.util.Random(11)
+    val a = Seq.fill(3000)(s"k${rnd.nextInt(40)}")
+    val b = Seq.fill(2000)(s"k${rnd.nextInt(60)}")
+    val exact = {
+      val fb = b.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      a.groupBy(identity).view.mapValues(_.size.toLong).toMap
+        .map { case (k, fa) => fa * fb.getOrElse(k, 0L) }.sum
+    }
+    val cm = FreqSketch.CountMin(64, 4)
+    val est = FreqSketch.CountMin.innerProduct(
+      cmFold(cm, a).counts, cmFold(cm, b).counts, 64, 4)
+    assert(est >= exact, s"join size underestimated: $est < $exact")
+    val bound = exact + math.ceil(math.E / 64 * a.size.toLong * b.size).toLong
+    assert(est <= bound, s"join size est $est above $exact + slack ($bound)")
+    // collision-free shape estimates exactly
+    val big = FreqSketch.CountMin(4096, 3)
+    assert(FreqSketch.CountMin.innerProduct(
+      cmFold(big, a).counts, cmFold(big, b).counts, 4096, 3) == exact)
+  }
+
   test("approx_count_min aggregates map-side (partial ObjectHashAggregate)") {
     val plan = SparkEntry.queries("approx_count_min")(spark, sf0001)
       .queryExecution.executedPlan.toString
