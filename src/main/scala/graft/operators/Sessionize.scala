@@ -81,6 +81,37 @@ object Sessionize {
         .orderBy("domain", "user_id", "visit_id")
     },
 
+    // The NATIVE form of sessionize_visits: Spark's built-in
+    // session_window aggregation instead of the lag/cumsum window pair.
+    // Boundary semantics verified identical (events exactly GapSecs
+    // apart MERGE; one second more splits — the CTE's `> gap` rule), so
+    // it shares the oracle. One fewer analytic-window pass: the session
+    // assignment happens inside the aggregation (with partial merge)
+    // rather than in a pre-pass over the ordered partition; visit_id is
+    // recovered from a per-user window over the SESSIONS relation
+    // (visit-cardinality-sized, not event-sized).
+    withOracle(
+      "sessionize_native",
+      s"""$sessionsCte
+         |SELECT domain, user_id, CAST(visit_id AS BIGINT) AS visit_id,
+         |       n_pageviews, start_secs, end_secs
+         |FROM visits ORDER BY domain, user_id, visit_id""".stripMargin) { (s, dir) =>
+      val pv = Tables.events(s, dir).select(
+        graft.functions.UrlFunctions.extractDomain(col("url")).as("domain"),
+        col("user_id"), col("ts_secs"))
+      val sess = pv
+        .groupBy(col("domain"), col("user_id"),
+          session_window(timestamp_seconds(col("ts_secs")), s"$GapSecs seconds").as("sw"))
+        .agg(count(lit(1)).as("n_pageviews"),
+          min(col("ts_secs")).as("start_secs"), max(col("ts_secs")).as("end_secs"))
+      sess
+        .withColumn("visit_id", row_number().over(
+          Window.partitionBy("domain", "user_id").orderBy("start_secs")).cast("long"))
+        .select(col("domain"), col("user_id"), col("visit_id"),
+          col("n_pageviews"), col("start_secs"), col("end_secs"))
+        .orderBy("domain", "user_id", "visit_id")
+    },
+
     // bouncesView: per-domain (visits, bounces). Value order is positionally
     // (num-visits, num-bounces) — the reference's var names at
     // BatchWorkflow.java:413-418 are misleading; SURVEY.md §2.3.
