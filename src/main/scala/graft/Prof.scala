@@ -28,72 +28,45 @@ object Prof {
       spark.read.parquet(s"$sfDir/lineitem.parquet").groupBy("l_returnflag").count().collect()
     }
 
-    // 1. CC breakdown on the plain long graph
-    val edges = operators.GraphOps.equivEdges(spark, sfDir)
-    time("equivEdges count")(edges.count())
-    time("CC plain (total)") {
-      operators.GraphOps.connectedComponents(edges).count()
-    }
-    time("CC plain again") {
-      operators.GraphOps.connectedComponents(edges).count()
-    }
-
-    // 2. ingest write
-    val m1 = java.nio.file.Files.createTempDirectory("prof").toString + "/m"
-    val facts = time("eventsAsFacts localCheckpoint") {
-      graft.model.FactStore.eventsAsFacts(spark, sfDir).localCheckpoint()
-    }
-    time("ingest write 1")(graft.model.FactStore.ingest(facts, m1))
-    time("ingest write 2")(graft.model.FactStore.ingest(facts, m1))
-    time("scanKind count") {
-      graft.model.FactStore.scanKind(spark, m1, graft.model.FactKind.PageView).count()
-    }
-
-    // 3. pretraining pipeline stages
-    val docs = Tables.documents(spark, sfDir)
-    import graft.functions.TextFunctions._
-    val q = docs.where(col("n_chars") >= 100 && size(tokens(col("text"))) >= 20)
-    time("quality gate count")(q.count())
-    val en = q.join(
-      operators.TextOps.langid(q).where(col("pred_lang") === "en").select("doc_id"), Seq("doc_id"))
-    time("langid+join count")(en.count())
-    val exact = en
-      .withColumn("rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))))
-      .where(col("rn") === 1).drop("rn")
-    val exactCp = time("exact dedup localCheckpoint")(exact.localCheckpoint())
-    val sh = exactCp.select(col("doc_id"), explode(shingleHashes(col("text"), 3)).as("s"))
-    val pairs = time("ngramJaccardPairs") {
-      operators.TextOps.ngramJaccardPairs(sh, 0.1)
-    }
-    time("pairs count")(pairs.count())
-    val cc = time("CC on dup pairs") {
-      operators.GraphOps.connectedComponents(
-        pairs.select(col("i").as("src"), col("j").as("dst"))).localCheckpoint()
-    }
-    time("final join count") {
-      exactCp.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
-        .where(col("label").isNull || col("label") === col("doc_id"))
-        .count()
+    // pipeline_embedding_corpus staged breakdown, 3 reps
+    (1 to 3).foreach { rep =>
+      println(s"--- rep $rep ---")
+      val emb = Tables.embeddings(spark, sfDir)
+      val pairs = time("cosineNearDupLsh (materialized)") {
+        val p = operators.VectorOps.cosineNearDupLsh(spark, emb, threshold = 0.4)
+          .select(col("i").as("src"), col("j").as("dst")).localCheckpoint()
+        p.count(); p
+      }
+      val cc = time("connectedComponents (mat.)") {
+        val c = operators.GraphOps.connectedComponents(pairs)
+          .select(col("node").as("vec_id"), col("label").as("canonical")).localCheckpoint()
+        c.count(); c
+      }
+      val survivors = emb.join(cc, Seq("vec_id"), "left_outer")
+        .where(col("canonical").isNull || col("canonical") === col("vec_id"))
+        .select(col("vec_id"), col("embedding"))
+      val idx = java.nio.file.Files.createTempDirectory("graft_prof").toString
+      time("buildIvfPq") {
+        operators.VectorIndex.buildIvfPq(spark, survivors, idx, nCells = 16, m = 8, ks = 16)
+      }
+      time("searchIvfPq") {
+        operators.VectorIndex.searchIvfPq(spark, idx, survivors,
+          probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8, rerank = 8).count()
+      }
+      pairs.unpersist(); cc.unpersist()
     }
 
-    // 4. streaming window counts: 32 vs 8 shuffle partitions
-    def streamWindow(parts: Int): Unit = {
-      spark.conf.set("spark.sql.shuffle.partitions", parts)
-      val defs = streaming.StreamViews.defs.find(_.name == "stream_window_counts").get
-      defs.fn(spark, sfDir).count()
-      spark.conf.set("spark.sql.shuffle.partitions", 32)
+    // whole-query timing as the bench sees it: 4 reps no-GC, 4 with GC
+    (1 to 4).foreach { rep =>
+      time(s"whole nogc rep$rep") {
+        SparkEntry.queries("pipeline_embedding_corpus")(spark, sfDir).count()
+      }
     }
-    time("stream_window_counts @32")(streamWindow(32))
-    time("stream_window_counts @8")(streamWindow(8))
-    time("stream_window_counts @4")(streamWindow(4))
-
-    // 5. ann_ivf
-    time("ann_ivf") {
-      SparkEntry.queries("ann_ivf")(spark, sfDir).count()
-    }
-    time("ann_ivf again") {
-      SparkEntry.queries("ann_ivf")(spark, sfDir).count()
+    (1 to 4).foreach { rep =>
+      System.gc(); Thread.sleep(200)
+      time(s"whole gc rep$rep") {
+        SparkEntry.queries("pipeline_embedding_corpus")(spark, sfDir).count()
+      }
     }
 
     spark.stop()

@@ -27,6 +27,7 @@ object SparkEntry {
       operators.Multimodal.defs ++
       operators.Skew.defs ++
       operators.Quality.defs ++
+      operators.QualityFilter.defs ++
       operators.Layout.defs ++
       operators.IngestOps.defs ++
       streaming.StreamViews.defs ++

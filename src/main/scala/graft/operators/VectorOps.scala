@@ -271,10 +271,19 @@ object VectorOps {
       // fail resolution in the survivor filter
       val cc = GraphOps.connectedComponents(pairs)
         .select(col("node").as("vec_id"), col("label").as("canonical"))
+      // Materialize the dedup output ONCE before indexing — in production
+      // the cleaned corpus lands in storage between the dedup job and the
+      // index build; without it the build's passes (row count, quantizer
+      // training, encode) would each re-execute the survivor join and CC
+      // consumption upstream of them.
       val survivors = emb
         .join(cc, Seq("vec_id"), "left_outer")
         .where(col("canonical").isNull || col("canonical") === col("vec_id"))
         .select(col("vec_id"), col("embedding"))
+        .localCheckpoint()
+      // (no unpersist here: the returned search plan reranks against the
+      // checkpointed survivors — its blocks must outlive this call; the
+      // ContextCleaner frees them once the result DF is unreachable)
       val idx = java.nio.file.Files.createTempDirectory("graft_embpipe").toString
       VectorIndex.buildIvfPq(s, survivors, idx, nCells = 16, m = 8, ks = 16)
       VectorIndex.searchIvfPq(s, idx, survivors,
