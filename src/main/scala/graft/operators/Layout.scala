@@ -79,7 +79,45 @@ object Layout {
       .write.mode("overwrite").parquet(path)
   }
 
+  /** Write `df` globally range-clustered on `dim`: one range exchange
+    * (sampled split points), per-partition sort, `nFiles` output files.
+    * The 1-D complement of [[writeZOrdered]]: when queries filter ONE
+    * dominant column (time, tenant, shard key), a linear sort gives each
+    * file a narrow disjoint slice of that column's range, so parquet
+    * row-group min/max stats (and any file-stats-aware table format)
+    * skip everything outside the predicate — the cheapest layout win
+    * there is. Filters on OTHER columns get nothing, which is exactly
+    * when z-order takes over (ZOrderSpec shows the contrast).
+    */
+  def writeRangeSorted(df: DataFrame, dim: String, path: String,
+      nFiles: Int = 32): Unit =
+    df.repartitionByRange(nFiles, col(dim))
+      .sortWithinPartitions(dim)
+      .write.mode("overwrite").parquet(path)
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Range-sort layout roundtrip: write lineitem clustered on l_partkey,
+    // answer a narrow partkey-band aggregate from the copy; the oracle
+    // runs the same band on the ORIGINAL table (content is
+    // layout-invariant). The skipping property — the band touches 1-2 of
+    // the 32 files — is pinned in ZOrderSpec, invisible to row content.
+    withOracle(
+      "layout_range_sort",
+      """SELECT count(*) AS n_rows,
+        |       round(sum(l_extendedprice), 2) AS revenue
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 100 AND 120""".stripMargin) { (s, dir) =>
+      val path = Files.createTempDirectory("graft_rangesort").toString + "/lineitem"
+      writeRangeSorted(
+        Tables.lineitem(s, dir)
+          .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"),
+        "l_partkey", path)
+      s.read.parquet(path)
+        .where(col("l_partkey").between(100, 120))
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum("l_extendedprice"), 2).as("revenue"))
+    },
 
     // Z-order layout roundtrip: write lineitem clustered on
     // (l_partkey, l_suppkey), read the copy back, and answer a 2-D

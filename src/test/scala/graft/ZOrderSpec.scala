@@ -81,4 +81,35 @@ class ZOrderSpec extends SparkSpec {
     val order = df.orderBy("z").select("x", "y").as[(Long, Long)].collect().toSeq
     assert(order == Seq((0L, 0L), (65535L, 0L), (0L, 65535L), (65535L, 65535L)))
   }
+
+  test("range-sort layout: disjoint per-file key slices, narrow band touches few files") {
+    val n = 50000
+    val files = 16
+    val path = Files.createTempDirectory("graft_rsort").toString + "/rs"
+    Layout.writeRangeSorted(points(n), "x", path, nFiles = files)
+    val back = spark.read.parquet(path)
+
+    // per-file [min,max] slices of the sort key are pairwise disjoint
+    // (range partitioning assigns each key interval to exactly one file)
+    val slices = back.groupBy(input_file_name().as("f"))
+      .agg(min("x").as("mn"), max("x").as("mx"))
+      .orderBy("mn")
+      .select("mn", "mx").as[(Long, Long)].collect()
+    assert(slices.length > 1)
+    slices.sliding(2).foreach {
+      case Array((_, aMax), (bMin, _)) =>
+        assert(aMax <= bMin, s"file slices overlap: max $aMax > next min $bMin")
+      case _ =>
+    }
+
+    // a 1% key band intersects 1-2 of the 16 slices — every other file
+    // is skippable from its stats alone
+    val touched = back.where(col("x").between(1000, 1600))
+      .select(input_file_name()).distinct().count()
+    assert(touched <= 2, s"narrow band touched $touched of $files files")
+
+    // content is layout-invariant (exact multiset roundtrip)
+    assert(back.count() == n.toLong)
+    assert(points(n).exceptAll(back).isEmpty)
+  }
 }
