@@ -21,6 +21,7 @@ object SparkEntry {
       operators.GraphOps.defs ++
       operators.Workflow.defs ++
       operators.TextOps.defs ++
+      operators.Bpe.defs ++
       operators.CorpusOps.defs ++
       operators.VectorOps.defs ++
       operators.NearDedup.defs ++
