@@ -239,7 +239,53 @@ object GraphOps {
        |  SELECT e2.b AS node, r.m FROM reach r JOIN edges e2 ON e2.a = r.node)
        |SELECT node, min(m) AS canonical FROM reach GROUP BY node ORDER BY node""".stripMargin
 
+  /** Exact triangle count with degree-ordered orientation (the MPC
+    * triangle-counting shape, Suri & Vassilvitskii WWW'11): direct every
+    * undirected edge from its lower-(degree, id) endpoint to the higher,
+    * so each triangle is counted exactly once as u→v, v→w, u→w and —
+    * the scale property — every node's OUT-degree is O(√m), bounding the
+    * wedge join's per-key fanout that a naive (all-orientations) self-
+    * join lets hit hub-degree² rows. Two shuffle joins on the oriented
+    * edge relation; count is orientation-invariant, so the SQL oracle
+    * can stay the plain canonical a<b form.
+    */
+  def triangleCount(edges: DataFrame): DataFrame = {
+    val und = edges
+      .select(least(col("src"), col("dst")).as("a"),
+        greatest(col("src"), col("dst")).as("b"))
+      .where(col("a") =!= col("b")).distinct()
+    val deg = und.select(explode(array(col("a"), col("b"))).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    val withDeg = und
+      .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), Seq("a"))
+      .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    val dir = withDeg.select(
+      when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
+        struct(col("a").as("u"), col("b").as("v")))
+        .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+    val e1 = dir.select(col("u").as("x"), col("v").as("y"))
+    val e2 = dir.select(col("u").as("y"), col("v").as("z"))
+    val e3 = dir.select(col("u").as("x"), col("v").as("z"))
+    e1.join(e2, "y").join(e3, Seq("x", "z"))
+      .agg(count(lit(1)).as("n_triangles"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+
+    // Exact triangle count over the equiv graph — the §2.6 family's
+    // local-structure complement to CC/PageRank (community density where
+    // CC gives reachability).
+    withOracle(
+      "graph_triangle_count",
+      s"""$edgesCte,
+         |und AS (SELECT least(src, dst) AS a, greatest(src, dst) AS b
+         |        FROM e WHERE src <> dst GROUP BY 1, 2)
+         |SELECT count(*) AS n_triangles
+         |FROM und t1 JOIN und t2 ON t1.b = t2.a
+         |JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b""".stripMargin) { (s, dir) =>
+      triangleCount(equivEdges(s, dir))
+    },
 
     // EdgifyEquiv (BatchWorkflow.java:561-568): equiv facts -> edge tuples.
     withOracle(

@@ -56,4 +56,21 @@ class GraphOpsSpec extends SparkSpec {
     val expected = labels.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(inc == expected)
   }
+
+  test("triangle count: known graphs, direction/duplicate/self-loop invariance") {
+    import spark.implicits._
+    def n(df: org.apache.spark.sql.DataFrame): Long =
+      GraphOps.triangleCount(df).head().getLong(0)
+    // K4 has C(4,3) = 4 triangles
+    val k4 = (for (i <- 1L to 4L; j <- 1L to 4L if i < j) yield (i, j)).toDF("src", "dst")
+    assert(n(k4) == 4L)
+    // a star (hub 0 to 1..5) has none; closing one spoke pair adds one
+    val star = (1L to 5L).map(i => (0L, i)).toDF("src", "dst")
+    assert(n(star) == 0L)
+    assert(n(star.unionAll(Seq((1L, 2L)).toDF("src", "dst"))) == 1L)
+    // reversed duplicates, repeated edges, and self-loops change nothing
+    val noisy = k4.unionAll(k4.select($"dst".as("src"), $"src".as("dst")))
+      .unionAll(Seq((1L, 1L), (2L, 3L)).toDF("src", "dst"))
+    assert(n(noisy) == 4L)
+  }
 }
