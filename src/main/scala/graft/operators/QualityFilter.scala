@@ -111,6 +111,23 @@ object QualityFilter {
       .drop("w_q")
   }
 
+  /** [[scoreQuality]] with the weights as a single array LITERAL instead
+    * of a one-row broadcast relation: no join at all, so the pass is
+    * usable on a STREAMING DataFrame (stateless projection — the speed
+    * layer's "score as you crawl" path) as well as batch. Identical
+    * arithmetic to the broadcast form (QualityFilterSpec pins equality).
+    */
+  def scoreQualityLit(docs: DataFrame, m: QualityModel): DataFrame = {
+    val w = typedLit(m.weights.toSeq)
+    val toks = coalesce(tokens(col("text")), array().cast("array<string>"))
+    val z = lit(m.intercept) + aggregate(
+      transform(toks, t => element_at(w, (bucket(t, m.dim) + 1).cast("int"))),
+      lit(0.0), (acc, x) => acc + x)
+    docs
+      .withColumn("quality_score", lit(1.0) / (lit(1.0) + exp(-z)))
+      .withColumn("quality_pred", (col("quality_score") >= 0.5).cast("int"))
+  }
+
   /** The weak-supervision teacher the declared query trains from: the
     * engine's own heuristic stop-ratio signal (text_quality_score's
     * stopword list), thresholded. In production the teacher is usually

@@ -501,6 +501,33 @@ object StreamViews {
       s.table(name).orderBy("doc_id")
     },
 
+    // Learned quality filter on the document stream: the model trains
+    // OFFLINE on the batch corpus (the bounded-sample LBFGS fit), and the
+    // stream scores each arriving doc with the weights as an array
+    // literal — a stateless row-local projection: append mode, no
+    // watermark, no state store, no join. This is the production serving
+    // split for every learned filter: train where the data rests, ship
+    // the few-KB weight vector into the intake stream. Rows-only (the
+    // fit isn't SQL); QualityFilterSpec pins streamed ≡ batch scores.
+    QueryDef.noOracle("stream_quality_filter") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val dim = s.conf.get("graft.quality.dim", "4096").toInt
+      val split = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+      val m = graft.operators.QualityFilter.trainQualityModel(
+        docs.where(split < 80), graft.operators.QualityFilter.stopRatioTeacher(0.06), dim)
+      val schema = docs.schema
+      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+      val q = graft.operators.QualityFilter.scoreQualityLit(
+        s.readStream.schema(schema).parquet(stagedDocsDir(dir)), m)
+        .select(col("doc_id"), col("quality_pred"),
+          round(col("quality_score"), 2).as("quality_score"))
+        .writeStream.format("memory").queryName(name).outputMode("append")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table(name).orderBy("doc_id")
+    },
+
     // Streaming heavy hitters: trending keys under BOUNDED state — the
     // exact stream_topk's count-map state is key-cardinality-sized, this
     // one's is ≤ k counters whatever the cardinality (Misra-Gries,

@@ -68,6 +68,30 @@ class QualityFilterSpec extends SparkSpec {
     assert(shuffles.isEmpty, s"scoring plan shuffles:\n$plan")
   }
 
+  test("literal-weights scoring equals the broadcast form; streamed equals batch") {
+    val docs = Tables.documents(spark, sf001)
+    val m = QualityFilter.trainQualityModel(
+      docs, QualityFilter.stopRatioTeacher(0.06), dim = 256)
+    val viaBroadcast = QualityFilter.scoreQuality(docs, m)
+      .select($"doc_id", $"quality_score", $"quality_pred")
+    val viaLit = QualityFilter.scoreQualityLit(docs, m)
+      .select($"doc_id", $"quality_score", $"quality_pred")
+    assert(viaBroadcast.exceptAll(viaLit).isEmpty && viaLit.exceptAll(viaBroadcast).isEmpty)
+    // the streamed declared query lands the same rows as batch scoring
+    // under the same (deterministically trained) model contract: compare
+    // row COUNT and prediction histogram (weights differ run to run only
+    // if training data differs — same split, same seed, same data)
+    val streamed = SparkEntry.queries("stream_quality_filter")(spark, sf001)
+    val split = conv(substring(md5($"doc_id".cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    val mq = QualityFilter.trainQualityModel(
+      docs.where(split < 80), QualityFilter.stopRatioTeacher(0.06),
+      spark.conf.get("graft.quality.dim", "4096").toInt)
+    val batch = QualityFilter.scoreQualityLit(docs, mq)
+      .select($"doc_id", $"quality_pred", round($"quality_score", 2).as("quality_score"))
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("declared query trains and scores the fixture corpus") {
     val out = SparkEntry.queries("text_quality_classifier")(spark, sf001)
     val n = out.count()
