@@ -94,6 +94,36 @@ object Bpe {
       .where(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("freq"))
 
+  /** Segment a word column under an ordered merge list: start from
+    * characters, apply each learned merge rank by rank (the exact
+    * application rule of the reference algorithm — later merges see the
+    * symbols earlier merges built). Row-local; the merge list rides the
+    * expression as literals, so a streaming intake can segment with a
+    * batch-trained merge table the same way the quality filter serves
+    * its weights.
+    *
+    * Expression-fold cost is O(R·len) per word — right for the R≤64
+    * fixture/test tier. A production 32k-merge vocabulary applies merges
+    * by rank-priority queue per word instead; that imperative kernel
+    * belongs in a native expression (the TextNative pattern) and the
+    * per-word INPUT of it would be exactly this function's contract.
+    */
+  def segment(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(charSymbols(w)) { case (sym, (a, b)) => mergePair(sym, a, b) }
+
+  /** Per-doc subword segmentation stats under the learned merges:
+    * subword count and the distinct subword types used.
+    */
+  def segmentDocs(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    docs.select(col("doc_id"),
+      explode(tokens(col("text"))).as("w"))
+      .where(col("w") =!= "")
+      .select(col("doc_id"), segment(col("w"), merges).as("sym"))
+      .groupBy("doc_id")
+      .agg(sum(size(col("sym"))).cast("long").as("n_subwords"),
+        size(array_distinct(flatten(collect_list(col("sym"))))).cast("long")
+          .as("n_types"))
+
   val defs: Seq[QueryDef] = Seq(
 
     // Learn the top-8 merges over the documents corpus. Deterministic
@@ -105,6 +135,16 @@ object Bpe {
       import s.implicits._
       val merges = learnMerges(wordFrequencies(Tables.documents(s, dir)), 8)
       merges.toDF("rank", "a", "b", "merged", "n").orderBy("rank")
+    },
+
+    // Learn-then-apply roundtrip: segment every document under the top-8
+    // corpus merges. Deterministic but merge-dependent — no SQL oracle;
+    // BpeSpec proves segmentation equals the reference implementation's
+    // rank-ordered application.
+    noOracle("text_bpe_apply") { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val merges = learnMerges(wordFrequencies(docs), 8).map(m => (m._2, m._3))
+      segmentDocs(docs, merges).orderBy("doc_id")
     }
   )
 }

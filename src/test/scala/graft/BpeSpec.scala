@@ -71,6 +71,46 @@ class BpeSpec extends SparkSpec {
     assert(m == Seq((1, "a", "a", "aa", 2L)))
   }
 
+  /** Reference application: rank-ordered greedy merges on one word. */
+  private def referenceSegment(w: String, merges: Seq[(String, String)]): Vector[String] =
+    merges.foldLeft(w.map(_.toString).toVector) { case (sym, (a, b)) =>
+      val acc = Vector.newBuilder[String]
+      var last: String = null
+      for (x <- sym) {
+        if (last == a && x == b) { last = a + b }
+        else { if (last != null) acc += last; last = x }
+      }
+      if (last != null) acc += last
+      acc.result()
+    }
+
+  test("segmentation equals rank-ordered reference application") {
+    val wf = Map("low" -> 5L, "lower" -> 2L, "newest" -> 6L, "widest" -> 3L)
+    val merges = Bpe.learnMerges(wf.toSeq.toDF("w", "freq"), 6).map(m => (m._2, m._3))
+    val words = Seq("low", "lower", "newest", "widest", "lowest", "stew")
+    val got = words.toDF("w")
+      .select($"w", Bpe.segment($"w", merges).as("sym"))
+      .as[(String, Seq[String])].collect().toMap
+    for (w <- words)
+      assert(got(w).toVector == referenceSegment(w, merges),
+        s"$w: ${got(w)} vs ${referenceSegment(w, merges)}")
+  }
+
+  test("declared apply query agrees with reference counts on the fixture") {
+    val docs = Tables.documents(spark, sf0001)
+    val merges = Bpe.learnMerges(Bpe.wordFrequencies(docs), 8).map(m => (m._2, m._3))
+    val got = Bpe.segmentDocs(docs, merges)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // reference: per-doc counts from driver-side segmentation
+    val ref = docs.select($"doc_id", $"text").as[(Long, String)].collect().map {
+      case (id, text) =>
+        val words = text.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        val segs = words.map(referenceSegment(_, merges))
+        id -> (segs.map(_.size.toLong).sum, segs.flatten.distinct.size.toLong)
+    }.toMap
+    assert(got == ref)
+  }
+
   test("declared query emits ranked merges over documents") {
     val out = SparkEntry.queries("bpe_learn")(spark, sf001)
     val rows = out.collect()
