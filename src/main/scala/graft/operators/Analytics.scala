@@ -15,6 +15,46 @@ object Analytics {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // Time-series gap filling: densify each key's hourly pageview series
+    // over its own [min, max] hour span, zero-filling silent hours (the
+    // serving semantics of a count series) and carrying the last observed
+    // count forward beside it (the sensor/LOCF semantics). The grid is
+    // born from a per-key 2-scalar aggregate + a row-local sequence
+    // explode — never a keys × global-hours cross join, so a key active
+    // for a day doesn't pay for the corpus' full history. Hours-per-key
+    // bounds the fanout; the join and the LOCF window share the key
+    // hash. This is the missing-bucket half of explode_granularities'
+    // contract (a bucket with no events must exist to serve a zero).
+    withOracle(
+      "timeseries_gapfill", {
+        val ts = Tables.sql.tsSecs
+        s"""WITH hourly AS (
+           |  SELECT event_type AS key, ($ts) // 3600 AS hb, count(*) AS pv
+           |  FROM events GROUP BY 1, 2),
+           |span AS (SELECT key, min(hb) AS mnh, max(hb) AS mxh FROM hourly GROUP BY 1),
+           |grid AS (SELECT key, unnest(range(mnh, mxh + 1)) AS hb FROM span)
+           |SELECT g.key, g.hb, coalesce(h.pv, 0) AS pv,
+           |       last_value(h.pv IGNORE NULLS) OVER (
+           |         PARTITION BY g.key ORDER BY g.hb ROWS UNBOUNDED PRECEDING) AS pv_locf
+           |FROM grid g LEFT JOIN hourly h ON g.key = h.key AND g.hb = h.hb
+           |ORDER BY g.key, g.hb""".stripMargin
+      }) { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          floor(col("ts_secs") / 3600L).as("hb"))
+        .agg(count(lit(1)).as("pv"))
+      val grid = hourly.groupBy("key")
+        .agg(min("hb").as("mnh"), max("hb").as("mxh"))
+        .select(col("key"), explode(sequence(col("mnh"), col("mxh"))).as("hb"))
+      val w = Window.partitionBy("key").orderBy("hb")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(hourly, Seq("key", "hb"), "left_outer")
+        .select(col("key"), col("hb"),
+          coalesce(col("pv"), lit(0L)).as("pv"),
+          last(col("pv"), ignoreNulls = true).over(w).as("pv_locf"))
+        .orderBy("key", "hb")
+    },
+
     // ROLLUP subtotal hierarchy (the general form of the reference's
     // explicit granularity rollup). Subtotal rows carry NULL group keys;
     // coalesce to a sentinel so both engines sort/hash identically.
