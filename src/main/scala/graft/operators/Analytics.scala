@@ -193,6 +193,36 @@ object Analytics {
         .orderBy("user_id", "rn")
     },
 
+    // Unpivot (wide → long melt) — the inverse of agg_pivot, closing the
+    // reshaping lattice: per-nation order-priority counts pivoted wide,
+    // then melted back to (nation, priority, n) rows via the built-in
+    // unpivot operator (Expand under the hood — row-local, zero extra
+    // shuffles beyond the pivot's own aggregate).
+    withOracle(
+      "agg_unpivot",
+      """WITH wide AS (
+        |  SELECT c.c_nationkey AS nationkey,
+        |         count(*) FILTER (o.o_orderpriority = '1-URGENT') AS urgent,
+        |         count(*) FILTER (o.o_orderpriority = '2-HIGH') AS high,
+        |         count(*) FILTER (o.o_orderpriority = '3-MEDIUM') AS medium
+        |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        |  GROUP BY 1)
+        |SELECT nationkey, prio, n
+        |FROM wide UNPIVOT (n FOR prio IN (urgent, high, medium))
+        |ORDER BY nationkey, prio""".stripMargin) { (s, dir) =>
+      val wide = Tables.orders(s, dir)
+        .join(Tables.customer(s, dir),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_nationkey").as("nationkey"))
+        .agg(
+          count(when(col("o_orderpriority") === "1-URGENT", 1)).as("urgent"),
+          count(when(col("o_orderpriority") === "2-HIGH", 1)).as("high"),
+          count(when(col("o_orderpriority") === "3-MEDIUM", 1)).as("medium"))
+      wide.unpivot(Array(col("nationkey")),
+          Array(col("urgent"), col("high"), col("medium")), "prio", "n")
+        .orderBy("nationkey", "prio")
+    },
+
     // Set operations: users who click but never error (EXCEPT), and the
     // click∩purchase overlap (INTERSECT).
     withOracle(
