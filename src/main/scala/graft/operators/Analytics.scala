@@ -193,6 +193,32 @@ object Analytics {
         .orderBy("user_id", "rn")
     },
 
+    // Equi-depth decile bucketing (ntile): the ranking-window tier the
+    // running/lag pair doesn't cover — assigns each customer a balance
+    // decile and aggregates per bucket. One window shuffle on the
+    // (constant) partition… deliberately NOT: ntile over an unpartitioned
+    // window would serialize the corpus through one task, so the decile
+    // is computed per nation (the real-world grain) and the window key
+    // is the nation — partition-parallel like every other window here.
+    withOracle(
+      "window_ntile",
+      """SELECT nationkey, decile, count(*) AS n_cust,
+        |       round(min(bal), 2) AS min_bal, round(max(bal), 2) AS max_bal
+        |FROM (SELECT c_nationkey AS nationkey, c_acctbal AS bal,
+        |             ntile(10) OVER (PARTITION BY c_nationkey
+        |                             ORDER BY c_acctbal, c_custkey) AS decile
+        |      FROM customer)
+        |GROUP BY 1, 2 ORDER BY nationkey, decile""".stripMargin) { (s, dir) =>
+      val w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+      Tables.customer(s, dir)
+        .select(col("c_nationkey").as("nationkey"), col("c_acctbal").as("bal"),
+          ntile(10).over(w).as("decile"))
+        .groupBy("nationkey", "decile")
+        .agg(count(lit(1)).as("n_cust"),
+          round(min("bal"), 2).as("min_bal"), round(max("bal"), 2).as("max_bal"))
+        .orderBy("nationkey", "decile")
+    },
+
     // Unpivot (wide → long melt) — the inverse of agg_pivot, closing the
     // reshaping lattice: per-nation order-priority counts pivoted wide,
     // then melted back to (nation, priority, n) rows via the built-in
