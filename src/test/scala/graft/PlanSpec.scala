@@ -289,4 +289,21 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(df) <= 2,
       s"expected <=2 exchanges (window + final sort):\n${plan(df)}")
   }
+
+  test("gapfill grid is a per-key explode, never a keys x hours cross join") {
+    val p = plan(q("timeseries_gapfill"))
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p)
+    assert(p.contains("Generate"), p) // the sequence explode
+  }
+
+  test("triangle count: no cartesian, partial aggregation on the final count") {
+    val df = q("graph_triangle_count")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      p)
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    // final count aggregates map-side first (partial + final)
+    assert(collectNodes(df) { case a: BaseAggregateExec => a }.size >= 2, p)
+  }
 }
