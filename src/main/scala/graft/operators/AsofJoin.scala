@@ -70,6 +70,26 @@ object AsofJoin {
       .drop("__side")
   }
 
+  /** Tolerance-bounded backward as-of (the feature-store join contract:
+    * a stale feature row is WORSE than no row): the latest right row with
+    * leftTs - tolerance <= rightTs <= leftTs, else null. Same
+    * single-shuffle interleave — the right value rides packed with its
+    * own timestamp so the staleness test is one row-local comparison on
+    * the matched pair; no second join, no per-pair product. `ts` must be
+    * numeric (the engine's epoch-nanos currency); `tolerance` in the
+    * same unit.
+    */
+  def asofJoinTolerance(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCol: String, tolerance: Long): DataFrame = {
+    val packed = right.select(col(key), col(ts),
+      struct(col(ts).as("mts"), col(valueCol).as("mv")).as("__m"))
+    asofJoin(left, packed, key, ts, "__m")
+      .withColumn(valueCol,
+        when(col("__m").isNotNull &&
+          col(ts) - col("__m.mts") <= tolerance, col("__m.mv")))
+      .drop("__m")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Attribution shape: each purchase joined as-of to the same user's
@@ -88,6 +108,31 @@ object AsofJoin {
       val clicks = ev.where(col("event_type") === "click")
         .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
       asofJoin(purchases, clicks, key = "user_id", ts = "ts", valueCol = "click_id")
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy("purchase_id")
+    },
+
+    // Tolerance-bounded attribution: the same purchase→click as-of, but
+    // a click more than 15 minutes stale no longer attributes (the
+    // feature-store staleness contract). Oracle = DuckDB ASOF + the same
+    // row-local staleness CASE on the matched pair.
+    withOracle(
+      "join_asof_tolerance",
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       CASE WHEN c.event_id IS NOT NULL
+        |                 AND epoch_ns(p.ts) - epoch_ns(c.ts) <= 900000000000
+        |            THEN c.event_id END AS click_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |  ON p.user_id = c.user_id AND p.ts >= c.ts
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsRaw(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      asofJoinTolerance(purchases, clicks, key = "user_id", ts = "ts",
+        valueCol = "click_id", tolerance = 900L * 1000000000L)
         .select(col("purchase_id"), col("user_id"), col("click_id"))
         .orderBy("purchase_id")
     },

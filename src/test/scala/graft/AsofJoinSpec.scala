@@ -43,6 +43,25 @@ class AsofJoinSpec extends SparkSpec {
       12L -> None))     // no later click
   }
 
+  test("tolerance asof: boundary kept, one-past dropped, infinite = plain asof") {
+    val purchases = Seq(
+      (1L, 100L, 10L), // gap to latest click (90) = 10 -> kept at tol 10
+      (1L, 101L, 11L), // gap 11 -> dropped at tol 10
+      (2L, 50L, 12L)   // no prior click at all
+    ).toDF("user_id", "ts", "purchase_id")
+    val clicks = Seq((1L, 90L, 20L), (2L, 60L, 21L)).toDF("user_id", "ts", "click_id")
+    def run(tol: Long) =
+      AsofJoin.asofJoinTolerance(purchases, clicks, "user_id", "ts", "click_id", tol)
+        .collect().map(r => r.getAs[Long]("purchase_id") ->
+          Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)).toMap
+    assert(run(10L) == Map(10L -> Some(20L), 11L -> None, 12L -> None))
+    // huge tolerance degenerates to the unbounded asof
+    val unbounded = AsofJoin.asofJoin(purchases, clicks, "user_id", "ts", "click_id")
+      .collect().map(r => r.getAs[Long]("purchase_id") ->
+        Option(r.getAs[java.lang.Long]("click_id")).map(_.toLong)).toMap
+    assert(run(Long.MaxValue) == unbounded)
+  }
+
   test("asof join is deterministic under repartitioning") {
     val ev = Tables.eventsRaw(spark, sf0001)
     import org.apache.spark.sql.functions._
