@@ -128,6 +128,25 @@ object QualityFilter {
       .withColumn("quality_pred", (col("quality_score") >= 0.5).cast("int"))
   }
 
+  /** The serving form: one compiled pass per doc via the native
+    * `hashed_bow_logit` expression (TextNative) — tokenize + Murmur3
+    * bucket + weight sum + sigmoid in a single codegen'd call, the
+    * weight array riding the expression as a reference object. Same
+    * buckets as training (`pmod(hash(t), dim)` parity), same
+    * left-to-right fold order as [[scoreQuality]]/[[scoreQualityLit]]
+    * (QualityFilterSpec pins all three equal). Works on batch AND
+    * streaming relations (stateless, no join).
+    */
+  def scoreQualityNative(docs: DataFrame, m: QualityModel): DataFrame = {
+    require(m.weights.length == m.dim, s"weights length ${m.weights.length} != dim ${m.dim}")
+    val score = org.apache.spark.sql.graft.TextNative.hashedBowLogit(
+      col("text"), m.weights, m.intercept)
+    docs
+      .withColumn("quality_score",
+        coalesce(score, lit(1.0 / (1.0 + math.exp(-m.intercept)))))
+      .withColumn("quality_pred", (col("quality_score") >= 0.5).cast("int"))
+  }
+
   /** The weak-supervision teacher the declared query trains from: the
     * engine's own heuristic stop-ratio signal (text_quality_score's
     * stopword list), thresholded. In production the teacher is usually
@@ -153,7 +172,7 @@ object QualityFilter {
       val split = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("int") % 100
       val m = trainQualityModel(docs.where(split < 80), stopRatioTeacher(0.06), dim)
-      scoreQuality(docs, m)
+      scoreQualityNative(docs, m)
         .select(col("doc_id"), col("quality_pred"),
           round(col("quality_score"), 2).as("quality_score"))
         .orderBy("doc_id")

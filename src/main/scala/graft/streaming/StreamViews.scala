@@ -518,7 +518,7 @@ object StreamViews {
         docs.where(split < 80), graft.operators.QualityFilter.stopRatioTeacher(0.06), dim)
       val schema = docs.schema
       val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-      val q = graft.operators.QualityFilter.scoreQualityLit(
+      val q = graft.operators.QualityFilter.scoreQualityNative(
         s.readStream.schema(schema).parquet(stagedDocsDir(dir)), m)
         .select(col("doc_id"), col("quality_pred"),
           round(col("quality_score"), 2).as("quality_score"))

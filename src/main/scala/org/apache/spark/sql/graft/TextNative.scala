@@ -359,6 +359,70 @@ case class TokenRepetition(child: Expression)
   override def prettyName: String = "token_repetition"
 }
 
+/** Hashed-bag-of-words logistic score in one compiled pass: tokenize,
+  * Murmur3-bucket each token (Spark `hash()` seed-42 parity — the SAME
+  * buckets the training pass computed with `pmod(hash(t), dim)`), sum
+  * the bucket weights left-to-right from 0 exactly like the
+  * `aggregate(transform(...))` expression form (bit-identical fold
+  * order), add the intercept, sigmoid. The weight array rides the
+  * expression as a reference object (a few KB serialized with the plan,
+  * like any literal) — no broadcast join, no interpreted higher-order
+  * functions on the corpus-scan hot path.
+  */
+case class HashedBowLogit(child: Expression, weights: Array[Double],
+    intercept: Double) extends UnaryExpression with ExpectsInputTypes {
+
+  require(weights.nonEmpty, "empty weight vector")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  def compute(text: UTF8String): Double = {
+    val toks = WsTokens.split(text)
+    val dim = weights.length
+    var sum = 0.0
+    var i = 0
+    while (i < toks.length) {
+      val t = UTF8String.fromString(toks(i))
+      val h = Murmur3_x86_32.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset,
+        t.numBytes, 42)
+      val b = ((h % dim) + dim) % dim // pmod parity (negative hashes)
+      sum += weights(b)
+      i += 1
+    }
+    // StrictMath, not Math: Spark's Exp expression evaluates via
+    // StrictMath for platform-stable results — Math.exp can differ by
+    // 1 ulp, breaking bit-parity with the expression-form scorer
+    1.0 / (1.0 + java.lang.StrictMath.exp(-(intercept + sum)))
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scorer", this, classOf[HashedBowLogit].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HashedBowLogit =
+    copy(child = newChild)
+
+  // the weight array must count in equality/canonicalization: two
+  // scorers differing only in weights are different expressions
+  override def equals(o: Any): Boolean = o match {
+    case h: HashedBowLogit =>
+      h.child == child && java.util.Arrays.equals(h.weights, weights) &&
+        h.intercept == intercept
+    case _ => false
+  }
+  override def hashCode(): Int =
+    java.util.Objects.hash(child, java.util.Arrays.hashCode(weights),
+      Double.box(intercept))
+
+  override def prettyName: String = "hashed_bow_logit"
+}
+
 object TextNative {
 
   /** `shingle_hash64(text, n)` as a Column. */
@@ -380,4 +444,9 @@ object TextNative {
   /** `token_repetition(text)` as a Column (struct of 4 long counters). */
   def tokenRepetition(text: Column): Column =
     ExpressionUtils.column(TokenRepetition(ExpressionUtils.expression(text)))
+
+  /** `hashed_bow_logit(text)` as a Column (weights/intercept bound). */
+  def hashedBowLogit(text: Column, weights: Array[Double], intercept: Double): Column =
+    ExpressionUtils.column(
+      HashedBowLogit(ExpressionUtils.expression(text), weights, intercept))
 }

@@ -68,6 +68,18 @@ class QualityFilterSpec extends SparkSpec {
     assert(shuffles.isEmpty, s"scoring plan shuffles:\n$plan")
   }
 
+  test("native scorer: no join at all, expression present, shuffle-free") {
+    val m = QualityModel(Array.fill(64)(0.5), intercept = 0.0, dim = 64)
+    val docs = Tables.documents(spark, sf001)
+    val df = QualityFilter.scoreQualityNative(docs, m)
+    val plan = df.queryExecution.executedPlan
+    assert(plan.collect { case s: ShuffleExchangeLike => s }.isEmpty, s"$plan")
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("hashed_bow_logit"), p)
+    assert(!p.toLowerCase.contains("join"), p)
+  }
+
   test("literal-weights scoring equals the broadcast form; streamed equals batch") {
     val docs = Tables.documents(spark, sf001)
     val m = QualityFilter.trainQualityModel(
@@ -77,6 +89,11 @@ class QualityFilterSpec extends SparkSpec {
     val viaLit = QualityFilter.scoreQualityLit(docs, m)
       .select($"doc_id", $"quality_score", $"quality_pred")
     assert(viaBroadcast.exceptAll(viaLit).isEmpty && viaLit.exceptAll(viaBroadcast).isEmpty)
+    // the native codegen scorer is bit-identical to both expression forms
+    // (same Murmur3 buckets, same left-to-right fold order)
+    val viaNative = QualityFilter.scoreQualityNative(docs, m)
+      .select($"doc_id", $"quality_score", $"quality_pred")
+    assert(viaNative.exceptAll(viaLit).isEmpty && viaLit.exceptAll(viaNative).isEmpty)
     // the streamed declared query lands the same rows as batch scoring
     // under the same (deterministically trained) model contract: compare
     // row COUNT and prediction histogram (weights differ run to run only
