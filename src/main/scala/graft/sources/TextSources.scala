@@ -53,6 +53,29 @@ object TextSources {
         .orderBy("event_type")
     },
 
+    // Line-oriented raw text — how web corpora actually arrive at 100 TB
+    // (one document per line: the WET/plain-text tier below JSONL).
+    // Round-trip: stage each doc's text as one line (fixture text has no
+    // newlines), read back with `spark.read.text`, recompute corpus
+    // stats from the raw lines. The oracle computes the same stats from
+    // the source table — the round-trip must be content-lossless.
+    // Scale: text splits by line within files; no schema inference pass.
+    withOracle(
+      "source_text",
+      """SELECT CAST(count(*) AS BIGINT) AS n_lines,
+        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |         AS total_tokens
+        |FROM documents""".stripMargin) { (s, dir) =>
+      val path = stage() + "/docs_txt"
+      Tables.documents(s, dir).select("text").write.text(path)
+      s.read.text(path)
+        .agg(count(lit(1)).cast("long").as("n_lines"),
+          sum(length(col("value"))).cast("long").as("total_chars"),
+          sum(size(graft.functions.TextFunctions.tokens(col("value"))))
+            .cast("long").as("total_tokens"))
+    },
+
     // Whole-file binary ingest: `binaryFile` is how image/audio/video
     // corpora enter Spark — one row per file with (path, length,
     // content). Staged here as one file per document (partitionBy on a
