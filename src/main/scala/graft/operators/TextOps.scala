@@ -356,6 +356,40 @@ object TextOps {
         .orderBy("doc_id")
     },
 
+    // Source-level curation (the C4/RefinedWeb domain-filter stage): a
+    // document's fate depends on its SOURCE's aggregate behavior, not
+    // just its own text — spammy domains fail wholesale. Per-source mean
+    // stopword density + volume gate, then keep docs of passing sources.
+    //
+    // Scale: one sources-cardinality aggregate (map-side partials over
+    // the corpus scan), and the verdict joins back by broadcast — domain
+    // counts are millions where docs are billions, so the corpus never
+    // shuffles. The same shape serves any domain-level signal (spam
+    // score, licence flags, dedup density).
+    withOracle(
+      "domain_filter",
+      """WITH sstats AS (
+        |  SELECT source,
+        |         count(*) AS n_docs,
+        |         avg(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b'))
+        |             * 1.0 / len(string_split_regex(lower(text), '\s+'))) AS avg_sr
+        |  FROM documents GROUP BY 1)
+        |SELECT d.doc_id, d.source
+        |FROM documents d JOIN sstats s ON d.source = s.source
+        |WHERE s.n_docs >= 10 AND s.avg_sr >= 0.05
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val sr = stopwordCount(col("text")) / size(tokens(col("text"))).cast("double")
+      val sstats = docs
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), avg(sr).as("avg_sr"))
+        .where(col("n_docs") >= 10 && col("avg_sr") >= 0.05)
+        .select("source")
+      docs.join(broadcast(sstats), Seq("source"))
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
+
     // Quality signals: token count, stopword hits/ratio, punctuation ratio.
     withOracle(
       "text_quality_score",
