@@ -572,6 +572,49 @@ object TextOps {
         .orderBy("i", "j")
     },
 
+    // Containment similarity join (inter / min(|A|,|B|), threshold 0.5):
+    // the ASYMMETRIC dedup test Jaccard structurally misses — a short
+    // doc quoted whole inside a long one scores inter/min = 1.0 while
+    // its Jaccard ≈ |short|/|long| can sit under any threshold. This is
+    // the quote/boilerplate-absorption tier of dedup (and the corpus-
+    // side analogue of contamination_check's eval-side containment).
+    // Same sparse shingle self-join + hot-shingle cap as the Jaccard
+    // form; only the denominator changes.
+    withOracle(
+      "text_ngram_containment",
+      s"""WITH ${TextOps.shinglePairCte()}
+        |SELECT i, j, CAST(inter AS BIGINT) AS inter,
+        |       round(inter * 1.0 / least(na.n, nb.n), 4) AS containment
+        |FROM pair JOIN sizes na ON i = na.doc_id JOIN sizes nb ON j = nb.doc_id
+        |WHERE inter * 1.0 / least(na.n, nb.n) >= 0.5
+        |ORDER BY i, j""".stripMargin) { (s, dir) =>
+      val hashed = Tables.documents(s, dir)
+        .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+        .where(col("hs").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        val sh = hashed.select(col("doc_id"), explode(col("hs")).as("s"))
+        val sizes = hashed.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+        val bounded = NearDedup.dropHotBuckets(sh, Seq("s"), MaxShingleFreq,
+          "containment shingle")
+        val pairs = bounded.as("a")
+          .join(bounded.as("b"),
+            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+          .agg(count(lit(1)).as("inter"))
+        pairs
+          .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+          .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+          .withColumn("containment",
+            col("inter") / least(col("ni"), col("nj")).cast("double"))
+          .where(col("containment") >= 0.5)
+          .select(col("i"), col("j"), col("inter"),
+            round(col("containment"), 4).as("containment"))
+          .orderBy("i", "j")
+          .localCheckpoint()
+      } finally hashed.unpersist()
+    },
+
     // The full pretraining-data prep a 100 TB corpus runs end to end:
     // quality gate → language filter (keep predicted English) → exact
     // dedup by content hash → near-dedup (exact-Jaccard pairs clustered

@@ -180,4 +180,31 @@ class TextOpsSpec extends SparkSpec {
       (0L, 2L, 0L, 0.0),
       (1L, 3L, 0L, 0.0)))
   }
+
+  test("containment catches a quoted-whole short doc that Jaccard misses") {
+    // doc 0 = 6 words quoted verbatim inside doc 1's 60 words: the
+    // short doc's 4 shingles are ALL in the long doc, so containment =
+    // 1.0, while Jaccard = 4/58 ≈ 0.07 — under any useful threshold.
+    val quote = "the quick brown fox jumps high"
+    val filler = (1 to 54).map(i => s"w$i").mkString(" ")
+    val docs = Seq((0L, quote), (1L, s"$filler $quote")).toDF("doc_id", "text")
+    // run the containment machinery directly on the planted docs
+    import graft.functions.TextFunctions.shingleHashes
+    import org.apache.spark.sql.functions._
+    val hashed = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+    val sh = hashed.select(col("doc_id"), explode(col("hs")).as("s"))
+    val sizes = hashed.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    val inter = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .select(
+        (col("inter") / least(col("ni"), col("nj")).cast("double")).as("containment"),
+        (col("inter") / (col("ni") + col("nj") - col("inter")).cast("double")).as("jaccard"))
+      .head()
+    assert(inter.getDouble(0) == 1.0, s"containment ${inter.getDouble(0)}")
+    assert(inter.getDouble(1) < 0.1, s"jaccard ${inter.getDouble(1)} not asymmetric")
+  }
 }
