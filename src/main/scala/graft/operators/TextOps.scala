@@ -572,6 +572,32 @@ object TextOps {
         .orderBy("i", "j")
     },
 
+    // One-scan corpus report (the data card run before/after every
+    // pipeline stage): per-language volume, token mass, mean quality
+    // signal, and the exact-dup rate from distinct content hashes. The
+    // distinct-count expands per group but groups are language-
+    // cardinality; everything else is map-side partial aggregation over
+    // a single corpus scan.
+    withOracle(
+      "corpus_report",
+      """SELECT lang,
+        |       count(*) AS n_docs,
+        |       CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
+        |         AS total_tokens,
+        |       round(avg(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b'))
+        |             * 1.0 / len(string_split_regex(lower(text), '\s+'))), 4) AS avg_stop_ratio,
+        |       CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_unique
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin) { (s, dir) =>
+      val sr = stopwordCount(col("text")) / size(tokens(col("text"))).cast("double")
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text")))).cast("long").as("total_tokens"),
+          round(avg(sr), 4).as("avg_stop_ratio"),
+          countDistinct(md5(col("text").cast("binary"))).as("n_unique"))
+        .orderBy("lang")
+    },
+
     // Containment similarity join (inter / min(|A|,|B|), threshold 0.5):
     // the ASYMMETRIC dedup test Jaccard structurally misses — a short
     // doc quoted whole inside a long one scores inter/min = 1.0 while
