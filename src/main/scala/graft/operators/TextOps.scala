@@ -362,10 +362,12 @@ object TextOps {
     // stopword density + volume gate, then keep docs of passing sources.
     //
     // Scale: one sources-cardinality aggregate (map-side partials over
-    // the corpus scan), and the verdict joins back by broadcast — domain
-    // counts are millions where docs are billions, so the corpus never
-    // shuffles. The same shape serves any domain-level signal (spam
-    // score, licence flags, dedup density).
+    // the corpus scan), and the verdict joins back WITHOUT a forced
+    // broadcast hint: domain counts range from thousands (broadcastable)
+    // to tens of millions (hundreds of MB — a pinned broadcast would
+    // OOM executors), so strategy selection is left to AQE's runtime
+    // stats on the aggregated side. The same shape serves any
+    // domain-level signal (spam score, licence flags, dedup density).
     withOracle(
       "domain_filter",
       """WITH sstats AS (
@@ -385,7 +387,7 @@ object TextOps {
         .agg(count(lit(1)).as("n_docs"), avg(sr).as("avg_sr"))
         .where(col("n_docs") >= 10 && col("avg_sr") >= 0.05)
         .select("source")
-      docs.join(broadcast(sstats), Seq("source"))
+      docs.join(sstats, Seq("source"))
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
     },
