@@ -259,11 +259,17 @@ object GraphOps {
     val withDeg = und
       .join(deg.withColumnRenamed("v", "a").withColumnRenamed("deg", "da"), Seq("a"))
       .join(deg.withColumnRenamed("v", "b").withColumnRenamed("deg", "db"), Seq("b"))
+    // materialize the oriented edge list ONCE: it feeds all three join
+    // legs, and without this the scan → distinct → degree-join pipeline
+    // re-executes per leg (exchange reuse does not fire across the
+    // differently-aliased subtrees) — the same edges-working-set
+    // checkpoint discipline connectedComponents uses
     val dir = withDeg.select(
       when(col("da") < col("db") || (col("da") === col("db") && col("a") < col("b")),
         struct(col("a").as("u"), col("b").as("v")))
         .otherwise(struct(col("b").as("u"), col("a").as("v"))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
+      .localCheckpoint()
     val e1 = dir.select(col("u").as("x"), col("v").as("y"))
     val e2 = dir.select(col("u").as("y"), col("v").as("z"))
     val e3 = dir.select(col("u").as("x"), col("v").as("z"))
