@@ -39,10 +39,15 @@ object Analytics {
            |FROM grid g LEFT JOIN hourly h ON g.key = h.key AND g.hb = h.hb
            |ORDER BY g.key, g.hb""".stripMargin
       }) { (s, dir) =>
+      // hourly is keys x active-hours — tiny next to the corpus. It
+      // feeds BOTH the span aggregate and the fill join; materializing
+      // it once keeps the corpus scan single-pass (exchange reuse does
+      // not bridge the two differently-shaped consumers).
       val hourly = Tables.events(s, dir)
         .groupBy(col("event_type").as("key"),
           floor(col("ts_secs") / 3600L).as("hb"))
         .agg(count(lit(1)).as("pv"))
+        .localCheckpoint()
       val grid = hourly.groupBy("key")
         .agg(min("hb").as("mnh"), max("hb").as("mxh"))
         .select(col("key"), explode(sequence(col("mnh"), col("mxh"))).as("hb"))
