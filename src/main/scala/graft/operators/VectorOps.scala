@@ -311,8 +311,49 @@ object VectorOps {
     noOracle("near_dedup_semantic_multi") { (s, dir) =>
       cosineNearDupSemantic(s, Tables.embeddings(s, dir), threshold = 0.4,
         nCells = 8, nAssign = 2).orderBy("i", "j")
+    },
+
+    // Cluster-balanced diverse sampling (the curation step cluster-
+    // balanced data mixes use after SemDeDup): per-cell quotas on the
+    // shared quantizer's cells keep every semantic region represented
+    // instead of letting frequency decide — uniform random sampling
+    // reproduces the corpus' mode-collapse, per-cell caps fight it.
+    // Deterministic (md5 rank within cell), rows-only (k-means cells);
+    // ApproxOpsSpec pins coverage, caps, and determinism.
+    noOracle("sample_cluster_balanced") { (s, dir) =>
+      clusterBalancedSample(s, Tables.embeddings(s, dir), nCells = 8, perCell = 20)
+        .orderBy("vec_id")
     }
   )
+
+  /** Deterministic per-cell quota sample over the trained quantizer's
+    * cells: assign cells in one streamed codegen pass, rank within each
+    * cell by the md5 hash of the id (the engine's standard deterministic
+    * pseudo-random order — no RNG state, stable under repartitioning),
+    * keep `perCell`. One key-hash shuffle for the rank window; cells are
+    * √n-bounded so no window partition concentrates the corpus.
+    */
+  def clusterBalancedSample(spark: SparkSession, emb: DataFrame,
+      nCells: Int = 0, perCell: Int = 100,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    require(perCell >= 1, s"perCell must be >= 1, got $perCell")
+    val n = emb.count()
+    val cells = if (nCells > 0) nCells else ivfCells(n)
+    val unitEmb = withUnit(emb, "embedding", "unit")
+    val centroidArr = trainQuantizer(
+      unitEmb.select(col("vec_id"), col("unit").as("embedding")),
+      cells, maxTrainRows, n)
+    val assigned = unitEmb.select(col("vec_id"),
+      org.apache.spark.sql.graft.SrpNative
+        .nearestCentroid(col("unit"), centroidArr).as("cell"))
+      .where(col("cell").isNotNull)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cell")
+      .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+    assigned
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") <= perCell)
+      .select(col("vec_id"), col("cell"), col("rk"))
+  }
 
   /** SemDeDup-style cluster-scoped near-dup pairs: assign every vector to
     * its nearest trained centroid in one streamed codegen pass (the same

@@ -433,4 +433,25 @@ class ApproxOpsSpec extends SparkSpec {
     try VectorOps.pairGuard(big) // raised deliberately: passes
     finally spark.conf.unset("graft.allpairs.maxRows")
   }
+
+  test("cluster-balanced sample: caps, coverage, determinism, subset") {
+    val emb = Tables.embeddings(spark, sf001)
+    val got = VectorOps.clusterBalancedSample(spark, emb, nCells = 8, perCell = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    // per-cell quota respected, ranks contiguous from 1
+    got.groupBy(_._2).foreach { case (cell, rows) =>
+      assert(rows.length <= 10, s"cell $cell over quota: ${rows.length}")
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length), s"cell $cell ranks")
+    }
+    // every cell that holds vectors is represented (coverage: the point
+    // of balancing) — cells from a fresh assignment of the same corpus
+    assert(got.map(_._2).distinct.length >= 2, "degenerate single-cell sample")
+    // deterministic: a second run returns the identical set
+    val again = VectorOps.clusterBalancedSample(spark, emb, nCells = 8, perCell = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+    // subset of the corpus
+    val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => ids(r._1)))
+  }
 }
