@@ -323,8 +323,65 @@ object VectorOps {
     noOracle("sample_cluster_balanced") { (s, dir) =>
       clusterBalancedSample(s, Tables.embeddings(s, dir), nCells = 8, perCell = 20)
         .orderBy("vec_id")
+    },
+
+    // Embedding-space noise gate: drop vectors whose distance to their
+    // own cell centroid z-scores past 3 against the cell's distribution
+    // (encoder failures and off-manifold garbage sit far from every
+    // cluster). Rows-only (k-means cells); ApproxOpsSpec plants an
+    // isolated noise vector among tight clusters and pins its eviction.
+    noOracle("embedding_outlier_filter") { (s, dir) =>
+      embeddingOutlierFilter(s, Tables.embeddings(s, dir), nCells = 8, zMax = 3.0)
+        .orderBy("vec_id")
     }
   )
+
+  /** Cosine-distance-to-centroid outlier filter (the embedding-side
+    * noise gate: encoder failures, garbage inputs, and off-manifold
+    * vectors sit far from every semantic cluster). Each vector's
+    * distance to its OWN cell centroid is z-scored against that cell's
+    * distance distribution; rows beyond `zMax` are dropped. Per-cell
+    * statistics — not global — so a naturally diffuse cluster doesn't
+    * mass-evict its members.
+    *
+    * Scale: cell assignment is the shared one-pass codegen machinery;
+    * the stats relation is cells-sized (map-side partial mean/std), and
+    * the verdict joins back on the cell key the rows already carry.
+    * Degenerate cells (fewer than 4 rows, or zero variance) keep all
+    * rows — a z-score needs a distribution to be meaningful.
+    */
+  def embeddingOutlierFilter(spark: SparkSession, emb: DataFrame,
+      nCells: Int = 0, zMax: Double = 3.0,
+      maxTrainRows: Long = 100000L): DataFrame = {
+    val n = emb.count()
+    val cells = if (nCells > 0) nCells else ivfCells(n)
+    val unitEmb = withUnit(emb, "embedding", "unit")
+    val centroidArr = trainQuantizer(
+      unitEmb.select(col("vec_id"), col("unit").as("embedding")),
+      cells, maxTrainRows, n)
+    val unitCentroids = centroidArr.map { c =>
+      val nrm = math.sqrt(c.map(x => x.toDouble * x).sum)
+      if (nrm == 0) c else c.map(x => (x / nrm).toFloat)
+    }
+    import spark.implicits._
+    val centDf = broadcast(unitCentroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq.toDF("cell", "centroid"))
+    val assigned = unitEmb.select(col("vec_id"),
+      org.apache.spark.sql.graft.SrpNative
+        .nearestCentroid(col("unit"), centroidArr).as("cell"),
+      col("unit"))
+      .where(col("cell").isNotNull)
+      .join(centDf, "cell") // cells-sized broadcast: ≤4096 rows
+      .withColumn("dist", lit(1.0) -
+        org.apache.spark.sql.graft.GraftNative.fvdot(col("unit"), col("centroid")))
+    val stats = assigned.groupBy("cell")
+      .agg(count(lit(1)).as("n_cell"), avg("dist").as("mu"),
+        stddev_samp(col("dist")).as("sigma"))
+    assigned.join(stats, "cell")
+      .where(col("n_cell") < 4 || col("sigma").isNull || col("sigma") === 0.0 ||
+        (col("dist") - col("mu")) / col("sigma") <= zMax)
+      .select(col("vec_id"), col("cell"), round(col("dist"), 4).as("dist"))
+  }
 
   /** Deterministic per-cell quota sample over the trained quantizer's
     * cells: assign cells in one streamed codegen pass, rank within each

@@ -434,6 +434,24 @@ class ApproxOpsSpec extends SparkSpec {
     finally spark.conf.unset("graft.allpairs.maxRows")
   }
 
+  test("outlier filter evicts a planted noise vector, keeps tight-cluster members") {
+    import spark.implicits._
+    // two tight 8-dim clusters (30 members each, tiny deterministic
+    // jitter) + one far-off-manifold noise vector
+    def jit(i: Int, d: Int) = 0.01f * (((i * 31 + d * 17) % 7) - 3)
+    val a = (0 until 30).map(i => (i.toLong,
+      Array(1f + jit(i, 0), jit(i, 1), jit(i, 2), jit(i, 3), 0f, 0f, 0f, 0f)))
+    val b = (0 until 30).map(i => (100L + i,
+      Array(0f, 0f, 0f, 0f, 1f + jit(i, 4), jit(i, 5), jit(i, 6), jit(i, 7))))
+    val noise = Seq((999L, Array(0.5f, -0.5f, 0.5f, -0.5f, 0.5f, -0.5f, 0.5f, -0.5f)))
+    val emb = (a ++ b ++ noise).toDF("vec_id", "embedding")
+    val kept = VectorOps.embeddingOutlierFilter(spark, emb, nCells = 2, zMax = 3.0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(!kept.contains(999L), "planted noise vector survived")
+    // at most a stray boundary member may z-score out; the clusters stay
+    assert(kept.size >= 58, s"over-eviction: kept ${kept.size} of 60 inliers")
+  }
+
   test("cluster-balanced sample: caps, coverage, determinism, subset") {
     val emb = Tables.embeddings(spark, sf001)
     val got = VectorOps.clusterBalancedSample(spark, emb, nCells = 8, perCell = 10)
