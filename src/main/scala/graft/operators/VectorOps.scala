@@ -352,8 +352,8 @@ object VectorOps {
     */
   def embeddingOutlierFilter(spark: SparkSession, emb: DataFrame,
       nCells: Int = 0, zMax: Double = 3.0,
-      maxTrainRows: Long = 100000L): DataFrame = {
-    val n = emb.count()
+      maxTrainRows: Long = 100000L, nRows: Long = 0L): DataFrame = {
+    val n = if (nRows > 0) nRows else emb.count()
     val cells = if (nCells > 0) nCells else ivfCells(n)
     val unitEmb = withUnit(emb, "embedding", "unit")
     val centroidArr = trainQuantizer(
@@ -392,9 +392,11 @@ object VectorOps {
     */
   def clusterBalancedSample(spark: SparkSession, emb: DataFrame,
       nCells: Int = 0, perCell: Int = 100,
-      maxTrainRows: Long = 100000L): DataFrame = {
+      maxTrainRows: Long = 100000L, nRows: Long = 0L): DataFrame = {
     require(perCell >= 1, s"perCell must be >= 1, got $perCell")
-    val n = emb.count()
+    // nRows: caller-supplied row count skips the sizing scan (the same
+    // seam buildIvfPq exposes — the count only feeds cell auto-sizing)
+    val n = if (nRows > 0) nRows else emb.count()
     val cells = if (nCells > 0) nCells else ivfCells(n)
     val unitEmb = withUnit(emb, "embedding", "unit")
     val centroidArr = trainQuantizer(
