@@ -198,6 +198,36 @@ object Analytics {
         .orderBy("user_id", "rn")
     },
 
+    // Cross-series correlation: Pearson corr of every key pair's hourly
+    // count series over the hours both were live — which event streams
+    // co-move. The self-join is keyed on the HOUR (time-cardinality,
+    // uniform — every hour carries exactly |keys| rows, so no skew), and
+    // corr() aggregates with map-side partials into a keys²-sized
+    // result. Rounded to 4dp on both engines; the pair grid is total
+    // (i < j) so the output order is deterministic.
+    withOracle(
+      "timeseries_correlate", {
+        val ts = Tables.sql.tsSecs
+        s"""WITH hourly AS (
+           |  SELECT event_type AS key, ($ts) // 3600 AS hb, count(*) AS pv
+           |  FROM events GROUP BY 1, 2)
+           |SELECT a.key AS key_a, b.key AS key_b,
+           |       round(corr(a.pv, b.pv), 4) AS r
+           |FROM hourly a JOIN hourly b ON a.hb = b.hb AND a.key < b.key
+           |GROUP BY 1, 2 ORDER BY key_a, key_b""".stripMargin
+      }) { (s, dir) =>
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type").as("key"),
+          floor(col("ts_secs") / 3600L).as("hb"))
+        .agg(count(lit(1)).as("pv"))
+      val a = hourly.select(col("key").as("key_a"), col("hb"), col("pv").as("pv_a"))
+      val b = hourly.select(col("key").as("key_b"), col("hb"), col("pv").as("pv_b"))
+      a.join(b, Seq("hb")).where(col("key_a") < col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(round(corr("pv_a", "pv_b"), 4).as("r"))
+        .orderBy("key_a", "key_b")
+    },
+
     // Equi-depth decile bucketing (ntile): the ranking-window tier the
     // running/lag pair doesn't cover — assigns each customer a balance
     // decile and aggregates per bucket. One window shuffle on the
