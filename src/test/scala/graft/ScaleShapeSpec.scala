@@ -138,4 +138,42 @@ class ScaleShapeSpec extends SparkSpec {
       assert(live >= ks / 2, s"subspace $s uses only $live of $ks codes")
     }
   }
+
+  test("BPE learning on a 50k-word vocabulary stays reference-exact") {
+    import spark.implicits._
+    // synthetic Zipf-ish vocabulary: 50k distinct words over a 20-char
+    // alphabet, frequency ~ 1/rank — the iteration input is exactly this
+    // vocab relation at ANY corpus size, so this is the scale that
+    // matters for the learner (not corpus rows)
+    val words = (0 until 50000).map { i =>
+      val len = 3 + (i % 8)
+      val w = (0 until len).map(k => ('a' + ((i * 131 + k * 29) % 20)).toChar).mkString
+      (w, (50000L / (i + 1)) + 1L)
+    }
+    // duplicates from the generator collapse by summing freq (groupBy)
+    val wf = words.groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val df = wf.toSeq.toDF("w", "freq")
+    val got = graft.operators.Bpe.learnMerges(df, 6)
+    // reference: same greedy fold + tie-break in plain Scala
+    var sym: Map[Vector[String], Long] =
+      wf.map { case (w, f) => w.map(_.toString).toVector -> f }
+    val want = scala.collection.mutable.Buffer[(Int, String, String, String, Long)]()
+    for (rank <- 1 to 6) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      for ((s, f) <- sym; i <- 0 until s.length - 1)
+        counts((s(i), s(i + 1))) = counts.getOrElse((s(i), s(i + 1)), 0L) + f
+      val ((a, b), n) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+      want += ((rank, a, b, a + b, n))
+      sym = sym.groupMapReduce { case (s, _) =>
+        val acc = Vector.newBuilder[String]; var last: String = null
+        for (x <- s) {
+          if (last == a && x == b) last = a + b
+          else { if (last != null) acc += last; last = x }
+        }
+        if (last != null) acc += last
+        acc.result()
+      } { case (_, f) => f }(_ + _)
+    }
+    assert(got == want.toSeq, s"\ngot:  $got\nwant: ${want.toSeq}")
+  }
 }
