@@ -188,13 +188,83 @@ object Multimodal {
     decodableCache.computeIfAbsent(mediaType,
       mt => javax.imageio.ImageIO.getImageReadersByMIMEType(mt).hasNext)
 
+  /** REAL audio decode for the formats javax.sound.sampled ships
+    * (WAV/AIFF/AU PCM): byte_mean is the mean absolute normalized
+    * amplitude × 255 (the audio analogue of the image path's mean luma
+    * scale), the 4-dim feature is the RMS amplitude of each temporal
+    * quarter — a real (tiny) audio embedding from decoded samples, not
+    * compressed bytes. Mono-mixes multi-channel; 8/16-bit PCM, both
+    * endiannesses, signed and unsigned.
+    */
+  def decodeAudio(r: MediaRow): MediaFeatures = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(r.payload))
+    try {
+      val fmt = in.getFormat
+      val bytesPerSample = fmt.getSampleSizeInBits / 8
+      require(bytesPerSample == 1 || bytesPerSample == 2,
+        s"unsupported sample width ${fmt.getSampleSizeInBits} for doc ${r.doc_id}")
+      val raw = in.readAllBytes()
+      val ch = fmt.getChannels
+      val nFrames = raw.length / (bytesPerSample * ch)
+      require(nFrames > 0, s"empty audio payload for doc ${r.doc_id}")
+      val mono = new Array[Double](nFrames)
+      var f = 0
+      while (f < nFrames) {
+        var c = 0
+        var acc = 0.0
+        while (c < ch) {
+          val off = (f * ch + c) * bytesPerSample
+          val s =
+            if (bytesPerSample == 1) {
+              // 8-bit PCM is unsigned per the WAV spec
+              ((raw(off) & 0xff) - 128) / 128.0
+            } else {
+              val lo = if (fmt.isBigEndian) raw(off + 1) else raw(off)
+              val hi = if (fmt.isBigEndian) raw(off) else raw(off + 1)
+              ((hi << 8) | (lo & 0xff)) / 32768.0
+            }
+          acc += s
+          c += 1
+        }
+        mono(f) = acc / ch
+        f += 1
+      }
+      var sumAbs = 0.0
+      val quarters = new Array[Double](4)
+      var i = 0
+      while (i < nFrames) {
+        sumAbs += math.abs(mono(i))
+        val q = math.min(i * 4 / nFrames, 3)
+        quarters(q) += mono(i) * mono(i)
+        i += 1
+      }
+      val qn = Array.tabulate(4)(q =>
+        math.max((q + 1) * nFrames / 4 - q * nFrames / 4, 1))
+      MediaFeatures(r.doc_id, r.media_type, r.n_bytes,
+        255.0 * sumAbs / nFrames,
+        Array.tabulate(4)(q => math.sqrt(quarters(q) / qn(q)).toFloat))
+    } finally in.close()
+  }
+
+  /** True when javax.sound.sampled can open this media type — same
+    * capability-probe-not-prefix-test policy as [[imageIoDecodable]]
+    * (audio/mpeg is valid audio this JVM cannot decode: stub path).
+    * The probe opens the stream reader registry once per type per JVM.
+    */
+  private val AudioTypes = Set("audio/wav", "audio/x-wav", "audio/wave",
+    "audio/aiff", "audio/x-aiff", "audio/basic")
+  def audioDecodable(mediaType: String): Boolean = AudioTypes(mediaType)
+
   /** Per-media-type dispatch: real codec where the JVM has one, stub
     * elsewhere. Fails loudly on a corrupt payload — the right default for
     * a correctness-first pass; see [[decodeQuarantine]] for the
     * skip-and-count policy a corpus-scale extraction usually wants.
     */
   def decode(r: MediaRow): MediaFeatures =
-    if (imageIoDecodable(r.media_type)) decodeImage(r) else decodeStub(r)
+    if (imageIoDecodable(r.media_type)) decodeImage(r)
+    else if (audioDecodable(r.media_type)) decodeAudio(r)
+    else decodeStub(r)
 
   /** Quarantine decode: a payload the codec rejects (truncated PNG,
     * lying media_type) yields a null-feature row FLAGGED via
@@ -207,7 +277,8 @@ object Multimodal {
     try decode(r)
     catch {
       case e @ (_: java.io.IOException | _: IllegalArgumentException |
-                _: javax.imageio.IIOException) =>
+                _: javax.imageio.IIOException |
+                _: javax.sound.sampled.UnsupportedAudioFileException) =>
         MediaFeatures(r.doc_id, r.media_type, r.n_bytes,
           byte_mean = Double.NaN, feature = Array.empty[Float],
           decode_error = Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))

@@ -169,4 +169,47 @@ class MultimodalSpec extends SparkSpec {
     // reversed stride samples give different comparisons)
     assert(h1 != Multimodal.dHashStub(p.reverse))
   }
+
+  /** 16-bit mono PCM WAV bytes of the given samples (amplitude in
+    * [-1, 1]), via the same javax.sound writer a producer would use.
+    */
+  private def wavBytes(samples: Array[Double], rate: Float = 8000f): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(rate, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val v = math.max(-32768, math.min(32767, math.round(s * 32767).toInt))
+      raw(2 * i) = (v & 0xff).toByte
+      raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val in = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(in, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("audio/wav payloads get a REAL javax.sound decode with exact amplitude stats") {
+    val n = 8000
+    val amp = 0.5
+    val sine = Array.tabulate(n)(i => amp * math.sin(2 * math.Pi * 440 * i / 8000.0))
+    val row = Multimodal.MediaRow(7L, "audio/wav", 0L, wavBytes(sine))
+    val f = Multimodal.decode(row)
+    // mean |sine| = 2A/pi, RMS per quarter = A/sqrt(2) (whole cycles)
+    assert(math.abs(f.byte_mean / 255.0 - 2 * amp / math.Pi) < 1e-3, f.byte_mean)
+    assert(f.feature.length == 4)
+    f.feature.foreach(q => assert(math.abs(q - amp / math.sqrt(2)) < 1e-3, q))
+    // silence decodes to zero everywhere
+    val silent = Multimodal.decode(
+      Multimodal.MediaRow(8L, "audio/wav", 0L, wavBytes(Array.fill(1000)(0.0))))
+    assert(silent.byte_mean == 0.0 && silent.feature.forall(_ == 0f))
+    // garbage bytes under an audio type: loud by default, flagged in quarantine
+    val junk = Multimodal.MediaRow(9L, "audio/wav", 3L, Array[Byte](1, 2, 3))
+    intercept[Exception](Multimodal.decode(junk))
+    val q = Multimodal.decodeQuarantine(junk)
+    assert(q.decode_error.nonEmpty && q.feature.isEmpty)
+    // audio types the JVM can't decode (mp3) still take the stub path
+    val mp3 = Multimodal.MediaRow(10L, "audio/mpeg", 4L, Array[Byte](1, 2, 3, 4))
+    assert(Multimodal.decode(mp3).feature.length == 4) // stub shape, no crash
+  }
 }
