@@ -295,6 +295,38 @@ object Multimodal {
       .as[MediaRow]
   }
 
+  /** The documents table rendered as REAL 8-bit PCM WAV payloads: each
+    * doc's text bytes become unsigned samples behind a canonical 44-byte
+    * RIFF header, so the audio DECODER (not the stub) runs on every row
+    * — and because sample i is exactly text byte i, the decoded
+    * amplitude statistics are predictable from the text in SQL, giving
+    * the real-codec path an exact oracle.
+    */
+  def documentsAsWav(df: DataFrame): Dataset[MediaRow] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id"), col("text").cast("binary").as("b"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, pcm) =>
+        MediaRow(id, "audio/wav", pcm.length.toLong, wavWrap(pcm))
+      }
+  }
+
+  /** Canonical RIFF/WAVE header for 8-bit unsigned mono PCM @ 8 kHz. */
+  def wavWrap(pcm: Array[Byte]): Array[Byte] = {
+    val n = pcm.length
+    val bb = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(8000).putInt(8000) // sample rate, byte rate
+      .putShort(1).putShort(8) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(n)
+      .put(pcm)
+    bb.array()
+  }
+
   /** Batched per-partition feature extraction — the mapPartitions shape a
     * real decoder plugs into (one decoder init per partition, streamed
     * rows).
@@ -377,6 +409,26 @@ object Multimodal {
     noOracle("multimodal_features") { (s, dir) =>
       extractFeatures(documentsAsMedia(Tables.documents(s, dir)))
         .select(col("doc_id"), col("n_bytes"), round(col("byte_mean"), 4).as("byte_mean"))
+        .orderBy("doc_id")
+    },
+
+    // REAL audio decode through the Spark path with an EXACT oracle:
+    // text bytes as 8-bit PCM samples behind a canonical WAV header —
+    // the javax.sound decoder (not the stub) runs per row, and since
+    // sample i IS text byte i, DuckDB predicts the decoded mean
+    // absolute amplitude from the characters. ASCII fixture: codepoint
+    // = byte.
+    withOracle(
+      "multimodal_audio_features",
+      """WITH b AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
+        |  FROM documents)
+        |SELECT doc_id,
+        |       round(255.0 * avg(abs(ord(substr(text, CAST(i AS INT), 1)) - 128)
+        |             / 128.0), 4) AS byte_mean
+        |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      extractFeatures(documentsAsWav(Tables.documents(s, dir)))
+        .select(col("doc_id"), round(col("byte_mean"), 4).as("byte_mean"))
         .orderBy("doc_id")
     },
 
