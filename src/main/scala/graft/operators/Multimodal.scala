@@ -418,17 +418,27 @@ object Multimodal {
     // sample i IS text byte i, DuckDB predicts the decoded mean
     // absolute amplitude from the characters. ASCII fixture: codepoint
     // = byte.
+    // The decoded statistic is re-expressed on the INTEGER grid
+    // (sum of |sample byte - 128| — exact in both engines) rather than a
+    // rounded float mean: the mean is a rational with denominator 128·n
+    // that can land exactly on a decimal half-grid, where the two
+    // engines' 1-ulp double representations round apart (seen at sf0.1).
     withOracle(
       "multimodal_audio_features",
       """WITH b AS (
         |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
         |  FROM documents)
         |SELECT doc_id,
-        |       round(255.0 * avg(abs(ord(substr(text, CAST(i AS INT), 1)) - 128)
-        |             / 128.0), 4) AS byte_mean
+        |       CAST(count(*) AS BIGINT) AS n_samples,
+        |       CAST(sum(abs(ord(substr(text, CAST(i AS INT), 1)) - 128)) AS BIGINT)
+        |         AS abs_sum
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // byte_mean = 255·abs_sum/(128·n) exactly; invert on the integer
+      // grid (double error ~1e-9 « 1) to emit the exact decoded sum
       extractFeatures(documentsAsWav(Tables.documents(s, dir)))
-        .select(col("doc_id"), round(col("byte_mean"), 4).as("byte_mean"))
+        .select(col("doc_id"), col("n_bytes").as("n_samples"),
+          round(col("byte_mean") * col("n_bytes") * 128.0 / 255.0)
+            .cast("long").as("abs_sum"))
         .orderBy("doc_id")
     },
 
