@@ -123,11 +123,20 @@ object Recall {
         .select("probe_id", "neighbor_id")), brute)
       rr -> r
     }
+    // the pinned ann_ivfpq shape (16 cells, 16×16 residual PQ) swept on
+    // its two knobs: nProbe (row pruning) and rerank (the ADC-misrank
+    // escape hatch — candidates surviving to the exact rerank)
     val ivfPqCurve = Seq(2, 4, 8, 12).map { np =>
       val r = recall(pairSet(VectorOps.annIvfPq(spark, Tables.embeddings(spark, sfDir),
         probeFilter = col("vec_id") < 10, k = 5, nCells = 16, nProbe = np,
-        m = 8, ks = 16, rerank = 8).select("probe_id", "neighbor_id")), brute)
+        m = 16, ks = 16, rerank = 8).select("probe_id", "neighbor_id")), brute)
       np -> r
+    }
+    val ivfPqRerankCurve = Seq(2, 4, 8, 16).map { rr =>
+      val r = recall(pairSet(VectorOps.annIvfPq(spark, Tables.embeddings(spark, sfDir),
+        probeFilter = col("vec_id") < 10, k = 5, nCells = 16, nProbe = 8,
+        m = 16, ks = 16, rerank = rr).select("probe_id", "neighbor_id")), brute)
+      rr -> r
     }
     def curveJson(c: Seq[(Int, Double)]): String =
       c.map { case (x, r) => f""""$x": $r%.4f""" }.mkString("{", ", ", "}")
@@ -138,7 +147,8 @@ object Recall {
          |  "ann_lsh_by_nflips_8x6":  ${curveJson(lshCurve)},
          |  "ann_ivf_by_nprobe_16c":  ${curveJson(ivfCurve)},
          |  "ann_pq_by_rerank_8x16":  ${curveJson(pqCurve)},
-         |  "ann_ivfpq_by_nprobe_16c_8x16r8": ${curveJson(ivfPqCurve)}
+         |  "ann_ivfpq_by_nprobe_16c_16x16r8": ${curveJson(ivfPqCurve)},
+         |  "ann_ivfpq_by_rerank_16c_16x16p8": ${curveJson(ivfPqRerankCurve)}
          | },
          | "ops": {
          |  "ann_lsh":              {"recall": $annLsh%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},

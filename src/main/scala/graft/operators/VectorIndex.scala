@@ -40,20 +40,21 @@ object VectorIndex {
     * auto-size from the corpus like the in-query form.
     */
   def buildIvfPq(spark: SparkSession, emb: DataFrame, dir: String,
-      nCells: Int = 0, m: Int = 8, ks: Int = 0,
+      nCells: Int = 0, m: Int = 0, ks: Int = 0,
       maxTrainRows: Long = 100000L, nRows: Long = 0L): Unit = {
     import spark.implicits._
     val n = if (nRows > 0) nRows else emb.count()
     val cells = if (nCells > 0) nCells else VectorOps.ivfCells(n)
     val kCent = if (ks > 0) ks else VectorOps.pqCodebookSize(n)
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val mSub = if (m > 0) m else VectorOps.pqSubspaces(dims)
     val unitEmb = VectorOps.withUnit(emb, "embedding", "unit")
     val centroidArr = VectorOps.trainQuantizer(
       unitEmb.select(col("vec_id"), col("unit").as("embedding")),
       cells, maxTrainRows, n)
     val assigned = VectorOps.ivfPqAssign(spark, unitEmb, centroidArr)
     val books = VectorOps.trainPqCodebooks(
-      assigned.select(col("residual").as("embedding")), m, kCent, dims,
+      assigned.select(col("residual").as("embedding")), mSub, kCent, dims,
       maxTrainRows, n)
     VectorOps.ivfPqEncode(assigned, books)
       .write.mode(SaveMode.Overwrite)
@@ -129,9 +130,20 @@ object VectorIndex {
   }
 
   /** Search the prebuilt index: the probed cells' partitions are the only
-    * ones read (partition pruning via the `cell IN` filter inside
-    * [[VectorOps.ivfPqSearch]]); `emb` supplies raw vectors for the exact
-    * rerank of the top candidates only.
+    * ones read. Pruning is DYNAMIC — the broadcast candidate join on
+    * `cell` inside [[VectorOps.ivfPqSearch]] is the textbook dynamic-
+    * partition-pruning shape, so Catalyst plants a dynamicpruning
+    * subquery on the partition column and the scan opens only the probed
+    * inverted lists, with no driver round-trip anywhere in the search
+    * path (VectorIndexSpec pins both the live filter and the
+    * partitions-read metric). One deployment note: DPP inserts the
+    * filter only when its benefit estimate passes — automatic at real
+    * index sizes via stats, but a session serving many small indexes
+    * should set
+    * `spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly=false`
+    * so DPP may plan its own broadcast subquery instead of depending on
+    * exchange reuse. `emb` supplies raw vectors for the exact rerank of
+    * the top candidates only.
     */
   def searchIvfPq(spark: SparkSession, dir: String, emb: DataFrame,
       probes: DataFrame, k: Int, nProbe: Int = 4, rerank: Int = 4): DataFrame = {

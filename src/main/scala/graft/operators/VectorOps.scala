@@ -226,11 +226,18 @@ object VectorOps {
     // residual codebooks; exact rerank on raw vectors as everywhere.
     noOracle("ann_ivfpq") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      // fixture shape pinned (16 cells × probe 8, 8×16 residual PQ,
+      // fixture shape pinned (16 cells × probe 8, 16×16 residual PQ,
       // rerank 8) so recall stays comparable across rounds; production
-      // callers take the √n / corpus-sized auto defaults
+      // callers take the √n / corpus-sized / dims-sized auto defaults.
+      // m moved 8 → 16 in round 10: 8 subspaces over 64 dims was 0.5
+      // bits/dim and the ADC misranked past the rerank window (recall
+      // 0.68, saturating at 0.70 by nProbe=12); at ~1 bit/dim — the
+      // pqSubspaces rule — the same nProbe/rerank measures 0.82, and
+      // the rerank knob still climbs from there (see the
+      // ann_ivfpq_by_rerank curve in RECALL_r{N}.json). Code rows are
+      // 16 B vs 256 B raw — the byte-shrink story is intact.
       annIvfPq(s, emb, probeFilter = col("vec_id") < 10, k = 5, nCells = 16,
-        nProbe = 8, m = 8, ks = 16, rerank = 8)
+        nProbe = 8, m = 16, ks = 16, rerank = 8)
     },
 
     // The PERSISTENT form of ann_ivfpq — the lambda-architecture shape
@@ -244,10 +251,11 @@ object VectorOps {
     noOracle("ann_ivfpq_indexed") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val idx = java.nio.file.Files.createTempDirectory("graft_vecindex").toString
-      // lifecycle under the pinned 16×(8×16) shape: build on even ids,
-      // append odd ids with the build's codebooks, search the union
+      // lifecycle under the pinned 16×(16×16) shape (m 8 → 16 round 10,
+      // same ADC-budget fix as ann_ivfpq): build on even ids, append odd
+      // ids with the build's codebooks, search the union
       VectorIndex.buildIvfPq(s, emb.where(col("vec_id") % 2 === 0), idx,
-        nCells = 16, m = 8, ks = 16)
+        nCells = 16, m = 16, ks = 16)
       VectorIndex.appendIvfPq(s, emb.where(col("vec_id") % 2 === 1), idx)
       VectorIndex.searchIvfPq(s, idx, emb,
         probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8, rerank = 8)
@@ -285,7 +293,7 @@ object VectorOps {
       // checkpointed survivors — its blocks must outlive this call; the
       // ContextCleaner frees them once the result DF is unreachable)
       val idx = java.nio.file.Files.createTempDirectory("graft_embpipe").toString
-      VectorIndex.buildIvfPq(s, survivors, idx, nCells = 16, m = 8, ks = 16)
+      VectorIndex.buildIvfPq(s, survivors, idx, nCells = 16, m = 16, ks = 16)
       VectorIndex.searchIvfPq(s, idx, survivors,
         probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8, rerank = 8)
     },
@@ -632,6 +640,21 @@ object VectorOps {
   def pqCodebookSize(nRows: Long): Int =
     math.min(256L, math.max(16L, nRows / 50)).toInt
 
+  /** PQ subspace count sized to the DIMENSIONALITY: ~4 dims per
+    * subspace, so the code budget stays ≈1 bit/dim at the ks=16 floor
+    * (log₂16 / 4). A dims-independent constant is a recall bug at wide
+    * embeddings: 8 subspaces over 64 dims is 0.5 bits/dim, and on
+    * near-isotropic residuals the ADC misranks true neighbors past any
+    * reasonable rerank window (measured round 10: the pinned IVF-PQ
+    * fixture went 0.68 → 0.82 recall@5 moving m 8 → 16 at identical
+    * nProbe/rerank — the loss was code budget, not cell probing).
+    * Floor 4 (coarser and ADC degenerates), cap 64 (16 B–64 B codes
+    * cover the embedding widths in practice; beyond that raise ks
+    * instead — bytes scale with m, LUT size with m·ks).
+    */
+  def pqSubspaces(dims: Int): Int =
+    math.max(4, math.min(64, dims / 4))
+
   /** Train per-subspace PQ codebooks on the bounded sample: dims split
     * into `m` contiguous windows (remainder dims widen the first few —
     * widths ride the codebook itself, see PqNative). The sample is
@@ -783,16 +806,17 @@ object VectorOps {
     * is also wanted.
     */
   def annPq(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
-      m: Int = 8, ks: Int = 0, rerank: Int = 4, maxTrainRows: Long = 100000L,
+      m: Int = 0, ks: Int = 0, rerank: Int = 4, maxTrainRows: Long = 100000L,
       nRows: Long = 0L): DataFrame = {
     import org.apache.spark.sql.graft.PqNative
     import spark.implicits._
     val n = if (nRows > 0) nRows else emb.count()
     val kCent = if (ks > 0) ks else pqCodebookSize(n)
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val mSub = if (m > 0) m else pqSubspaces(dims)
     val unitEmb = withUnit(emb, "embedding", "unit")
     val books = trainPqCodebooks(
-      unitEmb.select(col("unit").as("embedding")), m, kCent, dims, maxTrainRows, n)
+      unitEmb.select(col("unit").as("embedding")), mSub, kCent, dims, maxTrainRows, n)
     // the compressed index: one streamed codegen pass, (id, m bytes) out
     val codes = unitEmb.select(col("vec_id").as("c"),
       PqNative.pqEncode(col("unit"), books).as("codes"))
@@ -843,19 +867,20 @@ object VectorOps {
     * discipline as everything else (residuals of ≤ maxTrainRows rows).
     */
   def annIvfPq(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
-      nCells: Int = 0, nProbe: Int = 4, m: Int = 8, ks: Int = 0,
+      nCells: Int = 0, nProbe: Int = 4, m: Int = 0, ks: Int = 0,
       rerank: Int = 4, maxTrainRows: Long = 100000L, nRows: Long = 0L): DataFrame = {
     val n = if (nRows > 0) nRows else emb.count()
     val cells = if (nCells > 0) nCells else ivfCells(n)
     val kCent = if (ks > 0) ks else pqCodebookSize(n)
     val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val mSub = if (m > 0) m else pqSubspaces(dims)
     val unitEmb = withUnit(emb, "embedding", "unit")
     val centroidArr = trainQuantizer(
       unitEmb.select(col("vec_id"), col("unit").as("embedding")),
       cells, maxTrainRows, n)
     val assigned = ivfPqAssign(spark, unitEmb, centroidArr)
     val books = trainPqCodebooks(
-      assigned.select(col("residual").as("embedding")), m, kCent, dims,
+      assigned.select(col("residual").as("embedding")), mSub, kCent, dims,
       maxTrainRows, n)
     val codes = ivfPqEncode(assigned, books)
     ivfPqSearch(spark, codes, emb, emb.where(probeFilter), centroidArr, books,
@@ -890,12 +915,16 @@ object VectorOps {
   /** Search a (c, cell, codes) table — computed in-query ([[annIvfPq]])
     * or read from a prebuilt index ([[VectorIndex]]) — with the
     * decomposed score dot(p,c_cell) + ADC(residual codes). The probed
-    * cell set is collected (probes × nProbe values, probe-batch-sized)
-    * and pushed as a `cell IN (...)` filter BEFORE the candidate join:
-    * over a cell-partitioned on-disk index that filter is partition
-    * pruning — the scan reads only the probed inverted lists, the IVF
-    * contract on disk. Candidate selection and final ranking use the
-    * map-side top-k heap (see [[annPq]]).
+    * cells reach the codes scan WITHOUT a driver round-trip: the
+    * broadcast equi-join on `cell` is exactly the shape Catalyst's
+    * dynamic partition pruning rewrites — over a cell-partitioned
+    * on-disk index the scan gets a dynamicpruning#N subquery on `cell`
+    * and reads only the probed inverted lists, the IVF contract on disk
+    * (VectorIndexSpec pins both the dynamic filter and the
+    * partitions-read count). An earlier form collected the probed cell
+    * ids for a static `isin`; the join-driven pruning reads the same
+    * partitions with no collect in the search path. Candidate selection
+    * and final ranking use the map-side top-k heap (see [[annPq]]).
     */
   def ivfPqSearch(spark: SparkSession, codes: DataFrame, emb: DataFrame,
       probesRaw: DataFrame, centroidArr: Array[Array[Float]],
@@ -922,10 +951,7 @@ object VectorOps {
         row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
       .where(col("rnk") <= nProbe)
       .select(col("p"), col("cell"), col("pdotc"), col("lut"))
-    val probedCells = probeCells.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
     val candidates = codes
-      .where(col("cell").isin(probedCells: _*))
       .join(broadcast(probeCells), Seq("cell"))
       .where(col("p") =!= col("c"))
       .withColumn("score", col("pdotc") + PqNative.pqAdc(col("lut"), col("codes"), kCent))

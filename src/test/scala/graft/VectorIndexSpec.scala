@@ -147,30 +147,78 @@ class VectorIndexSpec extends SparkSpec {
     val emb = Tables.embeddings(spark, sf0001)
     val dir = freshDir()
     VectorIndex.buildIvfPq(spark, emb, dir, nCells = 16, m = 8, ks = 16)
-    val df = VectorIndex.searchIvfPq(spark, dir, emb,
-      probes = emb.where($"vec_id" < 10), k = 5, nProbe = 4, rerank = 8)
-    df.collect()
-    // unwrap AQE stages: executedPlan.collect stops at stage boundaries
-    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
-        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
-      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
-        allNodes(a.executedPlan)
-      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
-        p +: allNodes(s.plan)
-      case _ => p +: p.children.flatMap(allNodes)
+    // The probed cells reach the scan via DYNAMIC partition pruning off
+    // the broadcast candidate join (no driver collect in the search
+    // path — pinned below). DPP's insertion is gated on a benefit
+    // estimate that a KB-sized fixture index can never pass (the real
+    // codes table at scale passes via stats), so the estimate is forced
+    // for this test only: reuseBroadcastOnly=false lets DPP plan its
+    // own broadcast subquery, and the fallback ratio makes the tiny
+    // table look worth pruning. What the test pins is the PLAN SHAPE —
+    // the join drives a dynamicpruning filter down to the partitioned
+    // scan whenever DPP deems it beneficial.
+    val dppConfs = Seq(
+      "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.useStats" -> "false",
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio" -> "10000")
+    val saved = dppConfs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    dppConfs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // Plan construction must run NO Spark jobs once the KB-sized
+      // codebooks and the codes relation are in hand (the pre-round-10
+      // form collected the probed cell ids before returning the
+      // DataFrame). readCodebooks' bounded collect and the codes
+      // directory listing are metadata reads outside this window.
+      val (coarse, books) = VectorIndex.readCodebooks(spark, dir)
+      val codes = spark.read.parquet(dir + "/codes")
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      val df =
+        try {
+          val d = VectorOps.ivfPqSearch(spark, codes, emb,
+            probesRaw = emb.where($"vec_id" < 10), coarse, books,
+            k = 5, nProbe = 4, rerank = 8)
+          Thread.sleep(500) // listener bus is async; jobs run synchronously
+          assert(jobs.get() == 0,
+            s"ivfPqSearch ran ${jobs.get()} jobs at plan-construction time " +
+              "— the search path must not collect")
+          d
+        } finally spark.sparkContext.removeSparkListener(listener)
+      df.collect()
+      // unwrap AQE stages: executedPlan.collect stops at stage boundaries
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: allNodes(s.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      val scans = allNodes(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("codes")) => f
+      }
+      assert(scans.nonEmpty, "no file scan over the codes table found")
+      val scan = scans.head
+      assert(scan.partitionFilters.exists(f =>
+        f.toString.contains("dynamicpruning") && !f.toString.contains("true")),
+        s"a live dynamicpruning filter on cell must reach the scan:\n" +
+          scan.partitionFilters.mkString("; "))
+      // 10 probes × nProbe=4 can touch at most 40 distinct cells, and on
+      // this corpus far fewer — strictly less than the 16 built cells
+      // actually READ (the runtime DPP metric, not the static partition
+      // count) is the observable pruning claim
+      val scanned = scan.metrics("numPartitions").value
+      assert(scanned > 0 && scanned < 16,
+        s"scan read $scanned of 16 cell partitions — no pruning")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
     }
-    val scans = allNodes(df.queryExecution.executedPlan).collect {
-      case f: org.apache.spark.sql.execution.FileSourceScanExec
-          if f.metadata.get("Location").exists(_.contains("codes")) => f
-    }
-    assert(scans.nonEmpty, "no file scan over the codes table found")
-    val scan = scans.head
-    assert(scan.partitionFilters.exists(_.toString.contains("cell")),
-      s"cell IN filter must reach the scan as a partition filter:\n${scan.metadata}")
-    // 10 probes × nProbe=4 can touch at most 40 distinct cells, and on
-    // this corpus far fewer — strictly less than the 16 built cells is
-    // the observable pruning claim
-    val scanned = scan.selectedPartitions.partitionCount
-    assert(scanned < 16, s"scan read $scanned of 16 cell partitions — no pruning")
   }
 }

@@ -1,0 +1,58 @@
+#!/usr/bin/env python3
+"""Recall drift gate: diff two RECALL_r{N}.json artifacts the way bench and
+correctness are diffed across rounds, and FAIL if any operator's headline
+recall dropped by more than the tolerance without an accompanying note in
+BASELINE.md.
+
+A drop can be legitimate (a pinned fixture shape changed, a guard was
+tightened) — but then it must be written down: the gate greps BASELINE.md
+for the operator's name and accepts the drop only if a note exists.
+
+Usage: python3 tools/recall_gate.py RECALL_r09.json RECALL_r10.json
+       (exit 0 = no unexplained drift; exit 1 = regression)
+"""
+import json
+import pathlib
+import sys
+
+TOLERANCE = 0.05
+
+
+def main(prev_path: str, curr_path: str, baseline_md: str = "BASELINE.md") -> int:
+    prev = json.load(open(prev_path))["ops"]
+    curr = json.load(open(curr_path))["ops"]
+    try:
+        notes = pathlib.Path(baseline_md).read_text()
+    except FileNotFoundError:
+        notes = ""
+    failures = []
+    for op, prev_entry in sorted(prev.items()):
+        if op not in curr:
+            failures.append(f"{op}: present in {prev_path} but MISSING from "
+                            f"{curr_path} (recall coverage shrank)")
+            continue
+        p, c = prev_entry["recall"], curr[op]["recall"]
+        delta = c - p
+        marker = ""
+        if delta < -TOLERANCE:
+            if op in notes:
+                marker = "  (drop noted in BASELINE.md — accepted)"
+            else:
+                failures.append(
+                    f"{op}: recall {p:.4f} -> {c:.4f} ({delta:+.4f}) with no "
+                    f"note in {baseline_md}")
+                marker = "  REGRESSION"
+        print(f"[recall-gate] {op}: {p:.4f} -> {c:.4f} ({delta:+.4f}){marker}")
+    for op in sorted(set(curr) - set(prev)):
+        print(f"[recall-gate] {op}: NEW at {curr[op]['recall']:.4f}")
+    if failures:
+        print(f"\n{len(failures)} unexplained recall regression(s):")
+        for f in failures:
+            print(f"  {f}")
+        return 1
+    print("\nno unexplained recall drift")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(*sys.argv[1:]))
