@@ -130,9 +130,18 @@ object FreqSketch {
   }
 
   object CountMin {
-    /** Row r's cell for `key`: seeded Murmur3, floor-mod into [0, w). */
-    private[functions] def cell(key: String, r: Int, w: Int): Int =
-      java.lang.Math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key, r), w)
+    /** Row r's cell for `key`: seeded Murmur3 over the UTF8 bytes —
+      * EXACTLY the value Spark's codegen'd `Murmur3Hash(key, seed = r)`
+      * computes, so the column-expression readout
+      * ([[estimateColumn]]) and this JVM-side increment path always
+      * agree cell-for-cell. Floor-mod into [0, w).
+      */
+    private[functions] def cell(key: String, r: Int, w: Int): Int = {
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+      java.lang.Math.floorMod(
+        org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
+          u.getBaseObject, u.getBaseOffset, u.numBytes(), r), w)
+    }
 
     /** Point query: min over the key's d cells. Serving-side readout for
       * a handful of probe keys — not a per-fact-row hot path.
@@ -146,6 +155,23 @@ object FreqSketch {
         r += 1
       }
       best
+    }
+
+    /** The point query as a pure column expression: least over the d
+      * rows of `element_at(counts, r·w + floorMod(murmur3_r(key), w))`.
+      * Identical to [[estimate]] by the shared hash (spec-pinned); being
+      * expression-built it rides whole-stage codegen — no closure UDF
+      * anywhere on the sketch path.
+      */
+    def estimateColumn(counts: org.apache.spark.sql.Column,
+        key: org.apache.spark.sql.Column, w: Int, d: Int): org.apache.spark.sql.Column = {
+      import org.apache.spark.sql.functions.{element_at, least, lit, pmod}
+      val cells = (0 until d).map { r =>
+        element_at(counts,
+          lit(r * w) + pmod(org.apache.spark.sql.graft.SketchNative.murmur3(key, r),
+            lit(w)) + 1)
+      }
+      if (cells.size == 1) cells.head else least(cells: _*)
     }
 
     /** Equi-join SIZE estimate from two same-shaped sketches (Cormode &

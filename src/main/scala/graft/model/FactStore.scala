@@ -148,20 +148,18 @@ object FactStore {
   }
 
   /** Pail.consolidate: compact a kind-partitioned store to ~targetFiles
-    * files per kind by rewriting into a temp dir and swapping. (On a real
-    * deployment this is table-format OPTIMIZE; plain parquet needs the
-    * rewrite+swap.)
+    * files per kind by rewriting into a temp dir and swapping via the
+    * crash-safe [[StoreSwap.commit]] two-rename protocol — a complete
+    * version exists under `masterPath` or `masterPath.old` at every
+    * intermediate state (RecoverySpec). (On a real deployment this is
+    * table-format OPTIMIZE; plain parquet needs the rewrite+swap.)
     */
   def consolidate(spark: SparkSession, masterPath: String, targetFiles: Int = 4): Unit = {
-    val tmp = masterPath + ".compact"
     spark.read.parquet(masterPath)
       .repartition(targetFiles)
-      .write.mode(SaveMode.Overwrite).partitionBy("kind").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val master = new org.apache.hadoop.fs.Path(masterPath)
-    fs.delete(master, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), master)
+      .write.mode(SaveMode.Overwrite).partitionBy("kind")
+      .parquet(StoreSwap.tmpPath(masterPath))
+    StoreSwap.commit(spark, masterPath)
   }
 
   /** snapshot semantics: atomically claim a staging directory for ingest

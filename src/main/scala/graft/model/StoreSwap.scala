@@ -1,0 +1,82 @@
+package graft.model
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Crash-safe directory swap for parquet serving stores (the rebuilt
+  * batch-view hand-off: FactStore.consolidate, VectorIndex.consolidate,
+  * the stream_upsert/stream_cc foreachBatch maintainers).
+  *
+  * The naive `delete(store); rename(tmp, store)` has a window where the
+  * serving store is ABSENT: a crash between the two calls loses the
+  * current version entirely, and a maintainer that treats "missing" as
+  * "empty" (stream_cc's first-batch bootstrap) would then silently
+  * restart from nothing — for a label store that means discarding every
+  * prior labeling, the worst failure mode a serving maintainer can have.
+  *
+  * [[commit]] replaces it with a two-rename protocol over three sibling
+  * paths (`store`, `store.tmp`, `store.old`):
+  *
+  *   1. delete leftover `store.old` (from a previously COMPLETED swap)
+  *   2. rename `store` → `store.old`
+  *   3. rename `store.tmp` → `store`
+  *   4. delete `store.old`
+  *
+  * Every intermediate state is recoverable: a complete data version
+  * always exists under `store` or `store.old`, and re-running
+  * [[commit]] from ANY crash point finishes the interrupted swap
+  * (it is idempotent on its own intermediate states). Readers that may
+  * observe a mid-swap crash resolve the current version with
+  * [[readablePath]] — `store` if present, else the `store.old` the
+  * interrupted swap preserved. Directory renames are atomic on HDFS and
+  * local filesystems (the deployments this targets); object stores
+  * without atomic rename want a pointer-file scheme instead, which this
+  * object isolates behind one seam. RecoverySpec kills the protocol
+  * between every pair of steps and proves both recovery paths.
+  */
+object StoreSwap {
+
+  def tmpPath(store: String): String = store + ".tmp"
+  def oldPath(store: String): String = store + ".old"
+
+  private def fs(spark: SparkSession): FileSystem =
+    FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Swap `store.tmp` (a fully-written new version) into `store`,
+    * recovering any interrupted previous swap first. Call with the new
+    * version at [[tmpPath]]; on return `store` is the new version and
+    * no sibling dirs remain. Calling with NO tmp present is recovery
+    * mode: it finishes a swap that crashed after step 3 (cleans the
+    * leftover `.old`) and is a no-op on a healthy store.
+    */
+  def commit(spark: SparkSession, store: String): Unit = {
+    val f = fs(spark)
+    val s = new Path(store)
+    val t = new Path(tmpPath(store))
+    val o = new Path(oldPath(store))
+    if (f.exists(t)) {
+      if (f.exists(s)) {
+        // leftover .old means the PREVIOUS swap completed steps 2-3 but
+        // crashed before 4 — its version is superseded, drop it
+        if (f.exists(o)) f.delete(o, true)
+        require(f.rename(s, o), s"rename $s -> $o failed")
+      }
+      require(f.rename(t, s), s"rename $t -> $s failed")
+    }
+    if (f.exists(s) && f.exists(o)) f.delete(o, true)
+  }
+
+  /** The current readable version of `store`: the store itself, or the
+    * `.old` a mid-swap crash preserved (step 2 done, step 3 not). None
+    * only if the store has never been written. Maintainers bootstrapping
+    * "empty on first batch" MUST use this rather than a bare exists():
+    * a bare check reads absence-during-swap as "never existed" and
+    * silently restarts state from empty.
+    */
+  def readablePath(spark: SparkSession, store: String): Option[String] = {
+    val f = fs(spark)
+    if (f.exists(new Path(store))) Some(store)
+    else if (f.exists(new Path(oldPath(store)))) Some(oldPath(store))
+    else None
+  }
+}

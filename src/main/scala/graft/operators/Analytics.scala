@@ -106,8 +106,8 @@ object Analytics {
     // Misra-Gries' "which keys are heavy". One pass builds the grid
     // (map-side partial merge = pointwise add, exactly lossless); the
     // readout cross-joins the one-row sketch against the probe keys
-    // (serving-side, key-cardinality-sized — the estimate UDF never
-    // touches fact rows). At the fixture's 5 keys ≪ w=1024 the
+    // (serving-side, key-cardinality-sized — the codegen'd estimate
+    // expression never touches fact rows). At the fixture's 5 keys ≪ w=1024 the
     // estimates are collision-free and EXACT, so the oracle is the
     // exact GROUP BY; the over-estimate-only and eps·n bounds under
     // forced collisions are pinned in FreqSketchSpec.
@@ -122,12 +122,11 @@ object Analytics {
         .groupByKey(_ => 0)
         .agg(graft.functions.FreqSketch.CountMin(w, d).toColumn.name("sk"))
         .select(col("sk.counts").as("counts"))
-      val est = udf((counts: Seq[Long], key: String) =>
-        graft.functions.FreqSketch.CountMin.estimate(counts, w, d, key))
       ev.select(col("event_type")).distinct()
         .crossJoin(sk)
         .select(col("event_type").as("key"),
-          est(col("counts"), col("event_type")).as("est"))
+          graft.functions.FreqSketch.CountMin
+            .estimateColumn(col("counts"), col("event_type"), w, d).as("est"))
         .orderBy("key")
     },
 

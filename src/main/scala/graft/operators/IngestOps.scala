@@ -200,8 +200,8 @@ object IngestOps {
     // The STREAMED form of snapshot_upsert: the changes batch arrives as
     // a stream (one file per microbatch via maxFilesPerTrigger) and
     // foreachBatch applies each slice to the parquet serving store —
-    // merge to a temp dir, then an atomic FS rename swap (the same
-    // claim-by-rename discipline as FactStore.snapshot). Change keys are
+    // merge to a temp dir, then the crash-safe StoreSwap two-rename
+    // protocol (a complete version readable at every step). Change keys are
     // disjoint, so sequential application over ANY batching converges to
     // the one-shot batch merge — proven by sharing its oracle. This is
     // the relational analogue of the vector index's streamed appends:
@@ -236,15 +236,18 @@ object IngestOps {
         .option("maxFilesPerTrigger", "1").parquet(changesDir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val store = s.read.parquet(storeDir)
-          val merged = store
+          // read via readablePath: a crash in a PRIOR batch's swap may
+          // have left the current version under store.old
+          val current = graft.model.StoreSwap.readablePath(s, storeDir)
+            .getOrElse(sys.error(s"serving store missing at $storeDir"))
+          val merged = s.read.parquet(current)
             .join(batch.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
             .unionByName(batch.where(col("op") =!= "D").drop("op"))
-          val tmp = s"$storeDir.tmp"
-          merged.write.mode("overwrite").parquet(tmp)
-          val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-          fs.delete(new org.apache.hadoop.fs.Path(storeDir), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp), new org.apache.hadoop.fs.Path(storeDir))
+          merged.write.mode("overwrite")
+            .parquet(graft.model.StoreSwap.tmpPath(storeDir))
+          // crash-safe two-rename swap: a complete store version exists
+          // at every intermediate state (RecoverySpec kills each step)
+          graft.model.StoreSwap.commit(s, storeDir)
           ()
         }
         .trigger(Trigger.AvailableNow()).start()

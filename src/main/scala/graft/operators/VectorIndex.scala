@@ -107,26 +107,24 @@ object VectorIndex {
   }
 
   /** Compact the codes table in place (Pail.consolidate for the index,
-    * same rewrite-and-rename shape as `FactStore.consolidate`): streamed
+    * same rewrite-and-swap shape as `FactStore.consolidate`): streamed
     * micro-batch appends leave one small file per batch per touched cell,
     * and a search then pays per-file open cost across every probed cell.
     * Rewrites to one file per cell partition — at the √n cell sizing a
     * cell's codes are a few MB even at 10⁹ rows (m bytes/row), and an
     * oversized cell can still split via `maxRecordsPerFile`. The row
-    * multiset — and therefore every search answer — is unchanged.
-    * Like the FactStore form this is an offline maintenance pass: run it
-    * between serving windows, not under live readers of the directory.
+    * multiset — and therefore every search answer — is unchanged. The
+    * swap is the crash-safe [[graft.model.StoreSwap.commit]] two-rename
+    * protocol: a complete codes table exists at every intermediate
+    * state. Like the FactStore form this is an offline maintenance
+    * pass: run it between serving windows, not under live readers.
     */
   def consolidate(spark: SparkSession, dir: String): Unit = {
-    val tmp = codesDir(dir) + ".compact"
     spark.read.parquet(codesDir(dir))
       .repartition(col("cell")) // all of a cell's rows → one writer → one file
-      .write.mode(SaveMode.Overwrite).partitionBy("cell").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val codesPath = new org.apache.hadoop.fs.Path(codesDir(dir))
-    fs.delete(codesPath, true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp), codesPath)
+      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .parquet(graft.model.StoreSwap.tmpPath(codesDir(dir)))
+    graft.model.StoreSwap.commit(spark, codesDir(dir))
   }
 
   /** Search the prebuilt index: the probed cells' partitions are the only

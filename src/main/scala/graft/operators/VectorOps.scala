@@ -549,15 +549,16 @@ object VectorOps {
   def trainQuantizer(emb: DataFrame, cells: Int, maxTrainRows: Long,
       nRows: Long): Array[Array[Float]] = {
     import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    // null embeddings don't train (they'd NPE the toVec boxing), matching
+    // null embeddings don't train (they'd NPE the vector boxing), matching
     // the assignment side where nearest_centroid of null is null
     val nonNull = emb.where(col("embedding").isNotNull)
     val sampled =
       if (nRows <= maxTrainRows) nonNull
       else nonNull.sample(withReplacement = false, maxTrainRows.toDouble / nRows, seed = 42)
-    val train = sampled.withColumn("features", toVec(col("embedding"))).localCheckpoint()
+    // MLlib's own array→vector bridge (ml.functions.array_to_vector), not
+    // a closure udf — the boxing still only touches the bounded sample
+    val train = sampled.withColumn("features",
+      org.apache.spark.ml.functions.array_to_vector(col("embedding"))).localCheckpoint()
     try {
       val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10).fit(train)
       model.clusterCenters.map(_.toArray.map(_.toFloat))

@@ -1,0 +1,100 @@
+package graft.streaming
+
+import graft.operators.GraphOps
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Bucket-partitioned persistent label store for the speed-layer
+  * connected-components maintainer (`stream_cc`).
+  *
+  * The round-9 form rewrote the WHOLE node-sized labeling every
+  * microbatch — at 100 TB the labeling is billions of rows and a
+  * microbatch touches a sliver of them, so whole-store I/O per batch is
+  * the scale bug. Here the store is hash-partitioned by node into
+  * `bucket=` directories and each fold rewrites ONLY the buckets that
+  * contain a changed or new label, via dynamic partition overwrite;
+  * untouched buckets' files are left physically identical
+  * (StreamSessionizeSpec^W LabelStoreSpec asserts byte-for-byte).
+  *
+  * Crash story (replaces the whole-dir StoreSwap for this store —
+  * finer granularity needs a different argument):
+  *
+  *   - Connectivity facts are MONOTONE: an edge once seen never becomes
+  *     false, and CC labels only ever decrease (min-id labeling). A
+  *     torn dynamic overwrite — some buckets new, some old, or a bucket
+  *     holding both an old and a new row for one node — is therefore
+  *     still a VALID connectivity compression: every (node → label)
+  *     star edge it contains is true of the accumulated graph, so
+  *     folding the next batch from it converges to the same labeling.
+  *   - [[read]] collapses any duplicate rows a torn commit left with
+  *     `min(label)` per node — labels-only-decrease makes min() "the
+  *     newest value", an idempotent repair costing one node-keyed
+  *     aggregation that Spark prunes to a partial-agg when the store is
+  *     read bucket-aligned.
+  *   - The streaming engine replays an uncommitted microbatch on
+  *     restart; re-folding the same edges is convergent by the same
+  *     monotonicity.
+  */
+object LabelStore {
+
+  /** Buckets for the labeling. At the declared fixture scale a handful;
+    * production sizes this so a bucket's parquet is ~128 MB
+    * (nodes/bucket × ~16 B). Must stay FIXED across the store's life —
+    * it is the hash partitioning the delta detection keys on.
+    */
+  val DefaultBuckets = 8
+
+  private def bucketCol(node: org.apache.spark.sql.Column, n: Int) =
+    pmod(hash(node), lit(n))
+
+  /** Current labeling: (node, label), torn-commit duplicates repaired by
+    * the min-fold. Returns None if the store has never been written.
+    */
+  def read(spark: SparkSession, dir: String): Option[DataFrame] = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
+    else Some(spark.read.parquet(dir)
+      .groupBy("node").agg(min("label").as("label")))
+  }
+
+  /** Fold one edge batch into the store: incremental CC against the
+    * current labeling, then rewrite ONLY the buckets holding a changed
+    * or new node's label. The changed-bucket set is computed as a
+    * relation and semi-joined (no driver collect); dynamic partition
+    * overwrite replaces exactly the partitions present in the written
+    * frame.
+    */
+  def fold(spark: SparkSession, dir: String, edges: DataFrame,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    read(spark, dir) match {
+      case None =>
+        // bootstrap: full labeling, all buckets
+        GraphOps.connectedComponents(edges)
+          .withColumn("bucket", bucketCol(col("node"), nBuckets))
+          .write.partitionBy("bucket").parquet(dir)
+      case Some(existing) =>
+        val updated = GraphOps.connectedComponentsIncremental(existing, edges)
+          .withColumn("bucket", bucketCol(col("node"), nBuckets))
+        // a node is "changed" if new to the store or relabeled; its
+        // bucket must be rewritten (whole bucket: dynamic overwrite
+        // replaces the partition, so all its rows ride along)
+        val changedBuckets = updated
+          .join(existing.withColumnRenamed("label", "old_label"),
+            Seq("node"), "left_outer")
+          .where(col("old_label").isNull || col("old_label") =!= col("label"))
+          .select("bucket").distinct()
+        val toWrite = updated
+          .join(broadcast(changedBuckets), Seq("bucket"), "left_semi")
+          // localCheckpoint before the overwrite: the plan READS the
+          // store directory it is about to rewrite — without cutting
+          // the lineage, overwrite-while-reading races the scan
+          .localCheckpoint()
+        toWrite.write
+          .option("partitionOverwriteMode", "dynamic")
+          .mode("overwrite")
+          .partitionBy("bucket")
+          .parquet(dir)
+    }
+  }
+}

@@ -614,7 +614,11 @@ object StreamViews {
     // incremental CC (GraphOps.connectedComponentsIncremental — the
     // prior labeling's node-sized star edges union the new batch, never
     // the full historical edge set). foreachBatch maintains the store
-    // under the same atomic rename swap as stream_upsert. Folding ANY
+    // through LabelStore.fold: bucket-partitioned by node, each batch
+    // rewrites ONLY the buckets holding a changed label (dynamic
+    // partition overwrite; LabelStoreSpec pins untouched buckets'
+    // files byte-identical) — at 100 TB the labeling is node-sized and
+    // a whole-store rewrite per microbatch is the I/O bug. Folding ANY
     // batching sequentially lands the full recompute's labeling, so the
     // query shares connected_components' recursive-CTE oracle.
     withOracle(
@@ -635,23 +639,13 @@ object StreamViews {
               explode(array(col("user_id") % 37, col("user_id") % 41,
                 col("user_id") % 7)).as("dst"))
             .where(col("src") =!= col("dst")).distinct()
-          val fs = org.apache.hadoop.fs.FileSystem.get(s.sparkContext.hadoopConfiguration)
-          val existing =
-            if (fs.exists(new org.apache.hadoop.fs.Path(labelsDir)))
-              s.read.parquet(labelsDir)
-            else s.range(0).select(col("id").as("node"), col("id").as("label"))
-          val updated = graft.operators.GraphOps
-            .connectedComponentsIncremental(existing, edges)
-          val tmp = s"$labelsDir.tmp"
-          updated.write.mode("overwrite").parquet(tmp)
-          fs.delete(new org.apache.hadoop.fs.Path(labelsDir), true)
-          fs.rename(new org.apache.hadoop.fs.Path(tmp),
-            new org.apache.hadoop.fs.Path(labelsDir))
+          LabelStore.fold(s, labelsDir, edges)
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.read.parquet(labelsDir)
+      LabelStore.read(s, labelsDir)
+        .getOrElse(sys.error(s"label store missing at $labelsDir"))
         .select(col("node"), col("label").as("canonical"))
         .orderBy("node")
     },

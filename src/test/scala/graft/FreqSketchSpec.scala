@@ -99,6 +99,27 @@ class FreqSketchSpec extends SparkSpec {
     }
   }
 
+  test("estimateColumn (codegen readout) equals the JVM estimate cell-for-cell") {
+    // a COLLIDING shape (w=32), so agreement requires the column-side
+    // seeded Murmur3Hash and the aggregator-side cell() to share the
+    // exact hash — not merely both being "close enough" estimates
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val (w, d) = (32, 3)
+    val cm = FreqSketch.CountMin(w, d)
+    val sk = cmFold(cm, stream)
+    val keys = truth.keys.toSeq :+ "never-seen"
+    val got = keys.toDF("key")
+      .crossJoin(Seq(Tuple1(sk.counts)).toDF("counts"))
+      .select(col("key"),
+        FreqSketch.CountMin.estimateColumn(col("counts"), col("key"), w, d).as("est"))
+      .as[(String, Long)].collect().toMap
+    keys.foreach { ky =>
+      assert(got(ky) == FreqSketch.CountMin.estimate(sk.counts, w, d, ky),
+        s"column and JVM readouts disagree for $ky")
+    }
+  }
+
   test("count-min inner product bounds the exact equi-join size") {
     val rnd = new scala.util.Random(11)
     val a = Seq.fill(3000)(s"k${rnd.nextInt(40)}")

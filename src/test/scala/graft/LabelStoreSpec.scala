@@ -1,0 +1,104 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.streaming.LabelStore
+import org.apache.spark.sql.functions._
+
+/** The delta-partitioned speed-layer label store: folds rewrite only the
+  * buckets whose labels changed (untouched buckets byte-identical on
+  * disk), the labeling always equals the full recompute, and the
+  * min-fold read repairs torn-commit duplicates.
+  */
+class LabelStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    Files.createTempDirectory("graft_labelstore").toString + "/labels"
+
+  /** (relative path → (length, checksum)) for every data file under dir. */
+  private def fileStates(dir: String): Map[String, (Long, Long)] = {
+    val base = new java.io.File(dir)
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(base)
+      .filter(f => f.getName.endsWith(".parquet"))
+      .map { f =>
+        val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+        val crc = new java.util.zip.CRC32
+        crc.update(bytes)
+        f.getPath.stripPrefix(base.getPath) -> (f.length(), crc.getValue)
+      }.toMap
+  }
+
+  private def labelsOf(dir: String): Map[Long, Long] =
+    LabelStore.read(spark, dir).get
+      .as[(Long, Long)].collect().toMap
+
+  test("a fold touching one component rewrites only its buckets; others byte-identical") {
+    val dir = freshDir()
+    // bootstrap: many small components spread across all 8 buckets
+    val edges0 = Seq.tabulate(64)(i => (i.toLong, (i + 1000).toLong))
+      .toDF("src", "dst")
+    LabelStore.fold(spark, dir, edges0)
+    val before = fileStates(dir)
+    assert(before.nonEmpty)
+    val bucketsOnDisk = before.keySet.map(_.split("/").find(_.startsWith("bucket=")).get)
+    assert(bucketsOnDisk.size == LabelStore.DefaultBuckets,
+      s"fixture must populate every bucket, got $bucketsOnDisk")
+
+    // batch 2: one new edge joining node 0's component to a new node —
+    // only the buckets of the relabeled/new nodes may be rewritten
+    LabelStore.fold(spark, dir, Seq((5000L, 0L)).toDF("src", "dst"))
+    val after = fileStates(dir)
+
+    val changedNodes = Seq(5000L) // 0 and 1000 keep their min-id label 0
+    val changedBuckets = changedNodes
+      .map(n => spark.range(1).select(pmod(hash(lit(n)), lit(8))).head().getInt(0))
+      .map(b => s"bucket=$b").toSet
+    val untouched = before.keySet.filterNot(p => changedBuckets.exists(p.contains))
+    assert(untouched.nonEmpty, "fixture must leave some buckets untouched")
+    untouched.foreach { p =>
+      assert(after.get(p).contains(before(p)),
+        s"untouched bucket file $p was rewritten (or removed) by the fold")
+    }
+    // and the changed buckets WERE rewritten (new file names per job)
+    assert(changedBuckets.exists(b => !before.keySet.filter(_.contains(b))
+      .forall(p => after.get(p).contains(before(p)))),
+      "the changed bucket must actually be rewritten")
+  }
+
+  test("sequential folds equal the full recompute over all edges") {
+    val dir = freshDir()
+    val batch1 = Seq((1L, 2L), (3L, 4L), (10L, 11L)).toDF("src", "dst")
+    val batch2 = Seq((2L, 3L), (20L, 21L)).toDF("src", "dst") // merges {1,2} with {3,4}
+    val batch3 = Seq((4L, 20L)).toDF("src", "dst") // merges again
+    LabelStore.fold(spark, dir, batch1)
+    LabelStore.fold(spark, dir, batch2)
+    LabelStore.fold(spark, dir, batch3)
+    val got = labelsOf(dir)
+    val full = graft.operators.GraphOps
+      .connectedComponents(batch1.union(batch2).union(batch3))
+      .as[(Long, Long)].collect().toMap
+    assert(got == full, "folded labeling must equal the full recompute")
+  }
+
+  test("min-fold read repairs torn-commit duplicates (labels only decrease)") {
+    val dir = freshDir()
+    LabelStore.fold(spark, dir, Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))
+    // simulate a torn dynamic overwrite: an old, higher label for node 3
+    // survives alongside the new row in its bucket directory
+    val bucket3 = spark.range(1).select(pmod(hash(lit(3L)), lit(8))).head().getInt(0)
+    Seq((3L, 2L)).toDF("node", "label")
+      .write.mode("append").parquet(s"$dir/bucket=$bucket3")
+    val raw = spark.read.parquet(dir).where(col("node") === 3L).count()
+    assert(raw == 2, "fixture: the torn duplicate must be on disk")
+    val labels = labelsOf(dir)
+    assert(labels(3L) == 1L,
+      "read must repair the duplicate to the newest (minimum) label")
+    // and folding onward from the torn state converges to the truth
+    LabelStore.fold(spark, dir, Seq((3L, 4L)).toDF("src", "dst"))
+    val after = labelsOf(dir)
+    assert(after == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+}

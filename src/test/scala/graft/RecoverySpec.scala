@@ -47,4 +47,103 @@ class RecoverySpec extends SparkSpec {
     assert(got.size == 250, s"expected 250 rows exactly once, got ${got.size}")
     assert(got == Seq.range(0L, 250L), "every input id exactly once")
   }
+
+  // ---- StoreSwap: kill the two-rename swap between every pair of steps.
+  // The protocol (delete leftover .old / rename store->.old /
+  // rename .tmp->store / delete .old) claims that a COMPLETE version is
+  // readable at every intermediate state and that re-running commit from
+  // any crash point finishes the swap. Each test manufactures one crash
+  // state with raw FS ops and asserts both halves of the claim.
+
+  import graft.model.StoreSwap
+
+  private def hfs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+  private def writeVersion(dir: String, tag: String, n: Int): Unit =
+    Seq.tabulate(n)(i => (i.toLong, tag)).toDF("id", "v")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  private def readTags(dir: String): Set[String] =
+    spark.read.parquet(dir).select("v").as[String].collect().toSet
+
+  test("StoreSwap kill before any rename (store=v1, tmp=v2): v1 readable, commit lands v2") {
+    val store = Files.createTempDirectory("graft_swap_a").toString + "/store"
+    writeVersion(store, "v1", 10)
+    writeVersion(StoreSwap.tmpPath(store), "v2", 12)
+    val readable = StoreSwap.readablePath(spark, store)
+    assert(readable.contains(store) && readTags(readable.get) == Set("v1"))
+    StoreSwap.commit(spark, store)
+    assert(readTags(store) == Set("v2") && spark.read.parquet(store).count() == 12)
+    assert(!hfs.exists(hp(StoreSwap.tmpPath(store))) &&
+      !hfs.exists(hp(StoreSwap.oldPath(store))), "no sibling dirs after commit")
+  }
+
+  test("StoreSwap kill mid-swap (old=v1, tmp=v2, store ABSENT): v1 still readable, commit recovers v2") {
+    val store = Files.createTempDirectory("graft_swap_b").toString + "/store"
+    // the state the naive delete-then-rename makes unrecoverable: the
+    // serving path itself is gone
+    writeVersion(StoreSwap.oldPath(store), "v1", 10)
+    writeVersion(StoreSwap.tmpPath(store), "v2", 12)
+    val readable = StoreSwap.readablePath(spark, store)
+    assert(readable.contains(StoreSwap.oldPath(store)),
+      "mid-swap the .old preserved by step 2 must be the readable version")
+    assert(readTags(readable.get) == Set("v1"))
+    StoreSwap.commit(spark, store)
+    assert(readTags(store) == Set("v2"))
+    assert(!hfs.exists(hp(StoreSwap.oldPath(store))))
+  }
+
+  test("StoreSwap kill after swap, before cleanup (store=v2, old=v1): v2 readable, commit cleans up") {
+    val store = Files.createTempDirectory("graft_swap_c").toString + "/store"
+    writeVersion(store, "v2", 12)
+    writeVersion(StoreSwap.oldPath(store), "v1", 10)
+    assert(StoreSwap.readablePath(spark, store).contains(store))
+    StoreSwap.commit(spark, store) // recovery mode: no tmp
+    assert(readTags(store) == Set("v2"))
+    assert(!hfs.exists(hp(StoreSwap.oldPath(store))), "leftover .old cleaned")
+  }
+
+  test("StoreSwap next batch over a crashed predecessor (store=v2, old=v1, tmp=v3) lands v3") {
+    val store = Files.createTempDirectory("graft_swap_d").toString + "/store"
+    writeVersion(store, "v2", 12)
+    writeVersion(StoreSwap.oldPath(store), "v1", 10)
+    writeVersion(StoreSwap.tmpPath(store), "v3", 14)
+    StoreSwap.commit(spark, store)
+    assert(readTags(store) == Set("v3"))
+    assert(!hfs.exists(hp(StoreSwap.tmpPath(store))) &&
+      !hfs.exists(hp(StoreSwap.oldPath(store))))
+  }
+
+  test("a label-store maintainer on StoreSwap survives a mid-swap crash: prior labels NOT discarded") {
+    // the failure mode the round-9 verdict called the engine's worst: a
+    // crash between delete and rename left a serving store absent, and a
+    // maintainer's bare exists() check silently restarted state from
+    // empty. Reproduce the crash state and run the readablePath
+    // bootstrap every StoreSwap maintainer (stream_upsert's shape) uses.
+    // (stream_cc itself moved to the finer-grained LabelStore delta
+    // scheme — its crash story is pinned in LabelStoreSpec.)
+    val labelsDir = Files.createTempDirectory("graft_swap_cc").toString + "/labels"
+    // a valid prior labeling (every CC component has >= 2 nodes — the
+    // star-edge contract of connectedComponentsIncremental)
+    Seq((1L, 1L), (2L, 1L), (3L, 3L), (5L, 3L)).toDF("node", "label")
+      .coalesce(1).write.parquet(StoreSwap.oldPath(labelsDir)) // crashed mid-swap
+    writeVersion(StoreSwap.tmpPath(labelsDir), "half-written", 1)
+    val existing = StoreSwap.readablePath(spark, labelsDir)
+      .map(p => spark.read.parquet(p))
+      .getOrElse(spark.range(0).select(col("id").as("node"), col("id").as("label")))
+    assert(existing.count() == 4,
+      "prior labeling must be recovered from .old, not restarted from empty")
+    // and folding the next batch from the recovered labeling keeps them
+    val edges = Seq((4L, 2L)).toDF("src", "dst")
+    val updated = graft.operators.GraphOps
+      .connectedComponentsIncremental(existing, edges)
+    updated.write.mode("overwrite").parquet(StoreSwap.tmpPath(labelsDir))
+    StoreSwap.commit(spark, labelsDir)
+    val labels = spark.read.parquet(labelsDir)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.keySet == Set(1L, 2L, 3L, 4L, 5L), "all prior nodes retained")
+    assert(labels(4L) == labels(2L) && labels(2L) == labels(1L),
+      "new edge folded into the recovered component")
+    assert(labels(5L) == labels(3L), "untouched component survives the crash")
+  }
 }
