@@ -189,18 +189,40 @@ object Multimodal {
       mt => javax.imageio.ImageIO.getImageReadersByMIMEType(mt).hasNext)
 
   /** REAL audio decode for the formats javax.sound.sampled ships
-    * (WAV/AIFF/AU PCM): byte_mean is the mean absolute normalized
+    * (WAV/AIFF/AU): byte_mean is the mean absolute normalized
     * amplitude × 255 (the audio analogue of the image path's mean luma
     * scale), the 4-dim feature is the RMS amplitude of each temporal
     * quarter — a real (tiny) audio embedding from decoded samples, not
-    * compressed bytes. Mono-mixes multi-channel; 8/16-bit PCM, both
-    * endiannesses, signed and unsigned.
+    * compressed bytes. Mono-mixes multi-channel; 8/16-bit linear PCM in
+    * both endiannesses and BOTH signednesses, each decoded per the
+    * stream's declared AudioFormat.Encoding (WAV 8-bit is unsigned,
+    * AIFF 8-bit is signed — assuming one from the width is a silent
+    * amplitude corruption). Non-linear encodings (AU's ULAW/ALAW) are
+    * normalized through the JVM's own converter to 16-bit signed PCM
+    * first, so their amplitudes are correct too; an encoding the JVM
+    * cannot convert fails loudly rather than mis-decoding.
     */
   def decodeAudio(r: MediaRow): MediaFeatures = {
-    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    import AudioFormat.Encoding.{PCM_SIGNED, PCM_UNSIGNED}
+    val src = AudioSystem.getAudioInputStream(
       new java.io.ByteArrayInputStream(r.payload))
+    val in =
+      if (src.getFormat.getEncoding == PCM_SIGNED ||
+        src.getFormat.getEncoding == PCM_UNSIGNED) src
+      else {
+        // ULAW/ALAW (audio/basic's defaults): the JVM ships the
+        // companding tables — convert rather than mis-read the bytes as
+        // linear. Throws IllegalArgumentException on an encoding it
+        // cannot convert: loud, as required.
+        val sf = src.getFormat
+        AudioSystem.getAudioInputStream(
+          new AudioFormat(PCM_SIGNED, sf.getSampleRate, 16, sf.getChannels,
+            2 * sf.getChannels, sf.getSampleRate, false), src)
+      }
     try {
       val fmt = in.getFormat
+      val signed = fmt.getEncoding == PCM_SIGNED
       val bytesPerSample = fmt.getSampleSizeInBits / 8
       require(bytesPerSample == 1 || bytesPerSample == 2,
         s"unsupported sample width ${fmt.getSampleSizeInBits} for doc ${r.doc_id}")
@@ -217,12 +239,15 @@ object Multimodal {
           val off = (f * ch + c) * bytesPerSample
           val s =
             if (bytesPerSample == 1) {
-              // 8-bit PCM is unsigned per the WAV spec
-              ((raw(off) & 0xff) - 128) / 128.0
+              // width alone does not decide signedness: WAV 8-bit is
+              // PCM_UNSIGNED, AIFF 8-bit is PCM_SIGNED
+              if (signed) raw(off) / 128.0
+              else ((raw(off) & 0xff) - 128) / 128.0
             } else {
               val lo = if (fmt.isBigEndian) raw(off + 1) else raw(off)
               val hi = if (fmt.isBigEndian) raw(off) else raw(off + 1)
-              ((hi << 8) | (lo & 0xff)) / 32768.0
+              if (signed) ((hi << 8) | (lo & 0xff)) / 32768.0
+              else ((((hi & 0xff) << 8) | (lo & 0xff)) - 32768) / 32768.0
             }
           acc += s
           c += 1
@@ -427,15 +452,24 @@ object Multimodal {
       "multimodal_audio_features",
       """WITH b AS (
         |  SELECT doc_id, text, unnest(range(1, length(text) + 1)) AS i
-        |  FROM documents)
+        |  FROM documents
+        |  WHERE length(text) > 0 AND octet_length(encode(text)) = length(text))
         |SELECT doc_id,
         |       CAST(count(*) AS BIGINT) AS n_samples,
         |       CAST(sum(abs(ord(substr(text, CAST(i AS INT), 1)) - 128)) AS BIGINT)
         |         AS abs_sum
         |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       // byte_mean = 255·abs_sum/(128·n) exactly; invert on the integer
-      // grid (double error ~1e-9 « 1) to emit the exact decoded sum
-      extractFeatures(documentsAsWav(Tables.documents(s, dir)))
+      // grid (double error ~1e-9 « 1) to emit the exact decoded sum.
+      // Only non-empty single-byte (ASCII) docs ride the sample-i-IS-
+      // byte-i equivalence — the oracle's ord()/length() arithmetic
+      // assumes it, and a 0-frame WAV is (rightly) a loud decode
+      // failure. Filtered IDENTICALLY on both sides, so a future
+      // fixture with empty or non-ASCII docs drops those rows in both
+      // engines instead of failing the whole query.
+      extractFeatures(documentsAsWav(Tables.documents(s, dir)
+        .where(length(col("text")) > 0 &&
+          octet_length(col("text")) === length(col("text")))))
         .select(col("doc_id"), col("n_bytes").as("n_samples"),
           round(col("byte_mean") * col("n_bytes") * 128.0 / 255.0)
             .cast("long").as("abs_sum"))

@@ -95,14 +95,35 @@ object TextOps {
         coalesce(col("c"), lit(oovCount)) / lit(totalTokens))), 4).as("nll"))
   }
 
+  /** Default hot-shingle cap for the exact sparse similarity join: a
+    * shingle shared by k docs fans out k² join rows, so one boilerplate
+    * shingle (license header, nav bar) can turn the whole job quadratic.
+    * Declared BEFORE `shinglePairCte`/`defs` — the oracle SQL
+    * interpolates it eagerly at object init (the SpanDedupN rule; a
+    * later declaration interpolates the uninitialized 0 and empties the
+    * oracle's join).
+    */
+  val MaxShingleFreq = 10000
+
+  /** The shared exact-shingle oracle CTE. The `cool`/`shj` stage is the
+    * DuckDB mirror of the Spark side's MaxShingleFreq hot-shingle guard
+    * (dropHotBuckets inside ngramJaccardPairsFromHashes and the
+    * containment form): shingles in more than the cap's worth of docs
+    * are dropped from the pair JOIN while set sizes stay exact — the
+    * two engines must apply the SAME cap or intersection counts diverge
+    * on any corpus with a >cap boilerplate shingle (latent at fixture
+    * scale, real at 100 TB).
+    */
   def shinglePairCte(src: String = "documents"): String =
     s"""toks AS (SELECT doc_id, string_split_regex(lower(text), '\\s+') AS l
       |              FROM $src),
       |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
       |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-2, 0))) AS i) g),
       |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+      |cool AS (SELECT s FROM sh GROUP BY s HAVING count(*) <= $MaxShingleFreq),
+      |shj AS (SELECT sh.doc_id, sh.s FROM sh JOIN cool USING (s)),
       |pair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-      |         FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+      |         FROM shj a JOIN shj b ON a.s = b.s AND a.doc_id < b.doc_id
       |         GROUP BY 1, 2)""".stripMargin
 
   /** Span length for text_span_dedup: long enough that natural-language
@@ -1067,11 +1088,8 @@ object TextOps {
     } finally { bounded.unpersist(); base.unpersist() }
   }
 
-  /** Default hot-shingle cap for the exact sparse similarity join: a
-    * shingle shared by k docs fans out k² join rows, so one boilerplate
-    * shingle (license header, nav bar) can turn the whole job quadratic.
-    */
-  val MaxShingleFreq = 10000
+  // (MaxShingleFreq is declared ABOVE shinglePairCte/defs — the oracle
+  // SQL interpolates it eagerly at object init, same rule as SpanDedupN.)
 
   /** Exact Jaccard from a per-doc distinct-shingle-hash ARRAY relation
     * (doc_id, hs): set sizes come row-locally from the array length (zero

@@ -55,20 +55,30 @@ object TextSources {
 
     // Line-oriented raw text — how web corpora actually arrive at 100 TB
     // (one document per line: the WET/plain-text tier below JSONL).
-    // Round-trip: stage each doc's text as one line (fixture text has no
-    // newlines), read back with `spark.read.text`, recompute corpus
-    // stats from the raw lines. The oracle computes the same stats from
-    // the source table — the round-trip must be content-lossless.
-    // Scale: text splits by line within files; no schema inference pass.
+    // Round-trip: stage each doc's text as one line, read back with
+    // `spark.read.text`, recompute corpus stats from the raw lines. The
+    // oracle computes the same stats from the source table — the
+    // round-trip must be content-lossless. One-doc-one-line is ENFORCED
+    // at the write, not assumed: nulls are dropped (write.text throws
+    // on them) and embedded newlines normalized to spaces — a doc
+    // containing \n would otherwise silently split into extra lines and
+    // inflate n_lines vs the oracle. The oracle applies the IDENTICAL
+    // normalization (char count preserved: \n → one space; token splits
+    // unchanged: both are \s+). Scale: text splits by line within
+    // files; no schema inference pass.
     withOracle(
       "source_text",
       """SELECT CAST(count(*) AS BIGINT) AS n_lines,
-        |       CAST(sum(length(text)) AS BIGINT) AS total_chars,
+        |       CAST(sum(length(regexp_replace(text, '[\r\n]', ' ', 'g'))) AS BIGINT)
+        |         AS total_chars,
         |       CAST(sum(len(string_split_regex(lower(text), '\s+'))) AS BIGINT)
         |         AS total_tokens
-        |FROM documents""".stripMargin) { (s, dir) =>
+        |FROM documents WHERE text IS NOT NULL""".stripMargin) { (s, dir) =>
       val path = stage() + "/docs_txt"
-      Tables.documents(s, dir).select("text").write.text(path)
+      Tables.documents(s, dir)
+        .where(col("text").isNotNull)
+        .select(regexp_replace(col("text"), "[\\r\\n]", " ").as("text"))
+        .write.text(path)
       s.read.text(path)
         .agg(count(lit(1)).cast("long").as("n_lines"),
           sum(length(col("value"))).cast("long").as("total_chars"),

@@ -212,4 +212,53 @@ class MultimodalSpec extends SparkSpec {
     val mp3 = Multimodal.MediaRow(10L, "audio/mpeg", 4L, Array[Byte](1, 2, 3, 4))
     assert(Multimodal.decode(mp3).feature.length == 4) // stub shape, no crash
   }
+
+  test("audio decode branches on the stream's declared encoding, not the sample width") {
+    // the two shapes a width-only decoder silently corrupts: AIFF 8-bit
+    // is PCM_SIGNED (WAV 8-bit is unsigned), and audio/basic (AU) is
+    // mu-law companded, not linear at all
+    import javax.sound.sampled._
+    val n = 8000
+    val amp = 0.5
+    val sine = Array.tabulate(n)(i => amp * math.sin(2 * math.Pi * 440 * i / 8000.0))
+
+    // signed 8-bit big-endian mono AIFF
+    val fmt8 = new AudioFormat(8000f, 8, 1, true, true)
+    val raw8 = sine.map(s =>
+      math.max(-128, math.min(127, math.round(s * 127).toInt)).toByte)
+    val bos8 = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw8), fmt8, n.toLong),
+      AudioFileFormat.Type.AIFF, bos8)
+    val aiff = Multimodal.decode(
+      Multimodal.MediaRow(11L, "audio/aiff", 0L, bos8.toByteArray))
+    // mean |sine| = 2A/pi — a decoder reading these signed bytes as
+    // unsigned would center them at -1 and report byte_mean ~255
+    assert(math.abs(aiff.byte_mean / 255.0 - 2 * amp / math.Pi) < 1e-2,
+      s"AIFF signed 8-bit mis-decoded: byte_mean=${aiff.byte_mean}")
+
+    // mu-law AU: build 16-bit PCM, compand via the JVM's own converter
+    val fmt16 = new AudioFormat(8000f, 16, 1, true, false)
+    val raw16 = new Array[Byte](n * 2)
+    sine.zipWithIndex.foreach { case (s, i) =>
+      val v = math.max(-32768, math.min(32767, math.round(s * 32767).toInt))
+      raw16(2 * i) = (v & 0xff).toByte
+      raw16(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val pcmIn = new AudioInputStream(
+      new java.io.ByteArrayInputStream(raw16), fmt16, n.toLong)
+    val ulawIn = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.ULAW, 8000f, 8, 1, 1, 8000f, false),
+      pcmIn)
+    val bosU = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ulawIn, AudioFileFormat.Type.AU, bosU)
+    val au = Multimodal.decode(
+      Multimodal.MediaRow(12L, "audio/basic", 0L, bosU.toByteArray))
+    // companding round-trip is lossy but close; reading the mu-law
+    // bytes as linear PCM would be off by an order of magnitude
+    assert(math.abs(au.byte_mean / 255.0 - 2 * amp / math.Pi) < 2e-2,
+      s"ULAW mis-decoded: byte_mean=${au.byte_mean}")
+    au.feature.foreach(q =>
+      assert(math.abs(q - amp / math.sqrt(2)) < 2e-2, s"ULAW RMS off: $q"))
+  }
 }
