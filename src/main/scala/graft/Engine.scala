@@ -1,0 +1,177 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** The user-facing surface of the graft engine.
+  *
+  * Everything below operates on CALLER DataFrames — no table registry,
+  * no fixture coupling; `SparkEntry.queries` (the driver contract) is
+  * just these functions applied to the test tables. Column conventions
+  * shared across the families:
+  *
+  *   - documents:  (`doc_id` long, `text` string)
+  *   - embeddings: (`vec_id` long, `embedding` array<float>)
+  *   - edges:      (`src` long, `dst` long)
+  *
+  * Session setup: any SparkSession works; for production sizes set
+  * `spark.sql.shuffle.partitions` to your core count × 2-3 and register
+  * `org.apache.spark.sql.graft.GraftExtensions` via
+  * `spark.sql.extensions` to get the engine's SQL functions and the
+  * approx-distinct rewrite rule. Sessions serving many SMALL IVF-PQ
+  * indexes should also set
+  * `spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly=false`
+  * (see [[operators.VectorIndex.searchIvfPq]]).
+  *
+  * Each `val` below is a stable alias to an operator family; the defs
+  * are convenience forwarders for the flagship flows. The full
+  * capability → API mapping lives in README.md ("Using the engine").
+  *
+  * ==Example==
+  * {{{
+  * import graft.Engine
+  *
+  * // near-dedup a corpus at Jaccard 0.8, keep canonical docs
+  * val pairs = Engine.nearDupPairs(docs, threshold = 0.8)
+  * val canon = Engine.dropNearDuplicates(docs, pairs)
+  *
+  * // build + serve a persistent ANN index
+  * Engine.index.buildIvfPq(spark, embeddings, "/indexes/corpus")
+  * val hits = Engine.index.searchIvfPq(spark, "/indexes/corpus",
+  *   embeddings, probes, k = 10, nProbe = 8, rerank = 8)
+  * }}}
+  */
+object Engine {
+
+  // ---- operator families (stable aliases; see each object's scaladoc)
+
+  /** Text pipeline: PII scrub, language ID, quality signals, unigram-LM
+    * scoring, tf-idf/BM25 retrieval, span dedup, exact/incremental
+    * dedup, winnowing fingerprints, corpus report.
+    */
+  val text: operators.TextOps.type = operators.TextOps
+
+  /** Near-duplicate detection: MinHash-LSH banded candidates + exact
+    * verify, SimHash pigeonhole, shared hamming band join. All banded —
+    * never an all-pairs join.
+    */
+  val dedup: operators.NearDedup.type = operators.NearDedup
+
+  /** Vector search: exact cosine top-k, ANN (SRP-LSH / IVF / PQ /
+    * IVF-PQ), embedding near-dedup (SRP-LSH and SemDeDup-style),
+    * outlier filtering, cluster-balanced sampling. Auto-sizing rules:
+    * √n IVF cells, log₂(n) LSH planes, dims/4 PQ subspaces.
+    */
+  val vectors: operators.VectorOps.type = operators.VectorOps
+
+  /** Persistent IVF-PQ index lifecycle: build / append-without-retrain /
+    * consolidate / search with partition-pruned reads (parquet cell
+    * directories ARE the inverted lists).
+    */
+  val index: operators.VectorIndex.type = operators.VectorIndex
+
+  /** Graph: pointer-jumping connected components (batch, incremental,
+    * streaming via [[streaming.LabelStore]]), PageRank, triangle count.
+    */
+  val graph: operators.GraphOps.type = operators.GraphOps
+
+  /** Training-corpus construction: sequence packing, sharding,
+    * stratified/token-budget/weighted sampling, WFQ interleave,
+    * contamination check, train/eval split, embedding quantization.
+    */
+  val corpus: operators.CorpusOps.type = operators.CorpusOps
+
+  /** BPE tokenizer lifecycle: learn merges (reference-exact), apply,
+    * token counting.
+    */
+  val bpe: operators.Bpe.type = operators.Bpe
+
+  /** Learned quality classifier: train in-engine on weak labels, score
+    * the corpus in one zero-shuffle codegen pass.
+    */
+  val quality: operators.QualityFilter.type = operators.QualityFilter
+
+  /** Multimodal: binary ingest → real ImageIO / javax.sound decode
+    * (stub only for JVM-codecless types), feature extract, resize,
+    * perceptual-hash near-dedup.
+    */
+  val multimodal: operators.Multimodal.type = operators.Multimodal
+
+  /** Relational extras: as-of joins (backward/forward/tolerance). */
+  val asof: operators.AsofJoin.type = operators.AsofJoin
+
+  /** Skew weapons: salted aggregation and salted join for hot keys. */
+  val skew: operators.Skew.type = operators.Skew
+
+  /** Storage layout: Z-order and range-sort writes for scan locality. */
+  val layout: operators.Layout.type = operators.Layout
+
+  /** Sessionization (gap-based visits) over any keyed event relation. */
+  val sessions: operators.Sessionize.type = operators.Sessionize
+
+  /** Master-dataset store (Pail semantics): validated append ingest,
+    * kind-partitioned scans, consolidate, snapshot claim — plus the
+    * crash-safe [[model.StoreSwap]] two-rename swap protocol.
+    */
+  val store: model.FactStore.type = model.FactStore
+
+  /** Serving-store swap + bootstrap primitives (two-rename protocol). */
+  val swap: model.StoreSwap.type = model.StoreSwap
+
+  /** Speed-layer label store for streaming connected components:
+    * bucket-partitioned, folds rewrite only changed buckets.
+    */
+  val labels: streaming.LabelStore.type = streaming.LabelStore
+
+  /** Mergeable sketches: HLL (uniques), KLL (quantiles), Theta (set
+    * algebra) via Spark/DataSketches functions; Misra-Gries heavy
+    * hitters and Count-Min frequencies as typed Aggregators with
+    * codegen readouts.
+    */
+  val sketches: functions.FreqSketch.type = functions.FreqSketch
+
+  /** Map-side-combinable top-k heap aggregator (the skew-proof
+    * alternative to a per-key row_number window).
+    */
+  val topK: functions.TopKAgg.type = functions.TopKAgg
+
+  // ---- flagship-flow forwarders
+
+  /** Near-duplicate PAIRS of a (doc_id, text) corpus at a shingle-
+    * Jaccard threshold: MinHash-LSH banded candidates, exact verify —
+    * every emitted pair is truly above threshold; only recall is
+    * approximate (tracked per round in RECALL_r{N}.json).
+    */
+  def nearDupPairs(docs: DataFrame, threshold: Double): DataFrame =
+    operators.NearDedup.minhashNearDups(docs, threshold)
+
+  /** Apply dedup pairs to the corpus: cluster pairs via connected
+    * components, keep the min-id canonical document per cluster.
+    */
+  def dropNearDuplicates(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cc = operators.GraphOps.connectedComponents(
+      pairs.select(col(pairs.columns(0)).as("src"),
+        col(pairs.columns(1)).as("dst")))
+    docs.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+      .where(col("label").isNull || col("label") === col("doc_id"))
+      .drop("label")
+  }
+
+  /** Embedding near-duplicate pairs at a cosine threshold: SRP-LSH
+    * banded candidates + exact cosine verify (the scale form of the
+    * all-pairs join).
+    */
+  def cosineNearDupPairs(spark: SparkSession, emb: DataFrame,
+      threshold: Double): DataFrame =
+    operators.VectorOps.cosineNearDupLsh(spark, emb, threshold)
+
+  /** In-query ANN top-k over an embedding corpus (IVF + residual PQ —
+    * the production composition; exact cosines on the emitted rows).
+    * For repeated serving, build a persistent index via [[index]]
+    * instead.
+    */
+  def annTopK(spark: SparkSession, emb: DataFrame, probeFilter: Column,
+      k: Int, nProbe: Int = 8, rerank: Int = 8): DataFrame =
+    operators.VectorOps.annIvfPq(spark, emb, probeFilter, k,
+      nProbe = nProbe, rerank = rerank)
+}

@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The user-facing facade: every flow runs over caller-constructed
+  * DataFrames (no fixture tables) — the "a user of the reference could
+  * switch" surface.
+  */
+class EngineSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("text near-dedup flow: pairs -> drop, over caller DataFrames") {
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+      (2L, "the quick brown fox jumps over the lazy dog near the river bank tonight"),
+      (3L, "completely different content about distributed shuffle exchange operators"))
+      .toDF("doc_id", "text")
+    val pairs = Engine.nearDupPairs(docs, threshold = 0.5)
+    val got = pairs.select("i", "j").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L)), s"expected the near-dup pair, got $got")
+    val canon = Engine.dropNearDuplicates(docs, pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(canon == Set(1L, 3L), "min-id canonical kept, duplicate dropped")
+  }
+
+  test("embedding flow: cosine near-dup pairs and ANN top-k over caller DataFrames") {
+    val rnd = new scala.util.Random(7)
+    def vec(seedShift: Double): Array[Float] =
+      Array.tabulate(16)(i => (math.sin(i + seedShift) + rnd.nextGaussian() * 0.01).toFloat)
+    val emb = (0L until 40L).map { i =>
+      // ids 0 and 1 are near-identical; the rest random-ish
+      if (i == 1L) (i, vec(0.0)) else (i, vec(i.toDouble))
+    }.toDF("vec_id", "embedding")
+    val pairs = Engine.cosineNearDupPairs(spark, emb, threshold = 0.95)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"planted near-dup must be found, got $pairs")
+    val hits = Engine.annTopK(spark, emb, probeFilter = col("vec_id") === 0L,
+      k = 3, nProbe = 8, rerank = 8)
+    val top = hits.orderBy("rank").select("neighbor_id").as[Long].head()
+    assert(top == 1L, s"nearest neighbor of 0 must be its near-copy 1, got $top")
+  }
+
+  test("family aliases are the operator objects (stable API points)") {
+    assert(Engine.text eq operators.TextOps)
+    assert(Engine.dedup eq operators.NearDedup)
+    assert(Engine.vectors eq operators.VectorOps)
+    assert(Engine.index eq operators.VectorIndex)
+    assert(Engine.graph eq operators.GraphOps)
+    assert(Engine.store eq model.FactStore)
+    assert(Engine.labels eq streaming.LabelStore)
+  }
+}
