@@ -253,12 +253,19 @@ object VectorOps {
       val idx = java.nio.file.Files.createTempDirectory("graft_vecindex").toString
       // lifecycle under the pinned 16×(16×16) shape (m 8 → 16 round 10,
       // same ADC-budget fix as ann_ivfpq): build on even ids, append odd
-      // ids with the build's codebooks, search the union
+      // ids with the build's codebooks, search the union. rerank is 12
+      // here vs the in-query form's 8: append-without-retrain encodes
+      // the appended batch with STALE codebooks (trained on the build
+      // half only), so its ADC ranks are systematically blunter — the
+      // production stance is to budget a wider exact-rerank window for
+      // an index that has absorbed appends (measured round 10: 0.78 →
+      // 0.84 recall@5 at rerank 12, 0.90 at 16; the cost is rerank·k
+      // exact cosines per probe, nothing corpus-shaped).
       VectorIndex.buildIvfPq(s, emb.where(col("vec_id") % 2 === 0), idx,
         nCells = 16, m = 16, ks = 16)
       VectorIndex.appendIvfPq(s, emb.where(col("vec_id") % 2 === 1), idx)
       VectorIndex.searchIvfPq(s, idx, emb,
-        probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8, rerank = 8)
+        probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8, rerank = 12)
     },
 
     // The embedding-side capstone pipeline (the vector analogue of
