@@ -123,6 +123,12 @@ object Engine {
     */
   val labels: streaming.LabelStore.type = streaming.LabelStore
 
+  /** LSM-flavored streamed upsert store: folds are pure appends with a
+    * batch sequence number, reads resolve latest-per-key (tombstone
+    * deletes), compact() is the maintenance pass.
+    */
+  val upserts: streaming.UpsertStore.type = streaming.UpsertStore
+
   /** Mergeable sketches: HLL (uniques), KLL (quantiles), Theta (set
     * algebra) via Spark/DataSketches functions; Misra-Gries heavy
     * hitters and Count-Min frequencies as typed Aggregators with

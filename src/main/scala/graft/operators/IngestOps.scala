@@ -199,14 +199,18 @@ object IngestOps {
 
     // The STREAMED form of snapshot_upsert: the changes batch arrives as
     // a stream (one file per microbatch via maxFilesPerTrigger) and
-    // foreachBatch applies each slice to the parquet serving store —
-    // merge to a temp dir, then the crash-safe StoreSwap two-rename
-    // protocol (a complete version readable at every step). Change keys are
-    // disjoint, so sequential application over ANY batching converges to
-    // the one-shot batch merge — proven by sharing its oracle. This is
-    // the relational analogue of the vector index's streamed appends:
-    // the speed layer MAINTAINS the serving view instead of rebuilding
-    // it.
+    // foreachBatch folds each slice into the bucket-partitioned
+    // UpsertStore — a pure APPEND of the batch rows carrying the
+    // batchId as their version, with deletes as tombstones; reads
+    // resolve latest-per-key. No whole-store read-merge-rewrite per
+    // microbatch (the round-9 shape — store-sized I/O per batch, the
+    // scale bug), no swap window (nothing on the write path deletes),
+    // and batchId-replay is idempotent. compact() is run once at the
+    // end as the maintenance pass. Change keys are disjoint, so
+    // sequential application over ANY batching converges to the
+    // one-shot batch merge — proven by sharing its oracle. This is the
+    // relational analogue of the vector index's streamed appends: the
+    // speed layer MAINTAINS the serving view instead of rebuilding it.
     withOracle(
       "stream_upsert",
       """WITH ch AS (
@@ -228,31 +232,26 @@ object IngestOps {
       val root = Files.createTempDirectory("graft_supsert").toString
       val storeDir = s"$root/store"
       val changesDir = s"$root/changes"
+      val keys = Seq("o_orderkey")
       val base = ordersBase(s, dir)
-      base.write.parquet(storeDir)
+      // bootstrap: the base snapshot is version 0 of every key
+      graft.streaming.UpsertStore.fold(s, storeDir, base, keys, seq = 0L)
       upsertChanges(base).repartition(4).write.parquet(changesDir)
       val schema = s.read.parquet(changesDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(changesDir)
         .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          // read via readablePath: a crash in a PRIOR batch's swap may
-          // have left the current version under store.old
-          val current = graft.model.StoreSwap.readablePath(s, storeDir)
-            .getOrElse(sys.error(s"serving store missing at $storeDir"))
-          val merged = s.read.parquet(current)
-            .join(batch.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
-            .unionByName(batch.where(col("op") =!= "D").drop("op"))
-          merged.write.mode("overwrite")
-            .parquet(graft.model.StoreSwap.tmpPath(storeDir))
-          // crash-safe two-rename swap: a complete store version exists
-          // at every intermediate state (RecoverySpec kills each step)
-          graft.model.StoreSwap.commit(s, storeDir)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+          graft.streaming.UpsertStore.fold(s, storeDir,
+            batch.withColumn("_is_del", col("op") === "D").drop("op"),
+            keys, seq = batchId + 1, deletedCol = Some("_is_del"))
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
-      s.read.parquet(storeDir)
+      graft.streaming.UpsertStore.compact(s, storeDir, keys)
+      graft.streaming.UpsertStore.read(s, storeDir, keys)
+        .getOrElse(sys.error(s"serving store missing at $storeDir"))
         .select(col("o_orderkey"), col("o_custkey"),
           round(col("o_totalprice"), 2).as("o_totalprice"))
         .orderBy("o_orderkey")

@@ -119,9 +119,10 @@ class RecoverySpec extends SparkSpec {
     // crash between delete and rename left a serving store absent, and a
     // maintainer's bare exists() check silently restarted state from
     // empty. Reproduce the crash state and run the readablePath
-    // bootstrap every StoreSwap maintainer (stream_upsert's shape) uses.
-    // (stream_cc itself moved to the finer-grained LabelStore delta
-    // scheme — its crash story is pinned in LabelStoreSpec.)
+    // bootstrap a StoreSwap maintainer uses. (StoreSwap now guards the
+    // consolidate maintainers — FactStore/VectorIndex; the streamed
+    // maintainers moved to finer-grained delta stores whose crash
+    // stories are pinned in LabelStoreSpec / UpsertStoreSpec.)
     val labelsDir = Files.createTempDirectory("graft_swap_cc").toString + "/labels"
     // a valid prior labeling (every CC component has >= 2 nodes — the
     // star-edge contract of connectedComponentsIncremental)
