@@ -163,6 +163,32 @@ object Engine {
       .drop("label")
   }
 
+  /** [[dropNearDuplicates]] with a caller-chosen survivor: per dup
+    * cluster keep the row MAXIMIZING `priority` (ties → smallest
+    * doc_id) instead of the min-id canonical — the production stance
+    * when duplicates differ in quality (keep the cleanest crawl of a
+    * page, not the first-seen). The per-cluster argmax is a map-side-
+    * combinable max-of-struct aggregate, not a per-cluster window — a
+    * boilerplate mega-cluster costs its row count, never a single-task
+    * sort.
+    */
+  def dropNearDuplicatesBy(docs: DataFrame, pairs: DataFrame,
+      priority: Column): DataFrame = {
+    import org.apache.spark.sql.functions.{max, struct}
+    val cc = operators.GraphOps.connectedComponents(
+      pairs.select(col(pairs.columns(0)).as("src"),
+        col(pairs.columns(1)).as("dst")))
+    val labeled = docs.join(cc.withColumnRenamed("node", "doc_id"),
+      Seq("doc_id"), "left_outer")
+    val clustered = labeled.where(col("label").isNotNull)
+    val keep = clustered
+      .groupBy("label")
+      .agg(max(struct(priority.as("p"), (-col("doc_id")).as("negid"))).as("best"))
+      .select((-col("best.negid")).as("doc_id"))
+    labeled.where(col("label").isNull).drop("label")
+      .unionByName(clustered.join(keep, "doc_id").drop("label"))
+  }
+
   /** Embedding near-duplicate pairs at a cosine threshold: SRP-LSH
     * banded candidates + exact cosine verify (the scale form of the
     * all-pairs join).

@@ -67,6 +67,10 @@ object LabelStore {
     */
   def fold(spark: SparkSession, dir: String, edges: DataFrame,
       nBuckets: Int = DefaultBuckets): Unit = {
+    // an empty batch folds to nothing — and must not bootstrap an
+    // empty DIRECTORY (a dir holding only _SUCCESS fails schema
+    // inference on the next read; cheap limit-1 probe)
+    if (edges.isEmpty) return
     read(spark, dir) match {
       case None =>
         // bootstrap: full labeling, all buckets

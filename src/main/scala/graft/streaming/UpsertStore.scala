@@ -52,6 +52,9 @@ object UpsertStore {
   def fold(spark: SparkSession, dir: String, batch: DataFrame,
       keys: Seq[String], seq: Long, deletedCol: Option[String] = None,
       nBuckets: Int = DefaultBuckets): Unit = {
+    // an empty batch must not create an empty directory (a dir holding
+    // only _SUCCESS fails schema inference on the next read)
+    if (batch.isEmpty) return
     val withDel = deletedCol match {
       case Some(c) => batch.withColumnRenamed(c, "_deleted")
       case None => batch.withColumn("_deleted", lit(false))

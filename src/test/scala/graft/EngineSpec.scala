@@ -23,6 +23,20 @@ class EngineSpec extends SparkSpec {
     assert(canon == Set(1L, 3L), "min-id canonical kept, duplicate dropped")
   }
 
+  test("dropNearDuplicatesBy keeps the highest-priority duplicate, ties to min id") {
+    val docs = Seq(
+      (1L, "dup cluster a", 0.2),
+      (2L, "dup cluster a variant", 0.9),
+      (3L, "dup cluster a variant two", 0.9),
+      (4L, "standalone", 0.1))
+      .toDF("doc_id", "text", "quality")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("i", "j")
+    val kept = Engine.dropNearDuplicatesBy(docs, pairs, col("quality"))
+      .select("doc_id").as[Long].collect().toSet
+    // cluster {1,2,3}: 2 and 3 tie on quality 0.9 -> keep 2; 4 untouched
+    assert(kept == Set(2L, 4L), s"got $kept")
+  }
+
   test("embedding flow: cosine near-dup pairs and ANN top-k over caller DataFrames") {
     val rnd = new scala.util.Random(7)
     def vec(seedShift: Double): Array[Float] =

@@ -83,6 +83,17 @@ class LabelStoreSpec extends SparkSpec {
     assert(got == full, "folded labeling must equal the full recompute")
   }
 
+  test("empty edge batches fold to nothing: no empty-directory bootstrap") {
+    val dir = freshDir()
+    val empty = Seq.empty[(Long, Long)].toDF("src", "dst")
+    LabelStore.fold(spark, dir, empty)
+    assert(LabelStore.read(spark, dir).isEmpty,
+      "an empty first batch must not create an unreadable empty store")
+    LabelStore.fold(spark, dir, Seq((1L, 2L)).toDF("src", "dst"))
+    LabelStore.fold(spark, dir, empty)
+    assert(labelsOf(dir) == Map(1L -> 1L, 2L -> 1L))
+  }
+
   test("min-fold read repairs torn-commit duplicates (labels only decrease)") {
     val dir = freshDir()
     LabelStore.fold(spark, dir, Seq((1L, 2L), (2L, 3L)).toDF("src", "dst"))

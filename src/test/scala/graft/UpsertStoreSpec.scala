@@ -88,6 +88,19 @@ class UpsertStoreSpec extends SparkSpec {
     assert(readMap(dir)(0L) == "v3-0")
   }
 
+  test("empty batches fold to nothing: no empty-directory bootstrap, no file churn") {
+    val dir = freshDir()
+    val empty = Seq.empty[(Long, String)].toDF("k", "v")
+    UpsertStore.fold(spark, dir, empty, keys, seq = 0)
+    assert(UpsertStore.read(spark, dir, keys).isEmpty,
+      "an empty first batch must not create an unreadable empty store")
+    UpsertStore.fold(spark, dir, Seq((1L, "a")).toDF("k", "v"), keys, seq = 1)
+    val before = fileSet(dir)
+    UpsertStore.fold(spark, dir, empty, keys, seq = 2)
+    assert(fileSet(dir) == before, "an empty batch must write nothing")
+    assert(readMap(dir) == Map(1L -> "a"))
+  }
+
   test("torn fold (prefix of batch files visible) leaves prior versions readable") {
     val dir = freshDir()
     UpsertStore.fold(spark, dir, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keys, seq = 0)
