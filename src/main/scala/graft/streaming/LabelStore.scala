@@ -77,7 +77,13 @@ object LabelStore {
         GraphOps.connectedComponents(edges)
           .withColumn("bucket", bucketCol(col("node"), nBuckets))
           .write.partitionBy("bucket").parquet(dir)
-      case Some(existing) =>
+      case Some(existing0) =>
+        // materialize the prior labeling ONCE per fold: it feeds the
+        // incremental CC (whose iterations re-evaluate their input
+        // until the first internal checkpoint) AND the changed-bucket
+        // join — without this the store is re-scanned+re-aggregated
+        // several times per microbatch
+        val existing = existing0.localCheckpoint()
         val updated = GraphOps.connectedComponentsIncremental(existing, edges)
           .withColumn("bucket", bucketCol(col("node"), nBuckets))
         // a node is "changed" if new to the store or relabeled; its

@@ -65,24 +65,31 @@ object UpsertStore {
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(dir)
   }
 
+  /** One-pass latest-version resolve: max_by over the non-key columns
+    * keyed on `_seq` — a map-side-combinable argmax aggregate, not a
+    * per-key window and not a max+self-join (which would scan the store
+    * twice). One row per key by construction, so the exact duplicates a
+    * replayed fold leaves (same key, same _seq, same content) collapse
+    * for free.
+    */
+  private def latestPerKey(rows: DataFrame, keys: Seq[String]): DataFrame = {
+    val carried = rows.columns.filterNot(keys.contains)
+    rows.groupBy(keys.map(col): _*)
+      .agg(max_by(struct(carried.map(col): _*), col("_seq")).as("_r"))
+      .select(keys.map(col) ++ carried.map(c => col(s"_r.$c").as(c)): _*)
+  }
+
   /** Current state: latest version per key, tombstones dropped,
-    * bookkeeping columns removed. The latest-version resolve is a
-    * map-side-combinable max + self-join on (key, _seq) — not a per-key
-    * window — and collapses the exact duplicates a replayed fold can
-    * leave. None if the store has never been written.
+    * bookkeeping columns removed. None if the store has never been
+    * written.
     */
   def read(spark: SparkSession, dir: String, keys: Seq[String]): Option[DataFrame] = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
-    else {
-      val rows = spark.read.parquet(dir)
-      val latest = rows.groupBy(keys.map(col): _*).agg(max("_seq").as("_seq"))
-      Some(rows.join(latest, keys :+ "_seq")
-        .distinct() // replayed-fold duplicates share (key, _seq) AND content
-        .where(!col("_deleted"))
-        .drop("_seq", "_deleted", "bucket"))
-    }
+    else Some(latestPerKey(spark.read.parquet(dir), keys)
+      .where(!col("_deleted"))
+      .drop("_seq", "_deleted", "bucket"))
   }
 
   /** Rewrite every bucket down to its live rows (latest version per
@@ -97,10 +104,7 @@ object UpsertStore {
     * it). Run in maintenance windows, not under live writers.
     */
   def compact(spark: SparkSession, dir: String, keys: Seq[String]): Unit = {
-    val rows = spark.read.parquet(dir)
-    val latest = rows.groupBy(keys.map(col): _*).agg(max("_seq").as("_seq"))
-    val live = rows.join(latest, keys :+ "_seq")
-      .distinct()
+    val live = latestPerKey(spark.read.parquet(dir), keys)
       .where(!col("_deleted"))
       // lineage cut: the plan reads the directory being overwritten
       .localCheckpoint()
