@@ -103,9 +103,12 @@ object FreqSketch {
 
     override def reduce(b: CMSketch, key: String): CMSketch = {
       val a = b.counts.toArray
+      // one UTF-8 encode per input row, not one per hash row — reduce
+      // is the per-fact-row hot path (d× redundant encodings otherwise)
+      val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
       var r = 0
       while (r < d) {
-        a(r * w + CountMin.cell(key, r, w)) += 1
+        a(r * w + CountMin.cellOf(u, r, w)) += 1
         r += 1
       }
       CMSketch(a.toSeq)
@@ -136,12 +139,14 @@ object FreqSketch {
       * ([[estimateColumn]]) and this JVM-side increment path always
       * agree cell-for-cell. Floor-mod into [0, w).
       */
-    private[functions] def cell(key: String, r: Int, w: Int): Int = {
-      val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
+    private[functions] def cell(key: String, r: Int, w: Int): Int =
+      cellOf(org.apache.spark.unsafe.types.UTF8String.fromString(key), r, w)
+
+    private[functions] def cellOf(u: org.apache.spark.unsafe.types.UTF8String,
+        r: Int, w: Int): Int =
       java.lang.Math.floorMod(
         org.apache.spark.unsafe.hash.Murmur3_x86_32.hashUnsafeBytes(
           u.getBaseObject, u.getBaseOffset, u.numBytes(), r), w)
-    }
 
     /** Point query: min over the key's d cells. Serving-side readout for
       * a handful of probe keys — not a per-fact-row hot path.

@@ -155,6 +155,11 @@ object FactStore {
     * table-format OPTIMIZE; plain parquet needs the rewrite+swap.)
     */
   def consolidate(spark: SparkSession, masterPath: String, targetFiles: Int = 4): Unit = {
+    // recovery first: a predecessor's crash may have left the store
+    // mid-swap (absent, with .old/.tmp siblings) — commit() with no new
+    // tmp rolls the preserved version back into place, so this re-run
+    // self-heals instead of failing on a missing path
+    StoreSwap.commit(spark, masterPath)
     spark.read.parquet(masterPath)
       .repartition(targetFiles)
       .write.mode(SaveMode.Overwrite).partitionBy("kind")

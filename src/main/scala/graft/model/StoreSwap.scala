@@ -42,19 +42,37 @@ object StoreSwap {
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  /** True when `dir` holds a COMPLETE Spark write: the `_SUCCESS`
+    * marker the Hadoop commit protocol drops at job commit. A tmp dir
+    * without it is a torn write (the job crashed mid-write) and must
+    * never be promoted to serving.
+    */
+  private def isComplete(f: FileSystem, dir: Path): Boolean =
+    f.exists(new Path(dir, "_SUCCESS"))
+
   /** Swap `store.tmp` (a fully-written new version) into `store`,
     * recovering any interrupted previous swap first. Call with the new
     * version at [[tmpPath]]; on return `store` is the new version and
     * no sibling dirs remain. Calling with NO tmp present is recovery
     * mode: it finishes a swap that crashed after step 3 (cleans the
-    * leftover `.old`) and is a no-op on a healthy store.
+    * leftover `.old`) or rolls back one that crashed between steps 2
+    * and 3 (restores `.old` to `store`), and is a no-op on a healthy
+    * store.
+    *
+    * A tmp directory WITHOUT the `_SUCCESS` marker is a torn write —
+    * the producing job crashed before job commit — and is DELETED, not
+    * promoted: promoting it would trade the only complete version for
+    * a half-written one. (Keep `mapreduce.fileoutputcommitter.marksuccessfuljobs`
+    * at its default `true` for stores managed by this protocol.)
     */
   def commit(spark: SparkSession, store: String): Unit = {
     val f = fs(spark)
     val s = new Path(store)
     val t = new Path(tmpPath(store))
     val o = new Path(oldPath(store))
-    if (f.exists(t)) {
+    val tComplete = f.exists(t) && isComplete(f, t)
+    if (f.exists(t) && !tComplete) f.delete(t, true) // torn write: discard
+    if (tComplete) {
       if (f.exists(s)) {
         // leftover .old means the PREVIOUS swap completed steps 2-3 but
         // crashed before 4 — its version is superseded, drop it
@@ -62,6 +80,10 @@ object StoreSwap {
         require(f.rename(s, o), s"rename $s -> $o failed")
       }
       require(f.rename(t, s), s"rename $t -> $s failed")
+    } else if (!f.exists(s) && f.exists(o)) {
+      // no (complete) new version and the store is mid-swap absent:
+      // roll the preserved .old back into place
+      require(f.rename(o, s), s"rollback rename $o -> $s failed")
     }
     if (f.exists(s) && f.exists(o)) f.delete(o, true)
   }

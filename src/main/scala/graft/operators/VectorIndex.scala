@@ -120,6 +120,8 @@ object VectorIndex {
     * pass: run it between serving windows, not under live readers.
     */
   def consolidate(spark: SparkSession, dir: String): Unit = {
+    // self-heal a predecessor's mid-swap crash before reading
+    graft.model.StoreSwap.commit(spark, codesDir(dir))
     spark.read.parquet(codesDir(dir))
       .repartition(col("cell")) // all of a cell's rows → one writer → one file
       .write.mode(SaveMode.Overwrite).partitionBy("cell")
@@ -127,21 +129,16 @@ object VectorIndex {
     graft.model.StoreSwap.commit(spark, codesDir(dir))
   }
 
-  /** Search the prebuilt index: the probed cells' partitions are the only
-    * ones read. Pruning is DYNAMIC — the broadcast candidate join on
-    * `cell` inside [[VectorOps.ivfPqSearch]] is the textbook dynamic-
-    * partition-pruning shape, so Catalyst plants a dynamicpruning
-    * subquery on the partition column and the scan opens only the probed
-    * inverted lists, with no driver round-trip anywhere in the search
-    * path (VectorIndexSpec pins both the live filter and the
-    * partitions-read metric). One deployment note: DPP inserts the
-    * filter only when its benefit estimate passes — automatic at real
-    * index sizes via stats, but a session serving many small indexes
-    * should set
+  /** Search the prebuilt index: the probed cells' partitions are the
+    * only ones read — deterministically. Under default session confs
+    * the probed cell ids (bounded: ≤4096 by the cell cap) are pushed as
+    * a static partition filter; a session that sets
     * `spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly=false`
-    * so DPP may plan its own broadcast subquery instead of depending on
-    * exchange reuse. `emb` supplies raw vectors for the exact rerank of
-    * the top candidates only.
+    * (the documented serving-session setting) gets the fully
+    * driver-free form instead, where the broadcast candidate join on
+    * `cell` plants a dynamicpruning subquery on the partition column.
+    * VectorIndexSpec pins BOTH paths' pruning. `emb` supplies raw
+    * vectors for the exact rerank of the top candidates only.
     */
   def searchIvfPq(spark: SparkSession, dir: String, emb: DataFrame,
       probes: DataFrame, k: Int, nProbe: Int = 4, rerank: Int = 4): DataFrame = {

@@ -922,17 +922,29 @@ object VectorOps {
 
   /** Search a (c, cell, codes) table — computed in-query ([[annIvfPq]])
     * or read from a prebuilt index ([[VectorIndex]]) — with the
-    * decomposed score dot(p,c_cell) + ADC(residual codes). The probed
-    * cells reach the codes scan WITHOUT a driver round-trip: the
-    * broadcast equi-join on `cell` is exactly the shape Catalyst's
-    * dynamic partition pruning rewrites — over a cell-partitioned
-    * on-disk index the scan gets a dynamicpruning#N subquery on `cell`
-    * and reads only the probed inverted lists, the IVF contract on disk
-    * (VectorIndexSpec pins both the dynamic filter and the
-    * partitions-read count). An earlier form collected the probed cell
-    * ids for a static `isin`; the join-driven pruning reads the same
-    * partitions with no collect in the search path. Candidate selection
-    * and final ranking use the map-side top-k heap (see [[annPq]]).
+    * decomposed score dot(p,c_cell) + ADC(residual codes).
+    *
+    * Inverted-list pruning (the IVF contract on disk) has two paths,
+    * chosen by what the SESSION can guarantee:
+    *
+    *   - When dynamic partition pruning can plan its own broadcast
+    *     subquery (`...dynamicPartitionPruning.reuseBroadcastOnly=false`,
+    *     the engine's documented serving-session setting), the
+    *     broadcast equi-join on `cell` is exactly the shape Catalyst
+    *     rewrites: the scan gets a dynamicpruning#N subquery and reads
+    *     only the probed cells, with NO driver round-trip anywhere in
+    *     the search path (VectorIndexSpec pins the live filter, the
+    *     partitions-read metric, and zero plan-construction jobs).
+    *   - Under DEFAULT session confs DPP only prunes via exchange
+    *     reuse, which its benefit heuristic can silently decline — and
+    *     a search that quietly degrades to a full index scan is worse
+    *     than a bounded driver hop. So the default path collects the
+    *     probed cell ids (≤ min(probes·nProbe, nCells) ints — the cell
+    *     count is capped at 4096 by [[ivfCells]]) and pushes a static
+    *     `cell IN (...)` partition filter that prunes DETERMINISTICALLY.
+    *
+    * Candidate selection and final ranking use the map-side top-k heap
+    * (see [[annPq]]).
     */
   def ivfPqSearch(spark: SparkSession, codes: DataFrame, emb: DataFrame,
       probesRaw: DataFrame, centroidArr: Array[Array[Float]],
@@ -959,7 +971,20 @@ object VectorOps {
         row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
       .where(col("rnk") <= nProbe)
       .select(col("p"), col("cell"), col("pdotc"), col("lut"))
-    val candidates = codes
+    val dppReliable =
+      spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled",
+        "true").toBoolean &&
+        !spark.conf.get(
+          "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
+          "true").toBoolean
+    val prunedCodes =
+      if (dppReliable) codes
+      else {
+        val probedCells = probeCells.select("cell").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        codes.where(col("cell").isin(probedCells: _*))
+      }
+    val candidates = prunedCodes
       .join(broadcast(probeCells), Seq("cell"))
       .where(col("p") =!= col("c"))
       .withColumn("score", col("pdotc") + PqNative.pqAdc(col("lut"), col("codes"), kCent))

@@ -58,12 +58,37 @@ object LabelStore {
       .groupBy("node").agg(min("label").as("label")))
   }
 
-  /** Fold one edge batch into the store: incremental CC against the
-    * current labeling, then rewrite ONLY the buckets holding a changed
-    * or new node's label. The changed-bucket set is computed as a
-    * relation and semi-joined (no driver collect); dynamic partition
-    * overwrite replaces exactly the partitions present in the written
-    * frame.
+  /** Fold one edge batch into the store, AFFECTED-COMPONENT scoped:
+    * only the components the batch touches are read into the CC
+    * iteration, and only the buckets holding a changed label are
+    * rewritten. The store is never shuffle-aggregated whole:
+    *
+    *   1. seed labels = labels of the batch's nodes (store scan with a
+    *      broadcast batch-node join — no store shuffle);
+    *   2. affected = every store row labeled with a seed label — the
+    *      complete membership of the touched components (one more
+    *      broadcast-semi scan), materialized once, AFFECTED-sized;
+    *   3. incremental CC over (affected stars ∪ batch edges) — the
+    *      iteration's shuffles are affected-sized, never store-sized;
+    *   4. changed buckets = buckets of relabeled/new nodes (bounded by
+    *      the bucket count — a driver-safe collect that becomes the
+    *      static partition filter for the rewrite read);
+    *   5. new bucket content = min-per-node over (current bucket rows ∪
+    *      scoped-CC labels): the labels-only-decrease invariant makes
+    *      min() correct even against rows the scoped view did not pull
+    *      in (a torn store can leave a stale seed label whose scoped
+    *      component misses a node's newest link; the node's newer —
+    *      smaller — on-disk label then wins the min and no connectivity
+    *      is ever forgotten). Changed-bucket-sized shuffle; dynamic
+    *      partition overwrite replaces exactly those buckets.
+    *
+    * Cost shape per fold at 100 TB: two column-pruned store SCANS (the
+    * affected discovery cannot be partition-pruned — membership of a
+    * touched component lives in arbitrary buckets) plus one
+    * partition-pruned read of the changed buckets; every SHUFFLE and
+    * materialization is affected- or changed-bucket-sized. The
+    * node-sized groupBy the serving [[read]] performs happens once at
+    * serve time, not per microbatch.
     */
   def fold(spark: SparkSession, dir: String, edges: DataFrame,
       nBuckets: Int = DefaultBuckets): Unit = {
@@ -71,40 +96,48 @@ object LabelStore {
     // empty DIRECTORY (a dir holding only _SUCCESS fails schema
     // inference on the next read; cheap limit-1 probe)
     if (edges.isEmpty) return
-    read(spark, dir) match {
-      case None =>
-        // bootstrap: full labeling, all buckets
-        GraphOps.connectedComponents(edges)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) {
+      // bootstrap: full labeling, all buckets
+      GraphOps.connectedComponents(edges)
+        .withColumn("bucket", bucketCol(col("node"), nBuckets))
+        .write.partitionBy("bucket").parquet(dir)
+    } else {
+      val store = spark.read.parquet(dir).select("node", "label", "bucket")
+      val batchNodes = edges.select(col("src").as("node"))
+        .unionAll(edges.select(col("dst").as("node"))).distinct()
+      val seedLabels = store.join(broadcast(batchNodes), Seq("node"))
+        .select("label").distinct()
+      val affected = store
+        .join(broadcast(seedLabels), Seq("label"), "left_semi")
+        .select("node", "label")
+        .localCheckpoint() // feeds the CC iterations AND the change diff
+      val updated = GraphOps.connectedComponentsIncremental(affected, edges)
+      val oldMin = affected.groupBy("node").agg(min("label").as("old_label"))
+      val changedBuckets = updated
+        .join(oldMin, Seq("node"), "left_outer")
+        .where(col("old_label").isNull || col("old_label") =!= col("label"))
+        .select(bucketCol(col("node"), nBuckets).as("bucket")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      if (changedBuckets.nonEmpty) {
+        val updatedB = updated
           .withColumn("bucket", bucketCol(col("node"), nBuckets))
-          .write.partitionBy("bucket").parquet(dir)
-      case Some(existing0) =>
-        // materialize the prior labeling ONCE per fold: it feeds the
-        // incremental CC (whose iterations re-evaluate their input
-        // until the first internal checkpoint) AND the changed-bucket
-        // join — without this the store is re-scanned+re-aggregated
-        // several times per microbatch
-        val existing = existing0.localCheckpoint()
-        val updated = GraphOps.connectedComponentsIncremental(existing, edges)
-          .withColumn("bucket", bucketCol(col("node"), nBuckets))
-        // a node is "changed" if new to the store or relabeled; its
-        // bucket must be rewritten (whole bucket: dynamic overwrite
-        // replaces the partition, so all its rows ride along)
-        val changedBuckets = updated
-          .join(existing.withColumnRenamed("label", "old_label"),
-            Seq("node"), "left_outer")
-          .where(col("old_label").isNull || col("old_label") =!= col("label"))
-          .select("bucket").distinct()
-        val toWrite = updated
-          .join(broadcast(changedBuckets), Seq("bucket"), "left_semi")
+          .where(col("bucket").isin(changedBuckets: _*))
+        val toWrite = store
+          .where(col("bucket").isin(changedBuckets: _*)) // partition-pruned
+          .unionByName(updatedB.select("node", "label", "bucket"))
+          .groupBy("node", "bucket").agg(min("label").as("label"))
+          .select("node", "label", "bucket")
           // localCheckpoint before the overwrite: the plan READS the
-          // store directory it is about to rewrite — without cutting
-          // the lineage, overwrite-while-reading races the scan
+          // buckets it is about to replace
           .localCheckpoint()
         toWrite.write
           .option("partitionOverwriteMode", "dynamic")
           .mode("overwrite")
           .partitionBy("bucket")
           .parquet(dir)
+      }
     }
   }
 }

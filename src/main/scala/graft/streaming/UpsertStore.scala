@@ -43,11 +43,19 @@ object UpsertStore {
 
   /** Append one change batch: `deletedCol` (if set) names a Boolean
     * column of `batch` marking tombstone rows — it is consumed into the
-    * store's `_deleted` flag, so payload schemas stay identical across
-    * folds with and without deletes. `seq` must be monotone across
-    * folds — foreachBatch's batchId is exactly that. Writes ONLY into
-    * the batch keys' bucket directories; existing files are never
-    * touched.
+    * store's `_deleted` flag (NULL = not deleted: a nullable CDC op
+    * flag must not silently drop live rows through three-valued
+    * `!null`), so payload schemas stay identical across folds with and
+    * without deletes. `seq` must be monotone across folds —
+    * foreachBatch's batchId is exactly that. Writes ONLY into the batch
+    * keys' bucket directories; existing files are never touched.
+    *
+    * Contract: a batch carries AT MOST ONE row per key. Rows sharing a
+    * key within one fold also share `_seq`, and the read-side argmax
+    * would resolve them arbitrarily — a DataFrame has no row order to
+    * define "last write wins" inside a batch. Pre-aggregate multi-op
+    * CDC batches to their final per-key state before folding (what a
+    * keyed CDC feed does anyway).
     */
   def fold(spark: SparkSession, dir: String, batch: DataFrame,
       keys: Seq[String], seq: Long, deletedCol: Option[String] = None,
@@ -56,7 +64,8 @@ object UpsertStore {
     // only _SUCCESS fails schema inference on the next read)
     if (batch.isEmpty) return
     val withDel = deletedCol match {
-      case Some(c) => batch.withColumnRenamed(c, "_deleted")
+      case Some(c) => batch.withColumn(c, coalesce(col(c), lit(false)))
+        .withColumnRenamed(c, "_deleted")
       case None => batch.withColumn("_deleted", lit(false))
     }
     withDel

@@ -83,6 +83,27 @@ class LabelStoreSpec extends SparkSpec {
     assert(got == full, "folded labeling must equal the full recompute")
   }
 
+  test("scoped fold: cross-component merge relabels BOTH touched components; bystander untouched") {
+    // the affected-component scoping must pull the COMPLETE membership
+    // of every touched component (not just the batch nodes), or a
+    // merge would relabel only the members it happened to see
+    val dir = freshDir()
+    LabelStore.fold(spark, dir,
+      Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (20L, 21L))
+        .toDF("src", "dst"))
+    val before = labelsOf(dir)
+    assert(before == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // one edge between NON-canonical members merges the two components;
+    // every member — including 3 and 12, never named in any batch edge
+    // with the other component — must land on the min id 1
+    LabelStore.fold(spark, dir, Seq((3L, 12L)).toDF("src", "dst"))
+    val after = labelsOf(dir)
+    assert(Seq(1L, 2L, 3L, 10L, 11L, 12L).forall(after(_) == 1L),
+      s"merge must relabel both components wholly: $after")
+    assert(after(20L) == 20L && after(21L) == 20L, "bystander component untouched")
+  }
+
   test("empty edge batches fold to nothing: no empty-directory bootstrap") {
     val dir = freshDir()
     val empty = Seq.empty[(Long, Long)].toDF("src", "dst")

@@ -103,6 +103,46 @@ class RecoverySpec extends SparkSpec {
     assert(!hfs.exists(hp(StoreSwap.oldPath(store))), "leftover .old cleaned")
   }
 
+  test("StoreSwap never promotes a TORN tmp (no _SUCCESS): discarded, store intact") {
+    // the write job itself is the longest crash window — a tmp without
+    // the job-commit _SUCCESS marker is half-written and promoting it
+    // would trade the only complete version for garbage
+    val store = Files.createTempDirectory("graft_swap_torn").toString + "/store"
+    writeVersion(store, "v1", 10)
+    writeVersion(StoreSwap.tmpPath(store), "v2", 12)
+    hfs.delete(hp(StoreSwap.tmpPath(store) + "/_SUCCESS"), false) // tear it
+    StoreSwap.commit(spark, store)
+    assert(readTags(store) == Set("v1"), "the complete version must survive")
+    assert(!hfs.exists(hp(StoreSwap.tmpPath(store))), "torn tmp discarded")
+  }
+
+  test("StoreSwap rolls back a mid-swap crash whose tmp is ALSO torn (old=v1, tmp torn, store absent)") {
+    val store = Files.createTempDirectory("graft_swap_rb").toString + "/store"
+    writeVersion(StoreSwap.oldPath(store), "v1", 10)
+    writeVersion(StoreSwap.tmpPath(store), "v2", 12)
+    hfs.delete(hp(StoreSwap.tmpPath(store) + "/_SUCCESS"), false)
+    StoreSwap.commit(spark, store)
+    assert(readTags(store) == Set("v1"), "rollback must restore .old to the store path")
+    assert(!hfs.exists(hp(StoreSwap.oldPath(store))) &&
+      !hfs.exists(hp(StoreSwap.tmpPath(store))))
+  }
+
+  test("consolidate self-heals after a predecessor's mid-swap crash") {
+    import graft.model.{FactKind, FactStore}
+    val master = Files.createTempDirectory("graft_swap_cons").toString + "/master"
+    FactStore.ingest(FactStore.eventsAsFacts(spark, sf0001).limit(200), master)
+    val before = FactStore.readAll(spark, master).count()
+    // simulate the crash state consolidate's own swap can leave: store
+    // renamed away, new version not yet promoted
+    writeVersion(StoreSwap.tmpPath(master), "junk", 1)
+    hfs.delete(hp(StoreSwap.tmpPath(master) + "/_SUCCESS"), false)
+    assert(hfs.rename(hp(master), hp(StoreSwap.oldPath(master))))
+    // re-running consolidate must recover and compact, not throw
+    FactStore.consolidate(spark, master)
+    assert(FactStore.readAll(spark, master).count() == before,
+      "self-healed consolidate must preserve every row")
+  }
+
   test("StoreSwap next batch over a crashed predecessor (store=v2, old=v1, tmp=v3) lands v3") {
     val store = Files.createTempDirectory("graft_swap_d").toString + "/store"
     writeVersion(store, "v2", 12)

@@ -143,6 +143,40 @@ class VectorIndexSpec extends SparkSpec {
       df.queryExecution.executedPlan)
   }
 
+  test("default-conf search prunes DETERMINISTICALLY via the static cell filter") {
+    // under default session confs DPP only prunes via exchange reuse
+    // (which its heuristic can decline) — the search must then push the
+    // bounded probed-cell set as a static partition filter instead of
+    // quietly scanning every inverted list
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = freshDir()
+    VectorIndex.buildIvfPq(spark, emb, dir, nCells = 16, m = 8, ks = 16)
+    val df = VectorIndex.searchIvfPq(spark, dir, emb,
+      probes = emb.where($"vec_id" < 10), k = 5, nProbe = 4, rerank = 8)
+    df.collect()
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(s.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val scans = allNodes(df.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.metadata.get("Location").exists(_.contains("codes")) => f
+    }
+    assert(scans.nonEmpty, "no file scan over the codes table found")
+    val scan = scans.head
+    assert(scan.partitionFilters.exists(f =>
+      f.toString.contains("cell") &&
+        (f.toString.contains(" IN ") || f.toString.contains(" INSET "))),
+      s"static cell IN filter must reach the scan:\n${scan.partitionFilters}")
+    val scanned = scan.selectedPartitions.partitionCount
+    assert(scanned > 0 && scanned < 16,
+      s"scan read $scanned of 16 cell partitions — no static pruning")
+  }
+
   test("search scans only the probed cells' partitions (inverted lists on disk)") {
     val emb = Tables.embeddings(spark, sf0001)
     val dir = freshDir()

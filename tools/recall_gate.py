@@ -13,9 +13,18 @@ Usage: python3 tools/recall_gate.py RECALL_r09.json RECALL_r10.json
 """
 import json
 import pathlib
+import re
 import sys
 
 TOLERANCE = 0.05
+
+
+def noted(op: str, notes: str) -> bool:
+    """Word-boundary match: 'ann_ivf' must NOT be excused by a note that
+    only mentions 'ann_ivfpq' (raw substring tests exempt every op whose
+    name is a prefix of a documented one)."""
+    return re.search(rf"(?<![A-Za-z0-9_]){re.escape(op)}(?![A-Za-z0-9_])",
+                     notes) is not None
 
 
 def main(prev_path: str, curr_path: str, baseline_md: str = "BASELINE.md") -> int:
@@ -35,7 +44,7 @@ def main(prev_path: str, curr_path: str, baseline_md: str = "BASELINE.md") -> in
         delta = c - p
         marker = ""
         if delta < -TOLERANCE:
-            if op in notes:
+            if noted(op, notes):
                 marker = "  (drop noted in BASELINE.md — accepted)"
             else:
                 failures.append(
