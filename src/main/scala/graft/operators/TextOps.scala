@@ -888,8 +888,91 @@ object TextOps {
         |FROM per LEFT JOIN dpd USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       spanDedup(Tables.documents(s, dir), SpanDedupN).orderBy("doc_id")
+    },
+
+    // Exact-substring dedup REMOVAL (Lee et al. 2022: deduplicate the
+    // training set by DELETING repeated substrings, keeping one
+    // occurrence) — the corpus-editing action the text_span_dedup
+    // statistics drive. Every n-token span occurring >= 2 times
+    // corpus-wide keeps its globally FIRST occurrence (min (doc_id,
+    // position)); every other occurrence's tokens are deleted and the
+    // documents are rebuilt from the survivors (whitespace-normalized).
+    // Raw tokens, not lowercased: the output is training text, and
+    // scrubbing must not rewrite case. Scale shape: span hashes key
+    // every shuffle (64-bit, never span strings), coverage fan-out is
+    // linear in occurrence count (a boilerplate mega-span costs its
+    // occurrences, never occurrences²), and the rebuild groups by doc —
+    // bounded by document length.
+    withOracle(
+      "text_span_scrub",
+      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents),
+        |sp AS (SELECT doc_id, i AS pos, array_to_string(l[i:i+${SpanDedupN - 1}], ' ') AS s
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-${SpanDedupN - 1}, 0))) AS i) g),
+        |keep AS (SELECT s, min(doc_id * 1000000 + pos) AS k
+        |         FROM sp GROUP BY s HAVING count(*) >= 2),
+        |cov AS (SELECT sp.doc_id, sp.pos FROM sp JOIN keep USING (s)
+        |        WHERE sp.doc_id * 1000000 + sp.pos <> keep.k),
+        |covered AS (SELECT DISTINCT doc_id, pos + off AS pos
+        |            FROM cov, LATERAL (SELECT unnest(generate_series(0, ${SpanDedupN - 1})) AS off) o),
+        |tok AS (SELECT doc_id, i AS pos, l[i] AS t FROM toks,
+        |        LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g),
+        |kept AS (SELECT tok.doc_id, tok.pos, tok.t FROM tok
+        |         LEFT JOIN covered c ON tok.doc_id = c.doc_id AND tok.pos = c.pos
+        |         WHERE c.pos IS NULL),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |               string_agg(t, ' ' ORDER BY pos) AS text_clean
+        |        FROM kept GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        |       coalesce(agg.text_clean, '') AS text_clean
+        |FROM documents d LEFT JOIN agg USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      spanScrub(Tables.documents(s, dir), SpanDedupN).orderBy("doc_id")
     }
   )
+
+  /** Exact-substring removal (Lee et al. 2022): delete every non-first
+    * occurrence of each corpus-duplicated n-token span and rebuild the
+    * documents from the surviving tokens. "First" is the global
+    * (doc_id, position) minimum, encoded as doc_id·10⁶+pos (positions
+    * are document-bounded, well under 10⁶) so engine and oracle order
+    * occurrences identically. Spans ride 64-bit hashes through every
+    * shuffle (the text_ngram_jaccard collision argument); the rebuild
+    * is a per-doc array_sort over collected (pos, token) structs —
+    * bounded by document length, never corpus-shaped.
+    */
+  def spanScrub(docs: DataFrame, n: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("l"))
+    val sp = toks.where(size(col("l")) >= n)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("l")) - lit(n - 1)),
+        i => xxhash64(concat_ws(" ", slice(col("l"), i, lit(n)))))).as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
+    // duplicated spans with their keeper occurrence, one row per span
+    val keep = sp.groupBy("h")
+      .agg(count(lit(1)).as("cnt"),
+        min(col("doc_id") * 1000000L + col("pos")).as("k"))
+      .where(col("cnt") >= 2)
+      .select("h", "k")
+    val covered = sp.join(keep, "h")
+      .where(col("doc_id") * 1000000L + col("pos") =!= col("k"))
+      .select(col("doc_id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
+      .distinct()
+    val tok = toks
+      .select(col("doc_id"), posexplode(col("l")).as(Seq("p0", "t")))
+      .select(col("doc_id"), (col("p0") + 1).as("pos"), col("t"))
+    val rebuilt = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_kept"),
+        concat_ws(" ", transform(
+          array_sort(collect_list(struct(col("pos"), col("t")))),
+          x => x.getField("t"))).as("text_clean"))
+    docs.select("doc_id").join(rebuilt, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
 
   /** Per-doc duplicated-span statistics: docs with >= 1 span (>= n
     * tokens) emit (doc_id, n_spans, n_dup_spans, dup_ratio); shorter

@@ -181,6 +181,43 @@ class TextOpsSpec extends SparkSpec {
       (1L, 3L, 0L, 0.0)))
   }
 
+  test("spanScrub deletes every non-first occurrence of a duplicated span, rebuilds text") {
+    // docs 0 and 1 share the 4-token span "alpha beta gamma delta";
+    // doc 0 holds the global first occurrence (min (doc_id, pos)) and
+    // keeps it verbatim, doc 1 loses exactly those four tokens. doc 2
+    // is disjoint and byte-identical after the scrub; doc 3 is shorter
+    // than a span and untouched.
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta"),
+      (1L, "prefix words here alpha beta gamma delta"),
+      (2L, "one two three four five six"),
+      (3L, "too short")
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanScrub(docs, 4).orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (0L, 6L, "alpha beta gamma delta epsilon zeta"),
+      (1L, 3L, "prefix words here"),
+      (2L, 6L, "one two three four five six"),
+      (3L, 2L, "too short")))
+  }
+
+  test("spanScrub within-doc repetition: later occurrences of the doc's own span are removed") {
+    // one doc repeats its own 4-token span back-to-back: occurrence at
+    // pos 1 is the keeper; the occurrence at pos 5 is deleted. The
+    // middle spans (pos 2-4) wrap around the repetition and exist once
+    // each — not duplicated, but their tokens 5-8 are covered by the
+    // deleted occurrence, so exactly tokens 5-8 drop.
+    val docs = Seq(
+      (0L, "a b c d a b c d"),
+      (1L, "unrelated filler text goes right here")
+    ).toDF("doc_id", "text")
+    val got = TextOps.spanScrub(docs, 4).orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(got.head == (0L, 4L, "a b c d"), s"got ${got.head}")
+    assert(got(1) == (1L, 6L, "unrelated filler text goes right here"))
+  }
+
   test("containment catches a quoted-whole short doc that Jaccard misses") {
     // doc 0 = 6 words quoted verbatim inside doc 1's 60 words: the
     // short doc's 4 shingles are ALL in the long doc, so containment =
