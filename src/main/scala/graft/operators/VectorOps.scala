@@ -158,10 +158,11 @@ object VectorOps {
     // ApproxOpsSpec) → no DuckDB oracle.
     noOracle("ann_lsh") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      // fixture shape pinned (8 tables × 6 planes, 2 flip probes — the
-      // round-9 multi-probe default) so recall in ApproxOpsSpec and
-      // RECALL_r{N}.json stays comparable across rounds; production
-      // callers take the corpus-sized auto default
+      // fixture shape pinned (8 tables × 6 planes, 5 flip probes — the
+      // round-10 multi-probe default, recall 0.80 at probe-side-only
+      // cost) so recall in ApproxOpsSpec and RECALL_r{N}.json stays
+      // comparable across rounds; production callers take the
+      // corpus-sized auto default
       annLsh(s, emb, probeFilter = col("vec_id") < 10, k = 5, nPlanes = 6)
     },
 
@@ -1032,10 +1033,15 @@ object VectorOps {
     * candidate join) several-fold. 0 restores single-probe; the first
     * two probes are always the two lowest-margin single flips, so shapes
     * pinned at nFlips ≤ 2 are unchanged by the 2-bit extension.
+    *
+    * Default nFlips = 5 (round 10; was 2): the probe side emits 6 codes
+    * per table instead of 3 — a probe-batch-sized cost, zero corpus
+    * cost — and fixture recall@5 moves 0.58 → 0.80 (the committed
+    * RECALL curve: 8 → 0.92, 12 → 0.98 for callers wanting more).
     */
   def annLsh(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
       nTables: Int = 8, nPlanes: Int = 0, nRows: Long = 0L,
-      nFlips: Int = 2): DataFrame = {
+      nFlips: Int = 5): DataFrame = {
     val b =
       if (nPlanes > 0) nPlanes
       else {
