@@ -211,12 +211,14 @@ object VectorOps {
     // recall vs similarity_topk measured in ApproxOpsSpec / RECALL.
     noOracle("ann_pq") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      // fixture shape pinned (8 subspaces × 16 centroids, rerank 8 —
-      // recall 0.70 at sf0.001, monotone in both knobs: see the
-      // RECALL_r{N}.json curve) so recall stays comparable across
-      // rounds; production callers take the corpus-sized codebook auto
+      // fixture shape pinned (8 subspaces × 16 centroids, rerank 12 —
+      // raised from 8 in round 10: rerank·k exact cosines per probe is
+      // serving-side cost, and the committed rerank curve showed the
+      // old point below the knee, 0.74 → 0.88) so recall stays
+      // comparable across rounds; production callers take the
+      // corpus-sized codebook auto
       annPq(s, emb, probeFilter = col("vec_id") < 10, k = 5, m = 8, ks = 16,
-        rerank = 8)
+        rerank = 12)
     },
 
     // IVF + residual PQ (FAISS IndexIVFPQ shape): the coarse quantizer
