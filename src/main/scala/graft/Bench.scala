@@ -21,7 +21,7 @@ object Bench {
     // Warm up JVM/codegen/parquet paths so startup cost isn't attributed
     // to whichever query happens to run first: a scan+agg shape and a
     // nested-struct parquet write shape (the ingest queries' hot path).
-    val warmDir = java.nio.file.Files.createTempDirectory("graft_warm").toString
+    val warmDir = graft.Scratch.dir("graft_warm")
     try {
       spark.read.parquet(s"$sfDir/lineitem.parquet")
         .groupBy("l_returnflag").count().collect()

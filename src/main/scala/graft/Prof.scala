@@ -45,7 +45,7 @@ object Prof {
       val survivors = emb.join(cc, Seq("vec_id"), "left_outer")
         .where(col("canonical").isNull || col("canonical") === col("vec_id"))
         .select(col("vec_id"), col("embedding"))
-      val idx = java.nio.file.Files.createTempDirectory("graft_prof").toString
+      val idx = graft.Scratch.dir("graft_prof")
       time("buildIvfPq") {
         operators.VectorIndex.buildIvfPq(spark, survivors, idx, nCells = 16, m = 8, ks = 16)
       }

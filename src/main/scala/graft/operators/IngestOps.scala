@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
 object IngestOps {
 
   private def newMaster(): String =
-    Files.createTempDirectory("graft_ingest").toString + "/master"
+    graft.Scratch.dir("graft_ingest") + "/master"
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -138,7 +138,7 @@ object IngestOps {
       "sink_snapshot_ingest",
       """SELECT count(*) AS n, CAST(0 AS BIGINT) AS staging_left FROM events""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val root = Files.createTempDirectory("graft_snap").toString
+      val root = graft.Scratch.dir("graft_snap")
       val staging = s"$root/staging"
       FactStore.eventsAsFacts(s, dir).write.parquet(staging)
       val snap = FactStore.snapshot(s, staging).get
@@ -229,7 +229,7 @@ object IngestOps {
         |SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
         |FROM merged ORDER BY o_orderkey""".stripMargin) { (s, dir) =>
       import org.apache.spark.sql.streaming.Trigger
-      val root = Files.createTempDirectory("graft_supsert").toString
+      val root = graft.Scratch.dir("graft_supsert")
       val storeDir = s"$root/store"
       val changesDir = s"$root/changes"
       val keys = Seq("o_orderkey")

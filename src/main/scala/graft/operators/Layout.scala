@@ -108,7 +108,7 @@ object Layout {
         |       round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem
         |WHERE l_partkey BETWEEN 100 AND 120""".stripMargin) { (s, dir) =>
-      val path = Files.createTempDirectory("graft_rangesort").toString + "/lineitem"
+      val path = graft.Scratch.dir("graft_rangesort") + "/lineitem"
       writeRangeSorted(
         Tables.lineitem(s, dir)
           .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"),
@@ -131,7 +131,7 @@ object Layout {
         |       round(sum(l_extendedprice), 2) AS revenue
         |FROM lineitem
         |WHERE l_partkey <= 40 AND l_suppkey <= 4""".stripMargin) { (s, dir) =>
-      val path = Files.createTempDirectory("graft_zorder").toString + "/lineitem"
+      val path = graft.Scratch.dir("graft_zorder") + "/lineitem"
       writeZOrdered(
         Tables.lineitem(s, dir)
           .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice"),

@@ -46,7 +46,7 @@ object VectorIndex {
     val n = if (nRows > 0) nRows else emb.count()
     val cells = if (nCells > 0) nCells else VectorOps.ivfCells(n)
     val kCent = if (ks > 0) ks else VectorOps.pqCodebookSize(n)
-    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val dims = VectorOps.embDims(emb)
     val mSub = if (m > 0) m else VectorOps.pqSubspaces(dims)
     val unitEmb = VectorOps.withUnit(emb, "embedding", "unit")
     val centroidArr = VectorOps.trainQuantizer(

@@ -253,7 +253,7 @@ object VectorOps {
     // VectorIndexSpec; exact-equality-with-in-query pinned there too.
     noOracle("ann_ivfpq_indexed") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val idx = java.nio.file.Files.createTempDirectory("graft_vecindex").toString
+      val idx = graft.Scratch.dir("graft_vecindex")
       // lifecycle under the pinned 16×(16×16) shape (m 8 → 16 round 10,
       // same ADC-budget fix as ann_ivfpq): build on even ids, append odd
       // ids with the build's codebooks, search the union. rerank is 12
@@ -302,7 +302,7 @@ object VectorOps {
       // (no unpersist here: the returned search plan reranks against the
       // checkpointed survivors — its blocks must outlive this call; the
       // ContextCleaner frees them once the result DF is unreachable)
-      val idx = java.nio.file.Files.createTempDirectory("graft_embpipe").toString
+      val idx = graft.Scratch.dir("graft_embpipe")
       VectorIndex.buildIvfPq(s, survivors, idx, nCells = 16, m = 16, ks = 16)
       VectorIndex.searchIvfPq(s, idx, survivors,
         probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8, rerank = 8)
@@ -392,6 +392,10 @@ object VectorOps {
       .join(centDf, "cell") // cells-sized broadcast: ≤4096 rows
       .withColumn("dist", lit(1.0) -
         org.apache.spark.sql.graft.GraftNative.fvdot(col("unit"), col("centroid")))
+      // materialized once: it feeds BOTH the per-cell stats aggregate
+      // and the stream side of the z-score join — without this the
+      // corpus-wide assignment (nearestCentroid + fvdot) runs twice
+      .localCheckpoint()
     val stats = assigned.groupBy("cell")
       .agg(count(lit(1)).as("n_cell"), avg("dist").as("mu"),
         stddev_samp(col("dist")).as("sigma"))
@@ -514,23 +518,48 @@ object VectorOps {
   def ivfCells(nRows: Long): Int =
     math.max(16, math.min(4096, math.ceil(math.sqrt(nRows.toDouble)).toInt))
 
-  /** IVF: train a seeded k-means coarse quantizer, assign corpus rows to
-    * cells, search each probe's nProbe nearest cells, exact-rerank.
-    *
-    * `nCells = 0` (default) auto-sizes by [[ivfCells]]. Training runs on
-    * a seeded sample capped at `maxTrainRows`: the quantizer needs the
-    * density shape, not every row — full-corpus k-means at 10⁹ rows would
-    * cost ~10 corpus passes before the index even exists. Below the cap
-    * the sample is the whole corpus, so fixture results are unchanged.
+  /** The trained centroids as the broadcast-sized (cell, centroid)
+    * side table every IVF path joins against (≤4096 × dims floats).
     */
-  /** Train the sample-bounded seeded k-means coarse quantizer shared by
-    * [[annIvf]] and [[cosineNearDupSemantic]]. The ml.Vector conversion
-    * (a boxing UDF) and the localCheckpoint feeding k-means' ~10 passes
-    * touch at most `maxTrainRows` rows, never the corpus — at 10⁹ rows a
-    * full-corpus feat + checkpoint is the scale bug. Returns the centroid
-    * table (broadcast-sized: ≤4096 × dims floats); the checkpoint is
-    * released before returning.
+  private def centroidsDF(spark: SparkSession,
+      centroidArr: Array[Array[Float]]): DataFrame = {
+    import spark.implicits._
+    centroidArr.zipWithIndex.map { case (v, i) => (i, v) }
+      .toSeq.toDF("cell", "centroid")
+  }
+
+  /** nProbe nearest cells per probe under the shared spherical-L2
+    * ranking — the ONE place the cell-selection metric lives (annIvf
+    * and ivfPqSearch both consume it; round 9's mixed-metric recall
+    * hole came from these drifting apart). Minimizing |p̂ − c|² on the
+    * unit sphere ≡ maximizing p̂·c − |c|²/2; `pdotc` (= p̂·c) rides
+    * along as the cell-constant half of the decomposed IVF-PQ score.
+    * Input `probes` needs `p` and the unit vector `pu`; every other
+    * probe column is carried through. Output: nProbe rows per probe.
     */
+  private def nearestProbeCells(spark: SparkSession, probes: DataFrame,
+      centroidArr: Array[Array[Float]], nProbe: Int): DataFrame =
+    probes.crossJoin(broadcast(centroidsDF(spark, centroidArr)))
+      .withColumn("pdotc", dot(col("pu"), col("centroid")))
+      .withColumn("d", col("pdotc") -
+        lit(0.5) * dot(col("centroid"), col("centroid")))
+      .withColumn("rnk",
+        row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
+      .where(col("rnk") <= nProbe)
+
+  /** Embedding width probed from the first NON-NULL row. `size(null)`
+    * is null under Spark defaults, so a bare `.head().getInt(0)` NPEs
+    * whenever the first scanned row happens to carry a null embedding —
+    * even though nulls are otherwise a supported input class across the
+    * vector paths. An all-null or empty corpus fails loudly instead.
+    */
+  def embDims(emb: DataFrame): Int = {
+    val rows = emb.where(col("embedding").isNotNull)
+      .select(size(col("embedding"))).limit(1).collect()
+    require(rows.nonEmpty, "corpus has no non-null embeddings")
+    rows(0).getInt(0)
+  }
+
   /** Adds `dst` = L2-normalized copy of float-array column `src` (zero
     * vectors pass through unchanged). The norm is a projected column
     * computed once per row — NOT an expression inside the per-element
@@ -544,7 +573,15 @@ object VectorOps {
         .otherwise(col(src)))
       .drop("_nrm")
 
-  /** NOTE (round 9): a driver-local trainer (collect the bounded sample,
+  /** Train the sample-bounded seeded k-means coarse quantizer shared by
+    * [[annIvf]] and [[cosineNearDupSemantic]]. The ml.Vector conversion
+    * (array_to_vector) and the localCheckpoint feeding k-means' ~10
+    * passes touch at most `maxTrainRows` rows, never the corpus — at
+    * 10⁹ rows a full-corpus featurize + checkpoint is the scale bug.
+    * Returns the centroid table (broadcast-sized: ≤4096 × dims floats);
+    * the checkpoint is released before returning.
+    *
+    * NOTE (round 9): a driver-local trainer (collect the bounded sample,
     * seeded k-means++ + Lloyd, as [[trainPqCodebooks]] does) was tried
     * here and REVERTED. It beat MLlib's WCSS on the fixture corpus
     * (443.06 vs 447.15 at 16 cells) and cut ~1.5 s of per-call job
@@ -575,7 +612,14 @@ object VectorOps {
     } finally train.unpersist()
   }
 
-  /** `corpusFilter` is the METADATA-FILTERED search seam (the modern
+  /** IVF: train a seeded k-means coarse quantizer, assign corpus rows
+    * to cells, search each probe's nProbe nearest cells, exact-rerank.
+    * `nCells = 0` (default) auto-sizes by [[ivfCells]]; training runs
+    * on a seeded sample capped at `maxTrainRows` (the quantizer needs
+    * the density shape, not every row — below the cap the sample is
+    * the whole corpus, so fixture results are unchanged).
+    *
+    * `corpusFilter` is the METADATA-FILTERED search seam (the modern
     * vector-store shape: top-k among rows satisfying a predicate). The
     * quantizer still trains on the full corpus — the index is built
     * once, filters vary per query — and the predicate lands on the
@@ -610,20 +654,13 @@ object VectorOps {
       .select(col("vec_id").as("c"), col("embedding").as("ce"),
         org.apache.spark.sql.graft.SrpNative
           .nearestCentroid(col("unit"), centroidArr).as("cell"))
-    val centroids = centroidArr.zipWithIndex
-      .map { case (v, i) => (i, v) }
-      .toSeq.toDF("cell", "centroid")
-    val probes = withUnit(emb.where(probeFilter), "embedding", "pu")
+    // null-embedding probes have no geometry: drop them (annLsh parity)
+    val probes = withUnit(emb.where(probeFilter && col("embedding").isNotNull),
+      "embedding", "pu")
       .select(col("vec_id").as("p"), col("embedding").as("pe"), col("pu"))
     // nProbe nearest cells per probe (tiny: nCells × probes), ranked by
-    // the SAME metric assignment used: L2 on the unit sphere. Minimizing
-    // |p̂ − c|² = 1 + |c|² − 2·p̂·c ≡ maximizing p̂·c − |c|²/2.
-    val probeCells = probes.crossJoin(broadcast(centroids))
-      .withColumn("d", dot(col("pu"), col("centroid")) -
-        lit(0.5) * dot(col("centroid"), col("centroid")))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
-      .where(col("rnk") <= nProbe)
+    // the SAME spherical metric the assignment used (nearestProbeCells)
+    val probeCells = nearestProbeCells(spark, probes, centroidArr, nProbe)
       .select(col("p"), col("pe"), col("cell"))
     // top-k per probe via the map-side-combinable heap (identical
     // (cos DESC, id ASC) selection as a row_number window — see annPq):
@@ -823,15 +860,17 @@ object VectorOps {
     import spark.implicits._
     val n = if (nRows > 0) nRows else emb.count()
     val kCent = if (ks > 0) ks else pqCodebookSize(n)
-    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val dims = embDims(emb)
     val mSub = if (m > 0) m else pqSubspaces(dims)
-    val unitEmb = withUnit(emb, "embedding", "unit")
+    val unitEmb = withUnit(emb.where(col("embedding").isNotNull), "embedding", "unit")
     val books = trainPqCodebooks(
       unitEmb.select(col("unit").as("embedding")), mSub, kCent, dims, maxTrainRows, n)
     // the compressed index: one streamed codegen pass, (id, m bytes) out
     val codes = unitEmb.select(col("vec_id").as("c"),
       PqNative.pqEncode(col("unit"), books).as("codes"))
-    val probes = withUnit(emb.where(probeFilter), "embedding", "pu")
+    // null-embedding probes/rows have no codes: drop them structurally
+    val probes = withUnit(emb.where(probeFilter && col("embedding").isNotNull),
+      "embedding", "pu")
       .select(col("vec_id").as("p"), col("embedding").as("pe"),
         PqNative.pqLut(col("pu"), books).as("lut"))
     val candidates = codes
@@ -883,7 +922,7 @@ object VectorOps {
     val n = if (nRows > 0) nRows else emb.count()
     val cells = if (nCells > 0) nCells else ivfCells(n)
     val kCent = if (ks > 0) ks else pqCodebookSize(n)
-    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val dims = embDims(emb)
     val mSub = if (m > 0) m else pqSubspaces(dims)
     val unitEmb = withUnit(emb, "embedding", "unit")
     val centroidArr = trainQuantizer(
@@ -905,10 +944,7 @@ object VectorOps {
     */
   def ivfPqAssign(spark: SparkSession, unitEmb: DataFrame,
       centroidArr: Array[Array[Float]]): DataFrame = {
-    import spark.implicits._
-    val centroids = centroidArr.zipWithIndex
-      .map { case (v, i) => (i, v) }
-      .toSeq.toDF("cell", "centroid")
+    val centroids = centroidsDF(spark, centroidArr)
     unitEmb.select(col("vec_id").as("c"), col("unit"),
       org.apache.spark.sql.graft.SrpNative
         .nearestCentroid(col("unit"), centroidArr).as("cell"))
@@ -958,21 +994,13 @@ object VectorOps {
     require(k >= 1 && nProbe >= 1 && rerank >= 1,
       s"k, nProbe, rerank must all be >= 1, got k=$k nProbe=$nProbe rerank=$rerank")
     val kCent = books(0).length
-    val centroids = centroidArr.zipWithIndex
-      .map { case (v, i) => (i, v) }
-      .toSeq.toDF("cell", "centroid")
-    val probes = withUnit(probesRaw, "embedding", "pu")
+    val probes = withUnit(probesRaw.where(col("embedding").isNotNull),
+      "embedding", "pu")
       .select(col("vec_id").as("p"), col("embedding").as("pe"), col("pu"),
         PqNative.pqLut(col("pu"), books).as("lut"))
-    // nProbe nearest cells per probe, with dot(p, centroid) carried as
-    // the cell-constant half of the decomposed score (same spherical-L2
-    // ranking as annIvf: maximize p̂·c − |c|²/2)
-    val probeCells = probes.crossJoin(broadcast(centroids))
-      .withColumn("pdotc", dot(col("pu"), col("centroid")))
-      .withColumn("d", col("pdotc") - lit(0.5) * dot(col("centroid"), col("centroid")))
-      .withColumn("rnk",
-        row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
-      .where(col("rnk") <= nProbe)
+    // nProbe nearest cells per probe (shared spherical ranking), with
+    // pdotc carried as the cell-constant half of the decomposed score
+    val probeCells = nearestProbeCells(spark, probes, centroidArr, nProbe)
       .select(col("p"), col("cell"), col("pdotc"), col("lut"))
     val dppReliable =
       spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled",
@@ -1051,7 +1079,7 @@ object VectorOps {
         math.min(24, math.max(6,
           math.ceil(math.log(math.max(1.0, n / 2500.0)) / math.log(2)).toInt))
       }
-    val dims = emb.select(size(col("embedding"))).head().getInt(0)
+    val dims = embDims(emb)
     val codes = lshBandCodes(spark, emb, nTables, b, dims)
     val probes = emb.where(probeFilter).select(col("vec_id").as("p"), col("embedding").as("pe"))
     // probe-side codes come straight from the probe embeddings (not a join
@@ -1240,7 +1268,7 @@ object VectorOps {
       nTables: Int, nPlanes: Int, dims: Int = 0): DataFrame = {
     val d =
       if (dims > 0) dims
-      else emb.select(size(col("embedding"))).head().getInt(0)
+      else embDims(emb)
     val codes = org.apache.spark.sql.graft.SrpNative
       .srpBandCodes(col("embedding"), nTables, nPlanes, d)
     emb.select(col("vec_id"), posexplode(codes).as(Seq("t", "code")))

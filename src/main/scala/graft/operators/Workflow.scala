@@ -26,7 +26,7 @@ import org.apache.spark.sql.functions._
 object Workflow {
 
   private def newMaster(): String =
-    Files.createTempDirectory("graft_workflow").toString + "/master"
+    graft.Scratch.dir("graft_workflow") + "/master"
 
   /** The reference's `Debug` print-through predicate
     * (BatchWorkflow.java:277-282) mapped Spark-first: `Dataset.observe`

@@ -18,7 +18,7 @@ import org.apache.spark.sql.types._
 object TextSources {
 
   private def stage(): String =
-    Files.createTempDirectory("graft_src").toString
+    graft.Scratch.dir("graft_src")
 
   private val eventSchema = StructType(Seq(
     StructField("event_id", LongType), StructField("user_id", LongType),

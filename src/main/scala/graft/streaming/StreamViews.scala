@@ -35,7 +35,7 @@ object StreamViews {
   private def stagedDir(variant: String, dir: String,
       links: (String, String)*): String =
     stageCache.computeIfAbsent(s"$variant|$dir", _ => {
-      val stage = java.nio.file.Files.createTempDirectory(s"graft_stream_$variant")
+      val stage = java.nio.file.Paths.get(graft.Scratch.dir(s"graft_stream_$variant"))
       links.foreach { case (fileName, table) =>
         java.nio.file.Files.createLink(
           stage.resolve(fileName), java.nio.file.Paths.get(Tables.path(dir, table)))
@@ -624,7 +624,7 @@ object StreamViews {
     withOracle(
       "stream_cc",
       graft.operators.GraphOps.ccOracleSql) { (s, dir) =>
-      val root = java.nio.file.Files.createTempDirectory("graft_scc").toString
+      val root = graft.Scratch.dir("graft_scc")
       val eventsDir = s"$root/events"
       val labelsDir = s"$root/labels"
       Tables.eventsRaw(s, dir).select("user_id").repartition(4)
