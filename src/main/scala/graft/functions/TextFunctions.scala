@@ -46,10 +46,15 @@ object TextFunctions {
 
   /** Bag-normalized document fingerprint: md5 of the space-joined sorted
     * distinct token set. Identical token bags → identical fingerprint,
-    * robust to word order — the cheap first tier of near-dedup.
+    * robust to word order — the cheap first tier of near-dedup. Null
+    * text → null fingerprint (concat_ws would silently turn the null
+    * token array into '' and collide every null doc with every EMPTY
+    * doc — and diverge from the oracle's null-propagating
+    * array_to_string).
     */
   def fingerprint(text: Column): Column =
-    md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(md5(concat_ws(" ", array_sort(array_distinct(tokens(text))))))
 
   /** BPE-ish subword-boundary tokenization: letter runs, digit runs, and
     * single punctuation marks — the regex shape BPE pre-tokenizers split

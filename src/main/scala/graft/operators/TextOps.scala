@@ -394,8 +394,8 @@ object TextOps {
       """WITH sstats AS (
         |  SELECT source,
         |         count(*) AS n_docs,
-        |         avg(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b'))
-        |             * 1.0 / len(string_split_regex(lower(text), '\s+'))) AS avg_sr
+        |         round(avg(len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b'))
+        |             * 1.0 / len(string_split_regex(lower(text), '\s+'))), 4) AS avg_sr
         |  FROM documents GROUP BY 1)
         |SELECT d.doc_id, d.source
         |FROM documents d JOIN sstats s ON d.source = s.source
@@ -403,9 +403,14 @@ object TextOps {
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val sr = stopwordCount(col("text")) / size(tokens(col("text"))).cast("double")
+      // the gate compares a ROUNDED mean (both engines): avg() over
+      // doubles is summation-order-dependent, and a source sitting
+      // within 1 ulp of the 0.05 threshold would otherwise flip its
+      // whole doc set between the engines (the float-selection hazard
+      // text_tfidf_topk documents)
       val sstats = docs
         .groupBy("source")
-        .agg(count(lit(1)).as("n_docs"), avg(sr).as("avg_sr"))
+        .agg(count(lit(1)).as("n_docs"), round(avg(sr), 4).as("avg_sr"))
         .where(col("n_docs") >= 10 && col("avg_sr") >= 0.05)
         .select("source")
       docs.join(sstats, Seq("source"))
@@ -644,16 +649,7 @@ object TextOps {
       try {
         val sh = hashed.select(col("doc_id"), explode(col("hs")).as("s"))
         val sizes = hashed.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
-        val bounded = NearDedup.dropHotBuckets(sh, Seq("s"), MaxShingleFreq,
-          "containment shingle")
-        val pairs = bounded.as("a")
-          .join(bounded.as("b"),
-            col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
-          .agg(count(lit(1)).as("inter"))
-        pairs
-          .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-          .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+        pairsWithSizes(sh, sizes, MaxShingleFreq, "containment shingle")
           .withColumn("containment",
             col("inter") / least(col("ni"), col("nj")).cast("double"))
           .where(col("containment") >= 0.5)
@@ -844,7 +840,11 @@ object TextOps {
         |       coalesce(bc.top_bigram_cnt, CAST(0 AS BIGINT)) AS top_bigram_cnt
         |FROM toks JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
         |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      // null-text parity: the native expression would emit a null-stats
+      // row while the oracle's inner JOIN drops the doc — filter
+      // identically (latent at fixture scale: no null texts there)
       Tables.documents(s, dir)
+        .where(col("text").isNotNull)
         .select(col("doc_id"),
           org.apache.spark.sql.graft.TextNative.tokenRepetition(col("text")).as("st"))
         .select(col("doc_id"), col("st.n_tokens"), col("st.n_distinct"),
@@ -908,10 +908,10 @@ object TextOps {
       s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents),
         |sp AS (SELECT doc_id, i AS pos, array_to_string(l[i:i+${SpanDedupN - 1}], ' ') AS s
         |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-${SpanDedupN - 1}, 0))) AS i) g),
-        |keep AS (SELECT s, min(doc_id * 1000000 + pos) AS k
+        |keep AS (SELECT s, min(struct_pack(d := doc_id, p := pos)) AS kp
         |         FROM sp GROUP BY s HAVING count(*) >= 2),
         |cov AS (SELECT sp.doc_id, sp.pos FROM sp JOIN keep USING (s)
-        |        WHERE sp.doc_id * 1000000 + sp.pos <> keep.k),
+        |        WHERE sp.doc_id <> kp.d OR sp.pos <> kp.p),
         |covered AS (SELECT DISTINCT doc_id, pos + off AS pos
         |            FROM cov, LATERAL (SELECT unnest(generate_series(0, ${SpanDedupN - 1})) AS off) o),
         |tok AS (SELECT doc_id, i AS pos, l[i] AS t FROM toks,
@@ -933,34 +933,42 @@ object TextOps {
 
   /** Exact-substring removal (Lee et al. 2022): delete every non-first
     * occurrence of each corpus-duplicated n-token span and rebuild the
-    * documents from the surviving tokens. "First" is the global
-    * (doc_id, position) minimum, encoded as doc_id·10⁶+pos (positions
-    * are document-bounded, well under 10⁶) so engine and oracle order
-    * occurrences identically. Spans ride 64-bit hashes through every
-    * shuffle (the text_ngram_jaccard collision argument); the rebuild
-    * is a per-doc array_sort over collected (pos, token) structs —
-    * bounded by document length, never corpus-shaped.
+    * documents from the surviving tokens. "First" is the lexicographic
+    * (doc_id, position) minimum, taken as a struct min in both engines
+    * — exact at any document length or id range. Spans ride 64-bit
+    * hashes through every shuffle (the text_ngram_jaccard collision
+    * argument); the rebuild is a per-doc array_sort over collected
+    * (pos, token) structs — bounded by document length, never
+    * corpus-shaped.
     */
   def spanScrub(docs: DataFrame, n: Int): DataFrame = {
-    val toks = docs.select(col("doc_id"), split(col("text"), "\\s+").as("l"))
-    val sp = toks.where(size(col("l")) >= n)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), size(col("l")) - lit(n - 1)),
-        i => xxhash64(concat_ws(" ", slice(col("l"), i, lit(n)))))).as(Seq("p0", "h")))
+    // one codegen'd pass per doc for all span hashes (SpanHash64:
+    // positional, raw-case, order-preserving) — not an interpreted
+    // transform/slice/concat lambda allocating per span
+    val sp = docs
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.TextNative.spanHash64(col("text"), n))
+        .as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("h"))
-    // duplicated spans with their keeper occurrence, one row per span
+    // duplicated spans with their keeper occurrence, one row per span.
+    // The keeper is the lexicographic min over (doc_id, pos) STRUCTS —
+    // not an arithmetic doc_id·K + pos encoding, which silently picks a
+    // wrong keeper once a document exceeds K tokens and overflows Long
+    // on large ids; struct ordering is exact at any scale and min() on
+    // structs is map-side combinable in both engines.
     val keep = sp.groupBy("h")
       .agg(count(lit(1)).as("cnt"),
-        min(col("doc_id") * 1000000L + col("pos")).as("k"))
+        min(struct(col("doc_id"), col("pos"))).as("kp"))
       .where(col("cnt") >= 2)
-      .select("h", "k")
+      .select(col("h"), col("kp.doc_id").as("kd"), col("kp.pos").as("kpos"))
     val covered = sp.join(keep, "h")
-      .where(col("doc_id") * 1000000L + col("pos") =!= col("k"))
+      .where(col("doc_id") =!= col("kd") || col("pos") =!= col("kpos"))
       .select(col("doc_id"),
         explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("pos"))
       .distinct()
-    val tok = toks
-      .select(col("doc_id"), posexplode(col("l")).as(Seq("p0", "t")))
+    val tok = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), "\\s+")).as(Seq("p0", "t")))
       .select(col("doc_id"), (col("p0") + 1).as("pos"), col("t"))
     val rebuilt = tok.join(covered, Seq("doc_id", "pos"), "left_anti")
       .groupBy("doc_id")
@@ -1064,9 +1072,13 @@ object TextOps {
     * false positives die in the exact join), so both run the plain SQL.
     */
   def incrementalDedupOracleSql: String =
+    // bipair joins the CAPPED shingle relation (shj) like the engine's
+    // dropHotBuckets side — the same-cap invariant shinglePairCte's
+    // scaladoc states; joining the raw `sh` would diverge on any corpus
+    // with a >MaxShingleFreq boilerplate shingle
     s"""WITH ${shinglePairCte()},
        |bipair AS (SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS inter
-       |           FROM sh a JOIN sh b
+       |           FROM shj a JOIN shj b
        |             ON a.s = b.s AND a.doc_id % 5 <> 0 AND b.doc_id % 5 = 0
        |           GROUP BY 1, 2),
        |neardrop AS (SELECT DISTINCT j FROM bipair
@@ -1215,18 +1227,26 @@ object TextOps {
     } finally sh.unpersist()
   }
 
-  private def jaccardFromParts(sh: DataFrame, sizes: DataFrame,
-      threshold: Double, maxShingleFreq: Int): DataFrame = {
-    val bounded = NearDedup.dropHotBuckets(sh, Seq("s"), maxShingleFreq,
-      "exact-jaccard shingle")
-    val pairs = bounded.as("a")
+  /** The shared sparse-similarity scaffolding: hot-capped shingle
+    * self-join → (i, j, inter, ni, nj). Jaccard and containment are
+    * DERIVED metrics over this one shape — keeping the cap/persist/join
+    * pattern in a single place (its semantics have already changed once;
+    * two copies drift).
+    */
+  private def pairsWithSizes(sh: DataFrame, sizes: DataFrame,
+      maxShingleFreq: Int, what: String): DataFrame = {
+    val bounded = NearDedup.dropHotBuckets(sh, Seq("s"), maxShingleFreq, what)
+    bounded.as("a")
       .join(bounded.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
       .agg(count(lit(1)).as("inter"))
-    pairs
       .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
       .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+  }
+
+  private def jaccardFromParts(sh: DataFrame, sizes: DataFrame,
+      threshold: Double, maxShingleFreq: Int): DataFrame =
+    pairsWithSizes(sh, sizes, maxShingleFreq, "exact-jaccard shingle")
       .withColumn("jac", col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
       .where(col("jac") >= threshold)
-  }
 }

@@ -89,6 +89,69 @@ case class ShingleHash64(child: Expression, n: Int)
   override def prettyName: String = "shingle_hash64"
 }
 
+/** POSITIONAL span hashes for exact-substring removal
+  * (TextOps.spanScrub): one FNV-1a 64-bit hash per n-token window, in
+  * document order, over RAW-case whitespace tokens — unlike
+  * [[ShingleHash64]] this neither lowercases (the scrub rebuilds
+  * training text and must treat "The" ≠ "the" exactly as the oracle's
+  * raw split does) nor deduplicates (every occurrence position
+  * matters). Empty array when the doc is shorter than a span. One
+  * codegen'd pass replacing the interpreted
+  * transform/slice/concat_ws/xxhash64 lambda chain, which allocated a
+  * slice array and a concatenated string per span.
+  */
+case class SpanHash64(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+
+  require(n >= 1, s"span width must be >= 1, got $n")
+
+  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  def compute(text: UTF8String): ArrayData = {
+    val WS = java.util.regex.Pattern.compile("\\s+")
+    val toks = WS.split(text.toString, -1)
+    if (toks.length < n) UnsafeArrayData.fromPrimitiveArray(Array.empty[Long])
+    else {
+      val out = new Array[Long](toks.length - n + 1)
+      var i = 0
+      while (i <= toks.length - n) {
+        var h = 0xcbf29ce484222325L // FNV-1a 64-bit offset basis
+        var k = 0
+        while (k < n) {
+          val t = toks(i + k)
+          var c = 0
+          while (c < t.length) {
+            h ^= t.charAt(c)
+            h *= 0x100000001b3L
+            c += 1
+          }
+          h ^= ' '
+          h *= 0x100000001b3L
+          k += 1
+        }
+        out(i) = h
+        i += 1
+      }
+      UnsafeArrayData.fromPrimitiveArray(out)
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("spanner", this, classOf[SpanHash64].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.compute($c);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpanHash64 =
+    copy(child = newChild)
+
+  override def prettyName: String = "span_hash64"
+}
+
 /** All k minhashes of a 64-bit shingle-hash array in one pass — hash
   * family i = murmur3(shingle, i) with Spark's seed 42, identical to
   * `min(hash(s, i))` over the exploded relation (NearDedup's grouped
@@ -428,6 +491,10 @@ object TextNative {
   /** `shingle_hash64(text, n)` as a Column. */
   def shingleHash64(text: Column, n: Int): Column =
     ExpressionUtils.column(ShingleHash64(ExpressionUtils.expression(text), n))
+
+  /** `span_hash64(text, n)` as a Column (positional, raw-case). */
+  def spanHash64(text: Column, n: Int): Column =
+    ExpressionUtils.column(SpanHash64(ExpressionUtils.expression(text), n))
 
   /** `minhash_signature(hashes, k)` as a Column. */
   def minhashSignature(hashes: Column, k: Int): Column =
