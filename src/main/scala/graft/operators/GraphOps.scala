@@ -209,12 +209,19 @@ object GraphOps {
     connectedComponents(stars.unionAll(newEdges.select(col("src"), col("dst"))))
   }
 
-  def equivEdges(s: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.eventsRaw(s, dir)
-    ev.select(col("user_id").as("src"),
+  /** The fixture equiv-edge rule over ANY relation with a `user_id`
+    * column — the ONE Spark-side definition that must stay in lockstep
+    * with the `edgesBody` SQL below (connected_components,
+    * cc_incremental, and stream_cc's per-microbatch derivation all
+    * share the recursive-CTE oracle built from it).
+    */
+  def equivEdgesOf(userIds: DataFrame): DataFrame =
+    userIds.select(col("user_id").as("src"),
         explode(array(col("user_id") % 37, col("user_id") % 41, col("user_id") % 7)).as("dst"))
       .where(col("src") =!= col("dst")).distinct()
-  }
+
+  def equivEdges(s: SparkSession, dir: String): DataFrame =
+    equivEdgesOf(Tables.eventsRaw(s, dir).select(col("user_id")))
 
   private val edgesBody =
     """e AS (

@@ -159,6 +159,20 @@ object QualityFilter {
     (sr >= threshold).cast("int")
   }
 
+  /** The DECLARED model recipe, shared verbatim by the batch query and
+    * the streaming serving split (stream_quality_filter): md5-bucket
+    * train split (< 80), stop-ratio teacher at 0.06, conf-sized hashed
+    * BoW. One definition — QualityFilterSpec pins streamed ≡ batch
+    * scores, which only holds if both train on the identical recipe.
+    */
+  def trainDeclaredModel(s: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): QualityModel = {
+    val dim = s.conf.get("graft.quality.dim", "4096").toInt
+    val split = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("int") % 100
+    trainQualityModel(docs.where(split < 80), stopRatioTeacher(0.06), dim)
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Train on the md5-bucket train split (the split_train_eval
@@ -168,10 +182,7 @@ object QualityFilter {
     // scoring arithmetic (all-ones weights => score == sigmoid(b + n)).
     noOracle("text_quality_classifier") { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val dim = s.conf.get("graft.quality.dim", "4096").toInt
-      val split = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100
-      val m = trainQualityModel(docs.where(split < 80), stopRatioTeacher(0.06), dim)
+      val m = trainDeclaredModel(s, docs)
       scoreQualityNative(docs, m)
         .select(col("doc_id"), col("quality_pred"),
           round(col("quality_score"), 2).as("quality_score"))

@@ -37,8 +37,15 @@ object StreamViews {
     stageCache.computeIfAbsent(s"$variant|$dir", _ => {
       val stage = java.nio.file.Paths.get(graft.Scratch.dir(s"graft_stream_$variant"))
       links.foreach { case (fileName, table) =>
-        java.nio.file.Files.createLink(
-          stage.resolve(fileName), java.nio.file.Paths.get(Tables.path(dir, table)))
+        val src = java.nio.file.Paths.get(Tables.path(dir, table))
+        try java.nio.file.Files.createLink(stage.resolve(fileName), src)
+        catch {
+          // EXDEV: data dir and java.io.tmpdir on different filesystems
+          // (tmpfs /tmp is a common default) — hardlinks cannot cross
+          // devices, fall back to a copy
+          case _: java.nio.file.FileSystemException =>
+            java.nio.file.Files.copy(src, stage.resolve(fileName))
+        }
       }
       stage.toString
     })
@@ -88,15 +95,19 @@ object StreamViews {
   private[graft] def withStreamStateConf[A](spark: SparkSession)(f: => A): A = {
     val key = "spark.sql.shuffle.partitions"
     val provKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.get(key)
-    val prevProv = spark.conf.getOption(provKey)
-    spark.conf.set(key, spark.conf.get("graft.stream.statePartitions", "8"))
-    spark.conf.get("graft.stream.stateStore", "memory") match {
-      case "rocksdb" => spark.conf.set(provKey, RocksDBProvider)
-      case "memory" => () // provider default (HDFSBackedStateStoreProvider)
+    // validate BEFORE any session mutation: throwing between the first
+    // conf.set and the try would leak the state-partition setting into
+    // every subsequent batch query of the session
+    val provider = spark.conf.get("graft.stream.stateStore", "memory") match {
+      case "rocksdb" => Some(RocksDBProvider)
+      case "memory" => None // provider default (HDFSBackedStateStoreProvider)
       case other => throw new IllegalArgumentException(
         s"graft.stream.stateStore must be memory|rocksdb, got '$other'")
     }
+    val prev = spark.conf.get(key)
+    val prevProv = spark.conf.getOption(provKey)
+    spark.conf.set(key, spark.conf.get("graft.stream.statePartitions", "8"))
+    provider.foreach(p => spark.conf.set(provKey, p))
     try f finally {
       spark.conf.set(key, prev)
       prevProv match {
@@ -106,8 +117,31 @@ object StreamViews {
     }
   }
 
+  /** Run `out` to completion (AvailableNow) through a memory sink and
+    * return the result as a MATERIALIZED, catalog-free DataFrame: the
+    * sink's temp view pins the query's whole output on the driver heap
+    * inside the catalog for the session's lifetime (a bench round runs
+    * 3 reps × every streaming query on ONE session — unbounded growth),
+    * so the result is copied to localCheckpoint blocks (spillable,
+    * freed by the ContextCleaner once the caller drops the reference)
+    * and the temp view dropped immediately. Every memory-sink run in
+    * this file goes through here — sink-level fixes land once.
+    */
+  private def sinkToMemory(spark: SparkSession, out: DataFrame,
+      outputMode: String): DataFrame = {
+    val name = s"graft_stream_${nameCounter.incrementAndGet()}"
+    val q = out.writeStream
+      .format("memory").queryName(name).outputMode(outputMode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val result = spark.table(name).localCheckpoint()
+    spark.catalog.dropTempView(name)
+    result
+  }
+
   /** Run a streaming transform of the events table to completion
-    * (AvailableNow) into a memory sink; return the sink table.
+    * (AvailableNow) into a memory sink; return the materialized result.
     *
     * `needsFinalFlush` keeps the trailing no-data microbatch that advances
     * the watermark and flushes closed windows/sessions; queries without
@@ -122,14 +156,8 @@ object StreamViews {
     spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", needsFinalFlush)
     try {
       val schema = Tables.eventsRaw(spark, dir).schema
-      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
       val src = StreamSource.events(spark, schema, stagedEventsDir(dir))
-      val q = transform(src).writeStream
-        .format("memory").queryName(name).outputMode(outputMode)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      spark.table(name)
+      sinkToMemory(spark, transform(src), outputMode)
     } finally prevNoData match {
       case Some(v) => spark.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", v)
       case None => spark.conf.unset("spark.sql.streaming.noDataMicroBatches.enabled")
@@ -154,23 +182,61 @@ object StreamViews {
     sessionizeCache.entrySet().removeIf(e => e.getKey._1.sparkContext.isStopped)
     sessionizeCache.computeIfAbsent((s, dir), _ => withStateParallelism(s) {
       import s.implicits._
-      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val schema = Tables.eventsRaw(s, dir).schema
-      val pvs = StreamSource.events(s, schema, stagedEventsDir(dir))
-        .select(col("event_type").as("domain"), col("user_id").as("user"),
-          (tsSecs(col("ts")) * 1000).cast("long").as("tsMillis"))
-        .as[StreamSessionize.PageView]
-      val q = StreamSessionize.completedVisits(s, pvs, watermarkDelay = "0 seconds")
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name)
+      // the trailing NO-DATA microbatch is what fires the event-time
+      // timeout timers that close the final sessions — pin it ON
+      // explicitly (runToMemory's needsFinalFlush discipline) rather
+      // than relying on the session default, which a deployment may
+      // have turned off as a microbatch tuning
+      val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
+      val prevNoData = s.conf.getOption(noDataKey)
+      s.conf.set(noDataKey, "true")
+      try {
+        val schema = Tables.eventsRaw(s, dir).schema
+        val pvs = StreamSource.events(s, schema, stagedEventsDir(dir))
+          .select(col("event_type").as("domain"), col("user_id").as("user"),
+            (tsSecs(col("ts")) * 1000).cast("long").as("tsMillis"))
+          .as[StreamSessionize.PageView]
+        sinkToMemory(s,
+          StreamSessionize.completedVisits(s, pvs, watermarkDelay = "0 seconds").toDF(),
+          "append")
+      } finally prevNoData match {
+        case Some(v) => s.conf.set(noDataKey, v)
+        case None => s.conf.unset(noDataKey)
+      }
     })
   }
 
   private val ts = Tables.sql.tsSecs
   private val hb = s"($ts) // 3600"
+
+  /** The sessionization CTE chain shared VERBATIM by the
+    * stream_sessionize and stream_bounce oracles. Both encode the same
+    * subtle completed-visit emission rule (a visit is emitted iff a
+    * later visit exists for its key — rdesc > 1 — or its end + gap has
+    * passed the max event time); one definition so a rule fix cannot
+    * land in only one of them.
+    */
+  private def sessionizeOracleCte: String =
+    s"""pv AS (
+       |  SELECT event_type AS domain, user_id, $ts AS ts_secs, event_id FROM events),
+       |flagged AS (
+       |  SELECT domain, user_id, ts_secs,
+       |         CASE WHEN ts_secs - lag(ts_secs) OVER w > 1800
+       |                OR lag(ts_secs) OVER w IS NULL THEN 1 ELSE 0 END AS ns
+       |  FROM pv WINDOW w AS (PARTITION BY domain, user_id ORDER BY ts_secs, event_id)),
+       |sess AS (
+       |  SELECT domain, user_id, ts_secs,
+       |         sum(ns) OVER (PARTITION BY domain, user_id ORDER BY ts_secs
+       |                       ROWS UNBOUNDED PRECEDING) AS visit_id
+       |  FROM flagged),
+       |visits AS (
+       |  SELECT domain, user_id, visit_id, count(*) AS n_pageviews,
+       |         min(ts_secs) AS start_secs, max(ts_secs) AS end_secs,
+       |         row_number() OVER (PARTITION BY domain, user_id
+       |                            ORDER BY min(ts_secs) DESC) AS rdesc
+       |  FROM sess GROUP BY domain, user_id, visit_id),
+       |mx AS (SELECT max(ts_secs) AS m FROM pv)""".stripMargin
 
   // documents staged for the corpus-intake stream
   private def stagedDocsDir(dir: String): String =
@@ -213,25 +279,7 @@ object StreamViews {
     // gap-sessionization.
     withOracle(
       "stream_sessionize",
-      s"""WITH pv AS (
-         |  SELECT event_type AS domain, user_id, $ts AS ts_secs, event_id FROM events),
-         |flagged AS (
-         |  SELECT domain, user_id, ts_secs,
-         |         CASE WHEN ts_secs - lag(ts_secs) OVER w > 1800
-         |                OR lag(ts_secs) OVER w IS NULL THEN 1 ELSE 0 END AS ns
-         |  FROM pv WINDOW w AS (PARTITION BY domain, user_id ORDER BY ts_secs, event_id)),
-         |sess AS (
-         |  SELECT domain, user_id, ts_secs,
-         |         sum(ns) OVER (PARTITION BY domain, user_id ORDER BY ts_secs
-         |                       ROWS UNBOUNDED PRECEDING) AS visit_id
-         |  FROM flagged),
-         |visits AS (
-         |  SELECT domain, user_id, visit_id, count(*) AS n_pageviews,
-         |         min(ts_secs) AS start_secs, max(ts_secs) AS end_secs,
-         |         row_number() OVER (PARTITION BY domain, user_id
-         |                            ORDER BY min(ts_secs) DESC) AS rdesc
-         |  FROM sess GROUP BY domain, user_id, visit_id),
-         |mx AS (SELECT max(ts_secs) AS m FROM pv)
+      s"""WITH $sessionizeOracleCte
          |SELECT domain, user_id, start_secs, n_pageviews,
          |       CAST(n_pageviews = 1 AS BOOLEAN) AS is_bounce
          |FROM visits, mx
@@ -278,25 +326,7 @@ object StreamViews {
     // the oracle.
     withOracle(
       "stream_bounce",
-      s"""WITH pv AS (
-         |  SELECT event_type AS domain, user_id, $ts AS ts_secs, event_id FROM events),
-         |flagged AS (
-         |  SELECT domain, user_id, ts_secs,
-         |         CASE WHEN ts_secs - lag(ts_secs) OVER w > 1800
-         |                OR lag(ts_secs) OVER w IS NULL THEN 1 ELSE 0 END AS ns
-         |  FROM pv WINDOW w AS (PARTITION BY domain, user_id ORDER BY ts_secs, event_id)),
-         |sess AS (
-         |  SELECT domain, user_id, ts_secs,
-         |         sum(ns) OVER (PARTITION BY domain, user_id ORDER BY ts_secs
-         |                       ROWS UNBOUNDED PRECEDING) AS visit_id
-         |  FROM flagged),
-         |visits AS (
-         |  SELECT domain, user_id, visit_id, count(*) AS n_pageviews,
-         |         max(ts_secs) AS end_secs,
-         |         row_number() OVER (PARTITION BY domain, user_id
-         |                            ORDER BY min(ts_secs) DESC) AS rdesc
-         |  FROM sess GROUP BY domain, user_id, visit_id),
-         |mx AS (SELECT max(ts_secs) AS m FROM pv)
+      s"""WITH $sessionizeOracleCte
          |SELECT domain, count(*) AS visits,
          |       CAST(sum(CASE WHEN n_pageviews = 1 THEN 1 ELSE 0 END) AS BIGINT) AS bounces
          |FROM visits, mx WHERE rdesc > 1 OR end_secs + 1800 < m
@@ -318,15 +348,12 @@ object StreamViews {
       "stream_dedup",
       "SELECT count(*) AS n FROM events") { (s, dir) =>
       withStateParallelism(s) {
-        val name = s"graft_stream_${nameCounter.incrementAndGet()}"
         val schema = Tables.eventsFileSchema(s, dir)
-        val q = s.readStream.schema(schema).parquet(stagedDoubledEventsDir(dir))
-          .dropDuplicates("event_id")
-          .groupBy().count()
-          .writeStream.format("memory").queryName(name).outputMode("complete")
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        s.table(name).select(col("count").as("n"))
+        sinkToMemory(s,
+          s.readStream.schema(schema).parquet(stagedDoubledEventsDir(dir))
+            .dropDuplicates("event_id")
+            .groupBy().count(),
+          "complete").select(col("count").as("n"))
       }
     },
 
@@ -341,18 +368,15 @@ object StreamViews {
       "stream_dedup_bounded",
       "SELECT count(*) AS n FROM events") { (s, dir) =>
       withStateParallelism(s) {
-        val name = s"graft_stream_${nameCounter.incrementAndGet()}"
         val schema = Tables.eventsFileSchema(s, dir)
-        val q = Tables.normalizeTs(
-            s.readStream.schema(schema).parquet(stagedDoubledEventsDir(dir)))
-          .withColumn("ts_event", tsSecs(col("ts")).cast("timestamp"))
-          .withWatermark("ts_event", "1 hour")
-          .dropDuplicatesWithinWatermark("event_id")
-          .groupBy().count()
-          .writeStream.format("memory").queryName(name).outputMode("complete")
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        s.table(name).select(col("count").as("n"))
+        sinkToMemory(s,
+          Tables.normalizeTs(
+              s.readStream.schema(schema).parquet(stagedDoubledEventsDir(dir)))
+            .withColumn("ts_event", tsSecs(col("ts")).cast("timestamp"))
+            .withWatermark("ts_event", "1 hour")
+            .dropDuplicatesWithinWatermark("event_id")
+            .groupBy().count(),
+          "complete").select(col("count").as("n"))
       }
     },
 
@@ -379,7 +403,11 @@ object StreamViews {
       val cutoff = s.conf.getOption("graft.serving.cutoffSecs")
         .map(_.toLong).getOrElse {
           val mm = ev.agg(min(col("ts_secs")), max(col("ts_secs"))).head()
-          mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 4 / 5
+          // empty events: the global min/max agg returns one all-null
+          // row — any split point yields the same (empty) answer, so
+          // take 0 rather than NPE on the null dereference
+          if (mm.isNullAt(0)) 0L
+          else mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) * 4 / 5
         }
       val batchView = ev.where(col("ts_secs") < cutoff)
         .groupBy(col("event_type").as("url"), hourBucket(col("ts_secs")).as("hbv"))
@@ -412,7 +440,6 @@ object StreamViews {
          | AND c.ts_secs BETWEEN p.ts_secs - 3600 AND p.ts_secs
          |ORDER BY purchase_id, click_id""".stripMargin) { (s, dir) =>
       withStateParallelism(s) {
-        val name = s"graft_stream_${nameCounter.incrementAndGet()}"
         s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         val schema = Tables.eventsRaw(s, dir).schema
         def side(kind: String, idAs: String, userAs: String, tsAs: String) =
@@ -421,14 +448,12 @@ object StreamViews {
             .select(col("event_id").as(idAs), col("user_id").as(userAs),
               tsSecs(col("ts")).cast("timestamp").as(tsAs))
             .withWatermark(tsAs, "1 hour")
-        val q = side("purchase", "purchase_id", "pu", "pts")
-          .join(side("click", "click_id", "cu", "cts"),
-            expr("pu = cu AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts"))
-          .select(col("purchase_id"), col("click_id"))
-          .writeStream.format("memory").queryName(name).outputMode("append")
-          .trigger(Trigger.AvailableNow()).start()
-        q.awaitTermination()
-        s.table(name)
+        sinkToMemory(s,
+          side("purchase", "purchase_id", "pu", "pts")
+            .join(side("click", "click_id", "cu", "cts"),
+              expr("pu = cu AND cts BETWEEN pts - INTERVAL 1 HOUR AND pts"))
+            .select(col("purchase_id"), col("click_id")),
+          "append")
       }.orderBy("purchase_id", "click_id")
     },
 
@@ -488,17 +513,14 @@ object StreamViews {
          |FROM q LEFT JOIN (SELECT doc_id, plang FROM lbest WHERE rn = 1) b USING (doc_id)
          |ORDER BY doc_id""".stripMargin) { (s, dir) =>
       val schema = Tables.documents(s, dir).schema
-      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-      val q = s.readStream.schema(schema).parquet(stagedDocsDir(dir))
-        .where(col("n_chars") >= 100 &&
-          size(graft.functions.TextFunctions.tokens(col("text"))) >= 20)
-        .select(col("doc_id"),
-          graft.operators.TextOps.predLang(col("text")).as("pred_lang"),
-          size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens"))
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name).orderBy("doc_id")
+      sinkToMemory(s,
+        s.readStream.schema(schema).parquet(stagedDocsDir(dir))
+          .where(col("n_chars") >= 100 &&
+            size(graft.functions.TextFunctions.tokens(col("text"))) >= 20)
+          .select(col("doc_id"),
+            graft.operators.TextOps.predLang(col("text")).as("pred_lang"),
+            size(graft.functions.TextFunctions.tokens(col("text"))).as("n_tokens")),
+        "append").orderBy("doc_id")
     },
 
     // Learned quality filter on the document stream: the model trains
@@ -511,21 +533,16 @@ object StreamViews {
     // fit isn't SQL); QualityFilterSpec pins streamed ≡ batch scores.
     QueryDef.noOracle("stream_quality_filter") { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val dim = s.conf.get("graft.quality.dim", "4096").toInt
-      val split = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100
-      val m = graft.operators.QualityFilter.trainQualityModel(
-        docs.where(split < 80), graft.operators.QualityFilter.stopRatioTeacher(0.06), dim)
+      // the ONE declared recipe (QualityFilter.trainDeclaredModel) —
+      // streamed ≡ batch scores requires both to train identically
+      val m = graft.operators.QualityFilter.trainDeclaredModel(s, docs)
       val schema = docs.schema
-      val name = s"graft_stream_${nameCounter.incrementAndGet()}"
-      val q = graft.operators.QualityFilter.scoreQualityNative(
-        s.readStream.schema(schema).parquet(stagedDocsDir(dir)), m)
-        .select(col("doc_id"), col("quality_pred"),
-          round(col("quality_score"), 2).as("quality_score"))
-        .writeStream.format("memory").queryName(name).outputMode("append")
-        .trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-      s.table(name).orderBy("doc_id")
+      sinkToMemory(s,
+        graft.operators.QualityFilter.scoreQualityNative(
+          s.readStream.schema(schema).parquet(stagedDocsDir(dir)), m)
+          .select(col("doc_id"), col("quality_pred"),
+            round(col("quality_score"), 2).as("quality_score")),
+        "append").orderBy("doc_id")
     },
 
     // Streaming heavy hitters: trending keys under BOUNDED state — the
@@ -624,22 +641,26 @@ object StreamViews {
     withOracle(
       "stream_cc",
       graft.operators.GraphOps.ccOracleSql) { (s, dir) =>
-      val root = graft.Scratch.dir("graft_scc")
-      val eventsDir = s"$root/events"
-      val labelsDir = s"$root/labels"
-      Tables.eventsRaw(s, dir).select("user_id").repartition(4)
-        .write.parquet(eventsDir)
+      // the 4-file user_id staging is deterministic per sf dir: stage it
+      // once per session like every other stream source (previously each
+      // of the bench's reps paid a full events scan + write of pure
+      // staging); only the label store stays per-run fresh
+      val eventsDir = stageCache.computeIfAbsent(s"scc|$dir", _ => {
+        val d = graft.Scratch.dir("graft_scc_events")
+        Tables.eventsRaw(s, dir).select("user_id").repartition(4)
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      val labelsDir = graft.Scratch.dir("graft_scc") + "/labels"
       val schema = s.read.parquet(eventsDir).schema
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(eventsDir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          val edges = batch
-            .select(col("user_id").as("src"),
-              explode(array(col("user_id") % 37, col("user_id") % 41,
-                col("user_id") % 7)).as("dst"))
-            .where(col("src") =!= col("dst")).distinct()
-          LabelStore.fold(s, labelsDir, edges)
+          // the shared Spark-side edge rule — one definition with the
+          // batch/incremental forms and the recursive-CTE oracle
+          LabelStore.fold(s, labelsDir,
+            graft.operators.GraphOps.equivEdgesOf(batch.select("user_id")))
           ()
         }
         .trigger(Trigger.AvailableNow()).start()
