@@ -79,7 +79,11 @@ object FreqSketch {
     override def outputEncoder: Encoder[Summary] = Encoders.product[Summary]
   }
 
-  case class CMSketch(counts: Seq[Long])
+  // Array, not Seq: the Aggregator contract lets reduce/merge mutate and
+  // return their first argument, so the d·w grid is allocated once per
+  // hash-map buffer and incremented in place — a Seq would force a full
+  // O(w·d) copy per input row on the per-fact-row hot path.
+  case class CMSketch(counts: Array[Long])
 
   /** Count-Min sketch (Cormode & Muthukrishnan, J.Alg'05): d hash rows ×
     * w counters; a key increments one cell per row and a point query
@@ -99,10 +103,10 @@ object FreqSketch {
   case class CountMin(w: Int, d: Int) extends Aggregator[String, CMSketch, CMSketch] {
     require(w >= 2 && d >= 1, s"count-min needs w >= 2, d >= 1, got ($w, $d)")
 
-    override def zero: CMSketch = CMSketch(new Array[Long](w * d).toSeq)
+    override def zero: CMSketch = CMSketch(new Array[Long](w * d))
 
     override def reduce(b: CMSketch, key: String): CMSketch = {
-      val a = b.counts.toArray
+      val a = b.counts
       // one UTF-8 encode per input row, not one per hash row — reduce
       // is the per-fact-row hot path (d× redundant encodings otherwise)
       val u = org.apache.spark.unsafe.types.UTF8String.fromString(key)
@@ -111,19 +115,15 @@ object FreqSketch {
         a(r * w + CountMin.cellOf(u, r, w)) += 1
         r += 1
       }
-      CMSketch(a.toSeq)
+      b
     }
 
     override def merge(a: CMSketch, b: CMSketch): CMSketch = {
-      if (a.counts.forall(_ == 0L)) b
-      else if (b.counts.forall(_ == 0L)) a
-      else {
-        val x = a.counts.toArray
-        val y = b.counts
-        var i = 0
-        while (i < x.length) { x(i) += y(i); i += 1 }
-        CMSketch(x.toSeq)
-      }
+      val x = a.counts
+      val y = b.counts
+      var i = 0
+      while (i < x.length) { x(i) += y(i); i += 1 }
+      a
     }
 
     override def finish(b: CMSketch): CMSketch = b

@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.withOracle
+import graft.functions.TimeFunctions
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -12,6 +13,19 @@ import org.apache.spark.sql.functions._
   * aggregation, running window aggregates, and set operations.
   */
 object Analytics {
+
+  /** keys × active-hours counts — the shared "hourly" relation of
+    * timeseries_gapfill and timeseries_correlate. Bucketing goes through
+    * TimeFunctions.hourBucket (exact long floor-div), the same
+    * implementation every other operator uses — no second bucketing
+    * variant to drift.
+    */
+  private def hourlyCounts(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type").as("key"),
+        TimeFunctions.hourBucket(col("ts_secs")).as("hb"))
+      .agg(count(lit(1)).as("pv"))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -43,11 +57,7 @@ object Analytics {
       // feeds BOTH the span aggregate and the fill join; materializing
       // it once keeps the corpus scan single-pass (exchange reuse does
       // not bridge the two differently-shaped consumers).
-      val hourly = Tables.events(s, dir)
-        .groupBy(col("event_type").as("key"),
-          floor(col("ts_secs") / 3600L).as("hb"))
-        .agg(count(lit(1)).as("pv"))
-        .localCheckpoint()
+      val hourly = hourlyCounts(s, dir).localCheckpoint()
       val grid = hourly.groupBy("key")
         .agg(min("hb").as("mnh"), max("hb").as("mxh"))
         .select(col("key"), explode(sequence(col("mnh"), col("mxh"))).as("hb"))
@@ -215,10 +225,7 @@ object Analytics {
            |FROM hourly a JOIN hourly b ON a.hb = b.hb AND a.key < b.key
            |GROUP BY 1, 2 ORDER BY key_a, key_b""".stripMargin
       }) { (s, dir) =>
-      val hourly = Tables.events(s, dir)
-        .groupBy(col("event_type").as("key"),
-          floor(col("ts_secs") / 3600L).as("hb"))
-        .agg(count(lit(1)).as("pv"))
+      val hourly = hourlyCounts(s, dir)
       val a = hourly.select(col("key").as("key_a"), col("hb"), col("pv").as("pv_a"))
       val b = hourly.select(col("key").as("key_b"), col("hb"), col("pv").as("pv_b"))
       a.join(b, Seq("hb")).where(col("key_a") < col("key_b"))
@@ -353,7 +360,7 @@ object Analytics {
          |  FROM flt)
          |SELECT user_id, val, valid_from, valid_to,
          |       CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
-         |FROM v ORDER BY user_id, valid_from, val""".stripMargin) { (s, dir) =>
+         |FROM v ORDER BY user_id, valid_from, val, valid_to NULLS LAST""".stripMargin) { (s, dir) =>
       val w = Window.partitionBy("user_id").orderBy(col("ts_secs"), col("event_id"))
       Tables.events(s, dir)
         .select(col("user_id"), col("event_type").as("val"),
@@ -364,7 +371,13 @@ object Analytics {
         .select(col("user_id"), col("val"), col("ts_secs").as("valid_from"),
           col("valid_to"),
           when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
-        .orderBy("user_id", "valid_from", "val")
+        // valid_to completes the total order: an A,B,A value flip inside
+        // one epoch second yields two rows tied on (user_id, valid_from,
+        // val) that differ only in valid_to/is_current — without it the
+        // two engines may emit the tie in different orders. NULLS LAST
+        // explicitly: Spark defaults nulls-first asc, DuckDB nulls-last.
+        .orderBy(col("user_id"), col("valid_from"), col("val"),
+          col("valid_to").asc_nulls_last)
     },
 
     // Semi-structured extraction: parse the JSON props payload into a
@@ -552,7 +565,8 @@ object Analytics {
       val wk = Tables.eventsRaw(s, dir)
         .select(col("user_id"),
           graft.functions.TimeFunctions.tsSecs(col("ts")).as("ts_secs"))
-        .select(col("user_id"), expr("ts_secs div 604800").as("wk"))
+        .select(col("user_id"),
+          TimeFunctions.fdiv(col("ts_secs"), 604800L).as("wk"))
       val first = wk.groupBy("user_id").agg(min("wk").as("cohort_wk"))
       wk.join(first, "user_id")
         .select(col("user_id"), col("cohort_wk"), (col("wk") - col("cohort_wk")).as("wk_offset"))

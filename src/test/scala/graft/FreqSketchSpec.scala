@@ -88,7 +88,7 @@ class FreqSketchSpec extends SparkSpec {
     val cm = FreqSketch.CountMin(64, 4)
     val whole = cmFold(cm, stream)
     val merged = stream.grouped(977).toSeq.map(cmFold(cm, _)).reduce(cm.merge)
-    assert(merged.counts == whole.counts)
+    assert(merged.counts.toSeq == whole.counts.toSeq)
   }
 
   test("count-min is exact when cardinality is collision-free (large w)") {

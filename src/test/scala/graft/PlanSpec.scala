@@ -257,7 +257,10 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     import org.apache.spark.sql.execution.window.WindowExec
-    for (name <- Seq("sample_stratified", "sample_token_budget")) {
+    // corpus_interleave included: its per-source rank must ride the same
+    // stratumPrefix shape — a raw Window.partitionBy(source) would sort
+    // the largest source (half the corpus under documented skew) in one task
+    for (name <- Seq("sample_stratified", "sample_token_budget", "corpus_interleave")) {
       val df = q(name)
       // the offset window over per-(partition, stratum) totals must be the
       // ONLY window — and it must sit above an aggregate, never raw rows
