@@ -191,11 +191,25 @@ object Engine {
 
   /** Embedding near-duplicate pairs at a cosine threshold: SRP-LSH
     * banded candidates + exact cosine verify (the scale form of the
-    * all-pairs join).
+    * all-pairs join). The recall-targeted embedding-dedup path.
     */
   def cosineNearDupPairs(spark: SparkSession, emb: DataFrame,
       threshold: Double): DataFrame =
     operators.VectorOps.cosineNearDupLsh(spark, emb, threshold)
+
+  /** SEMANTIC near-duplicate pairs (SemDeDup family): cluster-scoped
+    * exact-cosine dedup on k-means cells — the throughput-targeted
+    * embedding-dedup path (candidate volume Σ|cell|², no code
+    * replicas). Routes to MULTI-ASSIGNMENT (each vector in its 2
+    * nearest cells — recall 0.90 vs the exact form, vs 0.53 for single
+    * assignment, RECALL_r10.json) — pass `nAssign = 1` explicitly only
+    * when the 2× candidate volume matters more than Voronoi-boundary
+    * pairs. Every emitted pair is exact-cosine verified.
+    */
+  def semanticNearDupPairs(spark: SparkSession, emb: DataFrame,
+      threshold: Double, nAssign: Int = 2): DataFrame =
+    operators.VectorOps.cosineNearDupSemantic(spark, emb, threshold,
+      nAssign = nAssign)
 
   /** In-query ANN top-k over an embedding corpus (IVF + residual PQ —
     * the production composition; exact cosines on the emitted rows).

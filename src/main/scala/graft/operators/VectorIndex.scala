@@ -139,9 +139,14 @@ object VectorIndex {
     * `cell` plants a dynamicpruning subquery on the partition column.
     * VectorIndexSpec pins BOTH paths' pruning. `emb` supplies raw
     * vectors for the exact rerank of the top candidates only.
+    *
+    * Defaults sit at the measured curve knees (nProbe 8, rerank 12 —
+    * the documented stale-codebook-append stance for the indexed form);
+    * both are probe/serving-side knobs with zero corpus-side cost
+    * beyond the nProbe/nCells scan fraction.
     */
   def searchIvfPq(spark: SparkSession, dir: String, emb: DataFrame,
-      probes: DataFrame, k: Int, nProbe: Int = 4, rerank: Int = 4): DataFrame = {
+      probes: DataFrame, k: Int, nProbe: Int = 8, rerank: Int = 12): DataFrame = {
     val (coarse, books) = readCodebooks(spark, dir)
     VectorOps.ivfPqSearch(spark, spark.read.parquet(codesDir(dir)), emb,
       probes, coarse, books, k, nProbe, rerank)

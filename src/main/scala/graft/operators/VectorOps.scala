@@ -175,7 +175,9 @@ object VectorOps {
       val emb = Tables.embeddings(s, dir)
       // fixture shape pinned at 16 cells so the recall measurement in
       // ApproxOpsSpec stays comparable across rounds; production callers
-      // take the √n auto-sizing default
+      // take the √n auto-sizing default. nProbe rides the library
+      // default (8 — the curve knee, 0.90 recall; round 11 moved it
+      // from the 0.72 mid-curve point, cost priced in BASELINE.md)
       annIvf(s, emb, probeFilter = col("vec_id") < 10, k = 5, nCells = 16)
     },
 
@@ -316,16 +318,21 @@ object VectorOps {
     // verified → subset of the all-pairs form, recall in ApproxOpsSpec.
     noOracle("near_dedup_semantic") { (s, dir) =>
       // fixture shape pinned at 8 cells so recall stays comparable
-      // across rounds; production callers take the √n auto default
+      // across rounds; production callers take the √n auto default.
+      // nAssign = 1 is EXPLICIT here (round 11 moved the library
+      // default to multi-assign): this query tracks the single-assign
+      // cost-floor operating point; the default path's recall is the
+      // _multi entry
       cosineNearDupSemantic(s, Tables.embeddings(s, dir), threshold = 0.4,
-        nCells = 8).orderBy("i", "j")
+        nCells = 8, nAssign = 1).orderBy("i", "j")
     },
 
-    // Multi-assignment variant: same 8 cells, each vector in its 2
-    // nearest — recovers the Voronoi-boundary pairs single assignment
-    // structurally misses (the dominant recall hole of the cluster-scoped
-    // form) for 2× candidate volume. Recall vs the exact form tracked
-    // beside the single-assign number in ApproxOpsSpec / RECALL.
+    // Multi-assignment variant — THE LIBRARY DEFAULT since round 11:
+    // same 8 cells, each vector in its 2 nearest — recovers the
+    // Voronoi-boundary pairs single assignment structurally misses (the
+    // dominant recall hole of the cluster-scoped form) for 2× candidate
+    // volume. Recall vs the exact form tracked beside the single-assign
+    // number in ApproxOpsSpec / RECALL.
     noOracle("near_dedup_semantic_multi") { (s, dir) =>
       cosineNearDupSemantic(s, Tables.embeddings(s, dir), threshold = 0.4,
         nCells = 8, nAssign = 2).orderBy("i", "j")
@@ -456,11 +463,19 @@ object VectorOps {
     * nAssign× corpus replicas in the per-cell join for the boundary
     * pairs single assignment structurally misses. Candidates then need a
     * distinct (a pair may share several cells) before the exact verify.
+    *
+    * The DEFAULT is `nAssign = 2` (round 11): measured recall vs the
+    * exact all-pairs form is 0.90 at 2-assign vs 0.53 at single assign
+    * (RECALL_r10.json) — Voronoi-boundary pairs are the dominant miss,
+    * and 2× candidate volume is the documented price. Single assignment
+    * survives as the EXPLICIT cost-floor knob (`nAssign = 1`) for
+    * throughput-bound passes that tolerate boundary misses; both
+    * operating points stay tracked per round in RECALL_r{N}.json.
     */
   def cosineNearDupSemantic(spark: SparkSession, emb: DataFrame,
       threshold: Double, nCells: Int = 0,
       maxTrainRows: Long = 100000L, maxCell: Int = 0,
-      nAssign: Int = 1): DataFrame = {
+      nAssign: Int = 2): DataFrame = {
     val n = emb.count()
     val cells = if (nCells > 0) nCells else ivfCells(n)
     val cap =
@@ -614,6 +629,12 @@ object VectorOps {
 
   /** IVF: train a seeded k-means coarse quantizer, assign corpus rows
     * to cells, search each probe's nProbe nearest cells, exact-rerank.
+    * The default `nProbe = 8` sits at the measured recall-curve KNEE
+    * (RECALL: 0.72 at nProbe=4 → 0.90 at 8, saturating above) —
+    * family-consistent with the PQ/IVF-PQ defaults. nProbe is the ONE
+    * corpus-side cost knob (a probe scans nProbe/nCells of the rows),
+    * so latency-floor callers can still pass 4 explicitly; the cost of
+    * the default move is priced in BASELINE.md.
     * `nCells = 0` (default) auto-sizes by [[ivfCells]]; training runs
     * on a seeded sample capped at `maxTrainRows` (the quantizer needs
     * the density shape, not every row — below the cap the sample is
@@ -629,7 +650,7 @@ object VectorOps {
     * `lit(true)` = unfiltered.
     */
   def annIvf(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
-      nCells: Int = 0, nProbe: Int = 4, maxTrainRows: Long = 100000L,
+      nCells: Int = 0, nProbe: Int = 8, maxTrainRows: Long = 100000L,
       corpusFilter: Column = lit(true)): DataFrame = {
     import spark.implicits._
     val n = emb.count() // column-free count: no vector bytes read
@@ -917,8 +938,8 @@ object VectorOps {
     * discipline as everything else (residuals of ≤ maxTrainRows rows).
     */
   def annIvfPq(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
-      nCells: Int = 0, nProbe: Int = 4, m: Int = 0, ks: Int = 0,
-      rerank: Int = 4, maxTrainRows: Long = 100000L, nRows: Long = 0L): DataFrame = {
+      nCells: Int = 0, nProbe: Int = 8, m: Int = 0, ks: Int = 0,
+      rerank: Int = 8, maxTrainRows: Long = 100000L, nRows: Long = 0L): DataFrame = {
     val n = if (nRows > 0) nRows else emb.count()
     val cells = if (nCells > 0) nCells else ivfCells(n)
     val kCent = if (ks > 0) ks else pqCodebookSize(n)
@@ -982,6 +1003,18 @@ object VectorOps {
     *     count is capped at 4096 by [[ivfCells]]) and pushes a static
     *     `cell IN (...)` partition filter that prunes DETERMINISTICALLY.
     *
+    * The DPP path does not TRUST the conf: even with its own broadcast
+    * subqueries enabled, the PartitionPruning rule's benefit heuristic
+    * (stats/fallback-ratio dependent) may decline on a production-sized
+    * index. So when `codes` is a cell-partitioned file scan the plan is
+    * VERIFIED — the optimizer must actually have planted a
+    * dynamicpruning subquery on the probe join (a driver-side
+    * logical-plan check, zero jobs); if it declined, the bounded static
+    * path runs instead of silently full-scanning the index. A
+    * non-file-backed `codes` under the serving confs (the in-query
+    * `ann_ivfpq` form) has no partitions to prune — the broadcast
+    * equi-join IS the cell filter — so it skips the verification.
+    *
     * Candidate selection and final ranking use the map-side top-k heap
     * (see [[annPq]]).
     */
@@ -1008,12 +1041,32 @@ object VectorOps {
         !spark.conf.get(
           "spark.sql.optimizer.dynamicPartitionPruning.reuseBroadcastOnly",
           "true").toBoolean
+    // cell-partitioned file scan → partition pruning is possible and MUST
+    // happen one way or the other; in-query codes have nothing to prune
+    val cellPartitionedScan = codes.queryExecution.analyzed.exists {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+            h.partitionSchema.fieldNames.contains("cell")
+          case _ => false
+        }
+      case _ => false
+    }
+    def staticPruned: DataFrame = {
+      val probedCells = probeCells.select("cell").distinct()
+        .collect().map(_.getInt(0)).toSeq
+      codes.where(col("cell").isin(probedCells: _*))
+    }
     val prunedCodes =
-      if (dppReliable) codes
+      if (!dppReliable) staticPruned
+      else if (!cellPartitionedScan) codes
       else {
-        val probedCells = probeCells.select("cell").distinct()
-          .collect().map(_.getInt(0)).toSeq
-        codes.where(col("cell").isin(probedCells: _*))
+        // verify the optimizer actually planted the dynamicpruning
+        // subquery on this join shape (driver-side only, zero jobs)
+        val planted = codes.join(broadcast(probeCells), Seq("cell"))
+          .queryExecution.optimizedPlan.exists(_.expressions.exists(_.exists(
+            _.isInstanceOf[org.apache.spark.sql.catalyst.expressions.DynamicPruning])))
+        if (planted) codes else staticPruned
       }
     val candidates = prunedCodes
       .join(broadcast(probeCells), Seq("cell"))

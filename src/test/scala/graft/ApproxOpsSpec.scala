@@ -335,7 +335,10 @@ class ApproxOpsSpec extends SparkSpec {
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1))
     val exact = SparkEntry.queries("near_dedup_cosine")(spark, sf001)
       .collect().map(r => key(r) -> r.getDouble(2)).toMap
-    val sem = VectorOps.cosineNearDupSemantic(spark, emb, threshold = 0.4, nCells = 8)
+    // nAssign = 1 explicit: this block measures the single-assign
+    // cost-floor point (the library default is multi-assign since r11)
+    val sem = VectorOps.cosineNearDupSemantic(spark, emb, threshold = 0.4,
+      nCells = 8, nAssign = 1)
       .collect().map(r => key(r) -> r.getDouble(2)).toMap
     // soundness: exact cosine inside cells ⇒ every emitted pair is a true
     // pair with the identical cosine
