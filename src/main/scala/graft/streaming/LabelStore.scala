@@ -1,6 +1,7 @@
 package graft.streaming
 
 import graft.operators.GraphOps
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -12,28 +13,44 @@ import org.apache.spark.sql.functions._
   * microbatch touches a sliver of them, so whole-store I/O per batch is
   * the scale bug. Here the store is hash-partitioned by node into
   * `bucket=` directories and each fold rewrites ONLY the buckets that
-  * contain a changed or new label, via dynamic partition overwrite;
-  * untouched buckets' files are left physically identical
-  * (StreamSessionizeSpec^W LabelStoreSpec asserts byte-for-byte).
+  * contain a changed or new label; untouched buckets' files are left
+  * physically identical (LabelStoreSpec asserts byte-for-byte).
   *
-  * Crash story (replaces the whole-dir StoreSwap for this store —
-  * finer granularity needs a different argument):
+  * Changed buckets are swapped in with a PER-BUCKET TWO-RENAME (round
+  * 11; before that a dynamic partition overwrite, whose job commit
+  * DELETES a bucket's files before renaming staged replacements in — a
+  * crash in that window left the bucket EMPTY, permanently forgetting
+  * prior labels for nodes not in the replayed batch). Now the new
+  * bucket contents are fully staged under `dir.tmp` first, then each
+  * changed bucket is moved aside to `dir.old/bucket=b` and its staged
+  * replacement renamed in; a crash at any point leaves every bucket at
+  * its OLD or NEW version — never absent, never half-deleted.
+  *
+  * Crash story (granular where StoreSwap is whole-dir):
   *
   *   - Connectivity facts are MONOTONE: an edge once seen never becomes
   *     false, and CC labels only ever decrease (min-id labeling). A
-  *     torn dynamic overwrite — some buckets new, some old, or a bucket
-  *     holding both an old and a new row for one node — is therefore
-  *     still a VALID connectivity compression: every (node → label)
-  *     star edge it contains is true of the accumulated graph, so
-  *     folding the next batch from it converges to the same labeling.
-  *   - [[read]] collapses any duplicate rows a torn commit left with
+  *     torn fold — some buckets new, some old — is therefore still a
+  *     VALID connectivity compression: every (node → label) star edge
+  *     it contains is true of the accumulated graph, so folding the
+  *     next batch from it converges to the same labeling.
+  *   - A bucket moved aside but not yet replaced (the one window where
+  *     a bucket is missing from `dir`) is preserved under
+  *     `dir.old/bucket=b`; [[recover]] renames it back, and both
+  *     [[read]] and [[fold]] run it first, so absence is repaired
+  *     before anything interprets it. A staged-but-unswapped `dir.tmp`
+  *     is DISCARDED, not rolled forward: the streaming engine replays
+  *     the uncommitted microbatch, and re-folding the same edges is
+  *     convergent by monotonicity.
+  *   - [[read]] additionally collapses any duplicate rows with
   *     `min(label)` per node — labels-only-decrease makes min() "the
   *     newest value", an idempotent repair costing one node-keyed
-  *     aggregation that Spark prunes to a partial-agg when the store is
-  *     read bucket-aligned.
-  *   - The streaming engine replays an uncommitted microbatch on
-  *     restart; re-folding the same edges is convergent by the same
-  *     monotonicity.
+  *     aggregation.
+  *
+  * SINGLE-WRITER contract: one maintainer owns folds, [[compact]] and
+  * recovery for a store; [[read]]'s rename-based repair makes even the
+  * serve hook a store-owner call (exactly how stream_cc uses it —
+  * foreachBatch folds, then serves).
   */
 object LabelStore {
 
@@ -44,16 +61,61 @@ object LabelStore {
     */
   val DefaultBuckets = 8
 
+  /** Part files a bucket may hold before [[needsCompact]] fires. A fold
+    * rewrites a changed bucket with up to one file per shuffle
+    * partition holding its rows, so bucket file counts stay bounded per
+    * fold but can sit above the ~1-file serving ideal.
+    */
+  val DefaultMaxFilesPerBucket = 16
+
   private def bucketCol(node: org.apache.spark.sql.Column, n: Int) =
     pmod(hash(node), lit(n))
 
-  /** Current labeling: (node, label), torn-commit duplicates repaired by
-    * the min-fold. Returns None if the store has never been written.
+  private def tmpDir(dir: String): String = dir + ".tmp"
+  private def oldDir(dir: String): String = dir + ".old"
+
+  private def fs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** Repair any torn per-bucket swap: every bucket preserved under
+    * `dir.old` whose live `dir/bucket=b` is MISSING is renamed back
+    * (the only window where a bucket is absent from the store); staging
+    * and displaced-old leftovers are then discarded. Idempotent;
+    * driver-side metadata ops only. Run by [[fold]] and [[read]].
+    */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark)
+    val old = new Path(oldDir(dir))
+    val live = new Path(dir)
+    if (f.exists(old)) {
+      if (!f.exists(live)) {
+        // a WHOLE-DIR swap ([[compact]]'s StoreSwap) crashed between
+        // its renames: `.old` is the complete current store — roll back
+        require(f.rename(old, live), s"rollback rename $old -> $live failed")
+      } else {
+        // a per-bucket fold swap tore: restore every displaced bucket
+        // whose live replacement never made it in
+        f.listStatus(old).foreach { st =>
+          val name = st.getPath.getName
+          if (name.startsWith("bucket=") && !f.exists(new Path(dir, name)))
+            require(f.rename(st.getPath, new Path(dir, name)),
+              s"rollback rename ${st.getPath} failed")
+        }
+        f.delete(old, true)
+      }
+    }
+    val tmp = new Path(tmpDir(dir))
+    if (f.exists(tmp)) f.delete(tmp, true)
+  }
+
+  /** Current labeling: (node, label), torn swaps repaired by
+    * [[recover]] and torn-commit duplicates by the min-fold. Returns
+    * None if the store has never been written.
     */
   def read(spark: SparkSession, dir: String): Option[DataFrame] = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) None
+    recover(spark, dir)
+    val f = fs(spark)
+    if (!f.exists(new Path(dir))) None
     else Some(spark.read.parquet(dir)
       .groupBy("node").agg(min("label").as("label")))
   }
@@ -79,8 +141,11 @@ object LabelStore {
     *      in (a torn store can leave a stale seed label whose scoped
     *      component misses a node's newest link; the node's newer —
     *      smaller — on-disk label then wins the min and no connectivity
-    *      is ever forgotten). Changed-bucket-sized shuffle; dynamic
-    *      partition overwrite replaces exactly those buckets.
+    *      is ever forgotten). Changed-bucket-sized shuffle, STAGED to
+    *      `dir.tmp` (the plan reads the live buckets while writing
+    *      elsewhere — no lineage cut needed), then swapped in
+    *      per-bucket by two renames (see the object scaladoc for why
+    *      not dynamic partition overwrite).
     *
     * Cost shape per fold at 100 TB: two column-pruned store SCANS (the
     * affected discovery cannot be partition-pruned — membership of a
@@ -96,13 +161,20 @@ object LabelStore {
     // empty DIRECTORY (a dir holding only _SUCCESS fails schema
     // inference on the next read; cheap limit-1 probe)
     if (edges.isEmpty) return
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new org.apache.hadoop.fs.Path(dir))) {
-      // bootstrap: full labeling, all buckets
+    recover(spark, dir)
+    val f = fs(spark)
+    if (!f.exists(new Path(dir))) {
+      // bootstrap: full labeling, all buckets — staged then renamed in
+      // as ONE atomic dir rename, so a crashed bootstrap leaves only
+      // discarded staging, never a torn store the next fold would
+      // mistake for a complete labeling
+      val tmp = tmpDir(dir)
       GraphOps.connectedComponents(edges)
         .withColumn("bucket", bucketCol(col("node"), nBuckets))
-        .write.partitionBy("bucket").parquet(dir)
+        .write.partitionBy("bucket").parquet(tmp)
+      require(f.exists(new Path(tmp, "_SUCCESS")), s"torn bootstrap write at $tmp")
+      require(f.rename(new Path(tmp), new Path(dir)),
+        s"bootstrap rename $tmp -> $dir failed")
     } else {
       val store = spark.read.parquet(dir).select("node", "label", "bucket")
       val batchNodes = edges.select(col("src").as("node"))
@@ -129,15 +201,74 @@ object LabelStore {
           .unionByName(updatedB.select("node", "label", "bucket"))
           .groupBy("node", "bucket").agg(min("label").as("label"))
           .select("node", "label", "bucket")
-          // localCheckpoint before the overwrite: the plan READS the
-          // buckets it is about to replace
-          .localCheckpoint()
-        toWrite.write
-          .option("partitionOverwriteMode", "dynamic")
-          .mode("overwrite")
-          .partitionBy("bucket")
-          .parquet(dir)
+        // stage the new bucket contents OUTSIDE the store, then swap
+        // each changed bucket in with two renames — a crash leaves the
+        // bucket at its old or new version, never deleted-not-replaced
+        val tmp = tmpDir(dir)
+        toWrite.write.partitionBy("bucket").parquet(tmp)
+        require(f.exists(new Path(tmp, "_SUCCESS")), s"torn staging write at $tmp")
+        val old = new Path(oldDir(dir))
+        f.mkdirs(old)
+        changedBuckets.foreach { b =>
+          val live = new Path(dir, s"bucket=$b")
+          val staged = new Path(tmp, s"bucket=$b")
+          if (f.exists(staged)) {
+            if (f.exists(live))
+              require(f.rename(live, new Path(old, s"bucket=$b")),
+                s"swap rename $live aside failed")
+            require(f.rename(staged, live), s"swap rename $staged in failed")
+          }
+        }
+        f.delete(old, true)
+        f.delete(new Path(tmp), true)
       }
     }
+  }
+
+  /** Part-file count of the fullest bucket (driver metadata only). */
+  def maxFilesPerBucket(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark)
+    if (!f.exists(new Path(dir))) 0
+    else {
+      val buckets = f.listStatus(new Path(dir))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      if (buckets.isEmpty) 0
+      else buckets.map(b => f.listStatus(b.getPath)
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_"))).max
+    }
+  }
+
+  /** Maintenance trigger: a fold rewrites a changed bucket with up to
+    * one file per shuffle partition, so hot buckets drift above the
+    * ~1-file serving ideal. See the single-writer contract.
+    */
+  def needsCompact(spark: SparkSession, dir: String,
+      maxFiles: Int = DefaultMaxFilesPerBucket): Boolean =
+    maxFilesPerBucket(spark, dir) > maxFiles
+
+  /** Rewrite the whole labeling at ~1 file per bucket (min-per-node
+    * collapses any torn-commit duplicates in the same pass), swapped in
+    * with the whole-dir [[graft.model.StoreSwap]] protocol. Run in
+    * maintenance windows, not under a live fold.
+    */
+  def compact(spark: SparkSession, dir: String,
+      nBuckets: Int = DefaultBuckets): Unit = {
+    recover(spark, dir) // also discards any stale staging at tmpPath
+    val tmp = graft.model.StoreSwap.tmpPath(dir)
+    spark.read.parquet(dir)
+      .groupBy("node").agg(min("label").as("label"))
+      .withColumn("bucket", bucketCol(col("node"), nBuckets))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").parquet(tmp)
+    graft.model.StoreSwap.commit(spark, dir)
+  }
+
+  /** Run [[compact]] iff [[needsCompact]]; returns whether it ran. */
+  def maintain(spark: SparkSession, dir: String,
+      maxFiles: Int = DefaultMaxFilesPerBucket,
+      nBuckets: Int = DefaultBuckets): Boolean = {
+    val due = needsCompact(spark, dir, maxFiles)
+    if (due) compact(spark, dir, nBuckets)
+    due
   }
 }

@@ -133,4 +133,78 @@ class LabelStoreSpec extends SparkSpec {
     val after = labelsOf(dir)
     assert(after == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
+
+  test("per-bucket swap crash windows: a bucket is never absent-and-forgotten") {
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // window 1: crash BETWEEN the two renames of one bucket — the live
+    // bucket dir is ABSENT, its content preserved under dir.old. Before
+    // round 11 (dynamic partition overwrite) this state was an EMPTY
+    // bucket: prior labels for nodes not in the replayed batch were
+    // permanently lost. Now read()/fold() rename it back first.
+    val d1 = freshDir()
+    LabelStore.fold(spark, d1,
+      Seq.tabulate(32)(i => (i.toLong, (i + 1000).toLong)).toDF("src", "dst"))
+    val before = labelsOf(d1)
+    val victim = spark.range(1).select(pmod(hash(lit(0L)), lit(8))).head().getInt(0)
+    f.mkdirs(P(s"$d1.old"))
+    require(f.rename(P(s"$d1/bucket=$victim"), P(s"$d1.old/bucket=$victim")))
+    assert(labelsOf(d1) == before,
+      "a mid-swap-absent bucket must be recovered, not read as forgotten labels")
+    assert(f.exists(P(s"$d1/bucket=$victim")) && !f.exists(P(s"$d1.old")),
+      "recovery must restore the bucket and clean the .old staging")
+
+    // window 2: crash between staging and the first rename — dir.tmp
+    // holds a complete staged write; it is DISCARDED (replay re-folds),
+    // never promoted, and the store is untouched
+    val d2 = freshDir()
+    LabelStore.fold(spark, d2, Seq((1L, 2L)).toDF("src", "dst"))
+    val want = labelsOf(d2)
+    Seq((99L, 1L)).toDF("node", "label")
+      .withColumn("bucket", pmod(hash(col("node")), lit(8)))
+      .write.partitionBy("bucket").parquet(s"$d2.tmp")
+    assert(labelsOf(d2) == want, "stale staging must never leak into reads")
+    assert(!f.exists(P(s"$d2.tmp")), "read must discard the stale staging")
+    LabelStore.fold(spark, d2, Seq((2L, 3L)).toDF("src", "dst"))
+    assert(labelsOf(d2) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
+
+    // window 3: fold mid-swap with SOME buckets already swapped — the
+    // store is a valid old/new bucket mixture; folding onward converges
+    val d3 = freshDir()
+    LabelStore.fold(spark, d3,
+      Seq((1L, 2L), (10L, 11L)).toDF("src", "dst"))
+    // hand-plant a torn mixture: node 11 relabeled to 10's component min
+    // in its bucket, node 10's bucket left stale — monotone-valid
+    LabelStore.fold(spark, d3, Seq((11L, 12L)).toDF("src", "dst"))
+    assert(labelsOf(d3) == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L, 12L -> 10L))
+  }
+
+  test("file-count drift trips needsCompact; compact restores ~1 file/bucket, reads unchanged") {
+    val dir = freshDir()
+    LabelStore.fold(spark, dir,
+      Seq.tabulate(64)(i => (i.toLong, (i + 1).toLong)).toDF("src", "dst"))
+    assert(!LabelStore.needsCompact(spark, dir, maxFiles = 4))
+    // At production scale a changed bucket's rewrite lands one file per
+    // shuffle partition holding its rows; at fixture scale AQE coalesces
+    // every rewrite to one file, so the drifted state is planted
+    // directly: extra files of monotone-valid rows (the same labels the
+    // bucket already holds — a torn commit leaves exactly these)
+    val bucket0 = spark.range(1).select(pmod(hash(lit(0L)), lit(8))).head().getInt(0)
+    (0 until 5).foreach { _ =>
+      Seq((0L, 0L)).toDF("node", "label")
+        .coalesce(1).write.mode("append").parquet(s"$dir/bucket=$bucket0")
+    }
+    assert(LabelStore.needsCompact(spark, dir, maxFiles = 4),
+      s"planted drift must trip the trigger, max=${LabelStore.maxFilesPerBucket(spark, dir)}")
+    val before = labelsOf(dir)
+    assert(LabelStore.maintain(spark, dir, maxFiles = 4))
+    assert(labelsOf(dir) == before, "compaction must not change the labeling")
+    assert(LabelStore.maxFilesPerBucket(spark, dir) <= 2,
+      s"compacted store still holds ${LabelStore.maxFilesPerBucket(spark, dir)} files in a bucket")
+    assert(!LabelStore.needsCompact(spark, dir, maxFiles = 4))
+    // folds keep working after compaction
+    LabelStore.fold(spark, dir, Seq((0L, 200L)).toDF("src", "dst"))
+    assert(labelsOf(dir)(200L) == 0L)
+  }
 }

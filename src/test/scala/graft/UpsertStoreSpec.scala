@@ -110,4 +110,118 @@ class UpsertStoreSpec extends SparkSpec {
     assert(readMap(dir) == Map(1L -> "a1", 2L -> "b"),
       "reads see every fully-landed version; nothing is ever lost mid-fold")
   }
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allNodes(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(s.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  test("lookup prunes the scan to the keys' buckets and equals the filtered full read") {
+    val dir = freshDir()
+    UpsertStore.fold(spark, dir,
+      (0L until 64L).map(i => (i, s"v0-$i")).toDF("k", "v"), keys, seq = 0)
+    UpsertStore.fold(spark, dir, Seq((3L, "v1-3")).toDF("k", "v"), keys, seq = 1)
+    val looked = UpsertStore.lookup(spark, dir, keys, Seq(Seq(3L), Seq(4L))).get
+    looked.collect() // materialize so the executed plan is final
+    // result ≡ full read filtered to the same keys
+    val expect = UpsertStore.read(spark, dir, keys).get
+      .where($"k".isin(3L, 4L)).as[(Long, String)].collect().toSet
+    assert(looked.as[(Long, String)].collect().toSet == expect)
+    assert(expect.contains((3L -> "v1-3")))
+    // the scan reads ONLY the looked-up keys' bucket partitions
+    val wanted = spark.range(1).select(
+      pmod(hash(lit(3L)), lit(UpsertStore.DefaultBuckets)),
+      pmod(hash(lit(4L)), lit(UpsertStore.DefaultBuckets)))
+      .head()
+    val nWanted = Set(wanted.getInt(0), wanted.getInt(1)).size
+    val scans = allNodes(looked.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the lookup plan")
+    val scanned = scans.map(_.selectedPartitions.partitionCount).max
+    assert(scanned == nWanted,
+      s"lookup read $scanned of ${UpsertStore.DefaultBuckets} buckets; wanted $nWanted")
+  }
+
+  test("lookup casts literals to the store's key types (Int probe for a Long key)") {
+    val dir = freshDir()
+    UpsertStore.fold(spark, dir,
+      (0L until 16L).map(i => (i, s"v-$i")).toDF("k", "v"), keys, seq = 0)
+    // hash(5: Int) != hash(5L): an uncast Int literal would probe the
+    // wrong bucket and silently return nothing
+    val got = UpsertStore.lookup(spark, dir, keys, Seq(Seq(5)))
+      .get.as[(Long, String)].collect().toMap
+    assert(got == Map(5L -> "v-5"))
+  }
+
+  test("files accumulate per fold until the trigger fires; maintain compacts to ~1 file/bucket") {
+    val dir = freshDir()
+    val maxFiles = 4
+    var reads = Vector.empty[Map[Long, String]]
+    var fired = 0
+    (0 until 6).foreach { i =>
+      UpsertStore.fold(spark, dir,
+        (0L until 16L).map(k => (k, s"v$i-$k")).toDF("k", "v"), keys, seq = i.toLong)
+      if (UpsertStore.maintain(spark, dir, keys, maxFiles)) fired += 1
+      reads :+= readMap(dir)
+    }
+    assert(fired >= 1, "six 16-key folds at maxFiles=4 must trip the trigger at least once")
+    // every read along the way saw the latest fold's values
+    reads.zipWithIndex.foreach { case (m, i) =>
+      assert(m == (0L until 16L).map(k => k -> s"v$i-$k").toMap,
+        s"read after fold $i diverged (compaction ran: $fired)")
+    }
+    // after a final compact every bucket is ~1 file
+    UpsertStore.compact(spark, dir, keys)
+    assert(UpsertStore.maxFilesPerBucket(spark, dir) <= 2,
+      s"compacted bucket still holds ${UpsertStore.maxFilesPerBucket(spark, dir)} files")
+    assert(!UpsertStore.needsCompact(spark, dir, maxFiles))
+  }
+
+  test("compact crash windows: store (or its .old) is always complete; fold/read recover") {
+    import graft.model.StoreSwap
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+
+    // window 1: compact staged dir.tmp but crashed BEFORE the swap —
+    // reads ignore the staging; later folds append; a later compact
+    // discards the stale tmp rather than promoting it over newer folds
+    val d1 = freshDir()
+    UpsertStore.fold(spark, d1, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keys, seq = 0)
+    spark.read.parquet(d1).write.parquet(StoreSwap.tmpPath(d1)) // the stale staging
+    UpsertStore.fold(spark, d1, Seq((1L, "a1")).toDF("k", "v"), keys, seq = 1)
+    assert(readMap(d1) == Map(1L -> "a1", 2L -> "b"))
+    UpsertStore.compact(spark, d1, keys)
+    assert(readMap(d1) == Map(1L -> "a1", 2L -> "b"),
+      "a stale pre-fold staging must never be promoted over newer folds")
+
+    // window 2: crash BETWEEN the two renames — store absent, .old holds
+    // the current version, tmp holds the staged compacted version.
+    // read() resolves through .old; fold() first rolls the swap back, so
+    // nothing under the appended batch can be deleted by later recovery.
+    val d2 = freshDir()
+    UpsertStore.fold(spark, d2, Seq((1L, "a"), (2L, "b")).toDF("k", "v"), keys, seq = 0)
+    spark.read.parquet(d2).write.parquet(StoreSwap.tmpPath(d2))
+    require(f.rename(P(d2), P(StoreSwap.oldPath(d2)))) // crash point
+    assert(readMap(d2) == Map(1L -> "a", 2L -> "b"),
+      "mid-swap absence must read as the preserved .old, not as empty")
+    UpsertStore.fold(spark, d2, Seq((3L, "c")).toDF("k", "v"), keys, seq = 1)
+    assert(!f.exists(P(StoreSwap.oldPath(d2))) && !f.exists(P(StoreSwap.tmpPath(d2))),
+      "fold must finish the rollback before appending")
+    assert(readMap(d2) == Map(1L -> "a", 2L -> "b", 3L -> "c"))
+
+    // window 3: crash AFTER the swap, before .old cleanup — the next
+    // compact (or StoreSwap.commit) cleans it; reads already see dir
+    val d3 = freshDir()
+    UpsertStore.fold(spark, d3, Seq((1L, "a")).toDF("k", "v"), keys, seq = 0)
+    spark.read.parquet(d3).write.parquet(StoreSwap.oldPath(d3)) // leftover .old
+    assert(readMap(d3) == Map(1L -> "a"))
+    UpsertStore.compact(spark, d3, keys)
+    assert(!f.exists(P(StoreSwap.oldPath(d3))))
+    assert(readMap(d3) == Map(1L -> "a"))
+  }
 }
