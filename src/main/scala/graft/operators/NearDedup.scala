@@ -61,14 +61,32 @@ object NearDedup {
       : org.apache.spark.sql.Column =
     org.apache.spark.sql.graft.TextNative.minhashSignature(shingleHashArr, NumHashes)
 
+  /** Monotone suffix for hot-cap observation names: a query may engage
+    * several caps (a pipeline runs minhash AND span dedup), or the SAME
+    * cap twice with different inputs (the incremental-vs-full compare
+    * queries), and Spark rejects duplicate observation names over
+    * different plans. Listeners match on the stable
+    * `graft.<what>.hotcap.` prefix.
+    */
+  private val capObsId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   /** Hot buckets found by map-side-combined groupBy count, then removed
-    * with an anti-join — never materializing a degenerate bucket in one
-    * task (a window count would buffer the whole bucket in one partition,
-    * exactly the skew the cap exists to avoid). The hot set is tiny
-    * (buckets over the cap) and the anti-join needs it materialized
-    * anyway, so it is computed eagerly — which also lets the cap report
-    * when it engages: dropping buckets is lossy (see entry-point docs),
-    * and a silent drop would read as a clean result.
+    * by marking and filtering against the broadcast hot set — never
+    * materializing a degenerate bucket in one task (a window count would
+    * buffer the whole bucket in one partition, exactly the skew the cap
+    * exists to avoid). The hot set is tiny (buckets over the cap) and
+    * the filter needs it materialized anyway, so it is computed eagerly
+    * — which also lets the cap report when it engages: dropping buckets
+    * is lossy (see entry-point docs), and a silent drop would read as a
+    * clean result.
+    *
+    * Engagement is OBSERVABLE two ways: the eager `[graft]` stderr line
+    * (local debugging), and — because at 100 TB nobody reads executor
+    * stderr — `Dataset.observe` metrics named
+    * `graft.<what>.hotcap.<n>` with `dropped_rows` / `dropped_buckets`
+    * counters that ride the consumer query, queryable from a
+    * QueryExecutionListener or `queryExecution.observedMetrics`, so a
+    * production run can ALARM on recall-lossy drops.
     */
   private[operators] def dropHotBuckets(bandedAll: DataFrame, keys: Seq[String],
       maxBucket: Int, what: String): DataFrame = {
@@ -77,7 +95,7 @@ object NearDedup {
       val hot = bandedAll.groupBy(keys.map(col): _*)
         .agg(count(lit(1)).as("n"))
         .where(col("n") > maxBucket)
-        .localCheckpoint() // tiny; reused by the count below and the anti-join
+        .localCheckpoint() // tiny; reused by the count below and the joins
       val stats = hot.agg(count(lit(1)), coalesce(sum(col("n")), lit(0L)))
         .collect()(0)
       if (stats.getLong(0) > 0)
@@ -85,7 +103,20 @@ object NearDedup {
           s"dropped ${stats.getLong(0)} buckets / ${stats.getLong(1)} banded rows; " +
           "pairs colliding ONLY in dropped buckets are lost (recall is reduced); " +
           "raise maxBucket to trade shuffle size for recall")
-      bandedAll.join(hot.select(keys.map(col): _*), keys, "left_anti")
+      // flag-then-filter instead of a bare anti-join: the pre-filter
+      // stream is observed so the drop counters are live query metrics,
+      // computed over the rows that actually flowed (same broadcast
+      // probe the anti-join would build)
+      val marked = bandedAll.join(
+        broadcast(hot.select(keys.map(col) :+ lit(true).as("_hot"): _*)),
+        keys, "left_outer")
+      marked
+        .observe(s"graft.$what.hotcap.${capObsId.incrementAndGet()}",
+          sum(when(col("_hot"), lit(1L)).otherwise(lit(0L))).as("dropped_rows"),
+          coalesce(max(when(col("_hot"), lit(stats.getLong(0))).otherwise(lit(0L))),
+            lit(0L)).as("dropped_buckets"))
+        .where(col("_hot").isNull)
+        .drop("_hot")
     }
   }
 

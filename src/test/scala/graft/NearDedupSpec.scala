@@ -92,6 +92,28 @@ class NearDedupSpec extends SparkSpec {
     assert(dflt == uncapped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet)
   }
 
+  test("hot-cap engagement is a queryable observe metric, not just stderr") {
+    // a 100 TB run alarms on Dataset.observe metrics delivered to its
+    // QueryExecutionListener; stderr is local-debug only
+    val sh = docs.select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
+    val sigs = NearDedup.minhashSignatures(sh)
+    val capped = NearDedup.minhashCandidates(sigs, maxBucket = 1)
+    capped.collect()
+    val metrics = capped.queryExecution.observedMetrics
+      .filter { case (name, _) => name.startsWith("graft.minhash.hotcap.") }
+    assert(metrics.nonEmpty, s"no hotcap observation fired; got ${capped.queryExecution.observedMetrics.keySet}")
+    val m = metrics.values.head
+    assert(m.getAs[Long]("dropped_rows") > 0L, s"dropped_rows metric empty: $m")
+    assert(m.getAs[Long]("dropped_buckets") > 0L, s"dropped_buckets metric empty: $m")
+    // an uncapped-in-practice run reports zero drops through the same metric
+    val clean = NearDedup.minhashCandidates(sigs, maxBucket = 100000)
+    clean.collect()
+    val cm = clean.queryExecution.observedMetrics
+      .filter { case (name, _) => name.startsWith("graft.minhash.hotcap.") }
+    assert(cm.nonEmpty && cm.values.head.getAs[Long]("dropped_rows") == 0L,
+      s"clean run must report dropped_rows=0, got $cm")
+  }
+
   test("minhash signatures are permutation-stable (same doc -> same signature)") {
     val sh = docs.select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
     val sig1 = NearDedup.minhashSignatures(sh).orderBy("doc_id").collect()
