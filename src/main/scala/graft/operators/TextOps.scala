@@ -905,7 +905,28 @@ object TextOps {
     // bounded by document length.
     withOracle(
       "text_span_scrub",
-      s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents),
+      spanScrubOracleSql) { (s, dir) =>
+      spanScrub(Tables.documents(s, dir), SpanDedupN).orderBy("doc_id")
+    },
+
+    // The 100 TB plan for the same operator: winnow-subsampled
+    // duplicated-REGION discovery, exact scrub over candidate docs only,
+    // row-local rebuild for the rest (see spanScrubWindowed). Same
+    // semantics — it shares text_span_scrub's oracle VERBATIM, so the
+    // driver independently proves the two plans agree; SpanScrubSpec
+    // additionally pins that the heavy pass saw only candidate docs.
+    withOracle(
+      "text_span_scrub_windowed",
+      spanScrubOracleSql) { (s, dir) =>
+      spanScrubWindowed(Tables.documents(s, dir), SpanDedupN).orderBy("doc_id")
+    }
+  )
+
+  /** Shared DuckDB oracle for text_span_scrub AND its windowed twin —
+    * one semantics, two plans.
+    */
+  private def spanScrubOracleSql: String =
+    s"""WITH toks AS (SELECT doc_id, string_split_regex(text, '\\s+') AS l FROM documents),
         |sp AS (SELECT doc_id, i AS pos, array_to_string(l[i:i+${SpanDedupN - 1}], ' ') AS s
         |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-${SpanDedupN - 1}, 0))) AS i) g),
         |keep AS (SELECT s, min(struct_pack(d := doc_id, p := pos)) AS kp
@@ -926,10 +947,7 @@ object TextOps {
         |       CAST(coalesce(agg.n_kept, 0) AS BIGINT) AS n_kept,
         |       coalesce(agg.text_clean, '') AS text_clean
         |FROM documents d LEFT JOIN agg USING (doc_id)
-        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
-      spanScrub(Tables.documents(s, dir), SpanDedupN).orderBy("doc_id")
-    }
-  )
+        |ORDER BY d.doc_id""".stripMargin
 
   /** Exact-substring removal (Lee et al. 2022): delete every non-first
     * occurrence of each corpus-duplicated n-token span and rebuild the
@@ -980,6 +998,91 @@ object TextOps {
       .select(col("doc_id"),
         coalesce(col("n_kept"), lit(0L)).as("n_kept"),
         coalesce(col("text_clean"), lit("")).as("text_clean"))
+  }
+
+  /** The 100 TB form of [[spanScrub]] — IDENTICAL output (it shares
+    * text_span_scrub's oracle verbatim), but the corpus-wide span
+    * shuffle is replaced by a winnowed two-pass plan:
+    *
+    *   1. WINNOW (find duplicated regions): per doc, 3-gram span hashes
+    *      (row-local codegen) are subsampled by winnowing with window
+    *      `w = n - 2` — position p is a fingerprint iff its hash is the
+    *      minimum of some complete w-window containing it (the
+    *      all-ties-selected variant: deterministic, engine-pure, and a
+    *      superset of standard winnowing so the SIGMOD'03 guarantee
+    *      holds). Guarantee: any duplicated run of >= w + 3 - 1 = n
+    *      TOKENS — in particular every duplicated n-token span —
+    *      selects the same fingerprint hash in both occurrences
+    *      (including two occurrences inside ONE doc: both positions
+    *      beat their windows, and selection keeps positional
+    *      multiplicity). So `count(fingerprint) >= 2` over the
+    *      subsampled stream finds every doc holding a scrub-relevant
+    *      span; extra candidates (hash ties, periodic text) only cost
+    *      pass-2 work, never correctness.
+    *   2. EXACT SCRUB, candidates only: [[spanScrub]] runs over the
+    *      candidate docs — which the guarantee proves contain EVERY
+    *      occurrence of every corpus-duplicated n-span, so keeper
+    *      choice (global min (doc_id, pos)) and coverage are exactly
+    *      the full-corpus answer. Non-candidates take a ROW-LOCAL
+    *      rebuild (token count + whitespace normalization; no shuffle).
+    *
+    * Cost: the corpus-wide shuffle runs over ~2/(w+1) winnowed
+    * fingerprints instead of every span, and the heavy scrub machinery
+    * (span join, coverage explode, anti-join, per-doc rebuild) touches
+    * only docs that actually hold duplicated regions — on a mostly-clean
+    * corpus that is the boilerplate sliver, not the corpus. The per-doc
+    * windows (winnow min, length gate) are bounded by document length,
+    * the same argument as spanScrub's rebuild.
+    */
+  def spanScrubWindowed(docs: DataFrame, n: Int): DataFrame = {
+    val candidates = winnowScrubCandidates(docs, n)
+      .localCheckpoint() // tiny (candidate doc ids); feeds semi AND anti
+    val scrubbed = spanScrub(docs.join(candidates, Seq("doc_id"), "left_semi"), n)
+    val untouched = docs.join(candidates, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"),
+        coalesce(size(split(col("text"), "\\s+")).cast("long"), lit(0L)).as("n_kept"),
+        when(col("text").isNull, lit(""))
+          .otherwise(concat_ws(" ", split(col("text"), "\\s+"))).as("text_clean"))
+    scrubbed.unionByName(untouched)
+  }
+
+  /** Pass 1 of [[spanScrubWindowed]]: doc ids that MAY contain an
+    * occurrence of a corpus-duplicated n-token span, found from the
+    * winnow-subsampled fingerprint stream (window w = n - 2 over 3-gram
+    * span hashes; selection = every position whose hash is the min of
+    * some complete window containing it). Guaranteed a SUPERSET of the
+    * docs text_span_scrub would edit — see spanScrubWindowed's scaladoc
+    * for the guarantee argument. Useful standalone as a cheap
+    * "boilerplate-region" doc filter.
+    */
+  def winnowScrubCandidates(docs: DataFrame, n: Int): DataFrame = {
+    require(n >= 4, s"windowed scrub needs n >= 4 (w = n - 2 >= 2), got $n")
+    val w = n - 2
+    val sp = docs
+      .select(col("doc_id"), posexplode(
+        org.apache.spark.sql.graft.TextNative.spanHash64(col("text"), 3))
+        .as(Seq("p0", "h")))
+      .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
+    val wDoc = Window.partitionBy("doc_id")
+    val wRun = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, w - 1)
+    // complete windows only (truncated tails can't certify a run; a run
+    // ending at the doc's last token still contains a complete window)
+    val wm = sp
+      .withColumn("m", count(lit(1)).over(wDoc))
+      .withColumn("wmin", min("h").over(wRun))
+      .where(col("p") <= col("m") - w + 1)
+      .select(col("doc_id"), col("p").as("wp"), col("wmin"))
+    val selected = sp.as("x")
+      .join(wm.as("y"),
+        col("x.doc_id") === col("y.doc_id") &&
+          col("y.wp").between(col("x.p") - (w - 1), col("x.p")) &&
+          col("y.wmin") === col("x.h"))
+      .select(col("x.doc_id").as("doc_id"), col("x.p").as("p"), col("x.h").as("h"))
+      .distinct()
+    val dupFp = selected.groupBy("h")
+      .agg(count(lit(1)).as("c")).where(col("c") >= 2).select("h")
+    selected.join(dupFp, "h").select("doc_id").distinct()
   }
 
   /** Per-doc duplicated-span statistics: docs with >= 1 span (>= n

@@ -218,6 +218,39 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) == (1L, 6L, "unrelated filler text goes right here"))
   }
 
+  test("spanScrubWindowed equals spanScrub; candidates are exactly the dup-holding docs") {
+    // 20 clean docs with disjoint vocab, two docs sharing an 8-token
+    // span, one doc repeating its OWN 8-token span — the windowed form
+    // must (a) flag exactly those three docs as candidates (the winnow
+    // guarantee at run length n catches cross-doc AND within-doc
+    // repeats) and (b) produce byte-identical output to the full plan.
+    val span = "s1 s2 s3 s4 s5 s6 s7 s8"
+    val clean = (0L until 20L).map(i =>
+      (i, (0 until 12).map(j => s"c${i}_$j").mkString(" ")))
+    val docs = (clean ++ Seq(
+      (100L, s"pre100a pre100b $span post100"),
+      (101L, s"$span tail101a tail101b tail101c"),
+      (102L, s"x102a $span mid102 $span y102b")
+    )).toDF("doc_id", "text")
+    val n = 8
+    val cand = TextOps.winnowScrubCandidates(docs, n)
+      .as[Long].collect().toSet
+    assert(cand == Set(100L, 101L, 102L),
+      s"candidates must be exactly the dup-holding docs, got $cand")
+    val full = TextOps.spanScrub(docs, n).orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    val windowed = TextOps.spanScrubWindowed(docs, n).orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    assert(windowed == full, "the windowed plan must be output-identical")
+    // sanity on the edit itself: the global keeper is doc 100's copy
+    // (min (doc_id, pos)), so 101 loses its copy and 102 loses BOTH of
+    // its occurrences
+    val m = windowed.map(r => r._1 -> r._3).toMap
+    assert(m(100L) == s"pre100a pre100b $span post100")
+    assert(m(101L) == "tail101a tail101b tail101c")
+    assert(m(102L) == "x102a mid102 y102b")
+  }
+
   test("containment catches a quoted-whole short doc that Jaccard misses") {
     // doc 0 = 6 words quoted verbatim inside doc 1's 60 words: the
     // short doc's 4 shingles are ALL in the long doc, so containment =
