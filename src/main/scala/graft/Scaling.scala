@@ -1,0 +1,177 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.SparkSession
+
+/** Wall-clock SCALING probe for the bench's heaviest queries (round-11
+  * task): ScaleShapeSpec/TenXScaleSmokeSpec prove plan shapes and cap
+  * engagement, but nothing recorded how wall-time actually GROWS with
+  * input size. This main times the top bench queries at three scales —
+  * sf0.01, sf0.1, and a synthesized 10×-sf0.1 corpus (documents and
+  * embeddings ×10; see [[synthTenX]]) — and fits a per-query scaling
+  * exponent over log(time) vs log(primary-table rows):
+  *
+  *     exponent ≈ 1 → linear, < 1 → fixed costs still dominate,
+  *     > ~1.15 → superlinear, needs a declared reason (BASELINE.md).
+  *
+  * Stream/store queries whose primary input is `events` get their
+  * exponent from sf0.01 → sf0.1 (a true 10× for events); the synthetic
+  * corpus scales only documents/embeddings, so running them there would
+  * just repeat the sf0.1 point.
+  *
+  * Usage: `sbt "runMain graft.Scaling SCALING_r11.json"` (or via
+  * tools/scaling.py). Reps per point via SPARK_GRAFT_SCALING_REPS
+  * (default 3, medians — same noise rationale as Bench).
+  */
+object Scaling {
+
+  /** Top-10 of bench_out/r10_close.json by median seconds, with each
+    * query's primary (scale-driving) input table.
+    */
+  val Targets: Seq[(String, String)] = Seq(
+    "pipeline_embedding_corpus" -> "embeddings",
+    "stream_cc" -> "events",
+    "near_dedup_apply_incremental" -> "documents",
+    "ann_ivfpq_indexed" -> "embeddings",
+    "pipeline_pretraining_corpus_scale" -> "documents",
+    "stream_quality_filter" -> "documents",
+    "batch_workflow" -> "events",
+    "pipeline_pretraining_corpus" -> "documents",
+    "stream_upsert" -> "events",
+    "stream_join_interval" -> "events")
+
+  /** Synthesize a 10× corpus from sf0.1: every non-synthesized table's
+    * parquet is copied verbatim; `documents` and `embeddings` get the
+    * base rows plus 9 replicas with remapped ids and DECORRELATED
+    * content — replica tokens carry a replica tag (so no cross-replica
+    * shingle collisions turn the whole corpus into one near-dup
+    * cluster and change the workload's character), embeddings are
+    * component-rotated (norm- and distribution-preserving, but not
+    * near-dups of the base vectors).
+    */
+  def synthTenX(spark: SparkSession, sf01: String): String = {
+    val dir = Files.createTempDirectory("graft_scaling10x").toString
+    // copy every single-file table as-is, then overwrite the two
+    // synthesized ones with directories of the same .parquet name
+    val src = new java.io.File(sf01)
+    src.listFiles().filter(_.getName.endsWith(".parquet")).foreach { f =>
+      Files.copy(f.toPath, Paths.get(dir, f.getName),
+        StandardCopyOption.REPLACE_EXISTING)
+    }
+    val IdStride = 10000000L
+    val docs = spark.read.parquet(s"$sf01/documents.parquet")
+    val docReps = (0 until 9).map { k =>
+      docs.select(
+        (col("doc_id") + lit((k + 1) * IdStride)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), "\\s+"),
+          x => concat(lit(s"r$k"), x))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    Files.delete(Paths.get(dir, "documents.parquet"))
+    docReps.foldLeft(docs.select("doc_id", "text", "lang", "source", "n_chars"))(
+      _ unionByName _)
+      .repartition(16).write.parquet(s"$dir/documents.parquet")
+    val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
+    val embReps = (0 until 9).map { k =>
+      // deterministic per-replica SIGN PATTERN: within a replica every
+      // pairwise cosine is preserved exactly (|v ⊙ s| = |v|,
+      // (v⊙s)·(w⊙s) = v·w — the replica is an isometric copy of the
+      // base workload), while ACROSS replicas the patterns differ in
+      // ~half the positions, so cross-replica cosines collapse toward 0
+      // and the 10x corpus doesn't degenerate into one giant near-dup
+      // component (a component rotation does exactly that on smooth
+      // cluster-structured vectors — measured: 20000 rows -> 3 dedup
+      // survivors)
+      emb.select(
+        (col("vec_id") + lit((k + 1) * IdStride)).as("vec_id"),
+        transform(col("embedding"), (x, i) =>
+          when(pmod(hash(i, lit(k)), lit(2)) === 0, x)
+            .otherwise(-x).cast("float")).as("embedding"),
+        col("label"))
+    }
+    Files.delete(Paths.get(dir, "embeddings.parquet"))
+    embReps.foldLeft(emb.select("vec_id", "embedding", "label"))(_ unionByName _)
+      .repartition(16).write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2.0
+  }
+
+  /** Least-squares slope of log(sec) on log(rows). */
+  private def fitExponent(pts: Seq[(Long, Double)]): Double = {
+    val xy = pts.map { case (n, t) => (math.log(n.toDouble), math.log(t)) }
+    val mx = xy.map(_._1).sum / xy.size
+    val my = xy.map(_._2).sum / xy.size
+    val num = xy.map { case (x, y) => (x - mx) * (y - my) }.sum
+    val den = xy.map { case (x, _) => (x - mx) * (x - mx) }.sum
+    if (den == 0) Double.NaN else num / den
+  }
+
+  def main(args: Array[String]): Unit = {
+    val out = args.headOption.getOrElse("SCALING.json")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val reps = sys.env.get("SPARK_GRAFT_SCALING_REPS")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(3)
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val sf001 = "/root/testdata/sf0.01"
+    val sf01 = "/root/testdata/sf0.1"
+    System.err.println("[scaling] synthesizing 10x corpus from sf0.1 ...")
+    val tenX = synthTenX(spark, sf01)
+    val scales = Seq("sf0.01" -> sf001, "sf0.1" -> sf01, "10x" -> tenX)
+    def rowsOf(dir: String, table: String): Long =
+      spark.read.parquet(s"$dir/$table.parquet").count()
+    val rowCache = scala.collection.mutable.Map.empty[(String, String), Long]
+
+    val results = Targets.map { case (name, table) =>
+      val fn = SparkEntry.queries(name)
+      // events-driven queries skip the 10x dir (events aren't scaled
+      // there — the point would duplicate sf0.1)
+      val dirs = if (table == "events") scales.take(2) else scales
+      val pts = dirs.map { case (label, dir) =>
+        val n = rowCache.getOrElseUpdate((dir, table), rowsOf(dir, table))
+        System.gc(); Thread.sleep(200)
+        val times = (1 to reps).map { _ =>
+          val t0 = System.nanoTime()
+          try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+          catch { case e: Throwable =>
+            System.err.println(s"[scaling] $name @ $label failed: $e"); -1.0 }
+        }
+        val med = if (times.exists(_ < 0)) -1.0 else median(times)
+        System.err.println(f"[scaling] $name%-36s $label%-7s rows=$n%9d sec=$med%8.3f")
+        (label, n, med)
+      }
+      val ok = pts.filter(_._3 > 0)
+      val exp =
+        if (ok.map(_._2).distinct.size >= 2) fitExponent(ok.map(p => (p._2, p._3)))
+        else Double.NaN
+      (name, table, pts, exp)
+    }
+
+    def fmt(v: Double): String =
+      if (v.isNaN) "null"
+      else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val json = results.map { case (name, table, pts, exp) =>
+      val pjson = pts.map { case (l, n, t) =>
+        s"""{"scale":"$l","rows":$n,"sec":${fmt(t)}}""" }.mkString("[", ",", "]")
+      val superlinear = !exp.isNaN && exp > 1.15
+      s""" "$name": {"table":"$table","points":$pjson,"exponent":${fmt(exp)},"superlinear":$superlinear}"""
+    }.mkString("{\n", ",\n", s""",\n "meta": {"reps":$reps,"stat":"median","cpus":$cpus,"tenx_dir":"$tenX"}\n}\n""")
+    Files.writeString(Paths.get(out), json)
+    println(s"[scaling] wrote $out")
+    println(json)
+    spark.stop()
+  }
+}

@@ -622,7 +622,18 @@ object VectorOps {
     val train = sampled.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding"))).localCheckpoint()
     try {
-      val model = new KMeans().setK(cells).setSeed(42).setMaxIter(10).fit(train)
+      // k is capped at the sample size: MLlib's blockified k-means dies
+      // with an inscrutable ArrayIndexOutOfBounds when k exceeds the
+      // point count — which a heavily-duplicated corpus hits for real
+      // (dedup can leave fewer survivors than the requested cells; the
+      // 10x scaling probe's synthetic corpus did). Fewer cells than
+      // asked is the correct degeneration: every row still gets a cell,
+      // probes just have fewer to rank. The PQ trainer already follows
+      // this discipline (min(ks, sample) + padding).
+      val sampleN = train.count()
+      require(sampleN > 0, "quantizer training sample is empty")
+      val k = math.min(cells.toLong, sampleN).toInt
+      val model = new KMeans().setK(k).setSeed(42).setMaxIter(10).fit(train)
       model.clusterCenters.map(_.toArray.map(_.toFloat))
     } finally train.unpersist()
   }

@@ -373,6 +373,24 @@ class ApproxOpsSpec extends SparkSpec {
     info(s"semantic dedup recall at 8 cells, nAssign=2: $multiRecall (${multi.size}/${exact.size})")
   }
 
+  test("quantizer survives a corpus smaller than the requested cell count") {
+    // a heavily-deduplicated corpus can leave fewer survivors than
+    // nCells; MLlib k-means with k > n dies with an opaque
+    // ArrayIndexOutOfBounds — trainQuantizer must cap k at the sample
+    // size instead (found by the 10x scaling probe, round 11)
+    val tiny = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f)),
+      (1L, Array(0.0f, 1.0f, 0.0f)),
+      (2L, Array(0.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val centroids = VectorOps.trainQuantizer(tiny, cells = 16,
+      maxTrainRows = 100000L, nRows = 3L)
+    assert(centroids.length == 3 && centroids.head.length == 3)
+    // and the full IVF search path works end to end on the tiny corpus
+    val got = VectorOps.annIvf(spark, tiny, probeFilter = col("vec_id") < 1,
+      k = 2, nCells = 16)
+    assert(got.count() == 2)
+  }
+
   test("lshDedupParams sizes buckets to the corpus and tables to the recall identity") {
     // fixture scale: few rows → minimum planes, tables from the identity
     val (tSmall, bSmall) = VectorOps.lshDedupParams(0.4, 0.9, 2000L, 10000)

@@ -54,6 +54,24 @@ class EngineSpec extends SparkSpec {
     assert(top == 1L, s"nearest neighbor of 0 must be its near-copy 1, got $top")
   }
 
+  test("semanticNearDupPairs routes to the multi-assign form by default") {
+    // two tight clusters straddling nothing: the planted near-identical
+    // pair must surface through the DEFAULT (multi-assign) path, and the
+    // explicit nAssign=1 knob must still be accepted
+    val rnd = new scala.util.Random(11)
+    def vec(seedShift: Double): Array[Float] =
+      Array.tabulate(16)(i => (math.sin(i + seedShift) + rnd.nextGaussian() * 0.01).toFloat)
+    val emb = (0L until 40L).map { i =>
+      if (i == 1L) (i, vec(0.0)) else (i, vec(i.toDouble))
+    }.toDF("vec_id", "embedding")
+    val pairs = Engine.semanticNearDupPairs(spark, emb, threshold = 0.95)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), s"default (multi-assign) path missed the dup: $pairs")
+    val single = Engine.semanticNearDupPairs(spark, emb, threshold = 0.95, nAssign = 1)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(single.subsetOf(pairs), "single-assign pairs must be a subset of multi-assign")
+  }
+
   test("family aliases are the operator objects (stable API points)") {
     assert(Engine.text eq operators.TextOps)
     assert(Engine.dedup eq operators.NearDedup)
