@@ -67,6 +67,29 @@ object CorpusOps {
     } finally sh.unpersist()
   }
 
+  /** The REMOVAL action [[contaminationPairs]] drives (the decontamination
+    * step of training-set construction, Brown et al. 2020 Appendix C
+    * shape): keep every train-side doc whose containment against EVERY
+    * eval doc stays below `threshold`; eval rows themselves are not part
+    * of the training output. Returns the surviving train docs with all
+    * their columns.
+    *
+    * Scale: the flagged set is contaminated train IDS — tiny by
+    * construction (benchmark-overlapping docs) — so the final anti-join
+    * broadcasts it and the corpus never shuffles; the pair machinery
+    * inherits contaminationPairs' broadcast-eval shape.
+    */
+  def decontaminate(docs: org.apache.spark.sql.DataFrame,
+      isEval: org.apache.spark.sql.Column,
+      threshold: Double): org.apache.spark.sql.DataFrame = {
+    val flagged = contaminationPairs(docs, isEval, threshold)
+      .select(col("train_id").as("doc_id")).distinct()
+    // NOT eval via three-valued logic: a row whose eval predicate is NULL
+    // (e.g. null doc_id under `doc_id % 11 = 0`) is neither train nor
+    // eval — dropped, matching the SQL WHERE semantics of the oracle
+    docs.where(!isEval).join(broadcast(flagged), Seq("doc_id"), "left_anti")
+  }
+
   /** Distributed exact prefix-sum shard assignment over a
     * (doc_id, n_tokens) relation — see the `shard_pack` entry for the
     * scale argument. `parts` is the range-partition width; the result is
@@ -226,6 +249,34 @@ object CorpusOps {
       contaminationPairs(Tables.documents(s, dir),
         col("doc_id") % 11 === 0, threshold = 0.1)
         .orderBy("eval_id", "train_id")
+    },
+
+    // The removal action contamination_check drives: the training set
+    // with benchmark-contaminated docs DROPPED (containment >= 0.1
+    // against any eval doc), eval rows excluded. Same shingle/containment
+    // machinery; the flagged set is tiny so the final anti-join
+    // broadcasts and the corpus never shuffles.
+    withOracle(
+      "text_decontaminate",
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+        |              FROM documents),
+        |sh AS (SELECT DISTINCT doc_id, l[i] || ' ' || l[i+1] || ' ' || l[i+2] AS s
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-2, 0))) AS i) g),
+        |ev AS (SELECT doc_id, s FROM sh WHERE doc_id % 11 = 0),
+        |tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 11 <> 0),
+        |ne AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY doc_id),
+        |inter AS (SELECT ev.doc_id AS eval_id, tr.doc_id AS train_id, count(*) AS c
+        |          FROM ev JOIN tr ON ev.s = tr.s GROUP BY 1, 2),
+        |flagged AS (SELECT DISTINCT train_id FROM inter JOIN ne ON eval_id = ne.doc_id
+        |            WHERE c * 1.0 / n >= 0.1)
+        |SELECT doc_id, lang, source FROM documents
+        |WHERE doc_id % 11 <> 0
+        |  AND doc_id NOT IN (SELECT train_id FROM flagged)
+        |ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      decontaminate(Tables.documents(s, dir),
+        col("doc_id") % 11 === 0, threshold = 0.1)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
     },
 
     // Deterministic stratified sample: ceil(10%) per language, selection

@@ -29,6 +29,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq == Seq(1.0))
   }
 
+  test("decontaminate drops contaminated train docs, keeps clean ones, excludes eval rows") {
+    val evalText = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (0L, evalText),                                                   // eval doc
+      (1L, s"unrelated filler words before $evalText and trailing bits"), // contaminated
+      (2L, "completely different training material about query engines"), // clean
+      (3L, "another clean doc with its own disjoint vocabulary set")      // clean
+    ).toDF("doc_id", "text")
+    val kept = CorpusOps.decontaminate(docs, col("doc_id") === 0, threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L),
+      s"eval row 0 excluded, contaminated 1 dropped, clean 2/3 kept — got $kept")
+    // threshold above the overlap keeps the contaminated doc too
+    val lax = CorpusOps.decontaminate(docs, col("doc_id") === 0, threshold = 1.1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(lax == Set(1L, 2L, 3L))
+  }
+
   test("shard_pack matches the sequential prefix sum and respects the budget") {
     val docs = (0L until 100L).map(i => (i, (i % 13) + 1)).toDF("doc_id", "n_tokens")
     val got = CorpusOps.shardPack(docs, budget = 20, parts = 7)
