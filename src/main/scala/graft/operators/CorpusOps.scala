@@ -83,11 +83,18 @@ object CorpusOps {
       isEval: org.apache.spark.sql.Column,
       threshold: Double): org.apache.spark.sql.DataFrame = {
     val flagged = contaminationPairs(docs, isEval, threshold)
-      .select(col("train_id").as("doc_id")).distinct()
+      .select(col("train_id").as("_flagged_id")).distinct()
     // NOT eval via three-valued logic: a row whose eval predicate is NULL
     // (e.g. null doc_id under `doc_id % 11 = 0`) is neither train nor
-    // eval — dropped, matching the SQL WHERE semantics of the oracle
-    docs.where(!isEval).join(broadcast(flagged), Seq("doc_id"), "left_anti")
+    // eval — dropped, matching the SQL WHERE semantics of the oracle.
+    // The anti-join is NULL-SAFE (<=>): with an isEval predicate not
+    // keyed on doc_id, a contaminated train doc with a null id flags as
+    // train_id = NULL, and a null-rejecting equality would silently keep
+    // it in the training output (null ids are indistinguishable, so all
+    // of them drop together once any is flagged — the only sound
+    // semantics for a null join key).
+    docs.where(!isEval)
+      .join(broadcast(flagged), col("doc_id") <=> col("_flagged_id"), "left_anti")
   }
 
   /** Distributed exact prefix-sum shard assignment over a

@@ -105,10 +105,14 @@ object NearDedup {
           "raise maxBucket to trade shuffle size for recall")
       // flag-then-filter instead of a bare anti-join: the pre-filter
       // stream is observed so the drop counters are live query metrics,
-      // computed over the rows that actually flowed (same broadcast
-      // probe the anti-join would build)
+      // computed over the rows that actually flowed. NO broadcast hint:
+      // the hot set is usually tiny (buckets over the cap) and the
+      // planner will broadcast it from stats, but on a pathological
+      // corpus it can be huge (every boilerplate shingle over the cap)
+      // and a forced broadcast would OOM the driver — let the planner
+      // degrade to a shuffle join there, as the old anti-join did
       val marked = bandedAll.join(
-        broadcast(hot.select(keys.map(col) :+ lit(true).as("_hot"): _*)),
+        hot.select(keys.map(col) :+ lit(true).as("_hot"): _*),
         keys, "left_outer")
       marked
         .observe(s"graft.$what.hotcap.${capObsId.incrementAndGet()}",

@@ -1064,22 +1064,27 @@ object TextOps {
         .as(Seq("p0", "h")))
       .select(col("doc_id"), (col("p0") + 1).as("p"), col("h"))
     val wDoc = Window.partitionBy("doc_id")
-    val wRun = Window.partitionBy("doc_id").orderBy("p")
+    val wFwd = Window.partitionBy("doc_id").orderBy("p")
       .rowsBetween(Window.currentRow, w - 1)
-    // complete windows only (truncated tails can't certify a run; a run
-    // ending at the doc's last token still contains a complete window)
-    val wm = sp
+    val wBack = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    // Selection rule, window-only (no self-join — a doc repeating one
+    // token would turn a (doc,h)-keyed join quadratic with no hot cap):
+    // position p is selected iff some complete window containing p has
+    // min == h[p]. Every window [s, s+w-1] containing p has
+    // wmin[s] <= h[p], so "∃s: wmin[s] == h[p]" ⟺
+    // "max of wmin over s ∈ [p-w+1, p] == h[p]" — one forward window
+    // min (complete windows only: truncated tails can't certify a run,
+    // while a run ending at the doc's last token still contains a
+    // complete window; incomplete starts carry NULL, which max skips)
+    // and one backward window max per position, both doc-bounded.
+    val selected = sp
       .withColumn("m", count(lit(1)).over(wDoc))
-      .withColumn("wmin", min("h").over(wRun))
-      .where(col("p") <= col("m") - w + 1)
-      .select(col("doc_id"), col("p").as("wp"), col("wmin"))
-    val selected = sp.as("x")
-      .join(wm.as("y"),
-        col("x.doc_id") === col("y.doc_id") &&
-          col("y.wp").between(col("x.p") - (w - 1), col("x.p")) &&
-          col("y.wmin") === col("x.h"))
-      .select(col("x.doc_id").as("doc_id"), col("x.p").as("p"), col("x.h").as("h"))
-      .distinct()
+      .withColumn("wmin",
+        when(col("p") <= col("m") - w + 1, min("h").over(wFwd)))
+      .withColumn("selmax", max("wmin").over(wBack))
+      .where(col("selmax") === col("h"))
+      .select("doc_id", "p", "h")
     val dupFp = selected.groupBy("h")
       .agg(count(lit(1)).as("c")).where(col("c") >= 2).select("h")
     selected.join(dupFp, "h").select("doc_id").distinct()

@@ -488,7 +488,12 @@ object VectorOps {
     val centroidArr = trainQuantizer(
       unitEmb.select(col("vec_id"), col("unit").as("embedding")),
       cells, maxTrainRows, n)
-    if (nAssign <= 1) {
+    // the trained quantizer can come back with fewer centroids than
+    // asked (duplicate-heavy corpora collapse k-means|| init points;
+    // trainQuantizer caps k at the sample size) — cap the assignment
+    // fan-out or NearestCentroids' arity check rejects nAssign > cells
+    val assign = math.min(nAssign, centroidArr.length)
+    if (assign <= 1) {
       val assigned = unitEmb.select(col("vec_id"), col("embedding"),
         org.apache.spark.sql.graft.SrpNative
           .nearestCentroid(col("unit"), centroidArr).as("cell"))
@@ -508,7 +513,7 @@ object VectorOps {
       // then verify exactly once per pair, the LSH-path shape
       val assigned = unitEmb.select(col("vec_id"),
         explode(org.apache.spark.sql.graft.SrpNative
-          .nearestCentroids(col("unit"), centroidArr, nAssign)).as("cell"))
+          .nearestCentroids(col("unit"), centroidArr, assign)).as("cell"))
       val bounded = NearDedup.dropHotBuckets(assigned, Seq("cell"), cap, "semantic-cell")
       val candidates = bounded.select(col("cell"), col("vec_id").as("i"))
         .join(bounded.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
@@ -622,19 +627,29 @@ object VectorOps {
     val train = sampled.withColumn("features",
       org.apache.spark.ml.functions.array_to_vector(col("embedding"))).localCheckpoint()
     try {
-      // k is capped at the sample size: MLlib's blockified k-means dies
-      // with an inscrutable ArrayIndexOutOfBounds when k exceeds the
-      // point count — which a heavily-duplicated corpus hits for real
-      // (dedup can leave fewer survivors than the requested cells; the
-      // 10x scaling probe's synthetic corpus did). Fewer cells than
-      // asked is the correct degeneration: every row still gets a cell,
-      // probes just have fewer to rank. The PQ trainer already follows
-      // this discipline (min(ks, sample) + padding).
-      val sampleN = train.count()
+      // k is capped at the DISTINCT point count: MLlib's blockified
+      // k-means dies with an inscrutable ArrayIndexOutOfBounds when its
+      // k-means|| init collapses to fewer centers than k — which a
+      // heavily-duplicated corpus hits for real (dedup can leave fewer
+      // distinct survivors than the requested cells; the 10x scaling
+      // probe's synthetic corpus did, and two identical vectors do).
+      // Fewer cells than asked is the correct degeneration: every row
+      // still gets a cell, probes just have fewer to rank. The distinct
+      // count is one job over the already-bounded, checkpointed sample.
+      val sampleN = train.select(col("embedding")).distinct().count()
       require(sampleN > 0, "quantizer training sample is empty")
       val k = math.min(cells.toLong, sampleN).toInt
-      val model = new KMeans().setK(k).setSeed(42).setMaxIter(10).fit(train)
-      model.clusterCenters.map(_.toArray.map(_.toFloat))
+      if (k < 2) {
+        // MLlib rejects k=1 outright; a one-point (or one-cell)
+        // quantizer is just a single centroid — any sample vector
+        // partitions identically (everything lands in cell 0), the
+        // min-id row keeps it deterministic
+        Array(train.orderBy(col("vec_id")).select(col("embedding"))
+          .head().getSeq[Float](0).toArray)
+      } else {
+        val model = new KMeans().setK(k).setSeed(42).setMaxIter(10).fit(train)
+        model.clusterCenters.map(_.toArray.map(_.toFloat))
+      }
     } finally train.unpersist()
   }
 

@@ -71,6 +71,37 @@ object UpsertStore {
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  /** The store self-describes its bucket count: folds persist it in an
+    * underscore-prefixed sidecar (ignored by Spark's file index) so
+    * point reads never have to TRUST a caller-supplied modulus — a
+    * wrong one hashes keys into buckets the partition filter then
+    * excludes, and an existing key silently resolves to nothing.
+    * Counting `bucket=` dirs is NOT a substitute: never-written buckets
+    * have no directory, so a sparse store would under-count.
+    */
+  private def metaPath(root: String) = new Path(root, "_graft_buckets")
+
+  private def writeBucketMeta(spark: SparkSession, root: String, n: Int): Unit = {
+    val f = fs(spark)
+    val p = metaPath(root)
+    if (!f.exists(p)) {
+      val out = f.create(p, true)
+      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
+    }
+  }
+
+  private def readBucketMeta(spark: SparkSession, root: String): Option[Int] = {
+    val f = fs(spark)
+    val p = metaPath(root)
+    if (!f.exists(p)) None
+    else {
+      val in = f.open(p)
+      try Some(new String(
+        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
+      finally in.close()
+    }
+  }
+
   /** Append one change batch: `deletedCol` (if set) names a Boolean
     * column of `batch` marking tombstone rows — it is consumed into the
     * store's `_deleted` flag (NULL = not deleted: a nullable CDC op
@@ -100,6 +131,13 @@ object UpsertStore {
     // healthy store; the stale staged `dir.tmp` is discarded, never
     // promoted over folds that may postdate it).
     recoverForWrite(spark, dir)
+    // persist (and enforce) the store's bucket modulus: folding with a
+    // different count than the store was built with would scatter a
+    // key's versions across incompatible partitionings
+    readBucketMeta(spark, dir).foreach { n =>
+      require(n == nBuckets,
+        s"store at $dir was built with nBuckets=$n; fold got $nBuckets")
+    }
     val withDel = deletedCol match {
       case Some(c) => batch.withColumn(c, coalesce(col(c), lit(false)))
         .withColumnRenamed(c, "_deleted")
@@ -109,6 +147,7 @@ object UpsertStore {
       .withColumn("_seq", lit(seq))
       .withColumn("bucket", bucketCol(keys, nBuckets))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(dir)
+    writeBucketMeta(spark, dir, nBuckets)
   }
 
   /** Roll back a compact swap that crashed with the store absent; keep
@@ -174,13 +213,26 @@ object UpsertStore {
     * Literals are cast to the STORE's key column types before hashing —
     * `hash` is type-sensitive (hash(5) != hash(5L)), so an Int passed
     * for a Long key column would otherwise probe the wrong bucket.
+    *
+    * The bucket count comes from the store's OWN metadata sidecar
+    * (written by fold), never trusted from a parameter: a
+    * caller-supplied count that disagreed with the fold-time
+    * partitioning would hash keys into buckets the filter then
+    * excludes — an existing key silently resolving to nothing.
+    * `nBuckets` remains only as an explicit override for pre-sidecar
+    * stores (0 = read the sidecar, the default).
     */
   def lookup(spark: SparkSession, dir: String, keys: Seq[String],
-      keyVals: Seq[Seq[Any]], nBuckets: Int = DefaultBuckets): Option[DataFrame] =
+      keyVals: Seq[Seq[Any]], nBuckets: Int = 0): Option[DataFrame] =
     readableRoot(spark, dir).map { root =>
       require(keyVals.nonEmpty, "lookup needs at least one key tuple")
       require(keyVals.forall(_.length == keys.length),
         s"every key tuple must have ${keys.length} values (keys=$keys)")
+      val n =
+        if (nBuckets > 0) nBuckets
+        else readBucketMeta(spark, root).getOrElse(sys.error(
+          s"store at $root has no bucket-count sidecar (pre-r11 store?); " +
+            "pass nBuckets explicitly"))
       val store = spark.read.parquet(root)
       val keyTypes = keys.map(k => store.schema(k).dataType)
       import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, Pmod}
@@ -188,7 +240,7 @@ object UpsertStore {
         val lits = vs.zip(keyTypes).map { case (v, dt) =>
           Cast(Literal(v), dt, Some("UTC")).eval(null)
         }.zip(keyTypes).map { case (v, dt) => Literal(v, dt) }
-        Pmod(new Murmur3Hash(lits), Literal(nBuckets))
+        Pmod(new Murmur3Hash(lits), Literal(n))
           .eval(null).asInstanceOf[Int]
       }.distinct
       val keyPred = keyVals.map { vs =>
@@ -263,6 +315,8 @@ object UpsertStore {
     live
       .repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(tmp)
+    // the bucket-count sidecar must survive the swap (tmp becomes dir)
+    readBucketMeta(spark, dir).foreach(writeBucketMeta(spark, tmp, _))
     graft.model.StoreSwap.commit(spark, dir)
   }
 }

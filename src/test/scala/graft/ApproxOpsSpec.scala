@@ -391,6 +391,21 @@ class ApproxOpsSpec extends SparkSpec {
     assert(got.count() == 2)
   }
 
+  test("semantic dedup survives degenerate quantizers (fewer centroids than nAssign)") {
+    // duplicate-heavy corpora collapse k-means to fewer centroids than
+    // the multi-assign default asks for; the assignment fan-out must cap
+    // at the trained centroid count instead of tripping NearestCentroids'
+    // arity check (review finding, round 11)
+    val one = Seq((0L, Array.fill(8)(1.0f))).toDF("vec_id", "embedding")
+    assert(VectorOps.cosineNearDupSemantic(spark, one, threshold = 0.4,
+      nCells = 16).count() == 0)
+    val twins = Seq((0L, Array.fill(8)(1.0f)), (1L, Array.fill(8)(1.0f)))
+      .toDF("vec_id", "embedding")
+    val pairs = VectorOps.cosineNearDupSemantic(spark, twins, threshold = 0.4,
+      nCells = 16).select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)), s"identical pair must still dedup: $pairs")
+  }
+
   test("lshDedupParams sizes buckets to the corpus and tables to the recall identity") {
     // fixture scale: few rows → minimum planes, tables from the identity
     val (tSmall, bSmall) = VectorOps.lshDedupParams(0.4, 0.9, 2000L, 10000)

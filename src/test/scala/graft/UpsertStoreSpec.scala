@@ -158,6 +158,29 @@ class UpsertStoreSpec extends SparkSpec {
     assert(got == Map(5L -> "v-5"))
   }
 
+  test("lookup reads the bucket modulus from the store's sidecar, not the caller") {
+    // a store folded at 16 buckets must lookup correctly with NO
+    // caller-supplied count (the sidecar self-describes); a mismatched
+    // fold is rejected outright (review finding, round 11)
+    val dir = freshDir()
+    UpsertStore.fold(spark, dir,
+      (0L until 64L).map(i => (i, s"v-$i")).toDF("k", "v"), keys, seq = 0,
+      nBuckets = 16)
+    val got = UpsertStore.lookup(spark, dir, keys, Seq(Seq(7L)))
+      .get.as[(Long, String)].collect().toMap
+    assert(got == Map(7L -> "v-7"),
+      s"sidecar-derived modulus must find the key, got $got")
+    val e = intercept[IllegalArgumentException] {
+      UpsertStore.fold(spark, dir, Seq((1L, "x")).toDF("k", "v"), keys,
+        seq = 1, nBuckets = 8)
+    }
+    assert(e.getMessage.contains("nBuckets"))
+    // compaction preserves the sidecar across the whole-dir swap
+    UpsertStore.compact(spark, dir, keys)
+    assert(UpsertStore.lookup(spark, dir, keys, Seq(Seq(7L)))
+      .get.as[(Long, String)].collect().toMap == Map(7L -> "v-7"))
+  }
+
   test("files accumulate per fold until the trigger fires; maintain compacts to ~1 file/bucket") {
     val dir = freshDir()
     val maxFiles = 4

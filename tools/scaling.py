@@ -34,9 +34,19 @@ def gate(path: str) -> int:
     for name, rec in data.items():
         if name == "meta" or not isinstance(rec, dict):
             continue
+        # a query that CRASHED at some scale is strictly worse than a
+        # superlinear one — a failed point or missing exponent fails the
+        # gate outright, it doesn't downgrade to a warning
+        failed = [p["scale"] for p in rec.get("points", [])
+                  if p.get("sec", -1) < 0]
+        if failed:
+            print(f"[scaling] FAIL {name}: crashed at scale(s) {failed}")
+            bad.append((name, float("inf")))
+            continue
         exp = rec.get("exponent")
         if exp is None:
-            print(f"[scaling] WARN {name}: no exponent (failed points?)")
+            print(f"[scaling] FAIL {name}: no exponent fitted")
+            bad.append((name, float("inf")))
             continue
         flag = "SUPERLINEAR" if exp > SUPERLINEAR_MAX else "ok"
         print(f"[scaling] {name:<36} exponent={exp:6.3f}  {flag}")
@@ -47,8 +57,9 @@ def gate(path: str) -> int:
                 bad.append((name, exp))
     if bad:
         for name, exp in bad:
-            print(f"[scaling] FAIL {name}: exponent {exp:.3f} > "
-                  f"{SUPERLINEAR_MAX} with no BASELINE.md note")
+            if exp != float("inf"):
+                print(f"[scaling] FAIL {name}: exponent {exp:.3f} > "
+                      f"{SUPERLINEAR_MAX} with no BASELINE.md note")
         return 1
     print("[scaling] gate: pass")
     return 0
