@@ -35,6 +35,29 @@ object CorpusOps {
     */
   val SeqLen = 512L
 
+  /** Temperature exponent for `corpus_mix_temperature` (0.7 — the
+    * conventional multilingual up-sampling point).
+    */
+  val MixAlpha = 0.7
+
+  /** Temperature-scaled mixture weights over a (source, n_tokens)
+    * aggregate — see the `corpus_mix_temperature` entry. Input is the
+    * already-aggregated per-source token totals (sources-sized), so
+    * every window below runs over that tiny relation.
+    */
+  def mixTemperature(sourceTokens: org.apache.spark.sql.DataFrame,
+      alpha: Double): org.apache.spark.sql.DataFrame = {
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    sourceTokens
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens") / sum("n_tokens").over(w), 6).as("p"),
+        round(pow(col("n_tokens"), alpha) /
+          sum(pow(col("n_tokens"), alpha)).over(w), 6).as("q"),
+        round((pow(col("n_tokens"), alpha) /
+          sum(pow(col("n_tokens"), alpha)).over(w)) /
+          (col("n_tokens") / sum("n_tokens").over(w)), 6).as("weight"))
+  }
+
   /** Containment pairs (eval_id, train_id, containment) between the eval
     * split (rows matching `isEval`) and the rest, over a (doc_id, text)
     * relation: containment = |shared 3-shingles| / |eval shingles|.
@@ -586,6 +609,40 @@ object CorpusOps {
         .select(col("source"), col("n_docs"), col("n_tokens"),
           round(sum("n_tokens").over(w) / (count(lit(1)).over(w) * col("n_tokens")), 4)
             .as("weight"))
+        .orderBy("source")
+    },
+
+    // Temperature-scaled mixture weights (the multilingual/multi-source
+    // α-sampling standard, Lample & Conneau 2019 §3.1 shape): a source's
+    // sampling share is its natural token share raised to α and
+    // renormalized — α = 1 reproduces the natural mix, α → 0 the
+    // uniform one; 0.7 is the conventional operating point that
+    // up-samples tail sources without drowning the head. Emits natural
+    // share p, temperature share q, and the multiplicative up/down-
+    // sampling weight q/p that feeds sample_token_budget's per-source
+    // budgets.
+    //
+    // Scale: identical to corpus_mix_weights — ONE map-side-combined
+    // aggregate to sources-sized partials; every derived total is a
+    // window over that tiny aggregate, so the corpus is scanned once.
+    // pow crosses engines exactly enough for the shared 6dp grid (the
+    // sample_weighted pageRank discipline, proven there at 12dp).
+    withOracle(
+      "corpus_mix_temperature",
+      s"""WITH t AS (SELECT source,
+        |             sum(len(string_split_regex(lower(text), '\\s+'))) AS n_tokens
+        |           FROM documents GROUP BY source)
+        |SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |       round(n_tokens * 1.0 / sum(n_tokens) OVER (), 6) AS p,
+        |       round(pow(n_tokens, ${MixAlpha}) / sum(pow(n_tokens, ${MixAlpha})) OVER (), 6) AS q,
+        |       round((pow(n_tokens, ${MixAlpha}) / sum(pow(n_tokens, ${MixAlpha})) OVER ())
+        |             / (n_tokens * 1.0 / sum(n_tokens) OVER ()), 6) AS weight
+        |FROM t ORDER BY source""".stripMargin) { (s, dir) =>
+      mixTemperature(
+        Tables.documents(s, dir)
+          .groupBy("source")
+          .agg(sum(size(tokens(col("text"))).cast("long")).as("n_tokens")),
+        MixAlpha)
         .orderBy("source")
     },
 

@@ -47,6 +47,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(lax == Set(1L, 2L, 3L))
   }
 
+  test("temperature mixing: alpha=1 is the natural mix, alpha=0 the uniform one, 0.7 up-samples the tail") {
+    val tot = Seq(("big", 9000L), ("small", 1000L)).toDF("source", "n_tokens")
+    def m(alpha: Double) = CorpusOps.mixTemperature(tot, alpha)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val nat = m(1.0)
+    assert(nat("big")._2 == 0.9 && nat("small")._2 == 0.1, s"alpha=1 must reproduce p: $nat")
+    assert(nat.values.forall(_._3 == 1.0), "alpha=1 weights are all 1")
+    val uni = m(0.0)
+    assert(uni("big")._2 == 0.5 && uni("small")._2 == 0.5, s"alpha=0 is uniform: $uni")
+    val t = m(0.7)
+    assert(t("small")._3 > 1.0 && t("big")._3 < 1.0,
+      s"alpha=0.7 must up-sample the tail source and down-sample the head: $t")
+    // q still sums to 1 on the rounding grid
+    assert(math.abs(t.values.map(_._2).sum - 1.0) < 1e-4)
+  }
+
   test("shard_pack matches the sequential prefix sum and respects the budget") {
     val docs = (0L until 100L).map(i => (i, (i % 13) + 1)).toDF("doc_id", "n_tokens")
     val got = CorpusOps.shardPack(docs, budget = 20, parts = 7)
