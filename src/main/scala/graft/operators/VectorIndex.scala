@@ -146,9 +146,10 @@ object VectorIndex {
     * beyond the nProbe/nCells scan fraction.
     */
   def searchIvfPq(spark: SparkSession, dir: String, emb: DataFrame,
-      probes: DataFrame, k: Int, nProbe: Int = 8, rerank: Int = 12): DataFrame = {
+      probes: DataFrame, k: Int, nProbe: Int = 8, rerank: Int = 12,
+      probeMargin: Double = 0.0): DataFrame = {
     val (coarse, books) = readCodebooks(spark, dir)
     VectorOps.ivfPqSearch(spark, spark.read.parquet(codesDir(dir)), emb,
-      probes, coarse, books, k, nProbe, rerank)
+      probes, coarse, books, k, nProbe, rerank, probeMargin)
   }
 }

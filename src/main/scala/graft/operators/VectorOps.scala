@@ -1076,7 +1076,7 @@ object VectorOps {
   def ivfPqSearch(spark: SparkSession, codes: DataFrame, emb: DataFrame,
       probesRaw: DataFrame, centroidArr: Array[Array[Float]],
       books: Array[Array[Array[Float]]], k: Int, nProbe: Int,
-      rerank: Int): DataFrame = {
+      rerank: Int, probeMargin: Double = 0.0): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.graft.PqNative
     require(k >= 1 && nProbe >= 1 && rerank >= 1,
@@ -1088,7 +1088,10 @@ object VectorOps {
         PqNative.pqLut(col("pu"), books).as("lut"))
     // nProbe nearest cells per probe (shared spherical ranking), with
     // pdotc carried as the cell-constant half of the decomposed score
-    val probeCells = nearestProbeCells(spark, probes, centroidArr, nProbe)
+    // probeMargin > 0 = margin-adaptive cell pruning (see annIvf): with
+    // a partitioned index it directly shrinks the partitions read
+    val probeCells = nearestProbeCells(spark, probes, centroidArr, nProbe,
+      probeMargin)
       .select(col("p"), col("cell"), col("pdotc"), col("lut"))
     val dppReliable =
       spark.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled",
