@@ -651,9 +651,13 @@ object VectorOps {
       // distinct survivors than the requested cells; the 10x scaling
       // probe's synthetic corpus did, and two identical vectors do).
       // Fewer cells than asked is the correct degeneration: every row
-      // still gets a cell, probes just have fewer to rank. The distinct
-      // count is one job over the already-bounded, checkpointed sample.
-      val sampleN = train.select(col("embedding")).distinct().count()
+      // still gets a cell, probes just have fewer to rank. Counted over
+      // 64-bit HASHES of the vectors, not the vectors — the distinct
+      // shuffle then moves longs, not arrays (cheap even at the 100k
+      // sample cap). A hash collision can only UNDER-count, which only
+      // ever shrinks k — never the crash direction.
+      val sampleN = train.select(xxhash64(col("embedding")).as("_h"))
+        .distinct().count()
       require(sampleN > 0, "quantizer training sample is empty")
       val k = math.min(cells.toLong, sampleN).toInt
       if (k < 2) {

@@ -177,6 +177,40 @@ class VectorIndexSpec extends SparkSpec {
       s"scan read $scanned of 16 cell partitions — no static pruning")
   }
 
+  test("margin-adaptive probing shrinks the partitions read on the persistent index") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = freshDir()
+    VectorIndex.buildIvfPq(spark, emb, dir, nCells = 16, m = 8, ks = 16)
+    def partitionsRead(margin: Double): Int = {
+      val df = VectorIndex.searchIvfPq(spark, dir, emb,
+        probes = emb.where($"vec_id" < 10), k = 5, nProbe = 8, rerank = 8,
+        probeMargin = margin)
+      df.collect()
+      def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+          Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          allNodes(a.executedPlan)
+        case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+          p +: allNodes(s.plan)
+        case _ => p +: p.children.flatMap(allNodes)
+      }
+      allNodes(df.queryExecution.executedPlan).collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec
+            if f.metadata.get("Location").exists(_.contains("codes")) =>
+          f.selectedPartitions.partitionCount
+      }.max
+    }
+    val fixed = partitionsRead(0.0)
+    val tight = partitionsRead(0.02)
+    assert(tight <= fixed,
+      s"margin pruning must never widen the scan: fixed=$fixed tight=$tight")
+    assert(tight < fixed,
+      s"a tight margin must actually shrink the partitions read on this " +
+        s"fixture (fixed=$fixed tight=$tight) — if this legitimately ties, " +
+        "the fixture's cell scores are flatter than expected; lower the margin")
+    assert(tight >= 1, "the rank-1 cell is always probed")
+  }
+
   test("search scans only the probed cells' partitions (inverted lists on disk)") {
     val emb = Tables.embeddings(spark, sf0001)
     val dir = freshDir()
