@@ -54,4 +54,44 @@ class EmbeddingPipelineSpec extends SparkSpec {
       .where($"exact" =!= $"cos").count()
     assert(bad == 0, "served cosines must be exact")
   }
+
+  test("pipeline survives a duplicate-heavy corpus whose dedup leaves fewer survivors than nCells") {
+    // the 10x scaling probe's failure class end-to-end: dedup collapses
+    // a near-duplicate-saturated corpus to a handful of survivors, and
+    // the downstream index build asks for more cells than that — the
+    // quantizer must degrade to fewer cells, not crash (and the served
+    // results must still come from the survivors with exact cosines)
+    val rnd = new scala.util.Random(3)
+    def jitter(base: Array[Float]): Array[Float] =
+      base.map(x => x + (rnd.nextGaussian() * 1e-4).toFloat)
+    val clusterA = Array.tabulate(64)(i => math.sin(i * 0.3).toFloat)
+    val clusterB = Array.tabulate(64)(i => math.cos(i * 0.7).toFloat)
+    // 96 near-copies across two blobs + 4 genuinely distinct vectors
+    val emb = ((0L until 48L).map(i => (i, jitter(clusterA))) ++
+      (48L until 96L).map(i => (i, jitter(clusterB))) ++
+      (96L until 100L).map(i =>
+        (i, Array.tabulate(64)(d => math.sin((i + 1) * (d + 2) * 0.9).toFloat))))
+      .toDF("vec_id", "embedding")
+    val pairs = VectorOps.cosineNearDupLsh(spark, emb, threshold = 0.9)
+      .select($"i".as("src"), $"j".as("dst"))
+    val cc = graft.operators.GraphOps.connectedComponents(pairs)
+      .select($"node".as("vec_id"), $"label".as("canonical"))
+    val survivors = emb.join(cc, Seq("vec_id"), "left_outer")
+      .where($"canonical".isNull || $"canonical" === $"vec_id")
+      .select($"vec_id", $"embedding").localCheckpoint()
+    val nSurv = survivors.count()
+    assert(nSurv < 16 && nSurv >= 2,
+      s"fixture must leave fewer survivors than the requested 16 cells, got $nSurv")
+    val idx = java.nio.file.Files.createTempDirectory("graft_degidx").toString + "/idx"
+    operators.VectorIndex.buildIvfPq(spark, survivors, idx,
+      nCells = 16, m = 16, ks = 16)
+    val served = operators.VectorIndex.searchIvfPq(spark, idx, survivors,
+      probes = emb.where($"vec_id".isin(0L, 48L, 96L)), k = 3,
+      nProbe = 8, rerank = 8)
+    val rows = served.collect()
+    assert(rows.nonEmpty, "the degenerate-cell index must still serve")
+    val survSet = survivors.select($"vec_id").as[Long].collect().toSet
+    assert(rows.map(_.getLong(2)).toSet.subsetOf(survSet),
+      "served neighbors must come from the surviving corpus")
+  }
 }
