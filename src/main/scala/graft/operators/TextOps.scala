@@ -34,6 +34,28 @@ object TextOps {
   val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhonePat = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
 
+  /** HTML/markup tag pattern — same shared Java-regex ∩ RE2 dialect. */
+  val TagPat = "<[^>]*>"
+
+  /** Markup strip for crawl cleaning (the `text_html_strip` entry):
+    * tags → space, the five standard entities decoded (`&amp;` LAST —
+    * the single-pass convention, so "&amp;lt;" yields the literal text
+    * "&lt;", never a second-round "<"), whitespace collapsed, trimmed.
+    * `n_tags` counts the stripped tags from the ORIGINAL text.
+    * Row-local, zero shuffles.
+    */
+  def htmlStrip(docs: DataFrame): DataFrame = {
+    val noTags = regexp_replace(col("text"), TagPat, " ")
+    val decoded = Seq(
+      "&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (ent, ch)) => regexp_replace(c, ent, ch) }
+    docs.select(col("doc_id"),
+      trim(regexp_replace(decoded, "\\s+", " ")).as("text_clean"),
+      size(regexp_extract_all(col("text"), lit(TagPat), lit(0)))
+        .cast("long").as("n_tags"))
+  }
+
   /** Redacted text + per-doc match counts over a (doc_id, text) relation:
     * emails first, then phones, counts from the pre-scrub text.
     */
@@ -517,6 +539,28 @@ object TextOps {
          |       len(regexp_extract_all(text, '${TextOps.PhonePat}')) AS n_phones
          |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
       TextOps.piiScrub(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // Markup strip — the crawl-cleaning stage upstream of everything
+    // else in a web-corpus pipeline: drop tags, decode the five
+    // standard HTML entities (&amp; LAST, the single-pass convention —
+    // "&amp;lt;" decodes to "&lt;" the TEXT, not twice to "<"), then
+    // collapse whitespace. Patterns stay in the Java-regex ∩ RE2
+    // dialect (piiScrub discipline) so both engines compile the same
+    // expressions. Row-local, zero shuffles — embarrassingly parallel
+    // at any corpus size.
+    withOracle(
+      "text_html_strip",
+      s"""SELECT doc_id,
+         |       trim(regexp_replace(
+         |         replace(replace(replace(replace(replace(
+         |           regexp_replace(text, '${TextOps.TagPat}', ' ', 'g'),
+         |           '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |           '&#39;', chr(39)), '&amp;', '&'),
+         |         '\\s+', ' ', 'g')) AS text_clean,
+         |       len(regexp_extract_all(text, '${TextOps.TagPat}')) AS n_tags
+         |FROM documents ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      htmlStrip(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Language ID by fixed stopword profiles: per-doc argmax of profile

@@ -218,6 +218,27 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) == (1L, 6L, "unrelated filler text goes right here"))
   }
 
+  test("htmlStrip drops tags, decodes entities single-pass, collapses whitespace") {
+    val docs = Seq(
+      (0L, "<html><body><p>Hello <b>world</b></p>\n<div class=\"x\">two  spaces</div></body></html>"),
+      (1L, "a &lt;tag&gt; literal &amp;amp; stays &amp; here &quot;q&quot; &#39;s&#39;"),
+      (2L, "no markup at all"),
+      (3L, ""),
+      (4L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = TextOps.htmlStrip(docs).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).toSeq
+    assert(got(0) == ((0L, "Hello world two spaces", 10L)), s"got ${got(0)}")
+    // single-pass decode: "&amp;amp;" -> "&amp;" the TEXT, never "&"
+    assert(got(1) == ((1L, "a <tag> literal &amp; stays & here \"q\" 's'", 0L)),
+      s"got ${got(1)}")
+    assert(got(2) == ((2L, "no markup at all", 0L)))
+    assert(got(3) == ((3L, "", 0L)))
+    assert(got(4) == ((4L, null, -1L)), "null text stays null in both engines")
+  }
+
   test("spanScrubWindowed equals spanScrub; candidates are exactly the dup-holding docs") {
     // 20 clean docs with disjoint vocab, two docs sharing an 8-token
     // span, one doc repeating its OWN 8-token span — the windowed form
