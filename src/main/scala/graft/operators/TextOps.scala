@@ -117,6 +117,38 @@ object TextOps {
         coalesce(col("c"), lit(oovCount)) / lit(totalTokens))), 4).as("nll"))
   }
 
+  /** Per-doc mean NLL under an interpolated BIGRAM model:
+    * P(w2|w1) = λ·c(w1,w2)/c(w1) + (1-λ)·c(w2)/N — see the
+    * `text_bigram_logprob` entry for the modeling and scale story. The
+    * bigram relation is a per-doc lead() window (document-bounded);
+    * counts are map-side-combined aggregates; the three score joins hash
+    * on token/bigram keys and Catalyst broadcasts the count relations
+    * while they fit (the unigram op's minCount/maxVocab floors apply
+    * verbatim when a corpus outgrows that — exact form declared so the
+    * oracle stays exact at fixture scale).
+    */
+  def bigramLogprob(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val bg = tok
+      .withColumn("w2", lead("t", 1).over(w))
+      .where(col("w2").isNotNull)
+      .select(col("doc_id"), col("t").as("w1"), col("w2"))
+    val c1 = tok.groupBy("t").agg(count(lit(1)).as("c1"))
+    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val statsRow = c1.agg(sum("c1")).head()
+    val total = math.max(if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0), 1L)
+    bg
+      .join(c2, Seq("w1", "w2"))
+      .join(c1.select(col("t").as("w1"), col("c1").as("ca")), Seq("w1"))
+      .join(c1.select(col("t").as("w2"), col("c1").as("cb")), Seq("w2"))
+      .groupBy("doc_id")
+      .agg(round(avg(-log(
+        lit(lambda) * col("c2") / col("ca") +
+          lit(1.0 - lambda) * col("cb") / lit(total))), 4).as("nll"))
+  }
+
   /** Default hot-shingle cap for the exact sparse similarity join: a
     * shingle shared by k docs fans out k² join rows, so one boilerplate
     * shingle (license header, nav bar) can turn the whole job quadratic.
@@ -818,6 +850,43 @@ object TextOps {
         |FROM tok JOIN vc USING (t) CROSS JOIN n
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       unigramLogprob(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // Interpolated BIGRAM LM score — one modeling step closer to the
+    // KenLM-style n-gram filters real quality pipelines run:
+    // P(w2|w1) = λ·c(w1,w2)/c(w1) + (1-λ)·c(w2)/N at λ = 0.75, per-doc
+    // mean -ln over positions 2..n. Context-aware: "of the" scores far
+    // better than "the of" though unigram NLL ties them. Docs shorter
+    // than 2 tokens have no bigram positions and no row (both engines).
+    //
+    // Scale: counts are map-side-combined aggregates (bigram TYPES
+    // follow the same Heaps tail as unigram types — the minCount floor
+    // of the unigram op applies verbatim when the table outgrows
+    // memory; at fixture scale the exact form is declared so the oracle
+    // stays exact). The bigram relation itself rides a per-doc lead()
+    // window — document-bounded, the spanScrub rebuild argument. Score
+    // joins hash on token/bigram keys; Catalyst broadcasts the count
+    // tables while small.
+    withOracle(
+      "text_bigram_logprob",
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+        |              FROM documents),
+        |bg AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-1, 0))) AS i) g),
+        |tok AS (SELECT doc_id, unnest(l) AS t FROM toks),
+        |c1 AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        |n AS (SELECT sum(c) AS total FROM c1)
+        |SELECT bg.doc_id,
+        |       round(avg(-ln(0.75 * c2.c * 1.0 / c1a.c
+        |                     + 0.25 * c1b.c * 1.0 / total)), 4) AS nll
+        |FROM bg
+        |JOIN c2 ON bg.w1 = c2.w1 AND bg.w2 = c2.w2
+        |JOIN c1 c1a ON bg.w1 = c1a.t
+        |JOIN c1 c1b ON bg.w2 = c1b.t
+        |CROSS JOIN n
+        |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      bigramLogprob(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Incremental dedup: the nightly-crawl step — drop each NEW doc

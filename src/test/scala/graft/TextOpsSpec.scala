@@ -218,6 +218,24 @@ class TextOpsSpec extends SparkSpec {
     assert(got(1) == (1L, 6L, "unrelated filler text goes right here"))
   }
 
+  test("bigramLogprob is context-aware: natural order beats shuffled order at equal unigram NLL") {
+    // corpus dominated by "a b" bigrams; doc 10 repeats the common
+    // bigram, doc 11 uses the same TOKEN BAG in inverted order — the
+    // unigram model ties them, the bigram model must not
+    val docs = ((0L until 10L).map(i => (i, "a b c" + i)) ++ Seq(
+      (10L, "a b a b a b"),
+      (11L, "b a b a b a"))).toDF("doc_id", "text")
+    val uni = TextOps.unigramLogprob(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(uni(10L) == uni(11L), s"unigram NLL must tie the token bags: $uni")
+    val bi = TextOps.bigramLogprob(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(10L) < bi(11L),
+      s"the corpus-frequent bigram order must score better: $bi")
+    // one-token docs have no bigram position and no row
+    assert(TextOps.bigramLogprob(Seq((0L, "solo")).toDF("doc_id", "text")).count() == 0)
+  }
+
   test("htmlStrip drops tags, decodes entities single-pass, collapses whitespace") {
     val docs = Seq(
       (0L, "<html><body><p>Hello <b>world</b></p>\n<div class=\"x\">two  spaces</div></body></html>"),
