@@ -45,9 +45,10 @@ object Engine {
 
   // ---- operator families (stable aliases; see each object's scaladoc)
 
-  /** Text pipeline: PII scrub, language ID, quality signals, unigram-LM
-    * scoring, tf-idf/BM25 retrieval, span dedup, exact/incremental
-    * dedup, winnowing fingerprints, corpus report.
+  /** Text pipeline: HTML strip, PII scrub, language ID, quality
+    * signals, unigram/bigram-LM scoring, tf-idf/BM25 retrieval, span
+    * dedup + windowed span scrub, exact/incremental dedup, winnowing
+    * fingerprints, corpus report.
     */
   val text: operators.TextOps.type = operators.TextOps
 
