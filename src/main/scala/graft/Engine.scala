@@ -60,6 +60,7 @@ object Engine {
 
   /** Vector search: exact cosine top-k, ANN (SRP-LSH / IVF / PQ /
     * IVF-PQ), embedding near-dedup (SRP-LSH and SemDeDup-style),
+    * kNN label propagation from a broadcast labeled seed,
     * outlier filtering, cluster-balanced sampling. Auto-sizing rules:
     * √n IVF cells, log₂(n) LSH planes, dims/4 PQ subspaces.
     */

@@ -123,6 +123,71 @@ object VectorOps {
         .orderBy("probe_id", "rank")
     },
 
+    // Semi-supervised kNN LABEL PROPAGATION — the model-based corpus
+    // labeling step real quality pipelines run when only a small seed is
+    // hand-labeled: every unlabeled doc takes the majority label of its
+    // k=5 nearest labeled neighbors (cos DESC, seed id ASC ranking; vote
+    // ties break to the smallest label — fully deterministic). Emits the
+    // prediction, its vote count, and is_correct vs the held-out truth,
+    // so the query doubles as its own transductive-accuracy report.
+    //
+    // Scale: the SEED is the broadcast side (hand-labeled data is small
+    // by construction — that is the op's whole premise), so the corpus
+    // is scanned ONCE with zero corpus-side shuffle before selection;
+    // per-doc top-k is the map-side TopKAgg bounded heap (ships k
+    // entries per doc, never the corpus×seed score relation), and the
+    // truth label rides the heap's grouping key — no corpus-sized
+    // rejoin to re-attach it. Vote counting and the argmax run over the
+    // docs×labels-sized relation. At 100 TB this composes with the IVF
+    // index exactly like similarity_topk → ann_ivf.
+    withOracle(
+      "knn_label_propagate",
+      """WITH seed AS (SELECT vec_id AS s, label AS sl, CAST(embedding AS DOUBLE[]) AS se
+        |              FROM embeddings WHERE vec_id % 5 = 0),
+        |unl AS (SELECT vec_id AS c, label AS tl, CAST(embedding AS DOUBLE[]) AS ce
+        |        FROM embeddings WHERE vec_id % 5 <> 0),
+        |sims AS (
+        |  SELECT c, tl, s, sl, list_dot_product(se, ce) /
+        |         (sqrt(list_dot_product(se, se)) * sqrt(list_dot_product(ce, ce))) AS cos
+        |  FROM unl, seed),
+        |ranked AS (
+        |  SELECT c, tl, sl, row_number() OVER (PARTITION BY c ORDER BY cos DESC, s) AS rnk
+        |  FROM sims),
+        |votes AS (SELECT c, tl, sl, count(*) AS n_votes
+        |          FROM ranked WHERE rnk <= 5 GROUP BY c, tl, sl),
+        |pred AS (SELECT c, tl, sl, n_votes,
+        |                row_number() OVER (PARTITION BY c ORDER BY n_votes DESC, sl) AS r
+        |         FROM votes)
+        |SELECT c AS vec_id, sl AS pred_label, n_votes, (sl = tl) AS is_correct
+        |FROM pred WHERE r = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      import s.implicits._
+      val emb = Tables.embeddings(s, dir)
+      val seed = emb.where(col("vec_id") % 5 === 0)
+        .select(col("vec_id").as("s"), col("label").as("sl"), col("embedding").as("se"))
+      val unlabeled = emb.where(col("vec_id") % 5 =!= 0)
+        .select(col("vec_id").as("c"), col("label").as("tl"), col("embedding").as("ce"))
+      val top = unlabeled.crossJoin(broadcast(seed))
+        .withColumn("cos", cosine(col("se"), col("ce")))
+        .select(col("c"), col("tl"), col("s"), col("cos"))
+        .as[(Long, Int, Long, Double)]
+        .groupByKey { case (c, tl, _, _) => (c, tl) }
+        .mapValues { case (_, _, s, cos) => (s, cos) }
+        .agg(graft.functions.TopKAgg.TopK(5).toColumn.name("top"))
+        .select(col("key._1").as("c"), col("key._2").as("tl"),
+          explode(col("top.items")).as("e"))
+        .select(col("c"), col("tl"), col("e.id").as("s"))
+      top.join(broadcast(seed.select(col("s"), col("sl"))), Seq("s"))
+        .groupBy("c", "tl", "sl").agg(count(lit(1)).as("n_votes"))
+        // argmax by (n_votes DESC, label ASC) as a struct max — total
+        // order, no window over the docs-sized relation
+        .groupBy("c", "tl")
+        .agg(max(struct(col("n_votes"), (-col("sl")).as("nl"))).as("m"))
+        .select(col("c").as("vec_id"), (-col("m.nl")).as("pred_label"),
+          col("m.n_votes").as("n_votes"),
+          ((-col("m.nl")) === col("tl")).as("is_correct"))
+        .orderBy("vec_id")
+    },
+
     // Exact embedding-cosine near-dup pairs (threshold 0.4). All-pairs is
     // the *correctness* form; it is guarded for scale — see pairGuard —
     // and the LSH path below is the production form at 100 TB.
