@@ -74,14 +74,39 @@ object LabelStore {
   private def tmpDir(dir: String): String = dir + ".tmp"
   private def oldDir(dir: String): String = dir + ".old"
 
+  /** Marker a per-bucket fold swap drops inside `dir.old` BEFORE
+    * displacing any bucket, so [[recover]] can tell a torn fold swap
+    * (displaced buckets must be restored) from the marker-LESS `.old`
+    * a whole-dir [[compact]] swap leaves when it crashes after
+    * promoting the new version (superseded buckets that must NOT be
+    * resurrected — after a reshard they aren't even under the store's
+    * modulus). Underscore-prefixed so Spark's file index ignores it if
+    * the dir is ever read directly.
+    */
+  val PerBucketMarker = "_graft_perbucket"
+
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  /** Repair any torn per-bucket swap: every bucket preserved under
-    * `dir.old` whose live `dir/bucket=b` is MISSING is renamed back
-    * (the only window where a bucket is absent from the store); staging
-    * and displaced-old leftovers are then discarded. Idempotent;
-    * driver-side metadata ops only. Run by [[fold]] and [[read]].
+  /** Repair any torn swap. Three `.old` states, disambiguated by the
+    * live dir and the [[PerBucketMarker]]:
+    *
+    *   - live dir ABSENT: a whole-dir swap crashed between its two
+    *     renames — `.old` is the complete current store; roll it back.
+    *   - live dir present + marker present: a per-bucket fold swap
+    *     tore — every displaced bucket whose live replacement never
+    *     made it in is renamed back (the only window where a bucket is
+    *     missing from the store), then the leftover `.old` is dropped.
+    *   - live dir present + NO marker: a whole-dir swap ([[compact]]'s
+    *     StoreSwap) crashed after promoting the new version but before
+    *     deleting the superseded one. Restoring buckets from it would
+    *     RESURRECT pre-compaction files into the compacted store — and
+    *     after a reshard, buckets under the OLD modulus that the new
+    *     partitioning never produces (they'd defeat the compaction and
+    *     persist until the next one). Superseded: drop it.
+    *
+    * Idempotent; driver-side metadata ops only. Run by [[fold]],
+    * [[read]] and [[lookup]].
     */
   def recover(spark: SparkSession, dir: String): Unit = {
     val f = fs(spark)
@@ -89,18 +114,16 @@ object LabelStore {
     val live = new Path(dir)
     if (f.exists(old)) {
       if (!f.exists(live)) {
-        // a WHOLE-DIR swap ([[compact]]'s StoreSwap) crashed between
-        // its renames: `.old` is the complete current store — roll back
         require(f.rename(old, live), s"rollback rename $old -> $live failed")
-      } else {
-        // a per-bucket fold swap tore: restore every displaced bucket
-        // whose live replacement never made it in
+      } else if (f.exists(new Path(old, PerBucketMarker))) {
         f.listStatus(old).foreach { st =>
           val name = st.getPath.getName
           if (name.startsWith("bucket=") && !f.exists(new Path(dir, name)))
             require(f.rename(st.getPath, new Path(dir, name)),
               s"rollback rename ${st.getPath} failed")
         }
+        f.delete(old, true)
+      } else {
         f.delete(old, true)
       }
     }
@@ -175,7 +198,16 @@ object LabelStore {
       require(f.exists(new Path(tmp, "_SUCCESS")), s"torn bootstrap write at $tmp")
       require(f.rename(new Path(tmp), new Path(dir)),
         s"bootstrap rename $tmp -> $dir failed")
+      BucketMeta.write(spark, dir, nBuckets)
     } else {
+      // enforce (and, for pre-sidecar stores, record) the store's bucket
+      // modulus: folding with a different count would scatter a node's
+      // labels across incompatible partitionings and break the changed-
+      // bucket detection
+      BucketMeta.read(spark, dir).foreach { n =>
+        require(n == nBuckets,
+          s"store at $dir was built with nBuckets=$n; fold got $nBuckets")
+      }
       val store = spark.read.parquet(dir).select("node", "label", "bucket")
       val batchNodes = edges.select(col("src").as("node"))
         .unionAll(edges.select(col("dst").as("node"))).distinct()
@@ -209,6 +241,11 @@ object LabelStore {
         require(f.exists(new Path(tmp, "_SUCCESS")), s"torn staging write at $tmp")
         val old = new Path(oldDir(dir))
         f.mkdirs(old)
+        // drop the per-bucket marker BEFORE any bucket is displaced: a
+        // crash between mkdirs and the marker leaves an empty `.old`
+        // recover safely discards (nothing displaced yet); a crash any
+        // later leaves a marked `.old` recover restores from
+        f.create(new Path(old, PerBucketMarker), true).close()
         changedBuckets.foreach { b =>
           val live = new Path(dir, s"bucket=$b")
           val staged = new Path(tmp, s"bucket=$b")
@@ -222,6 +259,54 @@ object LabelStore {
         f.delete(old, true)
         f.delete(new Path(tmp), true)
       }
+      BucketMeta.write(spark, dir, nBuckets) // heals pre-sidecar stores
+    }
+  }
+
+  /** Point lookup — the canonical-id serving read (the reference's
+    * id-normalization output feeds query-time rewrites; a serving layer
+    * resolves a handful of node ids, not the labeling): the current
+    * label of each node in `nodes`, reading ONLY those nodes' bucket
+    * directories. Bucket ids are computed DRIVER-SIDE by evaluating the
+    * same `pmod(hash(node), n)` expression folds partition by (zero
+    * Spark jobs — Catalyst interpreted eval over literals, cast to the
+    * store's node type under the session timezone), pushed as a static
+    * `bucket IN (...)` partition filter, so the scan reads
+    * ≤ |distinct buckets(nodes)| of the store's `bucket=` dirs; the
+    * min-fold repairs torn-commit duplicates exactly as [[read]] does.
+    * Results ≡ `read(...).filter(node in nodes)` (LabelStoreSpec pins
+    * both the equivalence and the partition count).
+    *
+    * The modulus comes from the store's own [[BucketMeta]] sidecar —
+    * never trusted from a parameter (a wrong one hashes nodes into
+    * buckets the filter then excludes: an existing node silently
+    * resolving to nothing). `nBuckets` remains only as an explicit
+    * override for pre-sidecar stores (0 = read the sidecar, the
+    * default). None if the store has never been written.
+    */
+  def lookup(spark: SparkSession, dir: String, nodes: Seq[Any],
+      nBuckets: Int = 0): Option[DataFrame] = {
+    recover(spark, dir)
+    val f = fs(spark)
+    if (!f.exists(new Path(dir))) None
+    else Some {
+      require(nodes.nonEmpty, "lookup needs at least one node id")
+      val n =
+        if (nBuckets > 0) nBuckets
+        else BucketMeta.read(spark, dir).getOrElse(sys.error(
+          s"store at $dir has no readable bucket-count sidecar " +
+            "(pre-r12 store?); pass nBuckets explicitly"))
+      val store = spark.read.parquet(dir)
+      val nodeType = store.schema("node").dataType
+      import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, Pmod}
+      val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
+      val bucketIds = nodes.map { v =>
+        val l = Literal(Cast(Literal(v), nodeType, tz).eval(null), nodeType)
+        Pmod(new Murmur3Hash(Seq(l)), Literal(n)).eval(null).asInstanceOf[Int]
+      }.distinct
+      store
+        .where(col("bucket").isin(bucketIds: _*) && col("node").isin(nodes: _*))
+        .groupBy("node").agg(min("label").as("label"))
     }
   }
 
@@ -250,23 +335,36 @@ object LabelStore {
     * collapses any torn-commit duplicates in the same pass), swapped in
     * with the whole-dir [[graft.model.StoreSwap]] protocol. Run in
     * maintenance windows, not under a live fold.
+    *
+    * PINNED to the store's recorded bucket count by default
+    * (`nBuckets = 0` reads the [[BucketMeta]] sidecar): compacting
+    * under a different modulus than folds use would change the
+    * partitioning the delta detection keys on. Passing an explicit
+    * count is a deliberate RESHARD — the sidecar is rewritten to the
+    * new modulus (it rides the swap), so subsequent folds must use it.
     */
   def compact(spark: SparkSession, dir: String,
-      nBuckets: Int = DefaultBuckets): Unit = {
+      nBuckets: Int = 0): Unit = {
     recover(spark, dir) // also discards any stale staging at tmpPath
+    val n =
+      if (nBuckets > 0) nBuckets
+      else BucketMeta.read(spark, dir).getOrElse(DefaultBuckets)
     val tmp = graft.model.StoreSwap.tmpPath(dir)
     spark.read.parquet(dir)
       .groupBy("node").agg(min("label").as("label"))
-      .withColumn("bucket", bucketCol(col("node"), nBuckets))
+      .withColumn("bucket", bucketCol(col("node"), n))
       .repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(tmp)
+    BucketMeta.write(spark, tmp, n) // rides the swap into `dir`
     graft.model.StoreSwap.commit(spark, dir)
   }
 
-  /** Run [[compact]] iff [[needsCompact]]; returns whether it ran. */
+  /** Run [[compact]] iff [[needsCompact]]; returns whether it ran.
+    * `nBuckets = 0` = the store's recorded modulus (see [[compact]]).
+    */
   def maintain(spark: SparkSession, dir: String,
       maxFiles: Int = DefaultMaxFilesPerBucket,
-      nBuckets: Int = DefaultBuckets): Boolean = {
+      nBuckets: Int = 0): Boolean = {
     val due = needsCompact(spark, dir, maxFiles)
     if (due) compact(spark, dir, nBuckets)
     due

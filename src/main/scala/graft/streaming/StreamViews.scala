@@ -632,8 +632,8 @@ object StreamViews {
     // prior labeling's node-sized star edges union the new batch, never
     // the full historical edge set). foreachBatch maintains the store
     // through LabelStore.fold: bucket-partitioned by node, each batch
-    // rewrites ONLY the buckets holding a changed label (dynamic
-    // partition overwrite; LabelStoreSpec pins untouched buckets'
+    // rewrites ONLY the buckets holding a changed label (per-bucket
+    // two-rename swap; LabelStoreSpec pins untouched buckets'
     // files byte-identical) — at 100 TB the labeling is node-sized and
     // a whole-store rewrite per microbatch is the I/O bug. Folding ANY
     // batching sequentially lands the full recompute's labeling, so the

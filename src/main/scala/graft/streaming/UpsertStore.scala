@@ -71,36 +71,10 @@ object UpsertStore {
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  /** The store self-describes its bucket count: folds persist it in an
-    * underscore-prefixed sidecar (ignored by Spark's file index) so
-    * point reads never have to TRUST a caller-supplied modulus — a
-    * wrong one hashes keys into buckets the partition filter then
-    * excludes, and an existing key silently resolves to nothing.
-    * Counting `bucket=` dirs is NOT a substitute: never-written buckets
-    * have no directory, so a sparse store would under-count.
-    */
-  private def metaPath(root: String) = new Path(root, "_graft_buckets")
-
-  private def writeBucketMeta(spark: SparkSession, root: String, n: Int): Unit = {
-    val f = fs(spark)
-    val p = metaPath(root)
-    if (!f.exists(p)) {
-      val out = f.create(p, true)
-      try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-    }
-  }
-
-  private def readBucketMeta(spark: SparkSession, root: String): Option[Int] = {
-    val f = fs(spark)
-    val p = metaPath(root)
-    if (!f.exists(p)) None
-    else {
-      val in = f.open(p)
-      try Some(new String(
-        org.apache.commons.io.IOUtils.toByteArray(in), "UTF-8").trim.toInt)
-      finally in.close()
-    }
-  }
+  // The store self-describes its bucket count via the shared
+  // [[BucketMeta]] sidecar (atomic temp-then-rename write; an
+  // unparsable file reads as absent rather than poisoning every later
+  // fold/lookup/compact with a parse error).
 
   /** Append one change batch: `deletedCol` (if set) names a Boolean
     * column of `batch` marking tombstone rows — it is consumed into the
@@ -134,7 +108,7 @@ object UpsertStore {
     // persist (and enforce) the store's bucket modulus: folding with a
     // different count than the store was built with would scatter a
     // key's versions across incompatible partitionings
-    readBucketMeta(spark, dir).foreach { n =>
+    BucketMeta.read(spark, dir).foreach { n =>
       require(n == nBuckets,
         s"store at $dir was built with nBuckets=$n; fold got $nBuckets")
     }
@@ -147,7 +121,7 @@ object UpsertStore {
       .withColumn("_seq", lit(seq))
       .withColumn("bucket", bucketCol(keys, nBuckets))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(dir)
-    writeBucketMeta(spark, dir, nBuckets)
+    BucketMeta.write(spark, dir, nBuckets)
   }
 
   /** Roll back a compact swap that crashed with the store absent; keep
@@ -230,15 +204,23 @@ object UpsertStore {
         s"every key tuple must have ${keys.length} values (keys=$keys)")
       val n =
         if (nBuckets > 0) nBuckets
-        else readBucketMeta(spark, root).getOrElse(sys.error(
-          s"store at $root has no bucket-count sidecar (pre-r11 store?); " +
+        else BucketMeta.read(spark, root).getOrElse(sys.error(
+          s"store at $root has no readable bucket-count sidecar " +
+            "(pre-r11 store, or a torn pre-r12 sidecar write); " +
             "pass nBuckets explicitly"))
       val store = spark.read.parquet(root)
       val keyTypes = keys.map(k => store.schema(k).dataType)
       import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Murmur3Hash, Pmod}
+      // cast under the SESSION timezone, not a hardcoded zone: for
+      // timestamp-typed keys folded under a non-UTC session a "UTC"
+      // literal cast can hash to a different bucket than the fold-time
+      // hash(col), and the partition filter would then exclude the
+      // key's real bucket — the silent-miss this sidecar-driven path
+      // exists to prevent
+      val tz = Some(spark.sessionState.conf.sessionLocalTimeZone)
       val bucketIds = keyVals.map { vs =>
         val lits = vs.zip(keyTypes).map { case (v, dt) =>
-          Cast(Literal(v), dt, Some("UTC")).eval(null)
+          Cast(Literal(v), dt, tz).eval(null)
         }.zip(keyTypes).map { case (v, dt) => Literal(v, dt) }
         Pmod(new Murmur3Hash(lits), Literal(n))
           .eval(null).asInstanceOf[Int]
@@ -316,7 +298,7 @@ object UpsertStore {
       .repartition(col("bucket"))
       .write.partitionBy("bucket").parquet(tmp)
     // the bucket-count sidecar must survive the swap (tmp becomes dir)
-    readBucketMeta(spark, dir).foreach(writeBucketMeta(spark, tmp, _))
+    BucketMeta.read(spark, dir).foreach(BucketMeta.write(spark, tmp, _))
     graft.model.StoreSwap.commit(spark, dir)
   }
 }

@@ -149,6 +149,10 @@ class LabelStoreSpec extends SparkSpec {
     val before = labelsOf(d1)
     val victim = spark.range(1).select(pmod(hash(lit(0L)), lit(8))).head().getInt(0)
     f.mkdirs(P(s"$d1.old"))
+    // the real fold drops the per-bucket marker before displacing any
+    // bucket — the manufactured crash state must carry it too (recover
+    // reads a marker-LESS .old as a superseded compact leftover)
+    f.create(P(s"$d1.old/${LabelStore.PerBucketMarker}"), true).close()
     require(f.rename(P(s"$d1/bucket=$victim"), P(s"$d1.old/bucket=$victim")))
     assert(labelsOf(d1) == before,
       "a mid-swap-absent bucket must be recovered, not read as forgotten labels")
@@ -206,5 +210,93 @@ class LabelStoreSpec extends SparkSpec {
     // folds keep working after compaction
     LabelStore.fold(spark, dir, Seq((0L, 200L)).toDF("src", "dst"))
     assert(labelsOf(dir)(200L) == 0L)
+  }
+
+  test("a compact-crash leftover .old is dropped, never resurrected into the compacted store") {
+    // the ADVICE scenario: compact() swapped the new version in (its
+    // StoreSwap step 3) but crashed before deleting `.old`. The leftover
+    // carries buckets of the PRE-compact store — after a reshard, bucket
+    // ids the new modulus never produces. recover must drop it (no
+    // marker = whole-dir leftover), not rename its buckets back in.
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    val dir = freshDir()
+    LabelStore.fold(spark, dir, Seq((1L, 2L)).toDF("src", "dst"), nBuckets = 4)
+    val want = labelsOf(dir)
+    // manufacture the superseded pre-reshard version under .old: an
+    // 8-modulus bucket id (7) the live 4-bucket store cannot hold, with
+    // a stale node the compaction already dropped
+    Seq((99L, 99L)).toDF("node", "label")
+      .withColumn("bucket", lit(7))
+      .coalesce(1).write.partitionBy("bucket").parquet(s"$dir.old")
+    assert(labelsOf(dir) == want,
+      "superseded compact leftovers must not resurrect stale labels")
+    assert(!f.exists(P(s"$dir.old")), "the leftover .old must be cleaned")
+    assert(!f.exists(P(s"$dir/bucket=7")),
+      "an out-of-modulus bucket must not be renamed into the live store")
+  }
+
+  test("compact defaults to the recorded modulus; an explicit count reshards and re-pins it") {
+    val dir = freshDir()
+    LabelStore.fold(spark, dir,
+      Seq.tabulate(32)(i => (i.toLong, (i + 100).toLong)).toDF("src", "dst"),
+      nBuckets = 16)
+    val before = labelsOf(dir)
+    // default compact must keep the fold-time 16-bucket partitioning
+    // (compacting under a different modulus breaks the changed-bucket
+    // delta detection folds key on)
+    LabelStore.compact(spark, dir)
+    assert(labelsOf(dir) == before)
+    LabelStore.fold(spark, dir, Seq((0L, 500L)).toDF("src", "dst"), nBuckets = 16)
+    assert(labelsOf(dir)(500L) == 0L)
+    // explicit count = deliberate reshard: the sidecar follows, so the
+    // old modulus is rejected and the new one required
+    LabelStore.compact(spark, dir, nBuckets = 4)
+    val e = intercept[IllegalArgumentException] {
+      LabelStore.fold(spark, dir, Seq((1L, 501L)).toDF("src", "dst"), nBuckets = 16)
+    }
+    assert(e.getMessage.contains("nBuckets"))
+    LabelStore.fold(spark, dir, Seq((1L, 501L)).toDF("src", "dst"), nBuckets = 4)
+    assert(labelsOf(dir)(501L) == 1L)
+  }
+
+  private def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+      Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+    case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+      allNodes(a.executedPlan)
+    case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+      p +: allNodes(s.plan)
+    case _ => p +: p.children.flatMap(allNodes)
+  }
+
+  test("lookup prunes the scan to the nodes' buckets and equals the filtered full read") {
+    val dir = freshDir()
+    LabelStore.fold(spark, dir,
+      Seq.tabulate(64)(i => (i.toLong, (i + 1000).toLong)).toDF("src", "dst"))
+    // modulus from the sidecar, not the caller
+    val looked = LabelStore.lookup(spark, dir, Seq(3L, 1004L)).get
+    looked.collect() // materialize so the executed plan is final
+    val expect = LabelStore.read(spark, dir).get
+      .where($"node".isin(3L, 1004L)).as[(Long, Long)].collect().toSet
+    assert(looked.as[(Long, Long)].collect().toSet == expect)
+    assert(expect == Set(3L -> 3L, 1004L -> 4L))
+    // partitions read = |distinct buckets(nodes)|
+    val wanted = spark.range(1).select(
+      pmod(hash(lit(3L)), lit(LabelStore.DefaultBuckets)),
+      pmod(hash(lit(1004L)), lit(LabelStore.DefaultBuckets))).head()
+    val nWanted = Set(wanted.getInt(0), wanted.getInt(1)).size
+    val scans = allNodes(looked.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, "no file scan in the lookup plan")
+    val scanned = scans.map(_.selectedPartitions.partitionCount).max
+    assert(scanned == nWanted,
+      s"lookup read $scanned of ${LabelStore.DefaultBuckets} buckets; wanted $nWanted")
+    // an Int probe for the store's Long node column must still hash to
+    // the right bucket (hash is type-sensitive)
+    assert(LabelStore.lookup(spark, dir, Seq(3)).get
+      .as[(Long, Long)].collect().toSet == Set(3L -> 3L))
+    // a never-written store has no labels to serve
+    assert(LabelStore.lookup(spark, freshDir(), Seq(1L)).isEmpty)
   }
 }

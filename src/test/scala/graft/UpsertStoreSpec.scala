@@ -247,4 +247,34 @@ class UpsertStoreSpec extends SparkSpec {
     assert(!f.exists(P(StoreSwap.oldPath(d3))))
     assert(readMap(d3) == Map(1L -> "a"))
   }
+
+  test("a torn (empty/garbage) bucket-count sidecar reads as absent and self-heals") {
+    // a crash mid-sidecar-write used to leave an empty _graft_buckets
+    // that made every later fold/lookup/compact throw
+    // NumberFormatException — the one state the store couldn't recover
+    // from. Now the sidecar is written temp-then-rename, and an
+    // unparsable one (from an old store) is treated as absent.
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    val dir = freshDir()
+    UpsertStore.fold(spark, dir,
+      (0L until 16L).map(i => (i, s"v-$i")).toDF("k", "v"), keys, seq = 0)
+    // plant the torn state: truncate the sidecar to zero bytes
+    f.create(P(s"$dir/_graft_buckets"), true).close()
+    // sidecar-less lookup degrades to the explicit-count path with a
+    // actionable error, never a bare parse exception
+    val e = intercept[RuntimeException] {
+      UpsertStore.lookup(spark, dir, keys, Seq(Seq(5L)))
+    }
+    assert(e.getMessage.contains("nBuckets"), s"wanted the fallback hint, got: $e")
+    assert(UpsertStore.lookup(spark, dir, keys, Seq(Seq(5L)),
+      nBuckets = UpsertStore.DefaultBuckets).get
+      .as[(Long, String)].collect().toMap == Map(5L -> "v-5"))
+    // reads and compaction never needed the sidecar
+    assert(readMap(dir).size == 16)
+    // the next fold re-records the modulus; sidecar-less lookup works again
+    UpsertStore.fold(spark, dir, Seq((5L, "v1-5")).toDF("k", "v"), keys, seq = 1)
+    assert(UpsertStore.lookup(spark, dir, keys, Seq(Seq(5L))).get
+      .as[(Long, String)].collect().toMap == Map(5L -> "v1-5"))
+  }
 }
