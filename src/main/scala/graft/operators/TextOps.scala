@@ -119,15 +119,40 @@ object TextOps {
 
   /** Per-doc mean NLL under an interpolated BIGRAM model:
     * P(w2|w1) = λ·c(w1,w2)/c(w1) + (1-λ)·c(w2)/N — see the
-    * `text_bigram_logprob` entry for the modeling and scale story. The
-    * bigram relation is a per-doc lead() window (document-bounded);
-    * counts are map-side-combined aggregates; the three score joins hash
-    * on token/bigram keys and Catalyst broadcasts the count relations
-    * while they fit (the unigram op's minCount/maxVocab floors apply
-    * verbatim when a corpus outgrows that — exact form declared so the
-    * oracle stays exact at fixture scale).
+    * `text_bigram_logprob` entry for the modeling story. The bigram
+    * relation is a per-doc lead() window (document-bounded); counts are
+    * map-side-combined aggregates. BOTH model relations are BOUNDED the
+    * way [[unigramLogprob]] was hardened in round 8 — the bigram-type
+    * relation is strictly LARGER than the unigram vocab (bigram types ≫
+    * token types at web scale), so an unbounded `c2` is the exact
+    * failure the unigram floors exist to prevent:
+    *
+    *   - Frequency floor (`graft.bigram.minCount`, default 2): only
+    *     bigram/token types with count >= minCount enter the model
+    *     relations; everything else is OOV and backs off to count
+    *     max(minCount-1, 1) through the left-outer score joins. At the
+    *     default, a floored type's backoff count IS its true count
+    *     (singletons are the only types dropped), so floored and
+    *     unbounded scores are equal by construction at any scale — the
+    *     same invariant that keeps the unigram oracle exact.
+    *   - Size guards: the floored bigram relation is broadcast only
+    *     while its type count fits `graft.bigram.maxTypes` (default 5M);
+    *     the floored unigram side honors the existing
+    *     `graft.unigram.maxVocab`. Above a guard the score join falls
+    *     back to a shuffle join — slower, cannot OOM.
+    *
+    * The normalizer N counts ALL token occurrences (OOV included), so
+    * probabilities stay comparable across minCount settings. The two
+    * driver-side actions are two-scalar aggregates over the count
+    * relations (total + floored type counts — the stats that pick each
+    * join's strategy); the model is built once and scores everything.
     */
   def bigramLogprob(docs: DataFrame, lambda: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val minCount = spark.conf.get("graft.bigram.minCount", "2").toInt
+    val maxTypes = spark.conf.get("graft.bigram.maxTypes", "5000000").toLong
+    val maxVocab = spark.conf.get("graft.unigram.maxVocab", "5000000").toLong
+    val oov = math.max(minCount - 1, 1).toLong
     val tok = docs
       .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "t")))
     val w = Window.partitionBy("doc_id").orderBy("i")
@@ -135,18 +160,29 @@ object TextOps {
       .withColumn("w2", lead("t", 1).over(w))
       .where(col("w2").isNotNull)
       .select(col("doc_id"), col("t").as("w1"), col("w2"))
-    val c1 = tok.groupBy("t").agg(count(lit(1)).as("c1"))
-    val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
-    val statsRow = c1.agg(sum("c1")).head()
-    val total = math.max(if (statsRow.isNullAt(0)) 0L else statsRow.getLong(0), 1L)
+    val c1All = tok.groupBy("t").agg(count(lit(1)).as("c1"))
+    val c2All = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val s1 = c1All.agg(sum("c1").as("total"),
+      sum(when(col("c1") >= minCount, 1L).otherwise(0L)).as("types")).head()
+    // empty/all-blank corpus: sums over zero rows are null — the result
+    // is empty either way, but the stats must not NPE
+    val total = math.max(if (s1.isNullAt(0)) 0L else s1.getLong(0), 1L)
+    val uniTypes = if (s1.isNullAt(1)) 0L else s1.getLong(1)
+    val s2 = c2All.agg(
+      sum(when(col("c2") >= minCount, 1L).otherwise(0L))).head()
+    val bgTypes = if (s2.isNullAt(0)) 0L else s2.getLong(0)
+    val c1 = c1All.where(col("c1") >= minCount)
+    val c2 = c2All.where(col("c2") >= minCount)
+    val c1Side = if (uniTypes <= maxVocab) broadcast(c1) else c1
+    val c2Side = if (bgTypes <= maxTypes) broadcast(c2) else c2
     bg
-      .join(c2, Seq("w1", "w2"))
-      .join(c1.select(col("t").as("w1"), col("c1").as("ca")), Seq("w1"))
-      .join(c1.select(col("t").as("w2"), col("c1").as("cb")), Seq("w2"))
+      .join(c2Side, Seq("w1", "w2"), "left_outer")
+      .join(c1Side.select(col("t").as("w1"), col("c1").as("ca")), Seq("w1"), "left_outer")
+      .join(c1Side.select(col("t").as("w2"), col("c1").as("cb")), Seq("w2"), "left_outer")
       .groupBy("doc_id")
       .agg(round(avg(-log(
-        lit(lambda) * col("c2") / col("ca") +
-          lit(1.0 - lambda) * col("cb") / lit(total))), 4).as("nll"))
+        lit(lambda) * coalesce(col("c2"), lit(oov)) / coalesce(col("ca"), lit(oov)) +
+          lit(1.0 - lambda) * coalesce(col("cb"), lit(oov)) / lit(total))), 4).as("nll"))
   }
 
   /** Default hot-shingle cap for the exact sparse similarity join: a
@@ -859,14 +895,16 @@ object TextOps {
     // better than "the of" though unigram NLL ties them. Docs shorter
     // than 2 tokens have no bigram positions and no row (both engines).
     //
-    // Scale: counts are map-side-combined aggregates (bigram TYPES
-    // follow the same Heaps tail as unigram types — the minCount floor
-    // of the unigram op applies verbatim when the table outgrows
-    // memory; at fixture scale the exact form is declared so the oracle
-    // stays exact). The bigram relation itself rides a per-doc lead()
-    // window — document-bounded, the spanScrub rebuild argument. Score
-    // joins hash on token/bigram keys; Catalyst broadcasts the count
-    // tables while small.
+    // Scale: counts are map-side-combined aggregates, and BOTH model
+    // relations are bounded (bigram TYPES follow a heavier Heaps tail
+    // than unigram types): the default graft.bigram.minCount=2 floor
+    // drops singleton types — whose OOV backoff count equals their true
+    // count, so the floored model scores EXACTLY like the unbounded one
+    // and this oracle stays exact at any scale factor — and the
+    // maxTypes/maxVocab guards demote each score join from broadcast to
+    // shuffle when a floored relation outgrows memory. The bigram
+    // relation itself rides a per-doc lead() window — document-bounded,
+    // the spanScrub rebuild argument.
     withOracle(
       "text_bigram_logprob",
       """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l

@@ -160,4 +160,19 @@ class TenXScaleSmokeSpec extends SparkSpec {
     assert(res.forall { case (_, nll) =>
       !nll.isNaN && !nll.isInfinite && nll > 0 })
   }
+
+  test("bigram logprob at 10x: floored bigram-type relation completes with finite scores") {
+    // the bigram-type relation is strictly larger than the unigram vocab
+    // (every unique filler token mints up to two singleton bigram types);
+    // the minCount=2 floor drops the singleton tail from BOTH model
+    // relations — the r12 hardening this smoke exercises at volume
+    val res = SparkEntry.queries("text_bigram_logprob")(spark, synthDir)
+      .select("doc_id", "nll").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    // docs with >= 2 tokens score; the corpus generator emits none with
+    // fewer, so every doc has a row
+    assert(res.length == 50000, s"expected one score per doc, got ${res.length}")
+    assert(res.forall { case (_, nll) =>
+      !nll.isNaN && !nll.isInfinite && nll > 0 })
+  }
 }

@@ -236,6 +236,77 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.bigramLogprob(Seq((0L, "solo")).toDF("doc_id", "text")).count() == 0)
   }
 
+  // c1: a=3 b=3 c=1 (total 7); c2: ab=3 ba=1 bc=1 — singleton types in
+  // BOTH model relations, so the floors have something to drop
+  private def bigramDocs = Seq((0L, "a b a b c"), (1L, "a b")).toDF("doc_id", "text")
+
+  test("bigramLogprob: default floor matches the unbounded model exactly") {
+    // minCount=2 floors singleton bigram/token types, and they back off
+    // to count minCount-1 = 1 — their true count — so scores are
+    // identical to the unbounded model (what keeps the oracle green
+    // while the model relations stay bounded at scale)
+    val floored = TextOps.bigramLogprob(bigramDocs).orderBy("doc_id")
+      .as[(Long, Double)].collect().toSeq
+    spark.conf.set("graft.bigram.minCount", "1")
+    try {
+      val unbounded = TextOps.bigramLogprob(bigramDocs).orderBy("doc_id")
+        .as[(Long, Double)].collect().toSeq
+      assert(floored == unbounded,
+        s"default floor must score exactly like the unbounded model: $floored vs $unbounded")
+    } finally spark.conf.unset("graft.bigram.minCount")
+  }
+
+  test("bigramLogprob: minCount floor bounds both model relations and backs off OOV") {
+    spark.conf.set("graft.bigram.minCount", "3")
+    try {
+      // bigram relation is now {ab: 3}; ba/bc are OOV at backoff count
+      // 2; unigram side keeps {a: 3, b: 3}, c is OOV at backoff 2; the
+      // normalizer stays 7 (all occurrences)
+      val got = TextOps.bigramLogprob(bigramDocs).orderBy("doc_id")
+        .as[(Long, Double)].collect().toSeq
+      def p(c2: Double, ca: Double, cb: Double) = 0.75 * c2 / ca + 0.25 * cb / 7.0
+      def nll(ps: Double*) = -ps.map(math.log).sum / ps.size
+      // doc0 bigrams: ab, ba(oov), ab, bc(oov; cb=c also oov)
+      val want0 = nll(p(3, 3, 3), p(2, 3, 3), p(3, 3, 3), p(2, 3, 2))
+      val want1 = nll(p(3, 3, 3))
+      assert(math.abs(got(0)._2 - want0) < 5e-5, s"doc0: ${got(0)._2} vs $want0")
+      assert(math.abs(got(1)._2 - want1) < 5e-5, s"doc1: ${got(1)._2} vs $want1")
+    } finally spark.conf.unset("graft.bigram.minCount")
+  }
+
+  test("bigramLogprob: an empty or all-blank corpus yields an empty result, not an NPE") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(TextOps.bigramLogprob(empty).count() == 0)
+  }
+
+  test("bigramLogprob: above the size guards the score joins are shuffle joins, same scores") {
+    val onBroadcastPath = TextOps.bigramLogprob(bigramDocs)
+      .orderBy("doc_id").as[(Long, Double)].collect().toSeq
+    // minCount=1 keeps every type (scores = the unbounded model, which
+    // the default path equals exactly), putting both relations — 3
+    // bigram types, 3 token types — above the size guards
+    spark.conf.set("graft.bigram.minCount", "1")
+    spark.conf.set("graft.bigram.maxTypes", "1")
+    spark.conf.set("graft.unigram.maxVocab", "1")
+    // suppress Catalyst's own small-table auto-broadcast (fixture-sized
+    // stats would hide the guard): the claim is that above the guard we
+    // no longer FORCE a broadcast of an arbitrarily large model relation
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = TextOps.bigramLogprob(bigramDocs)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastHashJoin"),
+        s"model relations above the guard must not broadcast:\n$plan")
+      val got = df.orderBy("doc_id").as[(Long, Double)].collect().toSeq
+      assert(got == onBroadcastPath, "join strategy must not change scores")
+    } finally {
+      spark.conf.unset("graft.bigram.minCount")
+      spark.conf.unset("graft.bigram.maxTypes")
+      spark.conf.unset("graft.unigram.maxVocab")
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("htmlStrip drops tags, decodes entities single-pass, collapses whitespace") {
     val docs = Seq(
       (0L, "<html><body><p>Hello <b>world</b></p>\n<div class=\"x\">two  spaces</div></body></html>"),
