@@ -20,6 +20,20 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 object Plans {
 
+  /** Plan dumps can embed raw control bytes — e.g. the sample_stratified
+    * nullStratum NUL sentinel VALUE rendered into a plan's literal
+    * — and ONE such byte makes grep classify the whole artifact as
+    * binary (the round-11 PLANS.md carried a NUL at byte 165158).
+    * Escape everything below 0x20 except newline/tab (plus DEL) to a
+    * visible \\uXXXX so the committed file stays greppable text.
+    */
+  private def sanitize(s: String): String =
+    s.flatMap {
+      case c if c == '\n' || c == '\t' => c.toString
+      case c if c < 0x20 || c == 0x7f => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    }
+
   private val materializedNote =
     "_Plan contains a local or pre-materialized relation (memory-sink " +
     "result, staged store, localCheckpoint, or literal table): the eager " +
@@ -61,7 +75,7 @@ object Plans {
           System.err.println(s"[plans] $name failed: ${e.getMessage}")
       }
     }
-    Files.writeString(Paths.get(out), sb.toString)
+    Files.writeString(Paths.get(out), sanitize(sb.toString))
     println(s"[plans] wrote $out (${names.size} queries, $failed failed)")
     spark.stop()
     if (failed > 0) sys.exit(1)

@@ -10,8 +10,12 @@ import org.apache.spark.sql.SparkSession
   * engagement, but nothing recorded how wall-time actually GROWS with
   * input size. This main times the top bench queries at three scales —
   * sf0.01, sf0.1, and a synthesized 10×-sf0.1 corpus (documents and
-  * embeddings ×10; see [[synthTenX]]) — and fits a per-query scaling
-  * exponent over log(time) vs log(primary-table rows):
+  * embeddings ×10; see [[synthScale]]) — plus, for the [[Targets100x]]
+  * heaviest hitters, a 100×-sf0.1 point (round-12 task: the steepest
+  * query's top DECADE was 0.77 at 10×, and one more decade is what
+  * shows whether that segment keeps flattening or breaks superlinear) —
+  * and fits a per-query scaling exponent over log(time) vs
+  * log(primary-table rows):
   *
   *     exponent ≈ 1 → linear, < 1 → fixed costs still dominate,
   *     > ~1.15 → superlinear, needs a declared reason (BASELINE.md).
@@ -21,9 +25,20 @@ import org.apache.spark.sql.SparkSession
   * corpus scales only documents/embeddings, so running them there would
   * just repeat the sf0.1 point.
   *
-  * Usage: `sbt "runMain graft.Scaling SCALING_r11.json"` (or via
+  * Timing MATERIALIZES every output column via a noop-format write
+  * (round-12 ADVICE: `.count()` let Catalyst prune unconsumed
+  * projection columns, so per-row expression cost — text_clean
+  * rebuilds, redacted text — was excluded from the fitted exponents;
+  * the noop write runs the SERVED plan). Bench keeps its historical
+  * `.count()` convention; the two are therefore not comparable
+  * second-for-second, only exponent-for-exponent — recorded in the
+  * artifact's meta.
+  *
+  * Usage: `sbt "runMain graft.Scaling SCALING_r12.json"` (or via
   * tools/scaling.py). Reps per point via SPARK_GRAFT_SCALING_REPS
-  * (default 3, medians — same noise rationale as Bench).
+  * (default 3, medians — same noise rationale as Bench); the 100×
+  * points default to 1 rep (SPARK_GRAFT_SCALING_REPS_100X) — they cost
+  * minutes each and probe a decade, not a noise band.
   */
 object Scaling {
 
@@ -42,17 +57,28 @@ object Scaling {
     "stream_upsert" -> "events",
     "stream_join_interval" -> "events")
 
-  /** Synthesize a 10× corpus from sf0.1: every non-synthesized table's
-    * parquet is copied verbatim; `documents` and `embeddings` get the
-    * base rows plus 9 replicas with remapped ids and DECORRELATED
-    * content — replica tokens carry a replica tag (so no cross-replica
-    * shingle collisions turn the whole corpus into one near-dup
-    * cluster and change the workload's character), embeddings are
-    * component-rotated (norm- and distribution-preserving, but not
-    * near-dups of the base vectors).
+  /** The non-events heavy hitters that also get a 100× point: the
+    * steepest scaler (pipeline_embedding_corpus, top-decade 0.77 at
+    * r11) and the two next-largest corpus-driven queries.
     */
-  def synthTenX(spark: SparkSession, sf01: String): String = {
-    val dir = Files.createTempDirectory("graft_scaling10x").toString
+  val Targets100x: Set[String] = Set(
+    "pipeline_embedding_corpus",
+    "near_dedup_apply_incremental",
+    "ann_ivfpq_indexed")
+
+  /** Synthesize a `factor`× corpus from sf0.1: every non-synthesized
+    * table's parquet is copied verbatim; `documents` and `embeddings`
+    * get the base rows plus factor−1 replicas with remapped ids and
+    * DECORRELATED content — replica tokens carry a replica tag (so no
+    * cross-replica shingle collisions turn the whole corpus into one
+    * near-dup cluster and change the workload's character; the tag ends
+    * in '_' so multi-digit replica ids can't alias single-digit ones),
+    * embeddings get a per-replica deterministic sign pattern (norm- and
+    * within-replica-cosine-preserving, cross-replica cosines collapse
+    * toward 0 — not near-dups of the base vectors).
+    */
+  def synthScale(spark: SparkSession, sf01: String, factor: Int): String = {
+    val dir = Files.createTempDirectory(s"graft_scaling${factor}x").toString
     // copy every single-file table as-is, then overwrite the two
     // synthesized ones with directories of the same .parquet name
     val src = new java.io.File(sf01)
@@ -62,11 +88,11 @@ object Scaling {
     }
     val IdStride = 10000000L
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
-    val docReps = (0 until 9).map { k =>
+    val docReps = (0 until factor - 1).map { k =>
       docs.select(
         (col("doc_id") + lit((k + 1) * IdStride)).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), "\\s+"),
-          x => concat(lit(s"r$k"), x))).as("text"),
+          x => concat(lit(s"r${k}_"), x))).as("text"),
         col("lang"), col("source"), col("n_chars"))
     }
     Files.delete(Paths.get(dir, "documents.parquet"))
@@ -74,7 +100,7 @@ object Scaling {
       _ unionByName _)
       .repartition(16).write.parquet(s"$dir/documents.parquet")
     val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
-    val embReps = (0 until 9).map { k =>
+    val embReps = (0 until factor - 1).map { k =>
       // deterministic per-replica SIGN PATTERN: within a replica every
       // pairwise cosine is preserved exactly (|v ⊙ s| = |v|,
       // (v⊙s)·(w⊙s) = v·w — the replica is an isometric copy of the
@@ -128,24 +154,38 @@ object Scaling {
     spark.sparkContext.setLogLevel("WARN")
     val sf001 = "/root/testdata/sf0.01"
     val sf01 = "/root/testdata/sf0.1"
+    val reps100x = sys.env.get("SPARK_GRAFT_SCALING_REPS_100X")
+      .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(1)
     System.err.println("[scaling] synthesizing 10x corpus from sf0.1 ...")
-    val tenX = synthTenX(spark, sf01)
-    val scales = Seq("sf0.01" -> sf001, "sf0.1" -> sf01, "10x" -> tenX)
+    val tenX = synthScale(spark, sf01, 10)
+    System.err.println("[scaling] synthesizing 100x corpus from sf0.1 ...")
+    val hundredX = synthScale(spark, sf01, 100)
+    val scales = Seq("sf0.01" -> sf001, "sf0.1" -> sf01, "10x" -> tenX,
+      "100x" -> hundredX)
     def rowsOf(dir: String, table: String): Long =
       spark.read.parquet(s"$dir/$table.parquet").count()
     val rowCache = scala.collection.mutable.Map.empty[(String, String), Long]
+    // the SERVED plan, not the count()-pruned one: a noop-format write
+    // materializes every output column (see the object scaladoc)
+    def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+      df.write.mode("overwrite").format("noop").save()
 
     val results = Targets.map { case (name, table) =>
       val fn = SparkEntry.queries(name)
-      // events-driven queries skip the 10x dir (events aren't scaled
-      // there — the point would duplicate sf0.1)
-      val dirs = if (table == "events") scales.take(2) else scales
+      // events-driven queries skip the synthetic dirs (events aren't
+      // scaled there — the points would duplicate sf0.1); the 100x
+      // decade runs only for the declared heavy hitters
+      val dirs =
+        if (table == "events") scales.take(2)
+        else if (Targets100x(name)) scales
+        else scales.take(3)
       val pts = dirs.map { case (label, dir) =>
         val n = rowCache.getOrElseUpdate((dir, table), rowsOf(dir, table))
         System.gc(); Thread.sleep(200)
-        val times = (1 to reps).map { _ =>
+        val ptReps = if (label == "100x") reps100x else reps
+        val times = (1 to ptReps).map { _ =>
           val t0 = System.nanoTime()
-          try { fn(spark, dir).count(); (System.nanoTime() - t0) / 1e9 }
+          try { materialize(fn(spark, dir)); (System.nanoTime() - t0) / 1e9 }
           catch { case e: Throwable =>
             System.err.println(s"[scaling] $name @ $label failed: $e"); -1.0 }
         }
@@ -168,7 +208,7 @@ object Scaling {
         s"""{"scale":"$l","rows":$n,"sec":${fmt(t)}}""" }.mkString("[", ",", "]")
       val superlinear = !exp.isNaN && exp > 1.15
       s""" "$name": {"table":"$table","points":$pjson,"exponent":${fmt(exp)},"superlinear":$superlinear}"""
-    }.mkString("{\n", ",\n", s""",\n "meta": {"reps":$reps,"stat":"median","cpus":$cpus,"tenx_dir":"$tenX"}\n}\n""")
+    }.mkString("{\n", ",\n", s""",\n "meta": {"reps":$reps,"reps_100x":$reps100x,"stat":"median","cpus":$cpus,"tenx_dir":"$tenX","hundredx_dir":"$hundredX","materialize":"noop-write (full column materialization; Bench times .count() — seconds not comparable across the r11->r12 convention change, exponents are)"}\n}\n""")
     Files.writeString(Paths.get(out), json)
     println(s"[scaling] wrote $out")
     println(json)

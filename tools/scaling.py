@@ -5,9 +5,13 @@ Usage:  python3 tools/scaling.py SCALING_r11.json  [--check-only]
 
 Without --check-only it invokes `sbt runMain graft.Scaling <out>` (which
 times the top-10 bench queries at sf0.01 / sf0.1 / a synthesized
-10x-sf0.1 corpus and fits per-query scaling exponents), then applies the
-gate below. With --check-only it only re-applies the gate to an existing
-artifact.
+10x-sf0.1 corpus — plus a 100x point for the three declared non-events
+heavy hitters — and fits per-query scaling exponents; since round 12 the
+timed action is a noop-format WRITE, materializing every output column,
+so per-row expression cost counts — exponents are comparable across
+rounds, raw seconds across the r11->r12 convention change are not), then
+applies the gate below. With --check-only it only re-applies the gate to
+an existing artifact.
 
 Gate: every query whose fitted exponent exceeds SUPERLINEAR_MAX must be
 excused by a word-boundary mention in BASELINE.md's scaling notes (the
