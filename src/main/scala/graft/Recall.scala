@@ -132,6 +132,22 @@ object Recall {
         m = 16, ks = 16, rerank = 8).select("probe_id", "neighbor_id")), brute)
       np -> r
     }
+    // margin-adaptive probing operating curve (round-12 task: the knob
+    // shipped dark in r11 — published here so a recommended margin has a
+    // measured recall/cost point behind it). At the pinned shape
+    // (16 cells, nProbe=8 cap) each point pairs the recall annIvf
+    // measures with the (probe, cell) pairs the SAME quantizer scans —
+    // the cost axis margin pruning moves; nProbe curves can't show it.
+    val marginCurve = Seq(0.0, 0.02, 0.05, 0.1, 0.2).map { m =>
+      val r = recall(pairSet(VectorOps.annIvf(spark, Tables.embeddings(spark, sfDir),
+        probeFilter = col("vec_id") < 10, k = 5, nCells = 16, nProbe = 8,
+        probeMargin = m).select("probe_id", "neighbor_id")), brute)
+      val cellsScanned = VectorOps.ivfProbedCells(spark,
+        Tables.embeddings(spark, sfDir), probeFilter = col("vec_id") < 10,
+        nCells = 16, nProbe = 8, probeMargin = m)
+      (m, r, cellsScanned)
+    }
+
     val ivfPqRerankCurve = Seq(2, 4, 8, 16).map { rr =>
       val r = recall(pairSet(VectorOps.annIvfPq(spark, Tables.embeddings(spark, sfDir),
         probeFilter = col("vec_id") < 10, k = 5, nCells = 16, nProbe = 8,
@@ -140,6 +156,9 @@ object Recall {
     }
     def curveJson(c: Seq[(Int, Double)]): String =
       c.map { case (x, r) => f""""$x": $r%.4f""" }.mkString("{", ", ", "}")
+    val marginJson = marginCurve.map { case (m, r, cells) =>
+      f""""$m%.2f": {"recall": $r%.4f, "probe_cells": $cells}""" }
+      .mkString("{", ", ", "}")
 
     val json =
       f"""{"sf": "$sfDir",
@@ -148,7 +167,8 @@ object Recall {
          |  "ann_ivf_by_nprobe_16c":  ${curveJson(ivfCurve)},
          |  "ann_pq_by_rerank_8x16":  ${curveJson(pqCurve)},
          |  "ann_ivfpq_by_nprobe_16c_16x16r8": ${curveJson(ivfPqCurve)},
-         |  "ann_ivfpq_by_rerank_16c_16x16p8": ${curveJson(ivfPqRerankCurve)}
+         |  "ann_ivfpq_by_rerank_16c_16x16p8": ${curveJson(ivfPqRerankCurve)},
+         |  "ann_ivf_by_probe_margin_16c_p8": $marginJson
          | },
          | "ops": {
          |  "ann_lsh":              {"recall": $annLsh%.4f, "baseline": "similarity_topk", "truth_size": ${brute.size}},

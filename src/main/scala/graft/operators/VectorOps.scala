@@ -784,6 +784,31 @@ object VectorOps {
     * read, so non-matching inverted-list entries never join). Default
     * `lit(true)` = unfiltered.
     */
+  /** The (probe, cell) pairs an IVF search at this shape scans — the
+    * COST side of the nProbe/probeMargin knobs, measured with the same
+    * seeded quantizer and spherical metric [[annIvf]] uses (identical
+    * centroids, so a recall measured by annIvf and a cost measured here
+    * at the same arguments describe ONE operating point). Each pair is
+    * one cell-sized candidate read: on the flat path a partition-local
+    * corpus slice, on the persistent index a pruned partition.
+    * Recall.scala's probeMargin curve and the ApproxOpsSpec
+    * fewer-cells-at-equal-recall pin consume it.
+    */
+  def ivfProbedCells(spark: SparkSession, emb: DataFrame, probeFilter: Column,
+      nCells: Int = 0, nProbe: Int = 8, maxTrainRows: Long = 100000L,
+      probeMargin: Double = 0.0): Long = {
+    val n = emb.count()
+    val cells = if (nCells > 0) nCells else ivfCells(n)
+    val unitEmb = withUnit(emb, "embedding", "unit")
+    val centroidArr = trainQuantizer(
+      unitEmb.select(col("vec_id"), col("unit").as("embedding")),
+      cells, maxTrainRows, n)
+    val probes = withUnit(emb.where(probeFilter && col("embedding").isNotNull),
+      "embedding", "pu")
+      .select(col("vec_id").as("p"), col("pu"))
+    nearestProbeCells(spark, probes, centroidArr, nProbe, probeMargin).count()
+  }
+
   def annIvf(spark: SparkSession, emb: DataFrame, probeFilter: Column, k: Int,
       nCells: Int = 0, nProbe: Int = 8, maxTrainRows: Long = 100000L,
       corpusFilter: Column = lit(true),
