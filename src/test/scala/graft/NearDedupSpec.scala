@@ -105,13 +105,26 @@ class NearDedupSpec extends SparkSpec {
     val m = metrics.values.head
     assert(m.getAs[Long]("dropped_rows") > 0L, s"dropped_rows metric empty: $m")
     assert(m.getAs[Long]("dropped_buckets") > 0L, s"dropped_buckets metric empty: $m")
-    // an uncapped-in-practice run reports zero drops through the same metric
+  }
+
+  test("hot-cap negative control: a clean corpus reports dropped_rows = 0 through the metric") {
+    // the zero case matters as much as engagement: a dashboard alarming
+    // on dropped_rows can only trust zero if an un-engaged cap still
+    // EMITS the observation (rather than the metric going missing)
+    val sh = docs.select(col("doc_id"), explode(distinctShingles(col("text"), 3)).as("s"))
+    val sigs = NearDedup.minhashSignatures(sh)
     val clean = NearDedup.minhashCandidates(sigs, maxBucket = 100000)
     clean.collect()
     val cm = clean.queryExecution.observedMetrics
       .filter { case (name, _) => name.startsWith("graft.minhash.hotcap.") }
-    assert(cm.nonEmpty && cm.values.head.getAs[Long]("dropped_rows") == 0L,
-      s"clean run must report dropped_rows=0, got $cm")
+    assert(cm.nonEmpty,
+      s"un-engaged cap must still observe; got ${clean.queryExecution.observedMetrics.keySet}")
+    assert(cm.values.head.getAs[Long]("dropped_rows") == 0L &&
+      cm.values.head.getAs[Long]("dropped_buckets") == 0L,
+      s"clean run must report zero drops, got $cm")
+    // every other cap site (exact-jaccard, simhash bands, srp-lsh,
+    // semantic cells) goes through the same dropHotBuckets helper, so
+    // the zero-emission property is shared by construction
   }
 
   test("minhash signatures are permutation-stable (same doc -> same signature)") {
