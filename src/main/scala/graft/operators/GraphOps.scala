@@ -246,6 +246,24 @@ object GraphOps {
        |  SELECT e2.b AS node, r.m FROM reach r JOIN edges e2 ON e2.a = r.node)
        |SELECT node, min(m) AS canonical FROM reach GROUP BY node ORDER BY node""".stripMargin
 
+  /** The POINT-LOOKUP slice of [[ccOracleSql]]: the same recursive
+    * closure, filtered to the min and max node ids — the oracle for
+    * `serving_label_lookup`, which must resolve exactly these through
+    * the label store's bucket-pruned read.
+    */
+  private[graft] val ccLookupOracleSql: String =
+    s"""WITH RECURSIVE $edgesBody,
+       |edges AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+       |nodes AS (SELECT DISTINCT a AS node FROM edges),
+       |reach AS (
+       |  SELECT node, node AS m FROM nodes
+       |  UNION
+       |  SELECT e2.b AS node, r.m FROM reach r JOIN edges e2 ON e2.a = r.node),
+       |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node),
+       |keys AS (SELECT min(node) AS k FROM cc UNION ALL SELECT max(node) FROM cc)
+       |SELECT cc.node, cc.canonical FROM cc JOIN keys ON cc.node = keys.k
+       |ORDER BY cc.node""".stripMargin
+
   /** Exact triangle count with degree-ordered orientation (the MPC
     * triangle-counting shape, Suri & Vassilvitskii WWW'11): direct every
     * undirected edge from its lower-(degree, id) endpoint to the higher,
@@ -371,6 +389,37 @@ object GraphOps {
       "connected_components",
       ccOracleSql) { (s, dir) =>
       connectedComponents(equivEdges(s, dir))
+        .select(col("node"), col("label").as("canonical"))
+        .orderBy("node")
+    },
+
+    // Serving POINT LOOKUP on the canonical-id labeling — the
+    // query-time id-normalization read the reference's batch output
+    // feeds (BatchWorkflow.java's normalized ids become the serving
+    // layer's rewrite table): fold the equiv edges into the
+    // bucket-partitioned LabelStore once, then resolve two
+    // representative node ids (min and max — driver scalars standing in
+    // for a serving request's literals) through LabelStore.lookup,
+    // which reads ONLY those ids' bucket directories (driver-evaluated
+    // hash -> static partition filter; LabelStoreSpec pins
+    // partitions-read = |distinct buckets|). Shares the recursive-CTE
+    // closure oracle, sliced to the same two keys.
+    //
+    // Scale: a lookup touches <= |keys| of the store's buckets no
+    // matter how many billions of ids the labeling holds — the
+    // ElephantDB random-read role at the storage level.
+    withOracle(
+      "serving_label_lookup",
+      ccLookupOracleSql) { (s, dir) =>
+      val edges = equivEdges(s, dir)
+      val storeDir = graft.Scratch.dir("graft_cclookup") + "/labels"
+      graft.streaming.LabelStore.fold(s, storeDir, edges)
+      val mm = edges.agg(
+        min(least(col("src"), col("dst"))).as("lo"),
+        max(greatest(col("src"), col("dst"))).as("hi")).head()
+      graft.streaming.LabelStore.lookup(s, storeDir,
+          Seq(mm.getLong(0), mm.getLong(1)))
+        .getOrElse(sys.error(s"label store missing at $storeDir"))
         .select(col("node"), col("label").as("canonical"))
         .orderBy("node")
     },

@@ -257,6 +257,66 @@ object IngestOps {
         .orderBy("o_orderkey")
     },
 
+    // Serving POINT LOOKUP on the upsert store — the ElephantDB
+    // random-read role itself (BatchWorkflow.java:359-364 ships shards
+    // precisely so the serving layer can answer per-key gets): build
+    // the store as stream_upsert does (bootstrap fold + one changes
+    // fold), then resolve four representative keys — an updated, a
+    // deleted, an inserted and an untouched one (per-mod-class key
+    // minima: driver scalars standing in for a serving request's
+    // literals) — through UpsertStore.lookup, which reads ONLY those
+    // keys' bucket directories (driver-evaluated hash → static
+    // partition filter; UpsertStoreSpec pins partitions-read). The
+    // deleted key resolves to NOTHING on both engines: 3 rows declared.
+    //
+    // Scale: the scan touches ≤ |keys| of the store's buckets no
+    // matter the store size — random reads never pay a view scan.
+    withOracle(
+      "serving_point_lookup",
+      """WITH ch AS (
+        |  SELECT o_orderkey, o_custkey, o_totalprice + 1000 AS o_totalprice, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, NULL, NULL, 'D' FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL
+        |  SELECT o_orderkey + 10000000000, o_custkey, o_totalprice + 0.5, 'I'
+        |  FROM orders WHERE o_orderkey % 10 = 7),
+        |merged AS (
+        |  SELECT o.o_orderkey, o.o_custkey, o.o_totalprice FROM orders o
+        |  WHERE o.o_orderkey NOT IN (SELECT o_orderkey FROM ch)
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_totalprice FROM ch WHERE op <> 'D'),
+        |keys AS (
+        |  SELECT min(o_orderkey) AS k FROM orders WHERE o_orderkey % 10 = 0
+        |  UNION ALL SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 10 = 3
+        |  UNION ALL SELECT min(o_orderkey) + 10000000000 FROM orders WHERE o_orderkey % 10 = 7
+        |  UNION ALL SELECT min(o_orderkey) FROM orders WHERE o_orderkey % 10 = 1)
+        |SELECT m.o_orderkey, m.o_custkey, round(m.o_totalprice, 2) AS o_totalprice
+        |FROM merged m JOIN keys ON m.o_orderkey = keys.k
+        |ORDER BY m.o_orderkey""".stripMargin) { (s, dir) =>
+      val root = graft.Scratch.dir("graft_plookup")
+      val storeDir = s"$root/store"
+      val keys = Seq("o_orderkey")
+      val base = ordersBase(s, dir)
+      graft.streaming.UpsertStore.fold(s, storeDir, base, keys, seq = 0L)
+      graft.streaming.UpsertStore.fold(s, storeDir,
+        upsertChanges(base).withColumn("_is_del", col("op") === "D").drop("op"),
+        keys, seq = 1L, deletedCol = Some("_is_del"))
+      val mins = base.agg(
+        min(when(col("o_orderkey") % 10 === 0, col("o_orderkey"))).as("u"),
+        min(when(col("o_orderkey") % 10 === 3, col("o_orderkey"))).as("d"),
+        min(when(col("o_orderkey") % 10 === 7, col("o_orderkey"))).as("i"),
+        min(when(col("o_orderkey") % 10 === 1, col("o_orderkey"))).as("n")).head()
+      val keyVals = Seq(
+        Seq[Any](mins.getLong(0)), Seq[Any](mins.getLong(1)),
+        Seq[Any](mins.getLong(2) + 10000000000L), Seq[Any](mins.getLong(3)))
+      graft.streaming.UpsertStore.lookup(s, storeDir, keys, keyVals)
+        .getOrElse(sys.error(s"serving store missing at $storeDir"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          round(col("o_totalprice"), 2).as("o_totalprice"))
+        .orderBy("o_orderkey")
+    },
+
     // CDC between two serving-snapshot VERSIONS: the batch layer
     // recomputes its views wholesale (BatchWorkflow.java's whole-view
     // rebuild; ElephantDB then ships entire shards) — at 100 TB the
