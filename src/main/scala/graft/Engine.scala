@@ -121,13 +121,16 @@ object Engine {
   val swap: model.StoreSwap.type = model.StoreSwap
 
   /** Speed-layer label store for streaming connected components:
-    * bucket-partitioned, folds rewrite only changed buckets.
+    * bucket-partitioned, folds rewrite only changed buckets; lookup()
+    * is the bucket-pruned canonical-id point read, compact() pins to
+    * the store's recorded modulus (explicit count = reshard).
     */
   val labels: streaming.LabelStore.type = streaming.LabelStore
 
   /** LSM-flavored streamed upsert store: folds are pure appends with a
     * batch sequence number, reads resolve latest-per-key (tombstone
-    * deletes), compact() is the maintenance pass.
+    * deletes), lookup() is the bucket-pruned per-key get (the
+    * ElephantDB random-read role), compact() is the maintenance pass.
     */
   val upserts: streaming.UpsertStore.type = streaming.UpsertStore
 
