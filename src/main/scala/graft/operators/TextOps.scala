@@ -185,6 +185,45 @@ object TextOps {
           lit(1.0 - lambda) * coalesce(col("cb"), lit(oov)) / lit(total))), 4).as("nll"))
   }
 
+  /** Gopher-rule quality FILTER (Rae et al. 2021 §A.1.1, the named
+    * heuristic rule set pretraining pipelines actually gate on — the
+    * decision layer over the raw signals `text_quality_score` /
+    * `text_repetition` emit): per-doc word count bounds, mean word
+    * length bounds, alphabetic-word fraction floor and a stopword
+    * floor, each emitted as its inputs plus one `keep` verdict. All
+    * metrics are regexp built-ins over the raw text (codegen'd,
+    * zero HOFs, zero shuffles — a pure row-local pass, like the other
+    * quality gates): words are non-space runs, total word chars =
+    * text minus whitespace, alphabetic words = non-space runs
+    * containing a letter. `keep` compares the ROUNDED ratios so the
+    * engine and the DuckDB oracle agree bit-for-bit at the boundary.
+    * Docs with zero words fail the word-count floor (three-valued
+    * logic short-circuits the null ratios identically in both
+    * engines).
+    */
+  def gopherFilter(docs: DataFrame, minWords: Int = 5, maxWords: Int = 100000,
+      minMeanLen: Double = 3.0, maxMeanLen: Double = 10.0,
+      minAlphaFrac: Double = 0.8, minStop: Int = 2): DataFrame = {
+    val nWords =
+      size(regexp_extract_all(lower(col("text")), lit("\\S+"), lit(0))).cast("long")
+    val totalChars = length(regexp_replace(col("text"), "\\s", "")).cast("long")
+    val alphaWords =
+      size(regexp_extract_all(lower(col("text")), lit("\\S*[a-z]\\S*"), lit(0)))
+        .cast("long")
+    docs.where(col("text").isNotNull)
+      .select(col("doc_id"), nWords.as("n_words"),
+        round(when(nWords > 0, totalChars / nWords.cast("double")), 4)
+          .as("mean_word_len"),
+        round(when(nWords > 0, alphaWords / nWords.cast("double")), 4)
+          .as("alpha_frac"),
+        stopwordCount(col("text")).cast("long").as("n_stop"))
+      .withColumn("keep",
+        col("n_words") >= minWords && col("n_words") <= maxWords &&
+          col("mean_word_len") >= minMeanLen &&
+          col("mean_word_len") <= maxMeanLen &&
+          col("alpha_frac") >= minAlphaFrac && col("n_stop") >= minStop)
+  }
+
   /** Default hot-shingle cap for the exact sparse similarity join: a
     * shingle shared by k docs fans out k² join rows, so one boilerplate
     * shingle (license header, nav bar) can turn the whole job quadratic.
@@ -527,6 +566,32 @@ object TextOps {
           round(stopwordCount(col("text")) / nTokens.cast("double"), 4).as("stop_ratio"),
           round(punctRatio(col("text")), 4).as("punct_ratio"))
         .orderBy("doc_id")
+    },
+
+    // The Gopher rule set as a FILTER verdict — semantics and plan on
+    // [[gopherFilter]]; declared at fixture-appropriate thresholds
+    // (minWords=5: the synthetic docs are short; production uses 50).
+    withOracle(
+      "text_gopher_filter",
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         len(regexp_extract_all(lower(text), '\S+')) AS n_words,
+        |         length(regexp_replace(text, '\s', '', 'g')) AS total_chars,
+        |         len(regexp_extract_all(lower(text), '\S*[a-z]\S*')) AS alpha_words,
+        |         len(regexp_extract_all(lower(text), '\b(the|a|and|of|to|in|is)\b')) AS n_stop
+        |  FROM documents WHERE text IS NOT NULL),
+        |r AS (
+        |  SELECT doc_id, n_words,
+        |         round(CASE WHEN n_words > 0 THEN total_chars * 1.0 / n_words END, 4) AS mean_word_len,
+        |         round(CASE WHEN n_words > 0 THEN alpha_words * 1.0 / n_words END, 4) AS alpha_frac,
+        |         n_stop
+        |  FROM m)
+        |SELECT doc_id, n_words, mean_word_len, alpha_frac, n_stop,
+        |       (n_words >= 5 AND n_words <= 100000
+        |        AND mean_word_len >= 3 AND mean_word_len <= 10
+        |        AND alpha_frac >= 0.8 AND n_stop >= 2) AS keep
+        |FROM r ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      gopherFilter(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Bag-normalized document fingerprint (rolling-hash tier of dedup).

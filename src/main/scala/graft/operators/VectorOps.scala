@@ -364,9 +364,29 @@ object VectorOps {
     // dedup before indexing (duplicates waste index bytes and crowd
     // top-k lists with copies), index once, serve many. Rows-only
     // (approximate components) + EmbeddingPipelineSpec.
+    // Dedup stage routes by CORPUS SIZE (round-12 scaling finding: the
+    // 100× probe point — 200k vectors — exhausted local disk in the
+    // SRP-LSH candidate join. The plane rule holds average buckets at
+    // ~maxBucket/4 rows regardless of n, so candidates grow ~n·B/2 per
+    // table while the table count needed for 0.9 recall at the 0.4
+    // threshold grows with the plane count — at 200k rows that is
+    // billions of candidate pairs and a >70 GB shuffle spill. At the
+    // LOW-similarity threshold this workload pins, random-projection
+    // LSH is structurally the wrong scale tool; the cluster-scoped
+    // SemDeDup form bounds candidates at Σ|cell|² ≈ n^1.5 with √n
+    // cells). Below `graft.embpipe.lshMaxRows` (default 100k) the
+    // recall-tracked LSH path runs unchanged — every RECALL/BENCH
+    // fixture point keeps its history; above it the pipeline routes
+    // through multi-assign semantic dedup, the documented 100 TB path.
     noOracle("pipeline_embedding_corpus") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val pairs = cosineNearDupLsh(s, emb, threshold = 0.4)
+      val lshMaxRows =
+        s.conf.get("graft.embpipe.lshMaxRows", "100000").toLong
+      val n = emb.count()
+      val rawPairs =
+        if (n <= lshMaxRows) cosineNearDupLsh(s, emb, threshold = 0.4)
+        else cosineNearDupSemantic(s, emb, threshold = 0.4, nAssign = 2)
+      val pairs = rawPairs
         .select(col("i").as("src"), col("j").as("dst"))
       // cc's output column is renamed: `label` is already a column of the
       // embeddings table (the class annotation), and the ambiguity would

@@ -55,6 +55,42 @@ class EmbeddingPipelineSpec extends SparkSpec {
     assert(bad == 0, "served cosines must be exact")
   }
 
+  test("above lshMaxRows the pipeline routes dedup through the cluster-scoped form") {
+    // the round-12 scaling finding: at the 100x probe point SRP-LSH's
+    // candidate volume exhausted local disk, so corpora above
+    // graft.embpipe.lshMaxRows dedup via multi-assign SemDeDup instead.
+    // Force the route at fixture scale and re-assert the serving
+    // contract end to end (soundness: semantic pairs are exact-verified,
+    // so no vector is dropped without a true near-dup)
+    spark.conf.set("graft.embpipe.lshMaxRows", "10")
+    try {
+      val emb = Tables.embeddings(spark, sf001)
+      val rows = SparkEntry.queries("pipeline_embedding_corpus")(spark, sf001)
+        .collect()
+      assert(rows.nonEmpty, "routed pipeline must still serve results")
+      val exactPairs = SparkEntry.queries("near_dedup_cosine")(spark, sf001)
+        .select($"i", $"j").collect().map(r => (r.getLong(0), r.getLong(1)))
+      val inSomePair = (exactPairs.map(_._1) ++ exactPairs.map(_._2)).toSet
+      val all = emb.select($"vec_id").collect().map(_.getLong(0)).toSet
+      val semPairs = VectorOps.cosineNearDupSemantic(spark, emb,
+        threshold = 0.4, nAssign = 2).select($"i".as("src"), $"j".as("dst"))
+      val cc = graft.operators.GraphOps.connectedComponents(semPairs)
+        .select($"node".as("vec_id"), $"label".as("canonical"))
+      val survivors = emb.join(cc, Seq("vec_id"), "left_outer")
+        .where($"canonical".isNull || $"canonical" === $"vec_id")
+        .select($"vec_id").collect().map(_.getLong(0)).toSet
+      val removed = all -- survivors
+      assert(removed.forall(inSomePair),
+        s"semantic route dropped vectors without a true near-dup: ${removed.filterNot(inSomePair)}")
+      assert(rows.map(_.getLong(2)).toSet.subsetOf(survivors),
+        "served neighbors must come from the semantically deduplicated corpus")
+      rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+        assert(rs.length <= 5)
+        assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to rs.length))
+      }
+    } finally spark.conf.unset("graft.embpipe.lshMaxRows")
+  }
+
   test("pipeline survives a duplicate-heavy corpus whose dedup leaves fewer survivors than nCells") {
     // the 10x scaling probe's failure class end-to-end: dedup collapses
     // a near-duplicate-saturated corpus to a handful of survivors, and

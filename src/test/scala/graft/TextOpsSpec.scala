@@ -307,6 +307,25 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopherFilter applies the Gopher rule set with exact boundary semantics") {
+    val docs = Seq(
+      (0L, "the cat and the dog ran to the big house in town"), // all rules pass
+      (1L, "a b"), // below the word-count floor
+      (2L, "### $$$ %%% ^^^ &&& *** !!!"), // no alphabetic words, no stopwords
+      (3L, ""), // zero words: null ratios, keep=false via the count floor
+      (4L, null.asInstanceOf[String]) // null text: dropped, not scored
+    ).toDF("doc_id", "text")
+    val got = TextOps.gopherFilter(docs).orderBy("doc_id").collect()
+    assert(got.length == 4, "null-text docs are dropped")
+    val keeps = got.map(r => r.getLong(0) -> r.getBoolean(5)).toMap
+    assert(keeps == Map(0L -> true, 1L -> false, 2L -> false, 3L -> false), s"$keeps")
+    val d0 = got(0)
+    assert(d0.getLong(1) == 12 && math.abs(d0.getDouble(2) - 3.0833) < 1e-9 &&
+      d0.getDouble(3) == 1.0 && d0.getLong(4) == 6, s"doc0 signals off: $d0")
+    assert(got(3).isNullAt(2) && got(3).isNullAt(3),
+      "zero-word doc must carry null ratios, not a division error")
+  }
+
   test("htmlStrip drops tags, decodes entities single-pass, collapses whitespace") {
     val docs = Seq(
       (0L, "<html><body><p>Hello <b>world</b></p>\n<div class=\"x\">two  spaces</div></body></html>"),
