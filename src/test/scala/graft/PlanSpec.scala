@@ -80,6 +80,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("text_gopher_filter is one row-local pass: no joins, no aggregates, one sort exchange") {
+    val p = plan(q("text_gopher_filter"))
+    assert(!p.contains("Join"), s"the rule set must not join:\n$p")
+    assert(!p.contains("HashAggregate"),
+      s"per-doc metrics must be row-local expressions, not aggregates:\n$p")
+    assert(shuffles(q("text_gopher_filter")) <= 1,
+      "only the declared ORDER BY may exchange")
+  }
+
   test("text_unigram_logprob broadcasts the vocab (no sort-merge join)") {
     val p = plan(q("text_unigram_logprob"))
     assert(p.contains("BroadcastHashJoin"), p)
