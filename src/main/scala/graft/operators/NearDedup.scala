@@ -377,6 +377,60 @@ object NearDedup {
           .select(col("doc_id"))
           .orderBy("doc_id")
       } finally hashed.unpersist()
+    },
+
+    // Keep-BEST canonical selection — see [[keepBestCanonical]].
+    graft.QueryDef.withOracle(
+      "near_dedup_keep_best",
+      s"""WITH RECURSIVE ${TextOps.shinglePairCte()},
+        |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
+        |        JOIN sizes nb ON j = nb.doc_id
+        |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
+        |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (SELECT node, node AS m FROM nodes
+        |          UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
+        |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node),
+        |scored AS (SELECT d.doc_id,
+        |       round(len(regexp_extract_all(lower(d.text), '\\b(the|a|and|of|to|in|is)\\b'))
+        |             * 1.0 / len(string_split_regex(lower(d.text), '\\s+')), 4) AS q,
+        |       coalesce(cc.canonical, d.doc_id) AS cluster
+        |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+        |r AS (SELECT doc_id, round(q, 4) AS q,
+        |             row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn
+        |      FROM scored)
+        |SELECT doc_id, q FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      keepBestCanonical(Tables.documents(s, dir)).orderBy("doc_id")
     }
   )
+
+  /** Keep-BEST canonical selection — the production variant of the apply
+    * step: per duplicate cluster retain the highest-QUALITY member
+    * (stopword-ratio score, the text_quality_score signal; ties broken
+    * toward the smallest doc_id), not the smallest id. What a training
+    * pipeline actually wants when near-dups differ in cleanliness (e.g.
+    * a boilerplate-wrapped crawl copy vs the clean original).
+    *
+    * Plan shape: the same banded pair generation + connected components
+    * as near_dedup_apply, then ONE aggregation over (cluster, q, doc_id)
+    * — max_by under a (q, -doc_id) struct ordering, so the argmax is a
+    * map-side-combinable groupBy shuffling ~24 bytes/row, never a
+    * documents-sized window. Cluster count <= doc count, so the agg
+    * output is strictly smaller than its input — scales to 100 TB
+    * wherever the pair step does. Returns (doc_id, q) of the kept docs.
+    */
+  def keepBestCanonical(docs: DataFrame, threshold: Double = 0.1): DataFrame = {
+    val hashed = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+    val pairs = TextOps.ngramJaccardPairsFromHashes(hashed, threshold)
+      .select(col("i").as("src"), col("j").as("dst"))
+    val cc = GraphOps.connectedComponents(pairs)
+    val q = round(stopwordCount(col("text")) / size(tokens(col("text"))).cast("double"), 4)
+    docs.select(col("doc_id"), q.as("q"))
+      .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+      .withColumn("cluster", coalesce(col("label"), col("doc_id")))
+      .groupBy("cluster")
+      .agg(max_by(struct(col("doc_id"), col("q")),
+        struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("best.doc_id").as("doc_id"), col("best.q").as("q"))
+  }
 }

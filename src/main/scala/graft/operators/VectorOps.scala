@@ -610,24 +610,30 @@ object VectorOps {
         // surface at most once — unlike the multi-table LSH candidate join
         .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
     } else {
-      // multi-assign: explode the nAssign-nearest cells, dedup candidate
-      // PAIRS (id-only — no embedding bytes ride the quadratic join),
-      // then verify exactly once per pair, the LSH-path shape
-      val assigned = unitEmb.select(col("vec_id"),
+      // multi-assign: explode the nAssign-nearest cells and verify INSIDE
+      // the per-cell join, then dedup the (tiny) survivor set. Embedding
+      // bytes shuffle only linearly (nAssign x corpus, partitioned by
+      // cell); the quadratic pair relation is born and filtered inside
+      // one whole-stage-codegen span and never shuffles. The alternative
+      // — id-only candidate pairs + distinct + re-joining embeddings —
+      // ships the quadratic relation through TWO more shuffles to save
+      // at most nAssign-fold cosine recomputation; at the 100x scaling
+      // point (200k vectors, r12) that shape spilled tens of GB while
+      // this one's only quadratic cost is streamed arithmetic.
+      val assigned = unitEmb.select(col("vec_id"), col("embedding"),
         explode(org.apache.spark.sql.graft.SrpNative
           .nearestCentroids(col("unit"), centroidArr, assign)).as("cell"))
       val bounded = NearDedup.dropHotBuckets(assigned, Seq("cell"), cap, "semantic-cell")
-      val candidates = bounded.select(col("cell"), col("vec_id").as("i"))
-        .join(bounded.select(col("cell"), col("vec_id").as("j")), Seq("cell"))
+      val a = bounded.select(col("cell"), col("vec_id").as("i"), col("embedding").as("ei"))
+      val b = bounded.select(col("cell"), col("vec_id").as("j"), col("embedding").as("ej"))
+      a.join(b, Seq("cell"))
         .where(col("i") < col("j"))
-        .select(col("i"), col("j"))
-        .distinct()
-      candidates
-        .join(emb.select(col("vec_id").as("i"), col("embedding").as("ei")), "i")
-        .join(emb.select(col("vec_id").as("j"), col("embedding").as("ej")), "j")
         .withColumn("cos", cosine(col("ei"), col("ej")))
         .where(col("cos") >= threshold)
         .select(col("i"), col("j"), round(col("cos"), 4).as("cos"))
+        // a pair can surface in up to nAssign shared cells; the rounded
+        // cos is identical each time, so distinct collapses them exactly
+        .distinct()
     }
   }
 

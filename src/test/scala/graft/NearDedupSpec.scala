@@ -133,4 +133,30 @@ class NearDedupSpec extends SparkSpec {
     val sig2 = NearDedup.minhashSignatures(sh.repartition(7)).orderBy("doc_id").collect()
     assert(sig1.sameElements(sig2))
   }
+
+  test("keep-best retains the highest-quality cluster member, not the smallest id") {
+    // doc 1 = doc 0 plus a stopword-heavy tail: near-dup of 0 but with a
+    // strictly higher stopword ratio — keep-best must pick 1 where the
+    // keep-min apply step would pick 0. Singletons (3, 4) always survive.
+    val planted = Seq(
+      (0L, base),
+      (1L, base + " and it is of the to in the a of is"),
+      (3L, "completely different content about spark query engines and shuffles at scale today"),
+      (4L, "another unrelated document mentioning parquet files and vectorized readers only")
+    ).toDF("doc_id", "text")
+    val kept = NearDedup.keepBestCanonical(planted).orderBy("doc_id").collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(1L, 3L, 4L), kept.mkString(", "))
+    // sanity: the chosen member really does have the higher score
+    val qs = planted
+      .select(col("doc_id"),
+        round(stopwordCount(col("text")) / size(tokens(col("text"))).cast("double"), 4).as("q"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(qs(1L) > qs(0L), qs.toString)
+  }
+
+  test("keep-best breaks quality ties toward the smallest doc_id") {
+    val planted = Seq((0L, base), (1L, base)).toDF("doc_id", "text")
+    val kept = NearDedup.keepBestCanonical(planted).collect()
+    assert(kept.map(_.getLong(0)).toSeq === Seq(0L), kept.mkString(", "))
+  }
 }
