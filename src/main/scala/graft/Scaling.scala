@@ -140,6 +140,10 @@ object Scaling {
 
   def main(args: Array[String]): Unit = {
     val out = args.headOption.getOrElse("SCALING.json")
+    // optional second arg: comma-separated target filter, for re-probing
+    // a single query after a plan change without the full ~1h sweep
+    // (merge the filtered artifact into the round file by hand)
+    val only = args.lift(1).map(_.split(",").toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val reps = sys.env.get("SPARK_GRAFT_SCALING_REPS")
       .flatMap(s => scala.util.Try(s.toInt).toOption).filter(_ >= 1).getOrElse(3)
@@ -170,7 +174,8 @@ object Scaling {
     def materialize(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    val results = Targets.map { case (name, table) =>
+    val results = Targets.filter(t => only.forall(_.contains(t._1)))
+      .map { case (name, table) =>
       val fn = SparkEntry.queries(name)
       // events-driven queries skip the synthetic dirs (events aren't
       // scaled there — the points would duplicate sf0.1); the 100x
