@@ -247,6 +247,94 @@ object CorpusOps {
         (col("offv") + col("lcum")).as("cum"))
   }
 
+  /** Per-stratum rank under an arbitrary NUMERIC order key: returns
+    * (doc_id, lang, ord, rank, n) where `rank` is the 1-based position
+    * of the row inside its stratum ordered by (ord, doc_id) and `n` the
+    * stratum size. The [[stratumPrefix]] distributed-prefix shape
+    * (range exchange + per-partition pass + broadcast offset table)
+    * with the md5 shuffle key swapped for a caller-supplied double —
+    * stratumPrefix's String key can't carry a numeric sort order. Same
+    * skew story: a stratum that is half the corpus spreads over many
+    * contiguous range partitions; no task ever holds a whole stratum.
+    */
+  def orderedStratumRank(rel: org.apache.spark.sql.DataFrame,
+      parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    val s = rel.sparkSession
+    import s.implicits._
+    val nullStratum = "\u0000<null-stratum>"
+    val local = rel
+      .where(col("doc_id").isNotNull && col("ord").isNotNull)
+      .select(col("doc_id").cast("long"),
+        coalesce(col("lang").cast("string"), lit(nullStratum)).as("lang"),
+        col("ord").cast("double"))
+      .as[(Long, String, Double)]
+      .repartitionByRange(parts, col("lang"), col("ord"), col("doc_id"))
+      .sortWithinPartitions("lang", "ord", "doc_id")
+      .mapPartitions { it =>
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        var cur: String = null
+        var started = false
+        var rank = 0L
+        it.map { case (id, lang, ord) =>
+          if (!started || lang != cur) { cur = lang; started = true; rank = 0L }
+          rank += 1
+          (id, lang, ord, pid, rank)
+        }
+      }.toDF("doc_id", "lang", "ord", "pid", "lrank")
+      // same materialization argument as stratumPrefix: both consumers
+      // must see ONE instantiation of the range exchange's partition ids
+      .localCheckpoint()
+    val offW = Window.partitionBy("lang").orderBy("pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = local.groupBy("pid", "lang").agg(count(lit(1)).as("pn"))
+      .withColumn("offn", coalesce(sum("pn").over(offW), lit(0L)))
+      .withColumn("n", sum("pn").over(Window.partitionBy("lang")))
+      .select("pid", "lang", "offn", "n")
+    local.join(broadcast(offsets), Seq("pid", "lang"))
+      .select(col("doc_id"),
+        when(col("lang") === nullStratum, lit(null).cast("string"))
+          .otherwise(col("lang")).as("lang"),
+        col("ord"),
+        (col("offn") + col("lrank")).as("rank"), col("n"))
+  }
+
+  /** CCNet-style per-language perplexity split (Wenzek et al. 2020 §4.3):
+    * rank each language's documents by LM score (low NLL = common-word,
+    * high = rare/noisy) and cut the ranking into `k` equal ntile buckets
+    * — bucket 1 is CCNet's "head", k its "tail"; pipelines train on
+    * head+middle and drop or down-weight the tail. Per-LANGUAGE because
+    * NLL magnitudes aren't comparable across languages (different token
+    * inventories); splitting globally would crown whichever language the
+    * LM likes best.
+    *
+    * The bucket is EXACT ntile semantics (first n%k buckets get one
+    * extra row, order (nll, doc_id)) computed in closed form from the
+    * [[orderedStratumRank]] global rank — NOT a
+    * `Window.partitionBy(lang)`, which would sort half the corpus in one
+    * task under the documented language skew. One range exchange over
+    * (lang, nll, doc_id) + a broadcast offset table; exact at any scale,
+    * no approximation path needed.
+    */
+  def pplSplit(docs: org.apache.spark.sql.DataFrame, k: Int = 3,
+      parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, s"pplSplit needs k >= 1 buckets, got $k")
+    val scored = TextOps.unigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val ranked = orderedStratumRank(
+      scored.select(col("doc_id"), col("lang"), col("nll").as("ord")), parts)
+    // ntile(k) in closed form: q = n / k rows per bucket, the first
+    // r = n mod k buckets carry one extra. greatest(q, 1) keeps the
+    // otherwise-branch division total; it is only REACHED when q >= 1
+    // (q = 0 implies r = n, so every rank falls in the when-branch).
+    val q = floor(col("n") / k).cast("long")
+    val r = col("n") - q * k
+    val bucket = when(col("rank") <= r * (q + 1),
+        floor((col("rank") - 1) / (q + 1)) + 1)
+      .otherwise(r + floor((col("rank") - 1 - r * (q + 1)) / greatest(q, lit(1L))) + 1)
+    ranked.select(col("doc_id"), col("lang"), col("ord").as("nll"),
+      bucket.cast("long").as("bucket"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Benchmark-contamination check: which training documents share an
@@ -684,6 +772,44 @@ object CorpusOps {
         .select(col("doc_id"), col("source"), col("rnk"),
           (col("rnk") * col("n_tokens")).as("priority"))
         .orderBy("priority", "doc_id")
+    },
+
+    // CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): per
+    // LANGUAGE, rank docs by unigram-LM NLL and ntile(3) the ranking —
+    // bucket 1 ("head") is the best-scored third, 3 ("tail") the worst;
+    // pipelines keep head+middle. Language-partitioned because NLL
+    // magnitudes don't compare across token inventories. The unigram
+    // CTE is text_unigram_logprob's oracle verbatim, so this query also
+    // re-proves the LM scores under composition.
+    //
+    // Scale: the ranking is orderedStratumRank's distributed prefix
+    // (ONE range exchange on (lang, nll, doc_id) + broadcast offsets) —
+    // never a Window.partitionBy(lang) one-task sort of the dominant
+    // language — and the bucket is exact ntile in closed form from the
+    // global rank, so there is no approximate path to diverge from this
+    // oracle at any scale. Ties (4dp-rounded nll) break on doc_id in
+    // both engines.
+    withOracle(
+      "corpus_ppl_split",
+      """WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |             FROM documents),
+        |vc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |n AS (SELECT sum(c) AS total FROM vc),
+        |nll AS (SELECT doc_id, round(avg(-ln(c * 1.0 / total)), 4) AS nll
+        |        FROM tok JOIN vc USING (t) CROSS JOIN n GROUP BY doc_id),
+        |b AS (SELECT doc_id, lang, nll,
+        |             CAST(ntile(3) OVER (PARTITION BY lang
+        |               ORDER BY nll, doc_id) AS BIGINT) AS bucket
+        |      FROM documents JOIN nll USING (doc_id))
+        |SELECT doc_id, lang, nll, bucket,
+        |       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+        |            ELSE 'tail' END AS tier
+        |FROM b ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      pplSplit(Tables.documents(s, dir), k = 3)
+        .withColumn("tier",
+          when(col("bucket") === 1, "head")
+            .when(col("bucket") === 2, "middle").otherwise("tail"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -161,4 +161,38 @@ class CorpusOpsSpec extends SparkSpec {
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(2))).toSeq
     assert(run(1) == run(5) && run(5) == run(32))
   }
+
+  test("ppl split is exact window-ntile semantics, parts-independent, null-lang safe") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.operators.TextOps
+    // skewed langs, duplicate texts (tied nll -> doc_id tie-break), a
+    // null-lang stratum, and sizes not divisible by 3 so the first
+    // n mod k buckets really do carry the extra row
+    val words = Seq("the", "quick", "fox", "jumps", "over", "lazy", "dog", "zyx")
+    val docs = (0L until 23L).map { i =>
+      val lang = if (i < 14) "en" else if (i < 21) "fr" else null
+      val text = (0 to (i % 5).toInt).map(j => words(((i + j) % 8).toInt)).mkString(" ")
+      (i, if (i == 7) docText6 else text, lang) // 7 duplicates 6's text: exact tie
+    }.toDF("doc_id", "text", "lang")
+    def run(p: Int) = CorpusOps.pplSplit(docs, k = 3, parts = p)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    val scored = TextOps.unigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+    val w = Window.partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+    val want = scored.select(col("doc_id"), ntile(3).over(w).cast("long").as("bucket"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(run(4) == want, "closed-form bucket must equal window ntile")
+    assert(run(1) == run(4) && run(4) == run(32),
+      "the split is a pure function of the corpus, not the exchange width")
+    // every lang's buckets differ by at most one row (the ntile balance)
+    val sizes = CorpusOps.pplSplit(docs, k = 3).groupBy("lang", "bucket").count()
+      .collect().groupBy(r => Option(r.getString(0))).values
+    sizes.foreach { g =>
+      val ns = g.map(_.getLong(2))
+      assert(ns.max - ns.min <= 1, s"unbalanced buckets: ${g.toSeq}")
+    }
+  }
+
+  private val docText6 = "dog zyx" // doc 6's generated text (i=6: words 6,7)
 }
