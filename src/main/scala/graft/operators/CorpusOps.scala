@@ -335,6 +335,37 @@ object CorpusOps {
       bucket.cast("long").as("bucket"))
   }
 
+  /** Documents kept per source by `corpus_source_cap` (small so the cap
+    * engages on the 25-docs-per-source test corpus; production caps are
+    * per-registrable-domain budgets, e.g. RefinedWeb's anti-dominance
+    * limits).
+    */
+  val SourceCap = 10L
+
+  /** Per-source document cap (the domain-dominance guard of crawl
+    * pipelines, RefinedWeb/C4 shape): keep the `cap` BEST-scored docs of
+    * each source — score = unigram-LM NLL ascending (common-word text
+    * first), ties on doc_id — so one mega-domain can't crowd the corpus.
+    * Emits the survivors with their score and within-source rank.
+    *
+    * Scale: same [[orderedStratumRank]] distributed prefix as
+    * `corpus_ppl_split` keyed by source — the dominant domain spreads
+    * over many range partitions instead of sorting in one task — and the
+    * cap is a row-local filter after the broadcast offsets join.
+    */
+  def sourceCap(docs: org.apache.spark.sql.DataFrame, cap: Long,
+      parts: Int = 32): org.apache.spark.sql.DataFrame = {
+    require(cap >= 1, s"sourceCap needs cap >= 1, got $cap")
+    val scored = TextOps.unigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    orderedStratumRank(
+        scored.select(col("doc_id"), col("source").as("lang"),
+          col("nll").as("ord")), parts)
+      .where(col("rank") <= cap)
+      .select(col("doc_id"), col("lang").as("source"),
+        col("ord").as("nll"), col("rank"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Benchmark-contamination check: which training documents share an
@@ -810,6 +841,33 @@ object CorpusOps {
           when(col("bucket") === 1, "head")
             .when(col("bucket") === 2, "middle").otherwise("tail"))
         .orderBy("doc_id")
+    },
+
+    // Domain-dominance cap (RefinedWeb/C4 shape): keep the SourceCap
+    // best-LM-scored docs per source so a mega-domain can't crowd the
+    // training mix. Ordering is unigram NLL ascending (common-word text
+    // first) with doc_id ties — the same score relation corpus_ppl_split
+    // ranks, capped per source instead of ntiled per language.
+    //
+    // Scale: orderedStratumRank's distributed prefix keyed by source —
+    // one range exchange, the dominant domain spreads over many
+    // contiguous partitions, and the cap is a row-local filter after
+    // the broadcast offsets join. No per-source one-task sort anywhere.
+    withOracle(
+      "corpus_source_cap",
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\\s+')) AS t
+        |             FROM documents),
+        |vc AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |n AS (SELECT sum(c) AS total FROM vc),
+        |nll AS (SELECT doc_id, round(avg(-ln(c * 1.0 / total)), 4) AS nll
+        |        FROM tok JOIN vc USING (t) CROSS JOIN n GROUP BY doc_id),
+        |r AS (SELECT doc_id, source, nll,
+        |             CAST(row_number() OVER (PARTITION BY source
+        |               ORDER BY nll, doc_id) AS BIGINT) AS rank
+        |      FROM documents JOIN nll USING (doc_id))
+        |SELECT doc_id, source, nll, rank FROM r
+        |WHERE rank <= ${SourceCap} ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      sourceCap(Tables.documents(s, dir), SourceCap).orderBy("doc_id")
     }
   )
 }

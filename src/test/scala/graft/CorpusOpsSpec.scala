@@ -195,4 +195,29 @@ class CorpusOpsSpec extends SparkSpec {
   }
 
   private val docText6 = "dog zyx" // doc 6's generated text (i=6: words 6,7)
+
+  test("source cap keeps the k best-LM-scored docs per source, ties on doc_id") {
+    import graft.operators.TextOps
+    // "the the the" scores best (most common token); rarer vocab worse.
+    // src a has 4 docs (cap 2 engages), src b has 2 (cap is a no-op).
+    val docs = Seq(
+      (0L, "the the the", "a"), (1L, "the quick fox", "a"),
+      (2L, "zyx qwerty unique", "a"), (3L, "the the the", "a"),
+      (4L, "the quick fox", "b"), (5L, "plugh xyzzy", "b")
+    ).toDF("doc_id", "text", "lang").withColumnRenamed("lang", "source")
+    val kept = CorpusOps.sourceCap(docs, cap = 2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    // src a: docs 0 and 3 tie on the best score -> both kept (ranks 1,2);
+    // src b keeps both of its docs
+    assert(kept == Seq((0L, 1L), (3L, 2L), (4L, 1L), (5L, 2L)), s"got $kept")
+    // equivalence with the window row_number form
+    import org.apache.spark.sql.expressions.Window
+    val scored = TextOps.unigramLogprob(docs)
+      .join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val w = Window.partitionBy("source").orderBy(col("nll"), col("doc_id"))
+    val want = scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= 2).orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(kept == want)
+  }
 }
