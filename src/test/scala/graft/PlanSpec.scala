@@ -269,7 +269,11 @@ class PlanSpec extends SparkSpec {
     // corpus_interleave included: its per-source rank must ride the same
     // stratumPrefix shape — a raw Window.partitionBy(source) would sort
     // the largest source (half the corpus under documented skew) in one task
-    for (name <- Seq("sample_stratified", "sample_token_budget", "corpus_interleave")) {
+    // corpus_ppl_split / corpus_source_cap: orderedStratumRank must keep
+    // the same discipline under a numeric order key (nll) — the dominant
+    // language/domain spreads over range partitions, never one task
+    for (name <- Seq("sample_stratified", "sample_token_budget", "corpus_interleave",
+        "corpus_ppl_split", "corpus_source_cap")) {
       val df = q(name)
       // the offset window over per-(partition, stratum) totals must be the
       // ONLY window — and it must sit above an aggregate, never raw rows
