@@ -79,7 +79,9 @@ object Engine {
 
   /** Training-corpus construction: sequence packing, sharding,
     * stratified/token-budget/weighted sampling, WFQ interleave,
-    * contamination check, train/eval split, embedding quantization.
+    * contamination check, train/eval split, embedding quantization,
+    * CCNet head/middle/tail perplexity split (`pplSplit`), per-domain
+    * dominance cap (`sourceCap`).
     */
   val corpus: operators.CorpusOps.type = operators.CorpusOps
 
