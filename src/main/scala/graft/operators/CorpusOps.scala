@@ -40,6 +40,73 @@ object CorpusOps {
     */
   val MixAlpha = 0.7
 
+  /** Target domain for `sample_importance` (the fixture source standing
+    * in for DSIR's high-quality target corpus; production points this at
+    * a curated reference set).
+    */
+  val DsirTarget = "src0"
+
+  /** Sample size for `sample_importance` (small so the cut engages on the
+    * test corpus; production K is the token/doc budget of the mixture).
+    */
+  val DsirK = 100
+
+  /** DSIR-style importance scoring + top-K selection (Xie et al.,
+    * NeurIPS'23 "Data Selection for Language Models via Importance
+    * Resampling"): score every doc by its mean per-token log-likelihood
+    * ratio between a TARGET unigram model (docs where `isTarget`) and the
+    * RAW model (the whole pool), then keep the K most target-like docs.
+    * DSIR samples with probability ∝ exp(ratio); this is the
+    * deterministic top-K variant (argmax selection), mean rather than sum
+    * per token so length is not a confound — both standard knobs on the
+    * same estimator.
+    *
+    * Model semantics (part of the operator contract, mirrored verbatim in
+    * the oracle): counts below `graft.dsir.minCount` (default 2) floor to
+    * 0 in BOTH models — the hashed-feature-style variance bound DSIR gets
+    * from bucketing, taken here as an explicit frequency floor — and both
+    * models add-1 smooth over the shared floored vocabulary V, so a
+    * target-unseen token contributes ln(1/(Nt+V)) rather than -inf.
+    *
+    * Scale: the model relation is ONE map-side-combinable aggregate over
+    * the token stream carrying both counts (never two corpus scans); the
+    * floor bounds it to the frequent-type vocabulary, broadcast to the
+    * scoring join until `graft.dsir.maxVocab` (default 5M types) demotes
+    * it to a shuffle join (the unigramLogprob r8 hardening, applied from
+    * birth). Selection is top-K by (rounded score, doc_id) — a
+    * TakeOrderedAndProject, ≤K rows per task, never a global sort.
+    */
+  def importanceSample(docs: org.apache.spark.sql.DataFrame,
+      isTarget: org.apache.spark.sql.Column, k: Int): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    val minCount = spark.conf.get("graft.dsir.minCount", "2").toInt
+    val maxVocab = spark.conf.get("graft.dsir.maxVocab", "5000000").toLong
+    val tok = docs.select(col("doc_id"), col("source"), isTarget.as("is_t"),
+      explode(tokens(col("text"))).as("t"))
+    val vc = tok.groupBy("t")
+      .agg(count(lit(1)).as("crRaw"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ctRaw"))
+      .where(col("crRaw") >= minCount)
+      .select(col("t"), col("crRaw").as("cr"),
+        when(col("ctRaw") >= minCount, col("ctRaw")).otherwise(lit(0L)).as("ct"))
+    // one tiny action for the three model constants; null on an
+    // empty/all-blank corpus (sum over zero rows) — the result is empty
+    // either way, but the smoothing denominators must stay positive
+    val stats = vc.agg(sum("cr").as("nr"), sum("ct").as("nt"),
+      count(lit(1)).as("v")).head()
+    val v = stats.getLong(2)
+    val nrV = math.max((if (stats.isNullAt(0)) 0L else stats.getLong(0)) + v, 1L).toDouble
+    val ntV = math.max((if (stats.isNullAt(1)) 0L else stats.getLong(1)) + v, 1L).toDouble
+    val vcSide = if (v <= maxVocab) broadcast(vc) else vc
+    tok.join(vcSide, Seq("t"), "left_outer")
+      .groupBy("doc_id", "source")
+      .agg(round(avg(
+        log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / lit(ntV)) -
+          log((coalesce(col("cr"), lit(0L)) + lit(1.0)) / lit(nrV))), 4).as("logratio"))
+      .orderBy(col("logratio").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Temperature-scaled mixture weights over a (source, n_tokens)
     * aggregate — see the `corpus_mix_temperature` entry. Input is the
     * already-aggregated per-source token totals (sources-sized), so
@@ -521,6 +588,39 @@ object CorpusOps {
           round(pow(u, lit(1.0) / col("n_chars")), 12).as("priority"))
         .orderBy(col("priority").desc, col("doc_id"))
         .limit(20)
+    },
+
+    // DSIR-style importance selection (Xie et al., NeurIPS'23): keep the
+    // DsirK docs whose unigram distribution best matches the TARGET
+    // domain (DsirTarget stands in for the curated reference corpus) by
+    // mean per-token log-ratio between the target and raw LMs — the
+    // distribution-matching data-selection step between quality
+    // filtering (per-doc rules) and mixture sampling (per-source
+    // quotas): it ranks the POOL by target-likeness. Floors/smoothing
+    // are part of the contract — see importanceSample.
+    //
+    // Scale: one token-stream aggregate carrying both model counts,
+    // vocab-floored + broadcast-until-maxVocab score join, top-K as
+    // TakeOrderedAndProject (pinned in PlanSpec).
+    withOracle(
+      "sample_importance",
+      s"""WITH tok AS (SELECT doc_id, source,
+         |               unnest(string_split_regex(lower(text), '\\s+')) AS t
+         |             FROM documents),
+         |vc AS (SELECT t, count(*) AS cr,
+         |         CASE WHEN sum(CASE WHEN source = '${DsirTarget}' THEN 1 ELSE 0 END) >= 2
+         |              THEN sum(CASE WHEN source = '${DsirTarget}' THEN 1 ELSE 0 END)
+         |              ELSE 0 END AS ct
+         |       FROM tok GROUP BY t HAVING count(*) >= 2),
+         |n AS (SELECT sum(cr) AS nr, sum(ct) AS nt, count(*) AS v FROM vc),
+         |sc AS (SELECT tok.doc_id, tok.source,
+         |         round(avg(ln((coalesce(ct, 0) + 1.0) / (nt + v))
+         |                 - ln((coalesce(cr, 0) + 1.0) / (nr + v))), 4) AS logratio
+         |       FROM tok LEFT JOIN vc USING (t) CROSS JOIN n
+         |       GROUP BY tok.doc_id, tok.source)
+         |SELECT doc_id, source, logratio
+         |FROM sc ORDER BY logratio DESC, doc_id LIMIT ${DsirK}""".stripMargin) { (s, dir) =>
+      importanceSample(Tables.documents(s, dir), col("source") === DsirTarget, DsirK)
     },
 
     // Token-budget shard packing: assign each doc (in doc_id order) to the

@@ -47,6 +47,49 @@ class CorpusOpsSpec extends SparkSpec {
     assert(lax == Set(1L, 2L, 3L))
   }
 
+  test("importance sampling ranks target-like pool docs above target-unlike ones") {
+    // target vocabulary {apple..fig} vs disjoint pool vocabulary
+    // {rock..flint}; every word appears >= minCount times so no floor
+    // interferes with the planted signal
+    val tgtWords = "apple banana cherry date elderberry fig"
+    val offWords = "rock stone pebble gravel boulder flint"
+    val docs = Seq(
+      (0L, s"$tgtWords $tgtWords", "tgt"),
+      (1L, s"$tgtWords $tgtWords", "tgt"),
+      (2L, s"$tgtWords $tgtWords", "pool"),   // target-like pool doc
+      (3L, s"$offWords $offWords", "pool"),   // target-unlike
+      (4L, s"$offWords $offWords", "pool")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusOps.importanceSample(docs, col("source") === "tgt", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(2) > got(3),
+      s"the target-vocabulary pool doc must outscore the disjoint one: $got")
+    assert(got(2) == got(0) && got(0) == got(1),
+      s"identical text scores identically whatever its source: $got")
+    assert(got(3) == got(4), s"identical off-target docs tie: $got")
+  }
+
+  test("importance sampling floors rare counts: a target singleton scores like a target-absent word") {
+    // "spark" occurs ONCE in the target (floored to 0 at minCount=2);
+    // "flume" never does. Both have RAW count 3 (doc 12 balances), so
+    // docs 10/11 — identical but for that word — must score EQUAL: the
+    // floor makes the target singleton indistinguishable from absent.
+    val docs = Seq(
+      (0L, "common common spark words words", "tgt"),
+      (1L, "common common words words filler filler", "tgt"),
+      (10L, "common words spark spark", "pool"),
+      (11L, "common words flume flume", "pool"),
+      (12L, "flume filler filler", "pool")
+    ).toDF("doc_id", "text", "source")
+    val got = CorpusOps.importanceSample(docs, col("source") === "tgt", k = 10)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got(10) == got(11),
+      s"floored target singleton must be indistinguishable from absent: $got")
+    // k caps the output
+    val capped = CorpusOps.importanceSample(docs, col("source") === "tgt", k = 2).count()
+    assert(capped == 2L)
+  }
+
   test("temperature mixing: alpha=1 is the natural mix, alpha=0 the uniform one, 0.7 up-samples the tail") {
     val tot = Seq(("big", 9000L), ("small", 1000L)).toDF("source", "n_tokens")
     def m(alpha: Double) = CorpusOps.mixTemperature(tot, alpha)

@@ -80,6 +80,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("sample_importance broadcasts the floored model and takes top-k, never a global sort") {
+    val p = plan(q("sample_importance"))
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-K selection must be map-side k rows per task:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"the scoring join must broadcast the vocab:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a corpus-sized sort-merge join means the vocab bound was lost:\n$p")
+  }
+
   test("text_gopher_filter is one row-local pass: no joins, no aggregates, one sort exchange") {
     val p = plan(q("text_gopher_filter"))
     assert(!p.contains("Join"), s"the rule set must not join:\n$p")
