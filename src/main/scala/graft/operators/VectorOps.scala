@@ -54,6 +54,25 @@ object VectorOps {
     * docs×labels-sized relation. At 100 TB this composes with the IVF
     * index exactly like similarity_topk → ann_ivf.
     */
+  /** Semantic decontamination: drop rows of `emb` NOT matching
+    * `evalPred` whose cosine to ANY evalPred row reaches `threshold` —
+    * embedding-space benchmark-leakage removal (the text_decontaminate
+    * sibling for paraphrased leakage). Eval rows are excluded from the
+    * output, matching the text form's contract. See the declared-query
+    * comment for the broadcast-nested-loop scale argument.
+    */
+  def semanticDecontaminate(emb: DataFrame, evalPred: Column,
+      threshold: Double): DataFrame = {
+    val ev = emb.where(evalPred)
+      .select(col("embedding").as("ee"), l2norm(col("embedding")).as("ne"))
+    val tr = emb.where(!evalPred)
+      .withColumn("nt", l2norm(col("embedding")))
+    tr.join(broadcast(ev),
+        dot(col("embedding"), col("ee")) >= lit(threshold) * col("nt") * col("ne"),
+        "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
+
   def knnLabelPropagate(emb: DataFrame, seedPred: Column,
       k: Int = 5): DataFrame = {
     val sess = emb.sparkSession
@@ -202,6 +221,37 @@ object VectorOps {
         |SELECT c AS vec_id, sl AS pred_label, n_votes, (sl = tl) AS is_correct
         |FROM pred WHERE r = 1 ORDER BY vec_id""".stripMargin) { (s, dir) =>
       knnLabelPropagate(Tables.embeddings(s, dir), col("vec_id") % 5 === 0)
+        .orderBy("vec_id")
+    },
+
+    // SEMANTIC decontamination — the embedding-space sibling of
+    // text_decontaminate: drop training vectors whose cosine to ANY
+    // eval/benchmark vector reaches the threshold (paraphrased or
+    // re-formatted benchmark leakage that n-gram containment misses).
+    // Eval stand-in: vec_id % 10 = 0, the split_train_eval convention;
+    // threshold 0.4 = the corpus's near-dup point (the fixture's
+    // near-uniform synthetic vectors put true duplicates there;
+    // production text embeddings use ~0.95, one conf knob away).
+    //
+    // Scale: the eval side is a benchmark suite — thousands of rows, KB
+    // to MB — so it BROADCASTS and the anti-join runs as a broadcast
+    // nested loop over it (pinned in PlanSpec): per train row, |eval|
+    // codegen'd fvdot calls, ZERO shuffles of the corpus, no pair
+    // relation ever materialized. The corpus-sized × corpus-sized
+    // failure mode of the dedup family cannot occur here by
+    // construction; an LSH prefilter only becomes worth it if the eval
+    // suite outgrows broadcast range.
+    withOracle(
+      "semantic_decontaminate",
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e, label FROM embeddings),
+        |ev AS (SELECT * FROM v WHERE vec_id % 10 = 0),
+        |tr AS (SELECT * FROM v WHERE vec_id % 10 <> 0),
+        |bad AS (SELECT DISTINCT t.vec_id FROM tr t JOIN ev e
+        |        ON list_dot_product(t.e, e.e)
+        |           / (sqrt(list_dot_product(t.e, t.e)) * sqrt(list_dot_product(e.e, e.e))) >= 0.4)
+        |SELECT vec_id, label FROM tr WHERE vec_id NOT IN (SELECT vec_id FROM bad)
+        |ORDER BY vec_id""".stripMargin) { (s, dir) =>
+      semanticDecontaminate(Tables.embeddings(s, dir), col("vec_id") % 10 === 0, 0.4)
         .orderBy("vec_id")
     },
 

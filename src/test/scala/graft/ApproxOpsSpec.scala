@@ -373,6 +373,24 @@ class ApproxOpsSpec extends SparkSpec {
     info(s"semantic dedup recall at 8 cells, nAssign=2: $multiRecall (${multi.size}/${exact.size})")
   }
 
+  test("semantic_decontaminate drops planted eval-duplicate train vectors, keeps orthogonal ones, excludes eval rows") {
+    // eval = vec 0 along x; vec 10 is its scaled copy (cos 1), vec 11 a
+    // near-paraphrase (cos ~0.995), vec 12 orthogonal (cos 0)
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f, 0.0f), 7),
+      (10L, Array(3.0f, 0.0f, 0.0f), 1),
+      (11L, Array(1.0f, 0.1f, 0.0f), 2),
+      (12L, Array(0.0f, 1.0f, 0.0f), 3)).toDF("vec_id", "embedding", "label")
+    val kept = VectorOps.semanticDecontaminate(emb, col("vec_id") === 0, 0.95)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(12L),
+      s"scaled copy 10 and paraphrase 11 dropped, orthogonal 12 kept, eval 0 excluded: $kept")
+    // threshold above the paraphrase keeps it
+    val lax = VectorOps.semanticDecontaminate(emb, col("vec_id") === 0, 0.999)
+      .select("vec_id").as[Long].collect().toSet
+    assert(lax == Set(11L, 12L), s"only the exact-direction copy dropped: $lax")
+  }
+
   test("quantizer survives a corpus smaller than the requested cell count") {
     // a heavily-deduplicated corpus can leave fewer survivors than
     // nCells; MLlib k-means with k > n dies with an opaque

@@ -80,6 +80,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("semantic_decontaminate anti-joins via broadcast nested loop — the corpus never shuffles") {
+    val p = plan(q("semantic_decontaminate"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"eval side must broadcast under the cosine-threshold condition:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"no corpus-sized shuffle or unbroadcast product:\n$p")
+    // only the declared ORDER BY may exchange the surviving rows
+    assert(shuffles(q("semantic_decontaminate")) <= 1,
+      "anti-join must add zero corpus shuffles")
+  }
+
   test("sample_importance broadcasts the floored model and takes top-k, never a global sort") {
     val p = plan(q("sample_importance"))
     assert(p.contains("TakeOrderedAndProject"),
