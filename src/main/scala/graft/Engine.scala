@@ -61,7 +61,9 @@ object Engine {
   /** Vector search: exact cosine top-k, ANN (SRP-LSH / IVF / PQ /
     * IVF-PQ), embedding near-dedup (SRP-LSH and SemDeDup-style),
     * kNN label propagation from a broadcast labeled seed,
-    * outlier filtering, cluster-balanced sampling. Auto-sizing rules:
+    * semantic decontamination (`semanticDecontaminate` — broadcast-anti
+    * cosine vs the eval suite), outlier filtering, cluster-balanced
+    * sampling. Auto-sizing rules:
     * √n IVF cells, log₂(n) LSH planes, dims/4 PQ subspaces.
     */
   val vectors: operators.VectorOps.type = operators.VectorOps
@@ -79,8 +81,9 @@ object Engine {
 
   /** Training-corpus construction: sequence packing, sharding,
     * stratified/token-budget/weighted sampling, WFQ interleave,
-    * contamination check, train/eval split, embedding quantization,
-    * CCNet head/middle/tail perplexity split (`pplSplit`), per-domain
+    * DSIR importance selection (`importanceSample`), contamination
+    * check, train/eval split, embedding quantization, CCNet
+    * head/middle/tail perplexity split (`pplSplit`), per-domain
     * dominance cap (`sourceCap`).
     */
   val corpus: operators.CorpusOps.type = operators.CorpusOps
