@@ -230,4 +230,14 @@ object Engine {
       k: Int, nProbe: Int = 8, rerank: Int = 8): DataFrame =
     operators.VectorOps.annIvfPq(spark, emb, probeFilter, k,
       nProbe = nProbe, rerank = rerank)
+
+  /** Hybrid lexical+vector retrieval fused by reciprocal rank (RRF):
+    * BM25 over `docs` against `qTerms` fused with cosine similarity to
+    * doc `probeId`'s embedding — the standard two-branch serving shape.
+    * Constant-size fusion work regardless of corpus size; see
+    * [[operators.VectorOps.hybridSearchRrf]].
+    */
+  def hybridSearch(docs: DataFrame, emb: DataFrame, qTerms: Seq[String],
+      probeId: Long, k: Int = 10): DataFrame =
+    operators.VectorOps.hybridSearchRrf(docs, emb, qTerms, probeId, k = k)
 }

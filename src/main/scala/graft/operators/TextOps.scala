@@ -263,6 +263,37 @@ object TextOps {
     */
   val SpanDedupN = 8
 
+  /** BM25 scores (Robertson-Spärck Jones, k1=1.2 b=0.75) of `docs`
+    * against `qTerms`: (doc_id, bm25) for every doc matching ≥1 query
+    * term, scores rounded to 4 so downstream ranking agrees cross-engine
+    * (the text_bm25_topk contract; hybrid_search_rrf fuses this with the
+    * cosine branch).
+    *
+    * Scale: tf is a map-combinable (doc,term) aggregate; the query-term
+    * filter prunes the posting relation BEFORE any join (|qTerms| terms,
+    * not the vocabulary); df aggregates those pruned postings; dl is a
+    * doc-cardinality aggregate joined on doc_id; corpus stats ride a
+    * one-row broadcast.
+    */
+  def bm25Scores(docs: DataFrame, qTerms: Seq[String]): DataFrame = {
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
+    val tfq = tf.where(col("t").isin(qTerms: _*))
+    val dfreq = tfq.groupBy("t").agg(count(lit(1)).as("df"))
+    tfq.join(dfreq, "t")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib",
+        log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1))
+          * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
+      .groupBy("doc_id").agg(round(sum("contrib"), 4).as("bm25"))
+      .select(col("doc_id"), col("bm25"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup by content hash: keep the smallest doc_id per md5 group.
@@ -427,24 +458,7 @@ object TextOps {
         |SELECT rank, doc_id, bm25 FROM ranked WHERE rank <= 10
         |ORDER BY rank""".stripMargin) { (s, dir) =>
       import s.implicits._
-      val qTerms = Seq("spark", "merge", "vector")
-      val docs = Tables.documents(s, dir)
-      val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-        .where(col("t") =!= "")
-        .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"))
-      val tfq = tf.where(col("t").isin(qTerms: _*))
-      val dfreq = tfq.groupBy("t").agg(count(lit(1)).as("df"))
-      tfq.join(dfreq, "t")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib",
-          log((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1))
-            * col("tf") * lit(2.2)
-            / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl"))))
-        .groupBy("doc_id").agg(round(sum("contrib"), 4).as("bm25"))
-        .select(col("doc_id"), col("bm25"))
+      bm25Scores(Tables.documents(s, dir), Seq("spark", "merge", "vector"))
         .as[(Long, Double)]
         .groupByKey(_ => 0)
         .mapValues { case (id, v) => (id, v) }

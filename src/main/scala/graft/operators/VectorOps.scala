@@ -73,6 +73,58 @@ object VectorOps {
       .select(col("vec_id"), col("label"))
   }
 
+  /** Hybrid more-like-this retrieval fused by reciprocal rank: BM25 of
+    * `docs` (doc_id, text) against `qTerms` and cosine of `emb`
+    * (vec_id, embedding) to doc `probeId`'s embedding, each ranked to
+    * `depth`, fused as rrf(d) = Σ 1/(rrfK + rank) (missing branch → 0),
+    * top `k` emitted with both branch ranks. Doc `probeId` is excluded
+    * from both branches (it is the query). Branch ranks are over
+    * 4-dp-rounded scores with id tie-break — the cross-engine ranking
+    * contract every top-k op here uses.
+    *
+    * Scale: each branch reduces through the map-side TopKAgg heap, so
+    * the fusion join and final window see ≤ 2·depth rows no matter the
+    * corpus size; the semantic branch is one corpus scan against a
+    * broadcast probe (swap in the IVF index at 100 TB — same (id, cos)
+    * contract), the lexical branch is [[TextOps.bm25Scores]]'s
+    * query-term-pruned posting aggregate.
+    */
+  def hybridSearchRrf(docs: DataFrame, emb: DataFrame, qTerms: Seq[String],
+      probeId: Long, depth: Int = 50, k: Int = 10, rrfK: Int = 60): DataFrame = {
+    val sess = emb.sparkSession
+    import sess.implicits._
+    def branchRanks(scores: DataFrame, rankName: String): DataFrame =
+      scores.as[(Long, Double)]
+        .groupByKey(_ => 0)
+        .mapValues { case (id, v) => (id, v) }
+        .agg(graft.functions.TopKAgg.TopK(depth).toColumn.name("top"))
+        .select(posexplode(col("top.items")).as(Seq("pos", "e")))
+        .select(col("e.id").as("doc_id"), (col("pos") + 1).as(rankName))
+    val lex = branchRanks(
+      TextOps.bm25Scores(docs.where(col("doc_id") =!= probeId), qTerms),
+      "lex_rank")
+    val probe = emb.where(col("vec_id") === probeId)
+      .select(col("embedding").as("pe"))
+    val sem = branchRanks(
+      emb.where(col("vec_id") =!= probeId)
+        .crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          round(cosine(col("pe"), col("embedding")), 4).as("cos")),
+      "sem_rank")
+    // the fusion relation is ≤ 2·depth rows — the global window is over
+    // a constant-size input, not the corpus
+    lex.join(sem, Seq("doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("lex_rank")), lit(0.0))
+          + coalesce(lit(1.0) / (lit(rrfK) + col("sem_rank")), lit(0.0)), 6))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("rrf"),
+        col("lex_rank"), col("sem_rank"))
+      .orderBy("rank")
+  }
+
   def knnLabelPropagate(emb: DataFrame, seedPred: Column,
       k: Int = 5): DataFrame = {
     val sess = emb.sparkSession
@@ -190,6 +242,75 @@ object VectorOps {
         .select(col("p").as("probe_id"), (col("pos") + 1).as("rank"),
           col("e.id").as("neighbor_id"), round(col("e.value"), 4).as("cos"))
         .orderBy("probe_id", "rank")
+    },
+
+    // HYBRID retrieval via reciprocal-rank fusion (Cormack/Clarke/
+    // Büttcher, SIGIR'09) — the standard lexical+vector serving shape:
+    // BM25 against a fixed 3-term query fused with cosine similarity to
+    // a fixed query vector (doc 0's embedding stands in as the encoded
+    // query; doc 0 itself is excluded from both branches as "the
+    // query"). rrf(d) = Σ_branches 1/(60 + rank_branch(d)) at depth 50,
+    // missing-from-a-branch contributes 0; emit the fused top-10 with
+    // both branch ranks for attribution.
+    //
+    // Cross-engine rank agreement: each branch ranks on its ROUNDED
+    // score (4 dp) with id tie-break — the text_bm25_topk /
+    // similarity_topk contract — so the depth-50 sets and rank values
+    // match DuckDB exactly, and the fused score is arithmetic on agreed
+    // integer ranks.
+    //
+    // Scale: the lexical branch is bm25Scores (query-term-pruned posting
+    // relation, map-combinable tf, one-row broadcast stats); the
+    // semantic branch is one corpus scan against a broadcast probe (at
+    // 100 TB swap in the IVF index — same (id, cos) contract); each
+    // branch reduces through the map-side TopKAgg heap, so the fusion
+    // join and final window see ≤ 2·depth rows — constant-size work no
+    // matter the corpus.
+    withOracle(
+      "hybrid_search_rrf",
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |              FROM documents WHERE doc_id <> 0),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['spark', 'merge', 'vector']) AS t),
+        |df AS (SELECT t, count(*) AS df FROM tf JOIN q USING (t) GROUP BY t),
+        |lex_scored AS (
+        |  SELECT tf.doc_id,
+        |         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+        |               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        |  FROM tf JOIN q USING (t) JOIN df USING (t) JOIN dl USING (doc_id)
+        |       CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |lex_ranked AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM lex_scored),
+        |lex AS (SELECT doc_id, lex_rank FROM lex_ranked WHERE lex_rank <= 50),
+        |probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0),
+        |sem_scored AS (
+        |  SELECT vec_id AS doc_id,
+        |         round(list_dot_product(pe, ce) /
+        |               (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))), 4) AS cos
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+        |        FROM embeddings WHERE vec_id <> 0) CROSS JOIN probe),
+        |sem_ranked AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+        |  FROM sem_scored),
+        |sem AS (SELECT doc_id, sem_rank FROM sem_ranked WHERE sem_rank <= 50),
+        |fused AS (
+        |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |         round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), CAST(0 AS DOUBLE))
+        |             + coalesce(CAST(1 AS DOUBLE) / (60 + sem_rank), CAST(0 AS DOUBLE)), 6) AS rrf,
+        |         lex_rank, sem_rank
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, rrf, lex_rank, sem_rank,
+        |         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT rank, doc_id, rrf, lex_rank, sem_rank
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      hybridSearchRrf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        Seq("spark", "merge", "vector"), probeId = 0L)
     },
 
     // Semi-supervised kNN LABEL PROPAGATION — the model-based corpus

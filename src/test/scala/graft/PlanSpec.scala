@@ -109,6 +109,21 @@ class PlanSpec extends SparkSpec {
       "only the declared ORDER BY may exchange")
   }
 
+  test("hybrid_search_rrf: broadcast probe, heap-reduced branches, no cartesian") {
+    val p = plan(q("hybrid_search_rrf"))
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"the semantic branch must scan the corpus against a BROADCAST probe:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"no unbroadcast product anywhere in the fusion:\n$p")
+    // both branches reduce through the map-side TopKAgg heap (partial +
+    // final ObjectHashAggregate per branch) — never a corpus-sized window
+    val heapAggs = collectNodes(q("hybrid_search_rrf")) {
+      case a: org.apache.spark.sql.execution.aggregate.ObjectHashAggregateExec => a
+    }
+    assert(heapAggs.size >= 4,
+      s"expected partial+final heap aggregates on both branches, got ${heapAggs.size}:\n$p")
+  }
+
   test("text_unigram_logprob broadcasts the vocab (no sort-merge join)") {
     val p = plan(q("text_unigram_logprob"))
     assert(p.contains("BroadcastHashJoin"), p)
