@@ -90,6 +90,49 @@ object AsofJoin {
       .drop("__m")
   }
 
+  /** The NEAREST direction (pandas merge_asof direction='nearest'): for
+    * each left row, the right row minimizing |leftTs − rightTs| per key;
+    * exact-distance ties go backward (the earlier row). Both candidates
+    * come out of ONE key-partitioned interleave — the backward and
+    * forward frames share the same (partition, order) spec so Spark
+    * plans a single shuffle — and the argmin is one row-local
+    * comparison on the packed (ts, value) structs. `ts` must be numeric
+    * (the engine's epoch-nanos currency).
+    */
+  def asofJoinNearest(left: DataFrame, right: DataFrame, key: String,
+      ts: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val mType = new StructType()
+      .add("mts", right.schema(ts).dataType)
+      .add("mv", right.schema(valueCol).dataType)
+    val leftCols = left.columns.filterNot(_ == valueCol)
+    val taggedLeft = left.withColumn("__side", lit(1))
+      .withColumn("__m", lit(null).cast(mType))
+    val taggedRight = right.select(
+      (Seq(col(key), col(ts)) ++
+        leftCols.filterNot(c => c == key || c == ts).map(c => lit(null).cast(left.schema(c).dataType).as(c)) :+
+        lit(0).as("__side") :+
+        struct(col(ts).as("mts"), col(valueCol).as("mv")).as("__m")): _*)
+    // right sorts first at equal ts: the backward frame then includes a
+    // simultaneous right row (>= semantics) while the forward frame
+    // starts at the left row and excludes it — distance-0 matches are
+    // the backward branch's, which the tie rule picks anyway.
+    val ord = Window.partitionBy(key).orderBy(col(ts), col("__side"))
+    val wb = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wf = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    taggedLeft.select(taggedRight.columns.toIndexedSeq.map(col): _*)
+      .unionAll(taggedRight)
+      .withColumn("__b", last(col("__m"), ignoreNulls = true).over(wb))
+      .withColumn("__f", first(col("__m"), ignoreNulls = true).over(wf))
+      .where(col("__side") === 1)
+      .withColumn(valueCol,
+        when(col("__f").isNull, col("__b.mv"))
+          .when(col("__b").isNull, col("__f.mv"))
+          .when(col(ts) - col("__b.mts") <= col("__f.mts") - col(ts), col("__b.mv"))
+          .otherwise(col("__f.mv")))
+      .drop("__side", "__m", "__b", "__f")
+  }
+
   val defs: Seq[QueryDef] = Seq(
 
     // Attribution shape: each purchase joined as-of to the same user's
@@ -154,6 +197,39 @@ object AsofJoin {
       asofJoinForward(views, clicks, key = "user_id", ts = "ts", valueCol = "click_id")
         .select(col("view_id"), col("user_id"), col("click_id"))
         .orderBy("view_id")
+    },
+
+    // The nearest direction: each purchase joined to the same user's
+    // click closest in time, before OR after (sensor/quote alignment
+    // shape; ties go backward). Oracle = backward ASOF + forward ASOF +
+    // the same row-local distance argmin.
+    withOracle(
+      "join_asof_nearest",
+      """WITH p AS (SELECT user_id, ts, event_id AS purchase_id FROM events
+        |           WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, ts, event_id AS click_id FROM events
+        |      WHERE event_type = 'click'),
+        |b AS (SELECT p.purchase_id, p.user_id, p.ts, c.click_id AS b_id, c.ts AS b_ts
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts),
+        |f AS (SELECT p.purchase_id, c.click_id AS f_id, c.ts AS f_ts
+        |      FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts <= c.ts)
+        |SELECT b.purchase_id, b.user_id,
+        |       CASE WHEN f_id IS NULL THEN b_id
+        |            WHEN b_id IS NULL THEN f_id
+        |            WHEN epoch_ns(b.ts) - epoch_ns(b_ts)
+        |                 <= epoch_ns(f_ts) - epoch_ns(b.ts) THEN b_id
+        |            ELSE f_id END AS click_id
+        |FROM b JOIN f USING (purchase_id)
+        |ORDER BY purchase_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.eventsRaw(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id").as("purchase_id"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id").as("click_id"))
+      asofJoinNearest(purchases, clicks, key = "user_id", ts = "ts",
+        valueCol = "click_id")
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy("purchase_id")
     }
   )
 }
