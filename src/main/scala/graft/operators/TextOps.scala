@@ -294,6 +294,51 @@ object TextOps {
       .select(col("doc_id"), col("bm25"))
   }
 
+  /** Global top-k of a (doc_id, bm25) relation via the map-side TopKAgg
+    * heap — each task ships at most k rows, no single-partition window
+    * over every matching document. Output: (rank, doc_id, bm25), rank on
+    * (bm25 DESC, doc_id ASC) over the ROUNDED scores — the cross-engine
+    * ranking contract.
+    */
+  def bm25Rank(scores: DataFrame, k: Int): DataFrame = {
+    val sess = scores.sparkSession
+    import sess.implicits._
+    scores.as[(Long, Double)]
+      .groupByKey(_ => 0)
+      .mapValues { case (id, v) => (id, v) }
+      .agg(graft.functions.TopKAgg.TopK(k).toColumn.name("top"))
+      .select(posexplode(col("top.items")).as(Seq("pos", "e")))
+      .select((col("pos") + 1).as("rank"), col("e.id").as("doc_id"),
+        col("e.value").as("bm25"))
+      .orderBy("rank")
+  }
+
+  /** Shared DuckDB oracle for text_bm25_topk AND text_bm25_indexed —
+    * the indexed form must return byte-identical results to the direct
+    * scan, and sharing the SQL makes the driver prove it.
+    */
+  private[operators] val bm25TopkOracleSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+      |              FROM documents),
+      |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+      |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+      |q AS (SELECT unnest(['spark', 'merge', 'vector']) AS t),
+      |df AS (SELECT t, count(*) AS df FROM tf JOIN q USING (t) GROUP BY t),
+      |scored AS (
+      |  SELECT tf.doc_id,
+      |         sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+      |             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+      |  FROM tf JOIN q USING (t) JOIN df USING (t) JOIN dl USING (doc_id)
+      |       CROSS JOIN stats
+      |  GROUP BY tf.doc_id),
+      |ranked AS (
+      |  SELECT doc_id, round(score, 4) AS bm25,
+      |         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT rank, doc_id, bm25 FROM ranked WHERE rank <= 10
+      |ORDER BY rank""".stripMargin
+
   val defs: Seq[QueryDef] = Seq(
 
     // Exact dedup by content hash: keep the smallest doc_id per md5 group.
@@ -437,36 +482,24 @@ object TextOps {
     // window over every matching document.
     withOracle(
       "text_bm25_topk",
-      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
-        |              FROM documents),
-        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |q AS (SELECT unnest(['spark', 'merge', 'vector']) AS t),
-        |df AS (SELECT t, count(*) AS df FROM tf JOIN q USING (t) GROUP BY t),
-        |scored AS (
-        |  SELECT tf.doc_id,
-        |         sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-        |             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
-        |  FROM tf JOIN q USING (t) JOIN df USING (t) JOIN dl USING (doc_id)
-        |       CROSS JOIN stats
-        |  GROUP BY tf.doc_id),
-        |ranked AS (
-        |  SELECT doc_id, round(score, 4) AS bm25,
-        |         row_number() OVER (ORDER BY round(score, 4) DESC, doc_id) AS rank
-        |  FROM scored)
-        |SELECT rank, doc_id, bm25 FROM ranked WHERE rank <= 10
-        |ORDER BY rank""".stripMargin) { (s, dir) =>
-      import s.implicits._
-      bm25Scores(Tables.documents(s, dir), Seq("spark", "merge", "vector"))
-        .as[(Long, Double)]
-        .groupByKey(_ => 0)
-        .mapValues { case (id, v) => (id, v) }
-        .agg(graft.functions.TopKAgg.TopK(10).toColumn.name("top"))
-        .select(posexplode(col("top.items")).as(Seq("pos", "e")))
-        .select((col("pos") + 1).as("rank"), col("e.id").as("doc_id"),
-          col("e.value").as("bm25"))
-        .orderBy("rank")
+      bm25TopkOracleSql) { (s, dir) =>
+      bm25Rank(bm25Scores(Tables.documents(s, dir),
+        Seq("spark", "merge", "vector")), 10)
+    },
+
+    // The same BM25 top-10 served from the persistent posting-list
+    // index ([[LexIndex]]): build in-query, query reads ONLY the 3
+    // terms' bucket partitions with doc lengths denormalized onto the
+    // postings — no corpus-shaped work at query time. SAME oracle SQL
+    // as text_bm25_topk, so the driver proves index ≡ direct scan
+    // (the text_span_scrub_windowed pattern); LexIndexSpec pins the
+    // partition pruning.
+    withOracle(
+      "text_bm25_indexed",
+      bm25TopkOracleSql) { (s, dir) =>
+      val idx = graft.Scratch.dir("graft_lexindex")
+      LexIndex.build(s, Tables.documents(s, dir), idx)
+      LexIndex.bm25TopK(s, idx, Seq("spark", "merge", "vector"), k = 10)
     },
 
     // Fixed-size overlapping token-window chunking (size 32, stride 24 —
