@@ -114,6 +114,60 @@ object GraphOps {
     current.select(col("node"), col("label"))
   }
 
+  /** Single-source BFS hop distances over the bidirectional edge set:
+    * (node, depth) for every node reachable from `source` (the source at
+    * depth 0) — the §2.6 reachability-with-distance complement to
+    * [[connectedComponents]] (same-component membership without the
+    * distance). Frontier expansion: the edge relation is src-partitioned
+    * ONCE and checkpointed (the CC discipline — only frontier/visited
+    * move per round); each round joins the frontier to edges, anti-joins
+    * the visited set (both node-partitioned, checkpoint-preserved), and
+    * stops when the frontier empties — O(eccentricity) rounds, per-round
+    * work bounded by frontier×degree plus one component-sized anti-join
+    * probe, never all-pairs.
+    */
+  def bfsDepths(edges: DataFrame, source: Long, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val bidir = edges.select(col("src"), col("dst"))
+      .where(col("src") =!= col("dst"))
+      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .repartition(col("src"))
+      .localCheckpoint()
+    var visited = Seq((source, 0)).toDF("node", "depth")
+      .repartition(col("node")).localCheckpoint()
+    var frontier = visited
+    var depth = 0
+    var done = false
+    while (!done && depth < maxIter) {
+      // distinct hash-partitions the candidates by node, so the visited
+      // anti-join reuses that partitioning against the node-partitioned
+      // checkpoint
+      val next = bidir
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .withColumn("depth", lit(depth + 1))
+        .localCheckpoint()
+      if (next.limit(1).count() == 0) done = true
+      else {
+        val grown = visited.unionAll(next)
+          .repartition(col("node")).localCheckpoint()
+        visited.unpersist()
+        if (frontier ne visited) frontier.unpersist()
+        visited = grown
+        frontier = next
+        depth += 1
+      }
+    }
+    bidir.unpersist()
+    require(done,
+      s"BFS frontier still non-empty after $maxIter rounds — raise maxIter " +
+        "(rounds scale with the source's eccentricity)")
+    visited
+  }
+
   /** PersonId struct column -> one sortable string key preserving the
     * reference's union total order — tag first, then value; cookie tag 1 <
     * user_id tag 2 (schema/PersonID.java:322-326): `1:<cookie>` /
@@ -316,6 +370,30 @@ object GraphOps {
          |FROM und t1 JOIN und t2 ON t1.b = t2.a
          |JOIN und t3 ON t3.a = t1.a AND t3.b = t2.b""".stripMargin) { (s, dir) =>
       triangleCount(equivEdges(s, dir))
+    },
+
+    // Single-source BFS depths from the equiv graph's smallest node —
+    // hop-distance reachability (the distance CC's labeling discards).
+    // Oracle: bounded recursive walk + min(depth) per node; the cap (12)
+    // only has to exceed the source's eccentricity (measured 3 at both
+    // fixture SFs — the mod-edge graph is shallow by construction), while
+    // the Spark side iterates exactly until the frontier empties.
+    withOracle(
+      "graph_bfs_depth",
+      s"""WITH RECURSIVE $edgesBody,
+         |edges AS (SELECT src AS a, dst AS b FROM e UNION SELECT dst, src FROM e),
+         |src0 AS (SELECT min(a) AS s FROM edges),
+         |walk AS (
+         |  SELECT s AS node, 0 AS depth FROM src0
+         |  UNION
+         |  SELECT e2.b, w.depth + 1 FROM walk w JOIN edges e2 ON e2.a = w.node
+         |  WHERE w.depth < 12)
+         |SELECT node, min(depth) AS depth FROM walk GROUP BY node
+         |ORDER BY node""".stripMargin) { (s, dir) =>
+      val ed = equivEdges(s, dir)
+      val source = ed.select(least(col("src"), col("dst")).as("n"))
+        .agg(min("n")).head().getLong(0)
+      bfsDepths(ed, source).orderBy("node")
     },
 
     // EdgifyEquiv (BatchWorkflow.java:561-568): equiv facts -> edge tuples.

@@ -5,6 +5,18 @@ import graft.operators.GraphOps
 class GraphOpsSpec extends SparkSpec {
   import spark.implicits._
 
+  test("bfsDepths: exact hop distances, unreachable nodes absent, direction-blind") {
+    // path 1-2-3-4, a shortcut 1-3 (so 4 is at depth 2, not 3), an edge
+    // stored "backwards" (5 -> 3: BFS must traverse it toward 5), and a
+    // disconnected pair 10-11
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 3L), (5L, 3L), (10L, 11L))
+      .toDF("src", "dst")
+    val got = GraphOps.bfsDepths(edges, source = 1L)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(got == Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2, 5L -> 2),
+      s"got $got")
+  }
+
   test("pageRank matches a sequential power-iteration reference (dangling mass leaks)") {
     // two hubs, a chain, and a dangling sink
     val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 4L), (2L, 4L), (5L, 1L))
