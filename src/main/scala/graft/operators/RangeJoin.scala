@@ -4,6 +4,7 @@ import graft.{QueryDef, Tables}
 import graft.QueryDef.withOracle
 import graft.functions.TimeFunctions.fdiv
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Banded range (interval) join — like the as-of join, an operator the
@@ -64,6 +65,52 @@ object RangeJoin {
           col("ts_secs").as("cts"))
       bandedRangeJoin(purchases, clicks, "user_id", "pts", "cts", WindowSecs)
         .select(col("purchase_id"), col("click_id"))
+        .orderBy("purchase_id", "click_id")
+    },
+
+    // Multi-touch attribution over the same window pairs: every click in
+    // the hour before a purchase gets a LINEAR credit (1/n) and a
+    // TIME-DECAY credit (1/(1+age) normalized per purchase — rational in
+    // the age, so both engines evaluate identical doubles before the
+    // round; no exp() 1-ulp exposure). The per-purchase totals ride two
+    // windows over the PAIR relation sharing one partitioning, and per-
+    // key volume is bounded by the clicks-in-window population the
+    // banded join already bounds — never user-history-sized.
+    withOracle(
+      "attribution_multitouch",
+      s"""WITH p AS (SELECT event_id AS purchase_id, user_id, $ts AS pts
+         |           FROM events WHERE event_type = 'purchase'),
+         |c AS (SELECT event_id AS click_id, user_id, $ts AS cts
+         |      FROM events WHERE event_type = 'click'),
+         |pairs AS (
+         |  SELECT purchase_id, click_id, pts, cts,
+         |         CAST(1 AS DOUBLE) / (1 + pts - cts) AS raw
+         |  FROM p JOIN c ON p.user_id = c.user_id
+         |   AND c.cts BETWEEN p.pts - ${WindowSecs} AND p.pts),
+         |tot AS (
+         |  SELECT purchase_id, click_id,
+         |         count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+         |         raw, sum(raw) OVER (PARTITION BY purchase_id) AS t
+         |  FROM pairs)
+         |SELECT purchase_id, click_id, n_touches,
+         |       round(CAST(1 AS DOUBLE) / n_touches, 4) AS linear_w,
+         |       round(raw / t, 4) AS decay_w
+         |FROM tot ORDER BY purchase_id, click_id""".stripMargin) { (s, dir) =>
+      val ev = Tables.events(s, dir)
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_secs").as("pts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("ts_secs").as("cts"))
+      val byPurchase = Window.partitionBy("purchase_id")
+      bandedRangeJoin(purchases, clicks, "user_id", "pts", "cts", WindowSecs)
+        .withColumn("raw", lit(1.0) / (lit(1L) + col("pts") - col("cts")))
+        .withColumn("n_touches", count(lit(1)).over(byPurchase))
+        .withColumn("t", sum("raw").over(byPurchase))
+        .select(col("purchase_id"), col("click_id"), col("n_touches"),
+          round(lit(1.0) / col("n_touches"), 4).as("linear_w"),
+          round(col("raw") / col("t"), 4).as("decay_w"))
         .orderBy("purchase_id", "click_id")
     }
   )
