@@ -90,7 +90,26 @@ object VectorOps {
     * query-term-pruned posting aggregate.
     */
   def hybridSearchRrf(docs: DataFrame, emb: DataFrame, qTerms: Seq[String],
-      probeId: Long, depth: Int = 50, k: Int = 10, rrfK: Int = 60): DataFrame = {
+      probeId: Long, depth: Int = 50, k: Int = 10, rrfK: Int = 60): DataFrame =
+    hybridFuse(
+      TextOps.bm25Scores(docs.where(col("doc_id") =!= probeId), qTerms),
+      emb, probeId, depth, k, rrfK)
+
+  /** [[hybridSearchRrf]] with the lexical branch served from a
+    * persistent [[LexIndex]] (built over the probe-excluded corpus, so
+    * branch scores — and therefore the fused result — are byte-identical
+    * to the direct form; the declared query shares the oracle verbatim
+    * to prove it). The production serving shape: query-term-sized
+    * lexical work + one corpus scan (or IVF probe) on the vector side.
+    */
+  def hybridSearchRrfIndexed(spark: SparkSession, indexDir: String,
+      emb: DataFrame, qTerms: Seq[String], probeId: Long,
+      depth: Int = 50, k: Int = 10, rrfK: Int = 60): DataFrame =
+    hybridFuse(LexIndex.bm25Scores(spark, indexDir, qTerms),
+      emb, probeId, depth, k, rrfK)
+
+  private def hybridFuse(lexScores: DataFrame, emb: DataFrame,
+      probeId: Long, depth: Int, k: Int, rrfK: Int): DataFrame = {
     val sess = emb.sparkSession
     import sess.implicits._
     def branchRanks(scores: DataFrame, rankName: String): DataFrame =
@@ -100,9 +119,7 @@ object VectorOps {
         .agg(graft.functions.TopKAgg.TopK(depth).toColumn.name("top"))
         .select(posexplode(col("top.items")).as(Seq("pos", "e")))
         .select(col("e.id").as("doc_id"), (col("pos") + 1).as(rankName))
-    val lex = branchRanks(
-      TextOps.bm25Scores(docs.where(col("doc_id") =!= probeId), qTerms),
-      "lex_rank")
+    val lex = branchRanks(lexScores, "lex_rank")
     val probe = emb.where(col("vec_id") === probeId)
       .select(col("embedding").as("pe"))
     val sem = branchRanks(
@@ -153,6 +170,54 @@ object VectorOps {
         col("m.n_votes").as("n_votes"),
         ((-col("m.nl")) === col("tl")).as("is_correct"))
   }
+
+  /** Shared DuckDB oracle for hybrid_search_rrf AND
+    * hybrid_search_indexed — the index-served form must fuse to the
+    * byte-identical result, and sharing the SQL makes the driver prove
+    * it.
+    */
+  private[operators] val hybridRrfOracleSql: String =
+    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |              FROM documents WHERE doc_id <> 0),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT unnest(['spark', 'merge', 'vector']) AS t),
+        |df AS (SELECT t, count(*) AS df FROM tf JOIN q USING (t) GROUP BY t),
+        |lex_scored AS (
+        |  SELECT tf.doc_id,
+        |         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+        |               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
+        |  FROM tf JOIN q USING (t) JOIN df USING (t) JOIN dl USING (doc_id)
+        |       CROSS JOIN stats
+        |  GROUP BY tf.doc_id),
+        |lex_ranked AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+        |  FROM lex_scored),
+        |lex AS (SELECT doc_id, lex_rank FROM lex_ranked WHERE lex_rank <= 50),
+        |probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0),
+        |sem_scored AS (
+        |  SELECT vec_id AS doc_id,
+        |         round(list_dot_product(pe, ce) /
+        |               (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))), 4) AS cos
+        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
+        |        FROM embeddings WHERE vec_id <> 0) CROSS JOIN probe),
+        |sem_ranked AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
+        |  FROM sem_scored),
+        |sem AS (SELECT doc_id, sem_rank FROM sem_ranked WHERE sem_rank <= 50),
+        |fused AS (
+        |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+        |         round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), CAST(0 AS DOUBLE))
+        |             + coalesce(CAST(1 AS DOUBLE) / (60 + sem_rank), CAST(0 AS DOUBLE)), 6) AS rrf,
+        |         lex_rank, sem_rank
+        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+        |ranked AS (
+        |  SELECT doc_id, rrf, lex_rank, sem_rank,
+        |         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT rank, doc_id, rrf, lex_rank, sem_rank
+        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -268,48 +333,25 @@ object VectorOps {
     // matter the corpus.
     withOracle(
       "hybrid_search_rrf",
-      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
-        |              FROM documents WHERE doc_id <> 0),
-        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),
-        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
-        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
-        |q AS (SELECT unnest(['spark', 'merge', 'vector']) AS t),
-        |df AS (SELECT t, count(*) AS df FROM tf JOIN q USING (t) GROUP BY t),
-        |lex_scored AS (
-        |  SELECT tf.doc_id,
-        |         round(sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
-        |               * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 4) AS bm25
-        |  FROM tf JOIN q USING (t) JOIN df USING (t) JOIN dl USING (doc_id)
-        |       CROSS JOIN stats
-        |  GROUP BY tf.doc_id),
-        |lex_ranked AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
-        |  FROM lex_scored),
-        |lex AS (SELECT doc_id, lex_rank FROM lex_ranked WHERE lex_rank <= 50),
-        |probe AS (SELECT CAST(embedding AS DOUBLE[]) AS pe FROM embeddings WHERE vec_id = 0),
-        |sem_scored AS (
-        |  SELECT vec_id AS doc_id,
-        |         round(list_dot_product(pe, ce) /
-        |               (sqrt(list_dot_product(pe, pe)) * sqrt(list_dot_product(ce, ce))), 4) AS cos
-        |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ce
-        |        FROM embeddings WHERE vec_id <> 0) CROSS JOIN probe),
-        |sem_ranked AS (
-        |  SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS sem_rank
-        |  FROM sem_scored),
-        |sem AS (SELECT doc_id, sem_rank FROM sem_ranked WHERE sem_rank <= 50),
-        |fused AS (
-        |  SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
-        |         round(coalesce(CAST(1 AS DOUBLE) / (60 + lex_rank), CAST(0 AS DOUBLE))
-        |             + coalesce(CAST(1 AS DOUBLE) / (60 + sem_rank), CAST(0 AS DOUBLE)), 6) AS rrf,
-        |         lex_rank, sem_rank
-        |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
-        |ranked AS (
-        |  SELECT doc_id, rrf, lex_rank, sem_rank,
-        |         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
-        |  FROM fused)
-        |SELECT rank, doc_id, rrf, lex_rank, sem_rank
-        |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin) { (s, dir) =>
+      hybridRrfOracleSql) { (s, dir) =>
       hybridSearchRrf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        Seq("spark", "merge", "vector"), probeId = 0L)
+    },
+
+    // The same hybrid top-10 with the LEXICAL branch served from the
+    // persistent posting-list index (built over the probe-excluded
+    // corpus so branch scores match the direct form exactly) — SAME
+    // oracle SQL as hybrid_search_rrf, so the driver proves the
+    // index-served fusion ≡ the direct-scan fusion. This is the
+    // production serving shape: query-term-sized lexical work fused
+    // with one vector-side scan/probe.
+    withOracle(
+      "hybrid_search_indexed",
+      hybridRrfOracleSql) { (s, dir) =>
+      val idx = graft.Scratch.dir("graft_lexindex_hybrid")
+      LexIndex.build(s,
+        Tables.documents(s, dir).where(col("doc_id") =!= 0), idx)
+      hybridSearchRrfIndexed(s, idx, Tables.embeddings(s, dir),
         Seq("spark", "merge", "vector"), probeId = 0L)
     },
 
