@@ -74,6 +74,12 @@ object Engine {
     */
   val index: operators.VectorIndex.type = operators.VectorIndex
 
+  /** Persistent posting-list index for lexical BM25 serving — the
+    * lexical sibling of [[index]] (build / bm25Scores / bm25TopK;
+    * queries read only their terms' bucket partitions).
+    */
+  val lexindex: operators.LexIndex.type = operators.LexIndex
+
   /** Graph: pointer-jumping connected components (batch, incremental,
     * streaming via [[streaming.LabelStore]]), PageRank, triangle count.
     */
