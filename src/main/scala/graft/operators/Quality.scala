@@ -66,6 +66,55 @@ object Quality {
         .agg(count(lit(1)).as("n_violations"))
         .select(lit("orphan_lineitem").as("chk"), col("n_violations"))
       rowLocal.unionAll(dup).unionAll(orphan).orderBy("chk")
+    },
+
+    // Rolling volume-anomaly detection — the monitoring view on top of
+    // the constraint report: per event type, each hour's count scored
+    // against the trailing 24-hour window (z = (n − μ)/σ over ROWS
+    // BETWEEN 24 PRECEDING AND 1 PRECEDING — row-based in BOTH engines,
+    // so hour gaps cannot desynchronize the frames), flagged at |z| ≥ 3
+    // on the ROUNDED score. A 12-observation warm-up guards the
+    // undefined-stddev region (and the engines' different n=1 stddev
+    // conventions); σ = 0 windows are unflaggable and excluded.
+    //
+    // Scale: one map-combinable (type, hour) count over the scan, then a
+    // window whose per-key volume is hours-per-type — bounded by
+    // retention, not event volume. Never a self-join.
+    withOracle(
+      "dq_volume_anomaly",
+      s"""WITH hourly AS (
+         |  SELECT event_type, ${Tables.sql.tsSecs} // 3600 AS hour,
+         |         count(*) AS n
+         |  FROM events GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT event_type, hour, n,
+         |         count(*) OVER w AS n_obs,
+         |         avg(n) OVER w AS mu,
+         |         stddev_samp(n) OVER w AS sd
+         |  FROM hourly
+         |  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+         |               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT event_type, hour, n,
+         |       round((n - mu) / sd, 4) AS z,
+         |       (abs(round((n - mu) / sd, 4)) >= 3) AS is_anomaly
+         |FROM scored WHERE n_obs >= 12 AND sd > 0
+         |ORDER BY event_type, hour""".stripMargin) { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val hourly = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          graft.functions.TimeFunctions.fdiv(col("ts_secs"), 3600L).as("hour"))
+        .agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("hour")
+        .rowsBetween(-24, -1)
+      hourly
+        .withColumn("n_obs", count(lit(1)).over(w))
+        .withColumn("mu", avg("n").over(w))
+        .withColumn("sd", stddev_samp(col("n")).over(w))
+        .where(col("n_obs") >= 12 && col("sd") > 0)
+        .withColumn("z", round((col("n") - col("mu")) / col("sd"), 4))
+        .select(col("event_type"), col("hour"), col("n"), col("z"),
+          (abs(col("z")) >= 3).as("is_anomaly"))
+        .orderBy("event_type", "hour")
     }
   )
 }
