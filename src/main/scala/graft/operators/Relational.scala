@@ -94,6 +94,37 @@ object Relational {
           col("o_orderdate").cast("timestamp_ltz").cast("long").as("odate"))
     },
 
+    // TPC-H Q4 (order-priority checking), adapted to the fixture's
+    // columns: the EXISTS probe is "some line item shipped more than 30
+    // days after the order date" (the fixture lineitem carries no
+    // commit/receipt dates, so the late-delivery predicate is expressed
+    // on shipdate vs orderdate). The shape is the point: a quarter-
+    // filtered fact scan semi-joined on (equi-key + correlated range
+    // condition) — EXISTS compiles to a left-semi join, each order
+    // counted once no matter how many qualifying line items.
+    withOracle(
+      "q4_order_priority",
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-04-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin) { (s, dir) =>
+      Tables.orders(s, dir)
+        .where(col("o_orderdate") >= lit("1998-01-01 00:00:00").cast("timestamp")
+          && col("o_orderdate") < lit("1998-04-01 00:00:00").cast("timestamp"))
+        .join(Tables.lineitem(s, dir).select(col("l_orderkey"), col("l_shipdate")),
+          col("l_orderkey") === col("o_orderkey")
+            && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAY"),
+          "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    },
+
     // Cascalog implicit equi-join (BatchWorkflow.java:628-634) -> fact ⋈
     // broadcast dims: orders ⋈ customer ⋈ nation ⋈ region, revenue per nation.
     withOracle(
