@@ -51,9 +51,45 @@ object LexIndex {
       .write.mode(SaveMode.Overwrite)
       .partitionBy("bucket")
       .parquet(postingsDir(dir))
-    dl.agg(count(lit(1)).as("n_docs"), avg("dl").as("avgdl"),
-        lit(nBuckets).as("n_buckets"))
+    // stats written LAST — it is the read path's entry point, so a crash
+    // mid-build leaves an index that loudly reads as not-ready rather
+    // than one that silently scores with stale corpus constants
+    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+        avg("dl").as("avgdl"), lit(nBuckets).as("n_buckets"))
       .repartition(1) // one row
+      .write.mode(SaveMode.Overwrite)
+      .parquet(statsDir(dir))
+  }
+
+  /** Append `docs` to an existing index — EXACT, unlike PQ append (no
+    * codebooks to go stale): new postings land in their terms' buckets
+    * under the store's RECORDED modulus, document lengths are per-doc so
+    * existing postings never change, document frequency is computed at
+    * query time from the postings themselves, and the corpus constants
+    * merge from the running (n_docs, sum_dl) totals. build + append ≡
+    * one build over the union — the declared query proves it against
+    * the direct form's oracle verbatim.
+    */
+  def append(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+    val prev = spark.read.parquet(statsDir(dir)).head()
+    val nBuckets = prev.getAs[Int]("n_buckets")
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      .where(col("t") =!= "")
+      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+    tf.join(dl, "doc_id")
+      .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
+      .write.mode(SaveMode.Append)
+      .partitionBy("bucket")
+      .parquet(postingsDir(dir))
+    dl.agg(
+        (count(lit(1)) + lit(prev.getAs[Long]("n_docs"))).as("n_docs"),
+        (coalesce(sum("dl"), lit(0.0)) // empty batch: totals carry over
+          + lit(prev.getAs[Double]("sum_dl"))).as("sum_dl"))
+      .select(col("n_docs"), col("sum_dl"),
+        (col("sum_dl") / col("n_docs")).as("avgdl"),
+        lit(nBuckets).as("n_buckets"))
+      .repartition(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(statsDir(dir))
   }

@@ -502,6 +502,22 @@ object TextOps {
       LexIndex.bm25TopK(s, idx, Seq("spark", "merge", "vector"), k = 10)
     },
 
+    // The index LIFECYCLE form (the ann_ivfpq_indexed shape for the
+    // lexical side): build on even doc ids, append the odd half, query
+    // the union. Lexical append is EXACT — no codebooks to go stale, so
+    // unlike the PQ index there is no widened-rerank caveat: build +
+    // append ≡ one build ≡ the direct scan, and sharing the oracle SQL
+    // makes the driver prove the whole chain.
+    withOracle(
+      "text_bm25_index_append",
+      bm25TopkOracleSql) { (s, dir) =>
+      val idx = graft.Scratch.dir("graft_lexindex_app")
+      val docs = Tables.documents(s, dir)
+      LexIndex.build(s, docs.where(col("doc_id") % 2 === 0), idx)
+      LexIndex.append(s, docs.where(col("doc_id") % 2 === 1), idx)
+      LexIndex.bm25TopK(s, idx, Seq("spark", "merge", "vector"), k = 10)
+    },
+
     // Fixed-size overlapping token-window chunking (size 32, stride 24 —
     // 8-token overlap): the corpus prep primitive for training-sequence
     // and RAG-passage construction. Chunk c of a doc covers tokens

@@ -54,6 +54,25 @@ class LexIndexSpec extends SparkSpec {
       s"query read $scanned of ${LexIndex.DefaultBuckets} buckets; wanted $wanted")
   }
 
+  test("build + append equals one build over the union, stats totals merged") {
+    val docs = Tables.documents(spark, sf0001)
+    val whole = freshDir()
+    LexIndex.build(spark, docs, whole)
+    val grown = freshDir()
+    LexIndex.build(spark, docs.where($"doc_id" % 2 === 0), grown)
+    LexIndex.append(spark, docs.where($"doc_id" % 2 === 1), grown)
+    val a = LexIndex.bm25TopK(spark, whole, qTerms, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val b = LexIndex.bm25TopK(spark, grown, qTerms, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(a.nonEmpty && b.sameElements(a),
+      s"whole=${a.mkString(",")} grown=${b.mkString(",")}")
+    val (sw, sg) = (spark.read.parquet(s"$whole/stats").head(),
+      spark.read.parquet(s"$grown/stats").head())
+    assert(sg.getAs[Long]("n_docs") == sw.getAs[Long]("n_docs"))
+    assert(math.abs(sg.getAs[Double]("sum_dl") - sw.getAs[Double]("sum_dl")) < 1e-6)
+  }
+
   test("reads are self-describing: a non-default modulus is recovered from stats") {
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma beta"))
       .toDF("doc_id", "text")
