@@ -82,6 +82,10 @@ object LexIndex {
       .write.mode(SaveMode.Append)
       .partitionBy("bucket")
       .parquet(postingsDir(dir))
+    // stats swaps in crash-safe (two-rename; a complete stats row exists
+    // at every intermediate state) — a torn overwrite here would leave
+    // the index unreadable, the one state a rebuild-from-scratch is
+    // needed to escape
     dl.agg(
         (count(lit(1)) + lit(prev.getAs[Long]("n_docs"))).as("n_docs"),
         (coalesce(sum("dl"), lit(0.0)) // empty batch: totals carry over
@@ -91,7 +95,26 @@ object LexIndex {
         lit(nBuckets).as("n_buckets"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite)
-      .parquet(statsDir(dir))
+      .parquet(graft.model.StoreSwap.tmpPath(statsDir(dir)))
+    graft.model.StoreSwap.commit(spark, statsDir(dir))
+  }
+
+  /** Compact the postings in place (the [[VectorIndex.consolidate]]
+    * shape): repeated appends leave one small file per batch per touched
+    * bucket, and a query then pays per-file open cost across its terms'
+    * buckets. Rewrites to one file per bucket partition through the
+    * crash-safe [[graft.model.StoreSwap.commit]] two-rename — a complete
+    * postings table exists at every intermediate state. Offline
+    * maintenance: run between serving windows.
+    */
+  def consolidate(spark: SparkSession, dir: String): Unit = {
+    graft.model.StoreSwap.commit(spark, postingsDir(dir)) // finish any torn swap
+    spark.read.parquet(postingsDir(dir))
+      .repartition(col("bucket")).sortWithinPartitions("t", "doc_id")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .option("maxRecordsPerFile", 8L * 1000 * 1000)
+      .parquet(graft.model.StoreSwap.tmpPath(postingsDir(dir)))
+    graft.model.StoreSwap.commit(spark, postingsDir(dir))
   }
 
   /** BM25 (k1=1.2, b=0.75) scores of the indexed corpus against
@@ -102,7 +125,12 @@ object LexIndex {
   def bm25Scores(spark: SparkSession, dir: String,
       qTerms: Seq[String]): DataFrame = {
     require(qTerms.nonEmpty, "need at least one query term")
-    val statsRow = spark.read.parquet(statsDir(dir)).head()
+    // resolve through a possibly-interrupted swap: a complete stats (and
+    // postings) version exists at `dir` or `dir.old` at every protocol
+    // state
+    val statsPath = graft.model.StoreSwap.readablePath(spark, statsDir(dir))
+      .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — index not built"))
+    val statsRow = spark.read.parquet(statsPath).head()
     val nDocs = statsRow.getAs[Long]("n_docs")
     val avgdl = statsRow.getAs[Double]("avgdl")
     val nBuckets = statsRow.getAs[Int]("n_buckets")
@@ -112,7 +140,10 @@ object LexIndex {
       .select(qTerms.map(t =>
         pmod(xxhash64(lit(t)), lit(nBuckets.toLong))): _*)
       .head().toSeq.map(_.asInstanceOf[Long]).distinct
-    val tfq = spark.read.parquet(postingsDir(dir))
+    val postingsPath = graft.model.StoreSwap
+      .readablePath(spark, postingsDir(dir))
+      .getOrElse(sys.error(s"no readable postings under ${postingsDir(dir)}"))
+    val tfq = spark.read.parquet(postingsPath)
       .where(col("bucket").isin(buckets: _*) && col("t").isin(qTerms: _*))
     val dfreq = tfq.groupBy("t").agg(count(lit(1)).as("df"))
     tfq.join(broadcast(dfreq), "t")

@@ -73,6 +73,28 @@ class LexIndexSpec extends SparkSpec {
     assert(math.abs(sg.getAs[Double]("sum_dl") - sw.getAs[Double]("sum_dl")) < 1e-6)
   }
 
+  test("consolidate: answers unchanged, appended small files compacted") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = freshDir()
+    LexIndex.build(spark, docs.where($"doc_id" % 2 === 0), dir)
+    LexIndex.append(spark, docs.where($"doc_id" % 2 === 1), dir)
+    val before = LexIndex.bm25TopK(spark, dir, qTerms, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    def parquetFiles(): Int = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(s"$dir/postings"))
+        .count(_.getName.endsWith(".parquet"))
+    }
+    val filesBefore = parquetFiles()
+    LexIndex.consolidate(spark, dir)
+    val after = LexIndex.bm25TopK(spark, dir, qTerms, k = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(after.sameElements(before), "consolidation must not change answers")
+    assert(parquetFiles() < filesBefore,
+      s"expected fewer postings files after consolidate (before=$filesBefore, after=${parquetFiles()})")
+  }
+
   test("reads are self-describing: a non-default modulus is recovered from stats") {
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma beta"))
       .toDF("doc_id", "text")
