@@ -94,12 +94,28 @@ object Recall {
     val cosLsh = recall(
       pairSet(SparkEntry.queries("near_dedup_cosine_lsh")(spark, sfDir).select("i", "j")),
       exactCos)
+    // round 13: near_dedup_semantic now DECLARES the library default
+    // (multi-assign); the single-assign knob is near_dedup_semantic_floor.
+    // The near_dedup_semantic_multi row is kept ONE round as an alias of
+    // the default so the gate's missing-key check stays green across the
+    // re-point (drop in r14).
     val semantic = recall(
       pairSet(SparkEntry.queries("near_dedup_semantic")(spark, sfDir).select("i", "j")),
       exactCos)
-    val semanticMulti = recall(
-      pairSet(SparkEntry.queries("near_dedup_semantic_multi")(spark, sfDir).select("i", "j")),
+    val semanticFloor = recall(
+      pairSet(SparkEntry.queries("near_dedup_semantic_floor")(spark, sfDir).select("i", "j")),
       exactCos)
+
+    // hybrid retrieval with BOTH branches index-served, vs the exact
+    // fusion it approximates (single-probe top-10 overlap)
+    val hybridAnn = {
+      def topDocs(name: String): Set[Long] =
+        SparkEntry.queries(name)(spark, sfDir)
+          .select("doc_id").collect().map(_.getLong(0)).toSet
+      val exact = topDocs("hybrid_search_rrf")
+      val fused = topDocs("hybrid_search_ann_indexed")
+      if (exact.isEmpty) 1.0 else (fused & exact).size.toDouble / exact.size
+    }
 
     // Recall/cost CURVES for the two ANN knobs, at the pinned fixture
     // shapes: the headline numbers above are OPERATING POINTS on these
@@ -181,7 +197,9 @@ object Recall {
          |  "near_dedup_simhash":   {"recall": $simhash%.4f, "baseline": "all-pairs hamming <=3", "truth_size": ${exactSim.size}},
          |  "near_dedup_cosine_lsh":{"recall": $cosLsh%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},
          |  "near_dedup_semantic":  {"recall": $semantic%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},
-         |  "near_dedup_semantic_multi": {"recall": $semanticMulti%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}}
+         |  "near_dedup_semantic_multi": {"recall": $semantic%.4f, "baseline": "near_dedup_cosine @0.4 (ALIAS of near_dedup_semantic since the r13 re-point; dropped in r14)", "truth_size": ${exactCos.size}},
+         |  "near_dedup_semantic_floor": {"recall": $semanticFloor%.4f, "baseline": "near_dedup_cosine @0.4 (single-assign cost-floor knob, primary ID until r12)", "truth_size": ${exactCos.size}},
+         |  "hybrid_search_ann_indexed": {"recall": $hybridAnn%.4f, "baseline": "hybrid_search_rrf exact fusion top-10", "truth_size": 10}
          | }}""".stripMargin
     Files.writeString(Paths.get(out), json + "\n")
     println(s"[recall] wrote $out")

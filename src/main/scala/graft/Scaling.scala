@@ -55,7 +55,11 @@ object Scaling {
     "batch_workflow" -> "events",
     "pipeline_pretraining_corpus" -> "documents",
     "stream_upsert" -> "events",
-    "stream_join_interval" -> "events")
+    "stream_join_interval" -> "events",
+    // round-13 additions: the two r12 newcomers to the bench top-12
+    // (SCALING_r12 predates them)
+    "text_bm25_index_append" -> "documents",
+    "near_dedup_keep_best" -> "documents")
 
   /** The non-events heavy hitters that also get a 100× point: the
     * steepest scaler (pipeline_embedding_corpus, top-decade 0.77 at
@@ -64,7 +68,10 @@ object Scaling {
   val Targets100x: Set[String] = Set(
     "pipeline_embedding_corpus",
     "near_dedup_apply_incremental",
-    "ann_ivfpq_indexed")
+    "ann_ivfpq_indexed",
+    // round-13 task: 10× AND 100× points for the two newcomers
+    "text_bm25_index_append",
+    "near_dedup_keep_best")
 
   /** Synthesize a `factor`× corpus from sf0.1: every non-synthesized
     * table's parquet is copied verbatim; `documents` and `embeddings`

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.functions.TextFunctions._
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -11,14 +12,50 @@ import org.apache.spark.sql.functions._
   * query time should not — BatchWorkflow.java's precomputed views).
   *
   * Layout under `dir`:
-  *   - `postings/bucket=<pmod(xxhash64(t), nBuckets)>/` — (t, doc_id,
-  *     tf, dl): the document length rides DENORMALIZED on every posting
-  *     (the norms-in-postings trick real engines use), so query time
-  *     never joins a corpus-sized doc-length table.
-  *   - `stats/` — one row (n_docs, avgdl, n_buckets): the corpus
-  *     constants plus the store's recorded bucket modulus, so reads are
-  *     self-describing (no caller-supplied nBuckets to get wrong —
-  *     the UpsertStore sidecar lesson).
+  *   - `postings/bucket=<pmod(xxhash64(t), nBuckets)>/seq=<n>/` —
+  *     (t, doc_id, tf, dl): the document length rides DENORMALIZED on
+  *     every posting (the norms-in-postings trick real engines use), so
+  *     query time never joins a corpus-sized doc-length table. The
+  *     second partition level is the APPEND SEQUENCE: batch n's
+  *     postings land under `seq=n` and become visible only once the
+  *     stats row records `max_seq >= n` (see the crash story).
+  *   - `stats/` — one row (n_docs, sum_dl, avgdl, n_buckets, max_seq,
+  *     last_batch): the corpus constants plus the store's recorded
+  *     bucket modulus, so reads are self-describing (no caller-supplied
+  *     nBuckets to get wrong — the UpsertStore sidecar lesson).
+  *
+  * == Crash story (round 13) ==
+  *
+  * `stats` is the ONE commit point for every mutation:
+  *
+  *   - [[build]] writes postings first, stats LAST — a crash mid-build
+  *     leaves an index that loudly reads as not-ready, never one that
+  *     silently scores under stale corpus constants.
+  *   - [[append]] writes batch n's postings under `seq=n` (untouched by
+  *     any reader: every read filters `seq <= stats.max_seq`), then
+  *     swaps in a stats row with `max_seq = n` via the crash-safe
+  *     [[graft.model.StoreSwap]] two-rename. A crash anywhere before
+  *     that swap lands leaves readers serving EXACTLY the old index —
+  *     partially-appended postings are invisible, not
+  *     partially-scored. Re-running the append first prunes the
+  *     orphaned `seq > max_seq` directories ([[recover]]) and then
+  *     re-appends, so a retry CONVERGES instead of double-counting tf
+  *     and df. LexIndexSpec kill-tests both crash points.
+  *   - A caller with a durable batch sequence (a streaming fold's
+  *     foreachBatch id) passes it as `batchId`; stats records the last
+  *     applied id and a REPLAY of an already-committed batch is a
+  *     no-op — exactly-once across maintainer restarts without relying
+  *     on the engine never re-delivering (`stream_lex_append`).
+  *   - [[consolidate]] rewrites through the whole-dir StoreSwap
+  *     protocol (complete postings at every intermediate state) and
+  *     every entry point finishes a predecessor's torn swap before
+  *     touching the store ([[recover]]).
+  *
+  * Reads resolve both dirs through [[graft.model.StoreSwap.readablePath]]
+  * and apply the `seq <= max_seq` gate, so they are correct against any
+  * crash state WITHOUT taking the writer's recovery lock — the
+  * single-WRITER contract (one maintainer owns build/append/consolidate)
+  * never has to cover readers.
   *
   * A query reads ONLY its terms' bucket partitions (partition-pruned
   * scan: ≤ |qTerms| of nBuckets directories, spec-pinned), filters to
@@ -28,8 +65,12 @@ import org.apache.spark.sql.functions._
   * index ≡ direct scan.
   *
   * At 100 TB the build is one map-combinable (doc, term) aggregate plus
-  * one partitioned write; a query touches query-term-sized data only —
-  * posting lists for 3 terms, never the corpus.
+  * one partitioned write; an append is batch-sized (one file per touched
+  * bucket); a query touches query-term-sized data only — posting lists
+  * for 3 terms, never the corpus. Repeated appends accumulate one
+  * `seq=` directory per batch per touched bucket; [[maintain]] is the
+  * files-per-bucket compaction trigger (the UpsertStore/LabelStore
+  * policy) that folds them back to ~1 file per bucket.
   */
 object LexIndex {
 
@@ -38,27 +79,88 @@ object LexIndex {
 
   val DefaultBuckets = 64
 
-  /** Build the index from `docs` (doc_id, text, …). */
-  def build(spark: SparkSession, docs: DataFrame, dir: String,
-      nBuckets: Int = DefaultBuckets): Unit = {
-    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+  /** Part files a bucket may hold before [[needsCompact]] fires — each
+    * append adds ~1 file per touched bucket, so the count drifts up with
+    * batches folded since the last [[consolidate]].
+    */
+  val DefaultMaxFilesPerBucket = 16
+
+  private def fs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** (t, doc_id, tf, dl) posting rows of `docs` with the doc length
+    * denormalized on, plus the (n_docs, sum_dl) corpus increment — the
+    * shared shape build and append both write.
+    */
+  private def postingRows(docs: DataFrame): (DataFrame, DataFrame) = {
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .where(col("t") =!= "")
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
-    tf.join(dl, "doc_id")
+    (tf.join(dl, "doc_id"), dl)
+  }
+
+  /** Build the index from `docs` (doc_id, text, …), overwriting any
+    * previous version. `batchId` (optional) records a durable caller
+    * sequence id so a replayed bootstrap batch is skipped by the next
+    * [[append]] — see the crash story.
+    */
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+      nBuckets: Int = DefaultBuckets, batchId: Long = -1L): Unit = {
+    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    val (posts, dl) = postingRows(docs)
+    posts
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
+      .withColumn("seq", lit(0))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket")
+      .partitionBy("bucket", "seq")
       .parquet(postingsDir(dir))
     // stats written LAST — it is the read path's entry point, so a crash
     // mid-build leaves an index that loudly reads as not-ready rather
     // than one that silently scores with stale corpus constants
     dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
-        avg("dl").as("avgdl"), lit(nBuckets).as("n_buckets"))
+        avg("dl").as("avgdl"), lit(nBuckets).as("n_buckets"),
+        lit(0L).as("max_seq"), lit(batchId).as("last_batch"))
       .repartition(1) // one row
       .write.mode(SaveMode.Overwrite)
       .parquet(statsDir(dir))
+  }
+
+  /** Repair any torn mutation before the next write (driver-side
+    * metadata ops only; the single-writer's entry guard — reads don't
+    * need it, see the object scaladoc):
+    *
+    *   1. finish/roll back an interrupted stats or postings StoreSwap
+    *      (a complete version exists at every protocol state);
+    *   2. delete `seq >` stats.max_seq posting directories — the
+    *      orphans of an append that crashed before its stats commit
+    *      (readers never saw them; deleting them is what makes an
+    *      append RETRY converge instead of double-counting);
+    *   3. drop any `_temporary` job-staging leftover, so a crashed
+    *      append job's half-committed task files can never be merged
+    *      into a later job's commit.
+    */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    graft.model.StoreSwap.commit(spark, statsDir(dir))
+    graft.model.StoreSwap.commit(spark, postingsDir(dir))
+    val f = fs(spark)
+    val posts = new Path(postingsDir(dir))
+    if (f.exists(new Path(statsDir(dir))) && f.exists(posts)) {
+      val maxSeq = spark.read.parquet(statsDir(dir)).head().getAs[Long]("max_seq")
+      f.listStatus(posts).foreach { b =>
+        val name = b.getPath.getName
+        if (name == "_temporary") f.delete(b.getPath, true)
+        else if (b.isDirectory && name.startsWith("bucket=")) {
+          f.listStatus(b.getPath).foreach { s =>
+            val sn = s.getPath.getName
+            if (sn == "_temporary") f.delete(s.getPath, true)
+            else if (s.isDirectory && sn.startsWith("seq=") &&
+                scala.util.Try(sn.stripPrefix("seq=").toLong).toOption.exists(_ > maxSeq))
+              f.delete(s.getPath, true)
+          }
+        }
+      }
+    }
   }
 
   /** Append `docs` to an existing index — EXACT, unlike PQ append (no
@@ -69,30 +171,46 @@ object LexIndex {
     * merge from the running (n_docs, sum_dl) totals. build + append ≡
     * one build over the union — the declared query proves it against
     * the direct form's oracle verbatim.
+    *
+    * CRASH-SAFE AND IDEMPOTENT (see the object scaladoc): the batch's
+    * postings are written under the next `seq=` partition — invisible to
+    * every reader until the stats swap records the new `max_seq` — so
+    * the stats two-rename is the single commit point; [[recover]] runs
+    * first, pruning any previous attempt's orphaned postings so a retry
+    * converges. Pass the caller's durable `batchId` (a foreachBatch id)
+    * to make a REPLAY of an already-committed batch a no-op.
     */
-  def append(spark: SparkSession, docs: DataFrame, dir: String): Unit = {
+  def append(spark: SparkSession, docs: DataFrame, dir: String,
+      batchId: Long = -1L): Unit = {
+    recover(spark, dir)
     val prev = spark.read.parquet(statsDir(dir)).head()
+    if (batchId >= 0 && prev.getAs[Long]("last_batch") >= batchId)
+      return // already-committed batch replayed by the caller: no-op
     val nBuckets = prev.getAs[Int]("n_buckets")
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
-      .where(col("t") =!= "")
-      .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
-    tf.join(dl, "doc_id")
+    val newSeq = prev.getAs[Long]("max_seq") + 1
+    val (posts, dl) = postingRows(docs)
+    posts
       .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
+      .withColumn("seq", lit(newSeq.toInt))
+      // one file per touched bucket per batch — appends must not shed a
+      // file per shuffle partition per bucket, or the serving file count
+      // grows 32x faster than the maintenance policy assumes
+      .repartition(col("bucket"))
       .write.mode(SaveMode.Append)
-      .partitionBy("bucket")
+      .partitionBy("bucket", "seq")
       .parquet(postingsDir(dir))
-    // stats swaps in crash-safe (two-rename; a complete stats row exists
-    // at every intermediate state) — a torn overwrite here would leave
-    // the index unreadable, the one state a rebuild-from-scratch is
-    // needed to escape
+    // THE commit point: stats swaps in crash-safe (two-rename; a
+    // complete stats row exists at every intermediate state), and only
+    // this swap makes seq=newSeq visible to readers
     dl.agg(
         (count(lit(1)) + lit(prev.getAs[Long]("n_docs"))).as("n_docs"),
         (coalesce(sum("dl"), lit(0.0)) // empty batch: totals carry over
           + lit(prev.getAs[Double]("sum_dl"))).as("sum_dl"))
       .select(col("n_docs"), col("sum_dl"),
         (col("sum_dl") / col("n_docs")).as("avgdl"),
-        lit(nBuckets).as("n_buckets"))
+        lit(nBuckets).as("n_buckets"),
+        lit(newSeq).as("max_seq"),
+        lit(math.max(prev.getAs[Long]("last_batch"), batchId)).as("last_batch"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(graft.model.StoreSwap.tmpPath(statsDir(dir)))
@@ -100,27 +218,77 @@ object LexIndex {
   }
 
   /** Compact the postings in place (the [[VectorIndex.consolidate]]
-    * shape): repeated appends leave one small file per batch per touched
+    * shape): repeated appends leave one file per batch per touched
     * bucket, and a query then pays per-file open cost across its terms'
-    * buckets. Rewrites to one file per bucket partition through the
-    * crash-safe [[graft.model.StoreSwap.commit]] two-rename — a complete
-    * postings table exists at every intermediate state. Offline
-    * maintenance: run between serving windows.
+    * buckets. Rewrites to one file per bucket partition (all committed
+    * `seq=` levels collapsed back to `seq=0` — every surviving row is
+    * `<= max_seq` by the [[recover]] prune, so the read gate still
+    * passes them) through the crash-safe
+    * [[graft.model.StoreSwap.commit]] two-rename — a complete postings
+    * table exists at every intermediate state. Offline maintenance: run
+    * between serving windows.
     */
   def consolidate(spark: SparkSession, dir: String): Unit = {
-    graft.model.StoreSwap.commit(spark, postingsDir(dir)) // finish any torn swap
+    recover(spark, dir) // finish torn swaps, prune orphaned seq dirs
+    val maxSeq = spark.read.parquet(statsDir(dir)).head().getAs[Long]("max_seq")
     spark.read.parquet(postingsDir(dir))
+      .where(col("seq") <= lit(maxSeq.toInt)) // belt over recover's prune
+      .withColumn("seq", lit(0))
       .repartition(col("bucket")).sortWithinPartitions("t", "doc_id")
-      .write.mode(SaveMode.Overwrite).partitionBy("bucket")
+      .write.mode(SaveMode.Overwrite).partitionBy("bucket", "seq")
       .option("maxRecordsPerFile", 8L * 1000 * 1000)
       .parquet(graft.model.StoreSwap.tmpPath(postingsDir(dir)))
     graft.model.StoreSwap.commit(spark, postingsDir(dir))
   }
 
+  /** Part-file count of the fullest bucket (driver metadata only —
+    * two-level listStatus over bucket and seq dirs, never a Spark job).
+    */
+  def maxFilesPerBucket(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark)
+    graft.model.StoreSwap.readablePath(spark, postingsDir(dir)).map { root =>
+      val buckets = f.listStatus(new Path(root))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("bucket="))
+      if (buckets.isEmpty) 0
+      else buckets.map { b =>
+        f.listStatus(b.getPath).map { s =>
+          if (s.isDirectory && s.getPath.getName.startsWith("seq="))
+            f.listStatus(s.getPath)
+              .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          else if (s.isFile && !s.getPath.getName.startsWith("_")) 1
+          else 0
+        }.sum
+      }.max
+    }.getOrElse(0)
+  }
+
+  /** Maintenance trigger — the [[graft.streaming.UpsertStore]]/
+    * [[graft.streaming.LabelStore]] policy mirrored onto the lexical index: true once any bucket has
+    * accumulated more than `maxFiles` posting files (each append adds
+    * ~1 per touched bucket). Cheap enough to call after every append;
+    * the single-writer contract says WHO gets to act on it.
+    */
+  def needsCompact(spark: SparkSession, dir: String,
+      maxFiles: Int = DefaultMaxFilesPerBucket): Boolean =
+    maxFilesPerBucket(spark, dir) > maxFiles
+
+  /** Run [[consolidate]] iff [[needsCompact]]; returns whether it ran.
+    * The maintenance entry point for an append loop (e.g. the
+    * `stream_lex_append` fold): call between batches, never under one.
+    */
+  def maintain(spark: SparkSession, dir: String,
+      maxFiles: Int = DefaultMaxFilesPerBucket): Boolean = {
+    val due = needsCompact(spark, dir, maxFiles)
+    if (due) consolidate(spark, dir)
+    due
+  }
+
   /** BM25 (k1=1.2, b=0.75) scores of the indexed corpus against
     * `qTerms`: (doc_id, bm25 rounded to 4) — the [[TextOps.bm25Scores]]
     * contract served from the index. Reads only the query terms' bucket
-    * partitions.
+    * partitions, gated to the committed `seq <= max_seq` levels (both
+    * filters are partition pruning — uncommitted appends cost nothing
+    * and are invisible).
     */
   def bm25Scores(spark: SparkSession, dir: String,
       qTerms: Seq[String]): DataFrame = {
@@ -134,6 +302,7 @@ object LexIndex {
     val nDocs = statsRow.getAs[Long]("n_docs")
     val avgdl = statsRow.getAs[Double]("avgdl")
     val nBuckets = statsRow.getAs[Int]("n_buckets")
+    val maxSeq = statsRow.getAs[Long]("max_seq")
     // the terms' buckets via the same expression the build used — never
     // a driver-side reimplementation of xxhash64 that could drift
     val buckets = spark.range(1)
@@ -144,7 +313,8 @@ object LexIndex {
       .readablePath(spark, postingsDir(dir))
       .getOrElse(sys.error(s"no readable postings under ${postingsDir(dir)}"))
     val tfq = spark.read.parquet(postingsPath)
-      .where(col("bucket").isin(buckets: _*) && col("t").isin(qTerms: _*))
+      .where(col("bucket").isin(buckets: _*) && col("seq") <= lit(maxSeq.toInt) &&
+        col("t").isin(qTerms: _*))
     val dfreq = tfq.groupBy("t").agg(count(lit(1)).as("df"))
     tfq.join(broadcast(dfreq), "t")
       .withColumn("contrib",

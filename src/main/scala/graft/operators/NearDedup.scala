@@ -355,22 +355,7 @@ object NearDedup {
           .select(col("i").as("src"), col("j").as("dst"))
         val labels = GraphOps.connectedComponents(pairsE)
         // nightly absorb: pairs touching the new batch only
-        val sh = hashed.select(col("doc_id"), col("is_new"), explode(col("hs")).as("s"))
-        val bounded = dropHotBuckets(sh, Seq("s"), TextOps.MaxShingleFreq,
-          "incremental-apply shingle")
-        val sizes = hashed.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
-        val newSh = bounded.where(col("is_new")).select(col("doc_id").as("j"), col("s"))
-        val bip = bounded.where(!col("is_new")).select(col("doc_id").as("i"), col("s"))
-          .join(newSh, "s").select(col("i"), col("j"))
-        val nn = newSh.select(col("j").as("i"), col("s"))
-          .join(newSh, "s").where(col("i") < col("j")).select(col("i"), col("j"))
-        val pairsNew = bip.unionAll(nn)
-          .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-          .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-          .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
-          .where(col("inter") / (col("ni") + col("nj") - col("inter")).cast("double")
-            >= 0.1)
-          .select(col("i").as("src"), col("j").as("dst"))
+        val pairsNew = incrementalJaccardPairs(hashed, 0.1)
         val cc = GraphOps.connectedComponentsIncremental(labels, pairsNew)
         docs.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
           .where(col("label").isNull || col("label") === col("doc_id"))
@@ -382,27 +367,83 @@ object NearDedup {
     // Keep-BEST canonical selection — see [[keepBestCanonical]].
     graft.QueryDef.withOracle(
       "near_dedup_keep_best",
-      s"""WITH RECURSIVE ${TextOps.shinglePairCte()},
-        |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
-        |        JOIN sizes nb ON j = nb.doc_id
-        |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
-        |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
-        |nodes AS (SELECT DISTINCT a AS node FROM edges),
-        |reach AS (SELECT node, node AS m FROM nodes
-        |          UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
-        |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node),
-        |scored AS (SELECT d.doc_id,
-        |       round(len(regexp_extract_all(lower(d.text), '\\b(the|a|and|of|to|in|is)\\b'))
-        |             * 1.0 / len(string_split_regex(lower(d.text), '\\s+')), 4) AS q,
-        |       coalesce(cc.canonical, d.doc_id) AS cluster
-        |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
-        |r AS (SELECT doc_id, round(q, 4) AS q,
-        |             row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn
-        |      FROM scored)
-        |SELECT doc_id, q FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      keepBestOracleSql) { (s, dir) =>
       keepBestCanonical(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // The NIGHTLY form of keep-best — quality-argmax canonical
+    // maintenance the way near_dedup_apply_incremental maintains the
+    // min-id form: the prior state is the existing corpus's (labels,
+    // kept-table) pair, the batch contributes only the pairs that touch
+    // it, and ONLY the clusters the batch touched are re-argmaxed —
+    // untouched clusters' kept rows pass through as data, never
+    // recomputed. The result must equal the full recompute, so it
+    // shares near_dedup_keep_best's oracle verbatim; NearDedupSpec
+    // additionally proves ≡ full on merge / fresh-singleton / empty
+    // batches. See [[keepBestCanonicalIncremental]] for the 100 TB cost
+    // shape.
+    graft.QueryDef.withOracle(
+      "near_dedup_keep_best_incremental",
+      keepBestOracleSql) { (s, dir) =>
+      keepBestCanonicalIncremental(Tables.documents(s, dir),
+        col("doc_id") % 4 === 0).orderBy("doc_id")
     }
   )
+
+  /** Shared DuckDB oracle for near_dedup_keep_best AND its incremental
+    * form — maintenance must land the identical kept set, and sharing
+    * the SQL makes the driver prove it. (lazy: referenced by `defs`,
+    * which is declared above it.)
+    */
+  private[operators] lazy val keepBestOracleSql: String =
+    s"""WITH RECURSIVE ${TextOps.shinglePairCte()},
+      |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
+      |        JOIN sizes nb ON j = nb.doc_id
+      |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
+      |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
+      |nodes AS (SELECT DISTINCT a AS node FROM edges),
+      |reach AS (SELECT node, node AS m FROM nodes
+      |          UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
+      |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node),
+      |scored AS (SELECT d.doc_id,
+      |       round(len(regexp_extract_all(lower(d.text), '\\b(the|a|and|of|to|in|is)\\b'))
+      |             * 1.0 / len(string_split_regex(lower(d.text), '\\s+')), 4) AS q,
+      |       coalesce(cc.canonical, d.doc_id) AS cluster
+      |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
+      |r AS (SELECT doc_id, round(q, 4) AS q,
+      |             row_number() OVER (PARTITION BY cluster ORDER BY q DESC, doc_id) AS rn
+      |      FROM scored)
+      |SELECT doc_id, q FROM r WHERE rn = 1 ORDER BY doc_id""".stripMargin
+
+  /** The batch-scoped exact-Jaccard pair generation shared by the
+    * incremental apply/keep-best forms: over a persisted
+    * (doc_id, is_new, hs) relation, emit the verified pairs that TOUCH
+    * the new batch — bipartite new×existing plus new×new;
+    * existing×existing generation never runs again. The hot-shingle cap
+    * counts total frequency across old+new, matching the batch form
+    * (at scale a cap tripped by frequency the existing-only pass
+    * undercounted is the same lossy-drop tradeoff dropHotBuckets
+    * already logs). Returns (src, dst).
+    */
+  private[operators] def incrementalJaccardPairs(hashed: DataFrame,
+      threshold: Double): DataFrame = {
+    val sh = hashed.select(col("doc_id"), col("is_new"), explode(col("hs")).as("s"))
+    val bounded = dropHotBuckets(sh, Seq("s"), TextOps.MaxShingleFreq,
+      "incremental shingle")
+    val sizes = hashed.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    val newSh = bounded.where(col("is_new")).select(col("doc_id").as("j"), col("s"))
+    val bip = bounded.where(!col("is_new")).select(col("doc_id").as("i"), col("s"))
+      .join(newSh, "s").select(col("i"), col("j"))
+    val nn = newSh.select(col("j").as("i"), col("s"))
+      .join(newSh, "s").where(col("i") < col("j")).select(col("i"), col("j"))
+    bip.unionAll(nn)
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .where(col("inter") / (col("ni") + col("nj") - col("inter")).cast("double")
+        >= threshold)
+      .select(col("i").as("src"), col("j").as("dst"))
+  }
 
   /** Keep-BEST canonical selection — the production variant of the apply
     * step: per duplicate cluster retain the highest-QUALITY member
@@ -424,13 +465,106 @@ object NearDedup {
     val pairs = TextOps.ngramJaccardPairsFromHashes(hashed, threshold)
       .select(col("i").as("src"), col("j").as("dst"))
     val cc = GraphOps.connectedComponents(pairs)
-    val q = round(stopwordCount(col("text")) / size(tokens(col("text"))).cast("double"), 4)
-    docs.select(col("doc_id"), q.as("q"))
+    docs.select(col("doc_id"), qualityScore.as("q"))
       .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
       .withColumn("cluster", coalesce(col("label"), col("doc_id")))
       .groupBy("cluster")
       .agg(max_by(struct(col("doc_id"), col("q")),
         struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
       .select(col("best.doc_id").as("doc_id"), col("best.q").as("q"))
+  }
+
+  /** The stopword-ratio quality signal keep-best argmaxes on (the
+    * text_quality_score contract, rounded to 4 for cross-engine ties).
+    */
+  private def qualityScore: org.apache.spark.sql.Column =
+    round(stopwordCount(col("text")) / size(tokens(col("text"))).cast("double"), 4)
+
+  /** Per-(cluster, q, doc_id) quality argmax under the keep-best total
+    * order — max_by over a (q, -doc_id) struct: map-side-combinable,
+    * ~24 bytes/row shuffled, never a window. `rows` must carry
+    * (cluster, doc_id, q).
+    */
+  private def argmaxBest(rows: DataFrame): DataFrame =
+    rows.groupBy("cluster")
+      .agg(max_by(struct(col("doc_id"), col("q")),
+        struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+      .select(col("cluster"), col("best.doc_id").as("doc_id"), col("best.q").as("q"))
+
+  /** NIGHTLY keep-best maintenance — [[keepBestCanonical]] as an
+    * incremental fold, the quality-argmax sibling of
+    * `near_dedup_apply_incremental`. `isNew` marks the arriving batch;
+    * everything else is the existing corpus whose (labels, kept-table)
+    * state a production pipeline would read from storage (computed
+    * in-query here so the declared query PROVES maintenance ≡ full
+    * recompute against the shared oracle).
+    *
+    * Cost shape at 100 TB — nothing corpus² or corpus-wide except the
+    * one existing-side shingle pass the pair join needs:
+    *
+    *   1. new pairs = bipartite new×existing + new×new only
+    *      ([[incrementalJaccardPairs]] — existing×existing never again);
+    *   2. updated labels = incremental CC over (prior stars ∪ new
+    *      pairs) — prior-labeling-sized, not pair-history-sized;
+    *   3. AFFECTED clusters = labels of batch docs + relabeled docs
+    *      (batch-scoped, broadcast-sized); only their members are
+    *      re-scored and re-argmaxed;
+    *   4. untouched clusters' kept rows pass through from the prior
+    *      kept table unread-and-unchanged (an anti-join on the
+    *      broadcast affected set);
+    *   5. batch docs with no dup pair anywhere become their own
+    *      clusters (batch-sized scoring pass).
+    */
+  def keepBestCanonicalIncremental(docs: DataFrame,
+      isNew: org.apache.spark.sql.Column,
+      threshold: Double = 0.1): DataFrame = {
+    val hashed = docs
+      .select(col("doc_id"), isNew.as("is_new"),
+        shingleHashes(col("text"), 3).as("hs"))
+      .where(col("hs").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val docsQ = docs.select(col("doc_id"), isNew.as("is_new"), qualityScore.as("q"))
+      // prior state: the existing corpus's labeling and kept table
+      val pairsE = TextOps.ngramJaccardPairsFromHashes(
+        hashed.where(!col("is_new")).select("doc_id", "hs"), threshold)
+        .select(col("i").as("src"), col("j").as("dst"))
+      val labels = GraphOps.connectedComponents(pairsE)
+        .localCheckpoint() // feeds the incremental CC AND the change diff
+      val keptPrior = argmaxBest(
+        docsQ.where(!col("is_new"))
+          .join(labels.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), col("q"),
+            coalesce(col("label"), col("doc_id")).as("cluster")))
+      // the nightly absorb
+      val pairsNew = incrementalJaccardPairs(hashed, threshold)
+      val updated = GraphOps.connectedComponentsIncremental(labels, pairsNew)
+        .localCheckpoint() // affected discovery + member scan + passthrough map
+      // affected = clusters (new labeling) holding a batch doc or a
+      // relabeled doc; batch-scoped, so the semi/anti joins broadcast
+      val affected = updated
+        .join(labels.withColumnRenamed("label", "old_label"), Seq("node"), "left_outer")
+        .where(col("old_label").isNull || col("old_label") =!= col("label"))
+        .select("label").distinct()
+      val keptAffected = argmaxBest(
+        updated.join(broadcast(affected), Seq("label"), "left_semi")
+          .select(col("node").as("doc_id"), col("label").as("cluster"))
+          .join(docsQ.select("doc_id", "q"), "doc_id"))
+      // untouched clusters: prior kept rows whose cluster id (itself a
+      // member node) did not land in an affected cluster
+      val clusterNewLabel = updated
+        .withColumnRenamed("node", "cluster").withColumnRenamed("label", "new_label")
+      val keptUntouched = keptPrior
+        .join(clusterNewLabel, Seq("cluster"), "left_outer")
+        .join(broadcast(affected.withColumnRenamed("label", "al")),
+          coalesce(col("new_label"), col("cluster")) === col("al"), "left_anti")
+        .select("cluster", "doc_id", "q")
+      // batch docs with no dup pair anywhere: their own clusters
+      val newSingles = docsQ.where(col("is_new"))
+        .join(updated.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id").as("cluster"), col("doc_id"), col("q"))
+      keptUntouched.unionByName(keptAffected).unionByName(newSingles)
+        .select(col("doc_id"), col("q"))
+    } finally hashed.unpersist()
   }
 }

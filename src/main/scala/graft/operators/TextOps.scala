@@ -317,7 +317,7 @@ object TextOps {
     * the indexed form must return byte-identical results to the direct
     * scan, and sharing the SQL makes the driver prove it.
     */
-  private[operators] val bm25TopkOracleSql: String =
+  private[graft] val bm25TopkOracleSql: String =
     """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
       |              FROM documents),
       |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),

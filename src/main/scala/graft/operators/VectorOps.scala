@@ -93,7 +93,7 @@ object VectorOps {
       probeId: Long, depth: Int = 50, k: Int = 10, rrfK: Int = 60): DataFrame =
     hybridFuse(
       TextOps.bm25Scores(docs.where(col("doc_id") =!= probeId), qTerms),
-      emb, probeId, depth, k, rrfK)
+      bruteSemScores(emb, probeId), depth, k, rrfK)
 
   /** [[hybridSearchRrf]] with the lexical branch served from a
     * persistent [[LexIndex]] (built over the probe-excluded corpus, so
@@ -106,11 +106,49 @@ object VectorOps {
       emb: DataFrame, qTerms: Seq[String], probeId: Long,
       depth: Int = 50, k: Int = 10, rrfK: Int = 60): DataFrame =
     hybridFuse(LexIndex.bm25Scores(spark, indexDir, qTerms),
-      emb, probeId, depth, k, rrfK)
+      bruteSemScores(emb, probeId), depth, k, rrfK)
 
-  private def hybridFuse(lexScores: DataFrame, emb: DataFrame,
-      probeId: Long, depth: Int, k: Int, rrfK: Int): DataFrame = {
-    val sess = emb.sparkSession
+  /** [[hybridSearchRrf]] with BOTH branches index-served — the 100 TB
+    * production composition the scan forms' scaladocs promise: the
+    * lexical branch from the persistent posting-list [[LexIndex]]
+    * (query-term-sized work) and the semantic branch from the persistent
+    * [[VectorIndex]] IVF-PQ index (probed-cells-sized work; the shared
+    * (id, cos) contract lets the two serve interchangeably). The vector
+    * branch is approximate — its depth list can miss true neighbors the
+    * brute scan finds — so this form is recall-floored against the
+    * exact fusion in ApproxOpsSpec rather than sharing the oracle
+    * verbatim; both branches' partition pruning is spec-pinned there
+    * too.
+    */
+  def hybridSearchAnnIndexed(spark: SparkSession, lexDir: String,
+      vecDir: String, emb: DataFrame, qTerms: Seq[String], probeId: Long,
+      depth: Int = 50, k: Int = 10, rrfK: Int = 60,
+      nProbe: Int = 8, rerank: Int = 12): DataFrame = {
+    val sem = VectorIndex.searchIvfPq(spark, vecDir, emb,
+        probes = emb.where(col("vec_id") === probeId),
+        k = depth, nProbe = nProbe, rerank = rerank)
+      .select(col("neighbor_id").as("doc_id"), col("cos"))
+    hybridFuse(LexIndex.bm25Scores(spark, lexDir, qTerms), sem,
+      depth, k, rrfK)
+  }
+
+  /** The exact semantic branch: one corpus scan against the broadcast
+    * probe — (doc_id, cos rounded to 4), the (id, score) contract
+    * [[hybridFuse]] ranks under (shared verbatim by the IVF-served
+    * branch, which is what makes the index swap-in a drop-in).
+    */
+  private def bruteSemScores(emb: DataFrame, probeId: Long): DataFrame = {
+    val probe = emb.where(col("vec_id") === probeId)
+      .select(col("embedding").as("pe"))
+    emb.where(col("vec_id") =!= probeId)
+      .crossJoin(broadcast(probe))
+      .select(col("vec_id").as("doc_id"),
+        round(cosine(col("pe"), col("embedding")), 4).as("cos"))
+  }
+
+  private def hybridFuse(lexScores: DataFrame, semScores: DataFrame,
+      depth: Int, k: Int, rrfK: Int): DataFrame = {
+    val sess = lexScores.sparkSession
     import sess.implicits._
     def branchRanks(scores: DataFrame, rankName: String): DataFrame =
       scores.as[(Long, Double)]
@@ -120,14 +158,7 @@ object VectorOps {
         .select(posexplode(col("top.items")).as(Seq("pos", "e")))
         .select(col("e.id").as("doc_id"), (col("pos") + 1).as(rankName))
     val lex = branchRanks(lexScores, "lex_rank")
-    val probe = emb.where(col("vec_id") === probeId)
-      .select(col("embedding").as("pe"))
-    val sem = branchRanks(
-      emb.where(col("vec_id") =!= probeId)
-        .crossJoin(broadcast(probe))
-        .select(col("vec_id").as("doc_id"),
-          round(cosine(col("pe"), col("embedding")), 4).as("cos")),
-      "sem_rank")
+    val sem = branchRanks(semScores, "sem_rank")
     // the fusion relation is ≤ 2·depth rows — the global window is over
     // a constant-size input, not the corpus
     lex.join(sem, Seq("doc_id"), "full_outer")
@@ -352,6 +383,29 @@ object VectorOps {
       LexIndex.build(s,
         Tables.documents(s, dir).where(col("doc_id") =!= 0), idx)
       hybridSearchRrfIndexed(s, idx, Tables.embeddings(s, dir),
+        Seq("spark", "merge", "vector"), probeId = 0L)
+    },
+
+    // BOTH branches index-served — the full production serving
+    // composition at 100 TB: LexIndex posting lists (reads the 3 query
+    // terms' bucket partitions) fused with VectorIndex IVF-PQ search
+    // (reads the nProbe probed cells' partitions) — zero corpus-shaped
+    // work at query time on EITHER branch. The vector branch is
+    // approximate (the brute scan it replaces is exact), so unlike
+    // hybrid_search_indexed this form cannot share the exact-fusion
+    // oracle: ApproxOpsSpec pins a >= 0.8 fused-recall floor against
+    // hybrid_search_rrf plus both branches' partition pruning. Both
+    // index builds are in-query here (amortized per-build in
+    // production, the ann_ivfpq_indexed stance).
+    noOracle("hybrid_search_ann_indexed") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val lexIdx = graft.Scratch.dir("graft_lexindex_hyann")
+      LexIndex.build(s,
+        Tables.documents(s, dir).where(col("doc_id") =!= 0), lexIdx)
+      val vecIdx = graft.Scratch.dir("graft_vecindex_hyann")
+      VectorIndex.buildIvfPq(s, emb.where(col("vec_id") =!= 0), vecIdx,
+        nCells = 16, m = 16, ks = 16)
+      hybridSearchAnnIndexed(s, lexIdx, vecIdx, emb,
         Seq("spark", "merge", "vector"), probeId = 0L)
     },
 
@@ -634,23 +688,25 @@ object VectorOps {
     noOracle("near_dedup_semantic") { (s, dir) =>
       // fixture shape pinned at 8 cells so recall stays comparable
       // across rounds; production callers take the √n auto default.
-      // nAssign = 1 is EXPLICIT here (round 11 moved the library
-      // default to multi-assign): this query tracks the single-assign
-      // cost-floor operating point; the default path's recall is the
-      // _multi entry
-      cosineNearDupSemantic(s, Tables.embeddings(s, dir), threshold = 0.4,
-        nCells = 8, nAssign = 1).orderBy("i", "j")
-    },
-
-    // Multi-assignment variant — THE LIBRARY DEFAULT since round 11:
-    // same 8 cells, each vector in its 2 nearest — recovers the
-    // Voronoi-boundary pairs single assignment structurally misses (the
-    // dominant recall hole of the cluster-scoped form) for 2× candidate
-    // volume. Recall vs the exact form tracked beside the single-assign
-    // number in ApproxOpsSpec / RECALL.
-    noOracle("near_dedup_semantic_multi") { (s, dir) =>
+      // Round 13: this primary ID now declares THE LIBRARY DEFAULT —
+      // 2-nearest-cell multi-assignment (the round-11 default, which
+      // recovers the Voronoi-boundary pairs single assignment
+      // structurally misses) — so the RECALL headline row reflects what
+      // the engine ships (0.90, not the 0.53 cost floor readers kept
+      // tripping on). The single-assign knob point stays declared as
+      // near_dedup_semantic_floor below.
       cosineNearDupSemantic(s, Tables.embeddings(s, dir), threshold = 0.4,
         nCells = 8, nAssign = 2).orderBy("i", "j")
+    },
+
+    // Single-assignment COST-FLOOR operating point (was the primary ID
+    // through round 12; renamed so the headline row tracks the shipped
+    // default): each vector in exactly its own cell — half the candidate
+    // volume, the recall hole at Voronoi boundaries. Kept declared so
+    // the knob's cost/recall point stays measured in RECALL.
+    noOracle("near_dedup_semantic_floor") { (s, dir) =>
+      cosineNearDupSemantic(s, Tables.embeddings(s, dir), threshold = 0.4,
+        nCells = 8, nAssign = 1).orderBy("i", "j")
     },
 
     // Cluster-balanced diverse sampling (the curation step cluster-

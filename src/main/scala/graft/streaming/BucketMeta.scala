@@ -50,9 +50,11 @@ private[streaming] object BucketMeta {
   /** Record `n` if the store has no (readable) sidecar yet; an existing
     * parsable sidecar wins (first write pins the modulus — folds enforce
     * equality against it). Temp-then-rename so no crash point leaves a
-    * half-written file at the final path; the delete-before-rename of an
-    * unparsable leftover has a tiny absent-sidecar window, which [[read]]
-    * already treats as recoverable.
+    * half-written file at the final path; an unparsable leftover at the
+    * destination is healed by an OVERWRITING rename (FileContext
+    * `Options.Rename.OVERWRITE` — atomic where the filesystem's rename
+    * is), so there is never an absent-sidecar window a concurrent
+    * reader could mistake for a pre-sidecar store.
     */
   def write(spark: SparkSession, root: String, n: Int): Unit = {
     require(n > 0, s"bucket count must be positive, got $n")
@@ -62,8 +64,9 @@ private[streaming] object BucketMeta {
       val tmp = new Path(root, "_graft_buckets.tmp")
       val out = f.create(tmp, true)
       try out.write(n.toString.getBytes("UTF-8")) finally out.close()
-      if (f.exists(p)) f.delete(p, false) // unparsable leftover
-      require(f.rename(tmp, p), s"sidecar rename $tmp -> $p failed")
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(spark.sparkContext.hadoopConfiguration)
+        .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
   }
 }

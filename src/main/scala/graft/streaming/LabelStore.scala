@@ -74,36 +74,29 @@ object LabelStore {
   private def tmpDir(dir: String): String = dir + ".tmp"
   private def oldDir(dir: String): String = dir + ".old"
 
-  /** Marker a per-bucket fold swap drops inside `dir.old` BEFORE
-    * displacing any bucket, so [[recover]] can tell a torn fold swap
-    * (displaced buckets must be restored) from the marker-LESS `.old`
-    * a whole-dir [[compact]] swap leaves when it crashes after
-    * promoting the new version (superseded buckets that must NOT be
-    * resurrected — after a reshard they aren't even under the store's
-    * modulus). Underscore-prefixed so Spark's file index ignores it if
-    * the dir is ever read directly.
-    */
-  val PerBucketMarker = "_graft_perbucket"
-
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  /** Repair any torn swap. Three `.old` states, disambiguated by the
-    * live dir and the [[PerBucketMarker]]:
+  /** Repair any torn swap. Two `.old` states, disambiguated by the
+    * live dir:
     *
     *   - live dir ABSENT: a whole-dir swap crashed between its two
     *     renames — `.old` is the complete current store; roll it back.
-    *   - live dir present + marker present: a per-bucket fold swap
-    *     tore — every displaced bucket whose live replacement never
-    *     made it in is renamed back (the only window where a bucket is
-    *     missing from the store), then the leftover `.old` is dropped.
-    *   - live dir present + NO marker: a whole-dir swap ([[compact]]'s
-    *     StoreSwap) crashed after promoting the new version but before
-    *     deleting the superseded one. Restoring buckets from it would
-    *     RESURRECT pre-compaction files into the compacted store — and
-    *     after a reshard, buckets under the OLD modulus that the new
-    *     partitioning never produces (they'd defeat the compaction and
-    *     persist until the next one). Superseded: drop it.
+    *   - live dir present: restore every `.old` bucket that is MISSING
+    *     from the live store, then drop the leftover. A missing bucket
+    *     is either a fold swap's displaced bucket (the one window where
+    *     a bucket is absent — it MUST come back or its labels are lost;
+    *     this covers pre-r12 binaries' fold tears too, which staged the
+    *     identical state) or, after a crashed SHRINKING-reshard
+    *     [[compact]], a superseded out-of-modulus bucket. Restoring the
+    *     latter is SAFE — a completed compact writes every node, so a
+    *     leftover only ever adds duplicate rows with stale (≥ current,
+    *     labels-only-decrease) labels that the min-fold absorbs on
+    *     every read path, and the next compact drops the extra files —
+    *     whereas dropping a displaced fold bucket silently forgets
+    *     prior labels, the one unrecoverable outcome. (Round 13: this
+    *     replaces the r12 marker-file disambiguation, whose marker-less
+    *     branch deleted exactly those pre-r12 displaced buckets.)
     *
     * Idempotent; driver-side metadata ops only. Run by [[fold]],
     * [[read]] and [[lookup]].
@@ -115,15 +108,13 @@ object LabelStore {
     if (f.exists(old)) {
       if (!f.exists(live)) {
         require(f.rename(old, live), s"rollback rename $old -> $live failed")
-      } else if (f.exists(new Path(old, PerBucketMarker))) {
+      } else {
         f.listStatus(old).foreach { st =>
           val name = st.getPath.getName
           if (name.startsWith("bucket=") && !f.exists(new Path(dir, name)))
             require(f.rename(st.getPath, new Path(dir, name)),
               s"rollback rename ${st.getPath} failed")
         }
-        f.delete(old, true)
-      } else {
         f.delete(old, true)
       }
     }
@@ -241,11 +232,6 @@ object LabelStore {
         require(f.exists(new Path(tmp, "_SUCCESS")), s"torn staging write at $tmp")
         val old = new Path(oldDir(dir))
         f.mkdirs(old)
-        // drop the per-bucket marker BEFORE any bucket is displaced: a
-        // crash between mkdirs and the marker leaves an empty `.old`
-        // recover safely discards (nothing displaced yet); a crash any
-        // later leaves a marked `.old` recover restores from
-        f.create(new Path(old, PerBucketMarker), true).close()
         changedBuckets.foreach { b =>
           val live = new Path(dir, s"bucket=$b")
           val staged = new Path(tmp, s"bucket=$b")

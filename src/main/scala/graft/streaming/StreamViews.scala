@@ -671,6 +671,48 @@ object StreamViews {
         .orderBy("node")
     },
 
+    // Speed-layer maintenance of the persistent posting-list index: the
+    // document intake stream folds into [[graft.operators.LexIndex]] one
+    // microbatch at a time via the TRANSACTIONAL append (round 13 —
+    // batch postings land under an uncommitted seq= partition, the stats
+    // two-rename is the single commit point, and the foreachBatch id
+    // rides into stats so an engine re-delivery after a maintainer crash
+    // is a no-op: exactly-once without trusting the engine). The
+    // pairing every other serving store already has (stream_upsert,
+    // stream_cc). Appends are batch-sized — one file per touched bucket,
+    // never a corpus rewrite; LexIndexSpec pins that an append touches
+    // only the batch's terms' buckets, and production runs
+    // LexIndex.maintain between batches (files-per-bucket trigger).
+    // Folding ANY batching sequentially lands the same index as one
+    // build, so the query shares text_bm25_topk's oracle SQL verbatim —
+    // the driver proves stream-fold ≡ batch build ≡ direct scan.
+    withOracle(
+      "stream_lex_append",
+      graft.operators.TextOps.bm25TopkOracleSql) { (s, dir) =>
+      val docsDir = stageCache.computeIfAbsent(s"lexdocs|$dir", _ => {
+        val d = graft.Scratch.dir("graft_lex_docs")
+        Tables.documents(s, dir).select("doc_id", "text").repartition(4)
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      val idx = graft.Scratch.dir("graft_lexindex_stream")
+      val schema = s.read.parquet(docsDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(docsDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (graft.model.StoreSwap.readablePath(s, s"$idx/stats").isEmpty)
+            graft.operators.LexIndex.build(s, batch.toDF(), idx, batchId = id)
+          else
+            graft.operators.LexIndex.append(s, batch.toDF(), idx, batchId = id)
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.operators.LexIndex.bm25TopK(s, idx,
+        Seq("spark", "merge", "vector"), k = 10)
+    },
+
     // Streaming mergeable quantiles: per-event-type p50/p95 of the value
     // column via KLL sketches — the speed-layer form of the exact batch
     // `agg_percentile`. Like stream_hll, the state IS the sketch

@@ -373,6 +373,56 @@ class ApproxOpsSpec extends SparkSpec {
     info(s"semantic dedup recall at 8 cells, nAssign=2: $multiRecall (${multi.size}/${exact.size})")
   }
 
+  test("hybrid_search_ann_indexed: fused recall >= 0.8 vs exact fusion; BOTH branches partition-pruned") {
+    import graft.operators.{LexIndex, VectorIndex}
+    val docs = Tables.documents(spark, sf0001).where($"doc_id" =!= 0)
+    val emb = Tables.embeddings(spark, sf0001)
+    val qTerms = Seq("spark", "merge", "vector")
+    val lexIdx = Scratch.dir("hyann_lex")
+    LexIndex.build(spark, docs, lexIdx)
+    val vecIdx = Scratch.dir("hyann_vec")
+    VectorIndex.buildIvfPq(spark, emb.where($"vec_id" =!= 0), vecIdx,
+      nCells = 16, m = 16, ks = 16)
+    val fusedDf = VectorOps.hybridSearchAnnIndexed(spark, lexIdx, vecIdx,
+      emb, qTerms, probeId = 0L)
+    val fused = fusedDf.collect().map(_.getAs[Long]("doc_id")).toSet
+    val exact = VectorOps.hybridSearchRrf(Tables.documents(spark, sf0001),
+      emb, qTerms, probeId = 0L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(exact.size == 10 && fused.size == 10)
+    val recall = (fused & exact).size.toDouble / exact.size
+    assert(recall >= 0.8,
+      s"index-served fusion recall $recall vs exact fusion (got ${fused.toSeq.sorted}, want ${exact.toSeq.sorted})")
+
+    // both branches' scans must be partition-pruned: the lexical scan to
+    // the 3 query terms' buckets, the vector scan to <= nProbe cells
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(s.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val scans = allNodes(fusedDf.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    val lexScans = scans.filter(_.relation.location.rootPaths
+      .exists(_.toString.contains("hyann_lex")))
+    val vecScans = scans.filter(_.relation.location.rootPaths
+      .exists(p => p.toString.contains("hyann_vec") && p.toString.endsWith("/codes")))
+    val wantedBuckets = spark.range(1)
+      .select(qTerms.map(t =>
+        pmod(xxhash64(lit(t)), lit(LexIndex.DefaultBuckets.toLong))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct.size
+    assert(lexScans.nonEmpty && vecScans.nonEmpty,
+      s"expected scans over both indexes, got ${scans.map(_.relation.location.rootPaths).mkString}")
+    assert(lexScans.map(_.selectedPartitions.partitionCount).max == wantedBuckets,
+      s"lexical branch must read only the $wantedBuckets query-term buckets")
+    assert(vecScans.map(_.selectedPartitions.partitionCount).max <= 8,
+      "vector branch must read only the probed cells (nProbe = 8)")
+  }
+
   test("semantic_decontaminate drops planted eval-duplicate train vectors, keeps orthogonal ones, excludes eval rows") {
     // eval = vec 0 along x; vec 10 is its scaled copy (cos 1), vec 11 a
     // near-paraphrase (cos ~0.995), vec 12 orthogonal (cos 0)

@@ -149,10 +149,6 @@ class LabelStoreSpec extends SparkSpec {
     val before = labelsOf(d1)
     val victim = spark.range(1).select(pmod(hash(lit(0L)), lit(8))).head().getInt(0)
     f.mkdirs(P(s"$d1.old"))
-    // the real fold drops the per-bucket marker before displacing any
-    // bucket — the manufactured crash state must carry it too (recover
-    // reads a marker-LESS .old as a superseded compact leftover)
-    f.create(P(s"$d1.old/${LabelStore.PerBucketMarker}"), true).close()
     require(f.rename(P(s"$d1/bucket=$victim"), P(s"$d1.old/bucket=$victim")))
     assert(labelsOf(d1) == before,
       "a mid-swap-absent bucket must be recovered, not read as forgotten labels")
@@ -212,28 +208,53 @@ class LabelStoreSpec extends SparkSpec {
     assert(labelsOf(dir)(200L) == 0L)
   }
 
-  test("a compact-crash leftover .old is dropped, never resurrected into the compacted store") {
-    // the ADVICE scenario: compact() swapped the new version in (its
-    // StoreSwap step 3) but crashed before deleting `.old`. The leftover
-    // carries buckets of the PRE-compact store — after a reshard, bucket
-    // ids the new modulus never produces. recover must drop it (no
-    // marker = whole-dir leftover), not rename its buckets back in.
+  test("a compact-crash leftover .old: same-modulus buckets dropped, stale labels absorbed by the min-fold") {
+    // compact() swapped the new version in (its StoreSwap step 3) but
+    // crashed before deleting `.old`. A REAL leftover holds the complete
+    // pre-compact store — every node also lives in the live version
+    // (compact never drops nodes), possibly with STALE (larger) labels.
+    // recover's restore-missing-buckets rule must not lose any current
+    // label: same-named buckets are never touched, and any restored
+    // out-of-modulus bucket (shrinking reshard) only adds duplicate
+    // rows the labels-only-decrease min-fold absorbs.
     val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def P(s: String) = new org.apache.hadoop.fs.Path(s)
     val dir = freshDir()
-    LabelStore.fold(spark, dir, Seq((1L, 2L)).toDF("src", "dst"), nBuckets = 4)
+    LabelStore.fold(spark, dir, Seq((1L, 2L), (1L, 3L)).toDF("src", "dst"), nBuckets = 4)
     val want = labelsOf(dir)
-    // manufacture the superseded pre-reshard version under .old: an
-    // 8-modulus bucket id (7) the live 4-bucket store cannot hold, with
-    // a stale node the compaction already dropped
-    Seq((99L, 99L)).toDF("node", "label")
+    // the superseded pre-compact version: node 3 still carries its stale
+    // pre-merge label (3 >= the current 1 — monotone-valid), under an
+    // out-of-modulus bucket id (7) from before a shrinking reshard
+    Seq((3L, 3L)).toDF("node", "label")
       .withColumn("bucket", lit(7))
       .coalesce(1).write.partitionBy("bucket").parquet(s"$dir.old")
     assert(labelsOf(dir) == want,
-      "superseded compact leftovers must not resurrect stale labels")
+      "restored stale rows must lose the min-fold — reads unchanged")
     assert(!f.exists(P(s"$dir.old")), "the leftover .old must be cleaned")
+    // the restored bucket persists only until the next compaction
+    LabelStore.compact(spark, dir)
     assert(!f.exists(P(s"$dir/bucket=7")),
-      "an out-of-modulus bucket must not be renamed into the live store")
+      "compaction must drop the out-of-modulus leftover bucket")
+    assert(labelsOf(dir) == want)
+  }
+
+  test("a pre-r12 fold tear (marker-less displaced bucket) is restored, not silently lost") {
+    // the round-12 recover deleted any marker-less .old when the live
+    // dir existed — a fold swap torn under a pre-r12 binary (which wrote
+    // no marker) lost its displaced buckets on upgrade. The unified rule
+    // restores ANY .old bucket missing from the live store.
+    val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+    def P(s: String) = new org.apache.hadoop.fs.Path(s)
+    val dir = freshDir()
+    LabelStore.fold(spark, dir,
+      Seq.tabulate(32)(i => (i.toLong, (i + 1000).toLong)).toDF("src", "dst"))
+    val before = labelsOf(dir)
+    val victim = spark.range(1).select(pmod(hash(lit(0L)), lit(8))).head().getInt(0)
+    f.mkdirs(P(s"$dir.old")) // NO marker — the pre-r12 staging shape
+    require(f.rename(P(s"$dir/bucket=$victim"), P(s"$dir.old/bucket=$victim")))
+    assert(labelsOf(dir) == before,
+      "a displaced bucket with no marker must still be restored — labels are never lost")
+    assert(f.exists(P(s"$dir/bucket=$victim")) && !f.exists(P(s"$dir.old")))
   }
 
   test("compact defaults to the recorded modulus; an explicit count reshards and re-pins it") {

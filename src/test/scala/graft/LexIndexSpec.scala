@@ -95,6 +95,145 @@ class LexIndexSpec extends SparkSpec {
       s"expected fewer postings files after consolidate (before=$filesBefore, after=${parquetFiles()})")
   }
 
+  // ---- Append crash story (round 13): stats is the ONE commit point.
+  // Each test manufactures a crash state with raw FS ops (the
+  // RecoverySpec technique) and asserts (a) reads serve EXACTLY the old
+  // index, and (b) re-running the append CONVERGES to the union build —
+  // no lost corpus, no double-counted postings.
+
+  private def topk(dir: String): Seq[(Int, Long, Double)] =
+    LexIndex.bm25TopK(spark, dir, qTerms, k = 10)
+      .collect().toSeq.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+
+  private def copyDir(from: String, to: String): Unit =
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(from), new java.io.File(to))
+
+  private def postingsCount(dir: String): Long = {
+    val stats = spark.read.parquet(s"$dir/stats").head()
+    spark.read.parquet(s"$dir/postings")
+      .where(col("seq") <= stats.getAs[Long]("max_seq").toInt).count()
+  }
+
+  test("append crash BEFORE the stats swap: reads serve the old index; retry converges") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = freshDir()
+    LexIndex.build(spark, docs.where($"doc_id" % 2 === 0), dir)
+    val before = topk(dir)
+    val statsSnap = freshDir() + "/stats_snap"
+    copyDir(s"$dir/stats", statsSnap)
+    LexIndex.append(spark, docs.where($"doc_id" % 2 === 1), dir)
+    // manufacture the crash state: batch postings fully committed under
+    // seq=1, stats still the pre-append row (the swap never ran)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/stats"))
+    copyDir(statsSnap, s"$dir/stats")
+    assert(topk(dir) == before,
+      "uncommitted seq=1 postings must be invisible — reads serve exactly the old index")
+    // retry: recover prunes the orphaned seq=1 dirs, the re-append lands once
+    LexIndex.append(spark, docs.where($"doc_id" % 2 === 1), dir)
+    val whole = freshDir()
+    LexIndex.build(spark, docs, whole)
+    assert(topk(dir) == topk(whole), "retried append must equal one build over the union")
+    assert(postingsCount(dir) == postingsCount(whole),
+      "no double-counted postings after the retry")
+  }
+
+  test("append crash MID-postings (partial seq=1): reads serve the old index; retry converges") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = freshDir()
+    LexIndex.build(spark, docs.where($"doc_id" % 2 === 0), dir)
+    val before = topk(dir)
+    val statsSnap = freshDir() + "/stats_snap"
+    copyDir(s"$dir/stats", statsSnap)
+    LexIndex.append(spark, docs.where($"doc_id" % 2 === 1), dir)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/stats"))
+    copyDir(statsSnap, s"$dir/stats")
+    // tear the postings write too: only SOME buckets' seq=1 dirs landed
+    val seqDirs = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .flatMap(b => Option(new java.io.File(b, "seq=1")).filter(_.exists()))
+    assert(seqDirs.length > 1, "fixture must touch multiple buckets")
+    seqDirs.zipWithIndex.filter(_._2 % 2 == 0).foreach { case (d, _) =>
+      org.apache.commons.io.FileUtils.deleteDirectory(d)
+    }
+    assert(topk(dir) == before,
+      "a partially-landed append must be invisible, not partially scored")
+    LexIndex.append(spark, docs.where($"doc_id" % 2 === 1), dir)
+    val whole = freshDir()
+    LexIndex.build(spark, docs, whole)
+    assert(topk(dir) == topk(whole),
+      "retry after a torn postings write must converge to the union build")
+    assert(postingsCount(dir) == postingsCount(whole),
+      "the surviving partial dirs must be pruned, not double-appended")
+  }
+
+  test("append over a consolidate that crashed mid-swap recovers the prior corpus first") {
+    // the round-12 ADVICE medium: postings present only at postings.old
+    // (swap step 2 done), staged tmp complete — a bare SaveMode.Append
+    // would create a fresh live postings/ holding ONLY the new batch
+    val docs = Tables.documents(spark, sf0001)
+    val dir = freshDir()
+    LexIndex.build(spark, docs.where($"doc_id" % 2 === 0), dir)
+    val posts = new java.io.File(s"$dir/postings")
+    copyDir(s"$dir/postings", s"$dir/postings.tmp") // complete staged rewrite
+    assert(posts.renameTo(new java.io.File(s"$dir/postings.old")))
+    LexIndex.append(spark, docs.where($"doc_id" % 2 === 1), dir)
+    val whole = freshDir()
+    LexIndex.build(spark, docs, whole)
+    assert(topk(dir) == topk(whole),
+      "append must finish the torn swap before writing — the prior corpus survives")
+  }
+
+  test("a replayed batchId is a no-op (exactly-once for a streaming fold)") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = freshDir()
+    LexIndex.build(spark, docs.where($"doc_id" % 2 === 0), dir, batchId = 0L)
+    LexIndex.append(spark, docs.where($"doc_id" % 2 === 1), dir, batchId = 1L)
+    val after = topk(dir)
+    val nDocs = spark.read.parquet(s"$dir/stats").head().getAs[Long]("n_docs")
+    LexIndex.append(spark, docs.where($"doc_id" % 2 === 1), dir, batchId = 1L)
+    assert(spark.read.parquet(s"$dir/stats").head().getAs[Long]("n_docs") == nDocs,
+      "replaying a committed batch must not change the corpus constants")
+    assert(topk(dir) == after, "replaying a committed batch must not change answers")
+  }
+
+  test("maintain: files-per-bucket trigger fires after appends, compaction idempotent, answers unchanged") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = freshDir()
+    LexIndex.build(spark, docs.where($"doc_id" % 4 === 0), dir)
+    (1 to 3).foreach(i =>
+      LexIndex.append(spark, docs.where($"doc_id" % 4 === i), dir))
+    val before = topk(dir)
+    assert(LexIndex.needsCompact(spark, dir, maxFiles = 3),
+      "3 appends over a build must exceed a 3-file bucket budget")
+    assert(LexIndex.maintain(spark, dir, maxFiles = 3), "maintain must run when due")
+    assert(!LexIndex.needsCompact(spark, dir, maxFiles = 3),
+      "a compacted bucket is back to ~1 file")
+    assert(!LexIndex.maintain(spark, dir, maxFiles = 3),
+      "maintain is a no-op when not due")
+    assert(topk(dir) == before, "maintenance must not change answers")
+  }
+
+  test("an append touches ONLY the batch's terms' buckets (the stream-fold cost shape)") {
+    val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val batch = Seq((3L, "alpha omega"), (4L, "omega kappa"))
+      .toDF("doc_id", "text")
+    val dir = freshDir()
+    LexIndex.build(spark, base, dir)
+    LexIndex.append(spark, batch, dir)
+    val expected = spark.range(1)
+      .select(Seq("alpha", "omega", "kappa").map(t =>
+        pmod(xxhash64(lit(t)), lit(LexIndex.DefaultBuckets.toLong))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).toSet
+    val touched = new java.io.File(s"$dir/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
+      .filter(b => new java.io.File(b, "seq=1").exists())
+      .map(_.getName.stripPrefix("bucket=").toLong).toSet
+    assert(touched == expected,
+      s"append wrote buckets $touched; the batch's terms hash to $expected")
+  }
+
   test("reads are self-describing: a non-default modulus is recovered from stats") {
     val docs = Seq((1L, "alpha beta"), (2L, "beta gamma beta"))
       .toDF("doc_id", "text")

@@ -159,4 +159,37 @@ class NearDedupSpec extends SparkSpec {
     val kept = NearDedup.keepBestCanonical(planted).collect()
     assert(kept.map(_.getLong(0)).toSeq === Seq(0L), kept.mkString(", "))
   }
+
+  test("incremental keep-best equals the full recompute on merge / fresh / empty batches") {
+    // two existing dup clusters {0,1} and {10,11}, an existing singleton
+    // 12; batch doc 20 BRIDGES both clusters (its text covers both, so
+    // its Jaccard to each side clears 0.1 — the merge case the
+    // affected-cluster re-argmax must get right), batch doc 21 is a
+    // fresh singleton (no pair anywhere)
+    val other = "parquet vectorized readers scan column chunks with the of a predicate pushdown"
+    val planted = Seq(
+      (0L, base),
+      (1L, base + " and it is of the to in the a of is"),
+      (10L, other),
+      (11L, other + " besides and it is of the to"),
+      (12L, "an unrelated singleton document about broadcast joins under adaptive execution"),
+      (20L, base + " " + other),
+      (21L, "a fresh arrival on watermarks and state stores in streaming queries only")
+    ).toDF("doc_id", "text")
+    def kept(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val full = kept(NearDedup.keepBestCanonical(planted))
+    // sanity on the fixture itself: the bridge really merges the clusters
+    assert(full.map(_._1).count(id => Seq(0L, 1L, 10L, 11L, 20L).contains(id)) == 1,
+      s"docs 0,1,10,11,20 must form ONE merged cluster; kept $full")
+    for (batch <- Seq(col("doc_id") >= 20, col("doc_id") >= 10, lit(false)))
+      assert(kept(NearDedup.keepBestCanonicalIncremental(planted, batch)) == full,
+        s"incremental (batch = $batch) must equal the full recompute")
+    // and on the real fixture corpus at the declared split + a heavier mix
+    val fixture = Tables.documents(spark, sf0001)
+    val fullFixture = kept(NearDedup.keepBestCanonical(fixture))
+    for (batch <- Seq(col("doc_id") % 4 === 0, col("doc_id") % 2 === 0))
+      assert(kept(NearDedup.keepBestCanonicalIncremental(fixture, batch)) == fullFixture,
+        "incremental must equal the full recompute on the fixture corpus")
+  }
 }
