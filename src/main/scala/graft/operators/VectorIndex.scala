@@ -25,6 +25,15 @@ import org.apache.spark.sql.functions._
   * does; rebuilding is a policy decision (track residual magnitudes),
   * not something an append should silently trigger.
   *
+  * Crash story (round 13 — the [[LexIndex]] discipline): the one-row
+  * `meta` table (max_seq, last_batch) is the single commit point for
+  * every mutation. Appends land under an uncommitted `seq=` partition
+  * that searches — gated on `seq <= meta.max_seq` — cannot see until
+  * the meta StoreSwap lands; [[recover]] prunes orphaned partitions so
+  * an append RETRY converges instead of double-inserting; a caller's
+  * durable batchId recorded in meta makes replays of committed batches
+  * no-ops. [[maintain]] is the files-per-cell compaction trigger.
+  *
   * Search reads the pruned codes table and runs the same
   * [[VectorOps.ivfPqSearch]] the in-query `ann_ivfpq` form uses — one
   * code path, so the prebuilt and in-query answers agree exactly
@@ -34,14 +43,28 @@ object VectorIndex {
 
   private def codesDir(dir: String) = dir + "/codes"
   private def booksDir(dir: String) = dir + "/codebooks"
+  private def metaDir(dir: String) = dir + "/meta"
+
+  /** Part files a cell may hold before [[needsCompact]] fires — each
+    * append adds ~1 file per touched cell.
+    */
+  val DefaultMaxFilesPerCell = 16
+
+  private def fs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
   /** Build the index at `dir` (overwrites): trains on `emb` (bounded by
-    * `maxTrainRows`), writes cell-partitioned codes + codebooks. Shapes
-    * auto-size from the corpus like the in-query form.
+    * `maxTrainRows`), writes cell-partitioned codes + codebooks, then
+    * the one-row `meta` table LAST — it is the read path's append gate
+    * (max_seq), so a crash mid-build leaves an index that loudly reads
+    * as not-ready. `batchId` records a durable caller sequence id so a
+    * replayed bootstrap batch is skipped by the next [[appendIvfPq]].
+    * Shapes auto-size from the corpus like the in-query form.
     */
   def buildIvfPq(spark: SparkSession, emb: DataFrame, dir: String,
       nCells: Int = 0, m: Int = 0, ks: Int = 0,
-      maxTrainRows: Long = 100000L, nRows: Long = 0L): Unit = {
+      maxTrainRows: Long = 100000L, nRows: Long = 0L,
+      batchId: Long = -1L): Unit = {
     import spark.implicits._
     val n = if (nRows > 0) nRows else emb.count()
     val cells = if (nCells > 0) nCells else VectorOps.ivfCells(n)
@@ -57,8 +80,9 @@ object VectorIndex {
       assigned.select(col("residual").as("embedding")), mSub, kCent, dims,
       maxTrainRows, n)
     VectorOps.ivfPqEncode(assigned, books)
+      .withColumn("seq", lit(0))
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("cell")
+      .partitionBy("cell", "seq")
       .parquet(codesDir(dir))
     val coarseRows = centroidArr.zipWithIndex.map { case (v, i) =>
       ("coarse", 0, i, v.toSeq)
@@ -71,6 +95,40 @@ object VectorIndex {
       .toDF("kind", "sub", "idx", "vec")
       .repartition(1) // broadcast-sized side table: one file
       .write.mode(SaveMode.Overwrite).parquet(booksDir(dir))
+    Seq((0L, batchId)).toDF("max_seq", "last_batch")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite).parquet(metaDir(dir))
+  }
+
+  /** Repair any torn mutation before the next write (driver-side
+    * metadata only — the [[LexIndex.recover]] discipline on the vector
+    * side): finish interrupted meta/codes StoreSwaps, then delete
+    * `seq >` meta.max_seq code directories (orphans of an append that
+    * crashed before its meta commit — readers never saw them, and
+    * pruning them is what makes a RETRY converge instead of
+    * double-inserting ids) and `_temporary` job-staging leftovers.
+    */
+  def recover(spark: SparkSession, dir: String): Unit = {
+    graft.model.StoreSwap.commit(spark, metaDir(dir))
+    graft.model.StoreSwap.commit(spark, codesDir(dir))
+    val f = fs(spark)
+    val codes = new org.apache.hadoop.fs.Path(codesDir(dir))
+    if (f.exists(new org.apache.hadoop.fs.Path(metaDir(dir))) && f.exists(codes)) {
+      val maxSeq = spark.read.parquet(metaDir(dir)).head().getAs[Long]("max_seq")
+      f.listStatus(codes).foreach { c =>
+        val name = c.getPath.getName
+        if (name == "_temporary") f.delete(c.getPath, true)
+        else if (c.isDirectory && name.startsWith("cell=")) {
+          f.listStatus(c.getPath).foreach { s =>
+            val sn = s.getPath.getName
+            if (sn == "_temporary") f.delete(s.getPath, true)
+            else if (s.isDirectory && sn.startsWith("seq=") &&
+                scala.util.Try(sn.stripPrefix("seq=").toLong).toOption.exists(_ > maxSeq))
+              f.delete(s.getPath, true)
+          }
+        }
+      }
+    }
   }
 
   /** (coarse centroids, PQ codebooks) read back from `dir` — float-exact,
@@ -91,19 +149,50 @@ object VectorIndex {
     * are written (into their cells' partition directories); existing
     * files and codebooks are untouched.
     *
-    * Append-only semantics, like `FactStore.ingest` (and the reference's
-    * Pail.absorb): appending an id twice stores it twice, and both rows
-    * can then surface as candidates. Dedup BEFORE appending — the
-    * `dedup_incremental` path is the intended upstream — rather than
-    * paying a (p, c) distinct inside every search.
+    * CRASH-SAFE AND IDEMPOTENT since round 13 (the [[LexIndex.append]]
+    * discipline — previously the one remaining store append without
+    * it): the batch's codes land under the next uncommitted `seq=`
+    * partition, invisible to [[searchIvfPq]] until the one-row `meta`
+    * table swaps in the new `max_seq` through the crash-safe
+    * [[graft.model.StoreSwap]] two-rename — a crash anywhere before
+    * that swap leaves searches serving EXACTLY the old index, and
+    * [[recover]] prunes the orphaned partitions so a retry converges
+    * instead of double-inserting the batch's ids. Pass the caller's
+    * durable `batchId` (a foreachBatch id) to make a REPLAY of an
+    * already-committed batch a no-op.
+    *
+    * Append-only semantics otherwise, like `FactStore.ingest` (and the
+    * reference's Pail.absorb): appending an id in two DIFFERENT batches
+    * stores it twice, and both rows can then surface as candidates.
+    * Dedup BEFORE appending — the `dedup_incremental` path is the
+    * intended upstream — rather than paying a (p, c) distinct inside
+    * every search.
     */
-  def appendIvfPq(spark: SparkSession, newEmb: DataFrame, dir: String): Unit = {
+  def appendIvfPq(spark: SparkSession, newEmb: DataFrame, dir: String,
+      batchId: Long = -1L): Unit = {
+    import spark.implicits._
+    recover(spark, dir)
+    val prev = spark.read.parquet(metaDir(dir)).head()
+    if (batchId >= 0 && prev.getAs[Long]("last_batch") >= batchId)
+      return // already-committed batch replayed by the caller: no-op
+    val newSeq = prev.getAs[Long]("max_seq") + 1
     val (coarse, books) = readCodebooks(spark, dir)
     val unitEmb = VectorOps.withUnit(newEmb, "embedding", "unit")
     VectorOps.ivfPqEncode(VectorOps.ivfPqAssign(spark, unitEmb, coarse), books)
+      .withColumn("seq", lit(newSeq.toInt))
+      // one file per touched cell per batch (the maintenance policy's
+      // cost model), not one per shuffle partition per cell
+      .repartition(col("cell"))
       .write.mode(SaveMode.Append)
-      .partitionBy("cell")
+      .partitionBy("cell", "seq")
       .parquet(codesDir(dir))
+    // THE commit point: only this swap makes seq=newSeq visible
+    Seq((newSeq, math.max(prev.getAs[Long]("last_batch"), batchId)))
+      .toDF("max_seq", "last_batch")
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(graft.model.StoreSwap.tmpPath(metaDir(dir)))
+    graft.model.StoreSwap.commit(spark, metaDir(dir))
   }
 
   /** Compact the codes table in place (Pail.consolidate for the index,
@@ -120,13 +209,56 @@ object VectorIndex {
     * pass: run it between serving windows, not under live readers.
     */
   def consolidate(spark: SparkSession, dir: String): Unit = {
-    // self-heal a predecessor's mid-swap crash before reading
-    graft.model.StoreSwap.commit(spark, codesDir(dir))
+    // self-heal a predecessor's mid-swap crash and prune any orphaned
+    // uncommitted append before reading — folding an orphan into the
+    // rewrite would silently commit it
+    recover(spark, dir)
+    val maxSeq = spark.read.parquet(metaDir(dir)).head().getAs[Long]("max_seq")
     spark.read.parquet(codesDir(dir))
+      .where(col("seq") <= lit(maxSeq.toInt)) // belt over recover's prune
+      .withColumn("seq", lit(0)) // collapse committed levels back to 0
       .repartition(col("cell")) // all of a cell's rows → one writer → one file
-      .write.mode(SaveMode.Overwrite).partitionBy("cell")
+      .write.mode(SaveMode.Overwrite).partitionBy("cell", "seq")
       .parquet(graft.model.StoreSwap.tmpPath(codesDir(dir)))
     graft.model.StoreSwap.commit(spark, codesDir(dir))
+  }
+
+  /** Part-file count of the fullest cell (driver metadata only). */
+  def maxFilesPerCell(spark: SparkSession, dir: String): Int = {
+    val f = fs(spark)
+    graft.model.StoreSwap.readablePath(spark, codesDir(dir)).map { root =>
+      val cells = f.listStatus(new org.apache.hadoop.fs.Path(root))
+        .filter(st => st.isDirectory && st.getPath.getName.startsWith("cell="))
+      if (cells.isEmpty) 0
+      else cells.map { c =>
+        f.listStatus(c.getPath).map { s =>
+          if (s.isDirectory && s.getPath.getName.startsWith("seq="))
+            f.listStatus(s.getPath)
+              .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+          else if (s.isFile && !s.getPath.getName.startsWith("_")) 1
+          else 0
+        }.sum
+      }.max
+    }.getOrElse(0)
+  }
+
+  /** Maintenance trigger — the serving stores' files-per-bucket policy
+    * on the index's cells: true once any cell has accumulated more than
+    * `maxFiles` code files (each append adds ~1 per touched cell).
+    */
+  def needsCompact(spark: SparkSession, dir: String,
+      maxFiles: Int = DefaultMaxFilesPerCell): Boolean =
+    maxFilesPerCell(spark, dir) > maxFiles
+
+  /** Run [[consolidate]] iff [[needsCompact]]; returns whether it ran.
+    * The maintenance entry point for an append loop: call between
+    * batches, never under one.
+    */
+  def maintain(spark: SparkSession, dir: String,
+      maxFiles: Int = DefaultMaxFilesPerCell): Boolean = {
+    val due = needsCompact(spark, dir, maxFiles)
+    if (due) consolidate(spark, dir)
+    due
   }
 
   /** Search the prebuilt index: the probed cells' partitions are the
@@ -149,7 +281,19 @@ object VectorIndex {
       probes: DataFrame, k: Int, nProbe: Int = 8, rerank: Int = 12,
       probeMargin: Double = 0.0): DataFrame = {
     val (coarse, books) = readCodebooks(spark, dir)
-    VectorOps.ivfPqSearch(spark, spark.read.parquet(codesDir(dir)), emb,
+    // resolve both tables through a possibly-interrupted swap and gate
+    // on the committed seq levels — an append that crashed before its
+    // meta commit is invisible (the seq filter is partition pruning, so
+    // uncommitted partitions also cost nothing); reads never take the
+    // writer's recovery path (single-writer contract)
+    val metaPath = graft.model.StoreSwap.readablePath(spark, metaDir(dir))
+      .getOrElse(sys.error(s"no readable meta under ${metaDir(dir)} — index not built"))
+    val maxSeq = spark.read.parquet(metaPath).head().getAs[Long]("max_seq")
+    val codesPath = graft.model.StoreSwap.readablePath(spark, codesDir(dir))
+      .getOrElse(sys.error(s"no readable codes under ${codesDir(dir)}"))
+    val codes = spark.read.parquet(codesPath)
+      .where(col("seq") <= lit(maxSeq.toInt))
+    VectorOps.ivfPqSearch(spark, codes, emb,
       probes, coarse, books, k, nProbe, rerank, probeMargin)
   }
 }

@@ -79,8 +79,8 @@ class VectorIndexSpec extends SparkSpec {
     val input = MemoryStream[(Long, Array[Float])]
     val q = input.toDS().toDF("vec_id", "embedding")
       .writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-        VectorIndex.appendIvfPq(spark, batch, streamDir)
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        VectorIndex.appendIvfPq(spark, batch, streamDir, batchId = id)
       }
       .trigger(Trigger.ProcessingTime(0)).start()
     // two micro-batches: the append path must not care how rows arrive
@@ -103,9 +103,11 @@ class VectorIndexSpec extends SparkSpec {
     // consolidate: micro-batch appends left >1 file in multi-write cells;
     // the compaction leaves one per cell, identical rows, same answers
     def filesPerCell(dir: String): Map[String, Int] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
       val root = new java.io.File(dir + "/codes")
       root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
-        .map(d => d.getName -> d.listFiles().count(_.getName.endsWith(".parquet")))
+        .map(d => d.getName -> walk(d).count(_.getName.endsWith(".parquet")))
         .toMap
     }
     val before = filesPerCell(streamDir)
@@ -119,6 +121,69 @@ class VectorIndexSpec extends SparkSpec {
     val c = VectorIndex.searchIvfPq(spark, streamDir, emb, probes, k = 5,
       nProbe = 8, rerank = 8).collect().map(_.toSeq).toSeq
     assert(c == b, "consolidate changed search answers")
+  }
+
+  // ---- Append crash story (round 13, the LexIndex discipline): meta is
+  // the ONE commit point. Manufacture crash states with raw FS ops and
+  // assert (a) searches serve EXACTLY the old index, (b) a retry
+  // converges — no lost corpus, no double-inserted ids.
+
+  private def searchRows(dir: String, emb: org.apache.spark.sql.DataFrame) =
+    VectorIndex.searchIvfPq(spark, dir, emb,
+      probes = emb.where($"vec_id" < 10), k = 5, nProbe = 8, rerank = 8)
+      .collect().map(_.toSeq).toSeq
+
+  test("append crash BEFORE the meta swap: searches serve the old index; retry converges") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val evens = emb.where($"vec_id" % 2 === 0)
+    val odds = emb.where($"vec_id" % 2 === 1)
+    val dir = freshDir()
+    VectorIndex.buildIvfPq(spark, evens, dir, nCells = 16, m = 8, ks = 16)
+    val before = searchRows(dir, emb)
+    val metaSnap = freshDir() + "/meta_snap"
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(s"$dir/meta"), new java.io.File(metaSnap))
+    VectorIndex.appendIvfPq(spark, odds, dir)
+    val committed = searchRows(dir, emb)
+    val nCommitted = spark.read.parquet(s"$dir/codes").count()
+    // manufacture the crash: batch codes fully landed under seq=1, meta
+    // still the pre-append row (the swap never ran)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$dir/meta"))
+    org.apache.commons.io.FileUtils.copyDirectory(
+      new java.io.File(metaSnap), new java.io.File(s"$dir/meta"))
+    assert(searchRows(dir, emb) == before,
+      "uncommitted seq=1 codes must be invisible — searches serve exactly the old index")
+    // retry: recover prunes the orphans, the re-append lands once
+    VectorIndex.appendIvfPq(spark, odds, dir)
+    assert(searchRows(dir, emb) == committed,
+      "retried append must serve what the uninterrupted append served")
+    val codes = spark.read.parquet(s"$dir/codes")
+    assert(codes.count() == nCommitted && codes.count() == emb.count(),
+      "no double-inserted ids after the retry")
+    assert(codes.select("c").distinct().count() == emb.count())
+  }
+
+  test("a replayed batchId is a no-op; maintain compacts when due and answers are unchanged") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = freshDir()
+    VectorIndex.buildIvfPq(spark, emb.where($"vec_id" % 4 === 0), dir,
+      nCells = 16, m = 8, ks = 16, batchId = 0L)
+    (1 to 3).foreach(i =>
+      VectorIndex.appendIvfPq(spark, emb.where($"vec_id" % 4 === i), dir,
+        batchId = i.toLong))
+    val after = searchRows(dir, emb)
+    val n = spark.read.parquet(s"$dir/codes").count()
+    VectorIndex.appendIvfPq(spark, emb.where($"vec_id" % 4 === 1), dir, batchId = 1L)
+    assert(spark.read.parquet(s"$dir/codes").count() == n,
+      "replaying a committed batch must not re-insert its rows")
+    assert(searchRows(dir, emb) == after)
+    // maintenance: 3 appends drift files-per-cell up; maintain restores
+    assert(VectorIndex.needsCompact(spark, dir, maxFiles = 3),
+      s"file drift must trip the trigger, max=${VectorIndex.maxFilesPerCell(spark, dir)}")
+    assert(VectorIndex.maintain(spark, dir, maxFiles = 3))
+    assert(!VectorIndex.needsCompact(spark, dir, maxFiles = 3))
+    assert(!VectorIndex.maintain(spark, dir, maxFiles = 3), "no-op when not due")
+    assert(searchRows(dir, emb) == after, "maintenance must not change answers")
   }
 
   test("ANN candidate selection combines map-side (partial+final heap agg in the plan)") {
