@@ -360,4 +360,65 @@ object LexIndex {
   def bm25TopK(spark: SparkSession, dir: String, qTerms: Seq[String],
       k: Int = 10): DataFrame =
     TextOps.bm25Rank(bm25Scores(spark, dir, qTerms), k)
+
+  /** BM25 top-k for a BATCH of queries in ONE partition-pruned scan —
+    * the production serving shape (a search tier evaluates a request
+    * batch, not one query at a time): the postings read covers the
+    * UNION of all queries' terms' buckets once, each posting row fans
+    * out to the queries sharing its term through a broadcast
+    * (qid, term) join, document frequency is computed once per term
+    * (query-independent), and per-query top-k reduces through the
+    * map-side TopKAgg heap keyed by qid — ≤ k rows per query per task
+    * reach the shuffle, never a per-query corpus pass.
+    *
+    * Output (qid, rank, doc_id, bm25); ranks on the ROUNDED score with
+    * doc_id tie-break — each query's block is byte-identical to running
+    * [[bm25TopK]] with its terms alone (LexIndexSpec pins it), so
+    * batching is pure amortization: B queries cost one pruned scan of
+    * ≤ Σ|terms| buckets instead of B scans.
+    */
+  def bm25TopKBatch(spark: SparkSession, dir: String,
+      queries: Seq[(Int, Seq[String])], k: Int = 10): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
+      "need at least one query, each with at least one term")
+    val statsPath = graft.model.StoreSwap.readablePath(spark, statsDir(dir))
+      .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — index not built"))
+    val statsRow = spark.read.parquet(statsPath).head()
+    val nDocs = statsRow.getAs[Long]("n_docs")
+    val avgdl = statsRow.getAs[Double]("avgdl")
+    val nBuckets = statsRow.getAs[Int]("n_buckets")
+    val maxSeq = statsRow.getAs[Long]("max_seq")
+    val allTerms = queries.flatMap(_._2).distinct
+    val buckets = spark.range(1)
+      .select(allTerms.map(t =>
+        pmod(xxhash64(lit(t)), lit(nBuckets.toLong))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    val postingsPath = graft.model.StoreSwap
+      .readablePath(spark, postingsDir(dir))
+      .getOrElse(sys.error(s"no readable postings under ${postingsDir(dir)}"))
+    val tfq = spark.read.parquet(postingsPath)
+      .where(col("bucket").isin(buckets: _*) && col("seq") <= lit(maxSeq.toInt) &&
+        col("t").isin(allTerms: _*))
+    // df once per term — query-independent, so queries sharing a term
+    // share its posting aggregate
+    val dfreq = tfq.groupBy("t").agg(count(lit(1)).as("df"))
+    val qdf = queries.flatMap { case (qid, ts) => ts.distinct.map(t => (qid, t)) }
+      .toDF("qid", "t")
+    tfq.join(broadcast(dfreq), "t")
+      .join(broadcast(qdf), "t") // fan out to the queries wanting this term
+      .withColumn("contrib",
+        log((lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1))
+          * col("tf") * lit(2.2)
+          / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
+      .groupBy("qid", "doc_id").agg(round(sum("contrib"), 4).as("bm25"))
+      .as[(Int, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, v) => (id, v) }
+      .agg(graft.functions.TopKAgg.TopK(k).toColumn.name("top"))
+      .select(col("key").as("qid"), posexplode(col("top.items")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).as("rank"), col("e.id").as("doc_id"),
+        col("e.value").as("bm25"))
+      .orderBy("qid", "rank")
+  }
 }

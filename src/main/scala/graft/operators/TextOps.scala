@@ -518,6 +518,51 @@ object TextOps {
       LexIndex.bm25TopK(s, idx, Seq("spark", "merge", "vector"), k = 10)
     },
 
+    // BATCH-query BM25 serving (the production request shape — a search
+    // tier evaluates a batch, not one query at a time): three queries
+    // with overlapping terms answered from the posting-list index in
+    // ONE partition-pruned scan of the union of their terms' buckets;
+    // df is computed once per term and shared across queries; per-query
+    // top-10 reduces through the map-side TopKAgg heap keyed by qid.
+    // Each query's block is byte-identical to serving it alone
+    // (LexIndexSpec pins block-for-block equality + the single pruned
+    // scan), so batching is pure amortization: B queries cost one scan,
+    // never B.
+    withOracle(
+      "text_bm25_batch",
+      """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+        |              FROM documents),
+        |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),
+        |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
+        |stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        |q AS (SELECT * FROM (VALUES (0, 'spark'), (0, 'merge'), (0, 'vector'),
+        |                            (1, 'data'), (1, 'query'),
+        |                            (2, 'merge'), (2, 'stream'), (2, 'data'))
+        |      AS v(qid, t)),
+        |df AS (SELECT t, count(*) AS df FROM tf
+        |       WHERE t IN (SELECT DISTINCT t FROM q) GROUP BY t),
+        |scored AS (
+        |  SELECT q.qid, tf.doc_id,
+        |         sum(ln((n_docs - df + 0.5) / (df + 0.5) + 1)
+        |             * tf * 2.2 / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))) AS score
+        |  FROM tf JOIN q USING (t) JOIN df USING (t) JOIN dl USING (doc_id)
+        |       CROSS JOIN stats
+        |  GROUP BY q.qid, tf.doc_id),
+        |ranked AS (
+        |  SELECT qid, doc_id, round(score, 4) AS bm25,
+        |         row_number() OVER (PARTITION BY qid
+        |                            ORDER BY round(score, 4) DESC, doc_id) AS rank
+        |  FROM scored)
+        |SELECT qid, rank, doc_id, bm25 FROM ranked WHERE rank <= 10
+        |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
+      val idx = graft.Scratch.dir("graft_lexindex_batch")
+      LexIndex.build(s, Tables.documents(s, dir), idx)
+      LexIndex.bm25TopKBatch(s, idx, Seq(
+        0 -> Seq("spark", "merge", "vector"),
+        1 -> Seq("data", "query"),
+        2 -> Seq("merge", "stream", "data")), k = 10)
+    },
+
     // Fixed-size overlapping token-window chunking (size 32, stride 24 —
     // 8-token overlap): the corpus prep primitive for training-sequence
     // and RAG-passage construction. Chunk c of a doc covers tokens

@@ -214,6 +214,37 @@ class LexIndexSpec extends SparkSpec {
     assert(topk(dir) == before, "maintenance must not change answers")
   }
 
+  test("batch serving: each query's block equals serving it alone, in ONE pruned scan") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = freshDir()
+    LexIndex.build(spark, docs, dir)
+    val queries = Seq(
+      0 -> Seq("spark", "merge", "vector"),
+      1 -> Seq("data", "query"),
+      2 -> Seq("merge", "stream", "data"))
+    val batchDf = LexIndex.bm25TopKBatch(spark, dir, queries, k = 10)
+    val batch = batchDf.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3, t._4)).toSeq).toMap
+    queries.foreach { case (qid, terms) =>
+      val solo = LexIndex.bm25TopK(spark, dir, terms, k = 10)
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(solo.nonEmpty && batch(qid) == solo,
+        s"query $qid: batch block ${batch(qid)} != solo $solo")
+    }
+    // the whole batch cost ONE scan over the union of the terms' buckets
+    val wanted = spark.range(1)
+      .select(queries.flatMap(_._2).distinct.map(t =>
+        pmod(xxhash64(lit(t)), lit(LexIndex.DefaultBuckets.toLong))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct.size
+    val scans = allNodes(batchDf.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("postings")) => f
+    }
+    assert(scans.map(_.selectedPartitions.partitionCount).max == wanted,
+      s"batch read ${scans.map(_.selectedPartitions.partitionCount).max} buckets; union is $wanted")
+  }
+
   test("an append touches ONLY the batch's terms' buckets (the stream-fold cost shape)") {
     val base = Seq((1L, "alpha beta gamma"), (2L, "delta epsilon zeta"))
       .toDF("doc_id", "text")
