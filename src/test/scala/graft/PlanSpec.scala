@@ -357,4 +357,29 @@ class PlanSpec extends SparkSpec {
     // final count aggregates map-side first (partial + final)
     assert(collectNodes(df) { case a: BaseAggregateExec => a }.size >= 2, p)
   }
+
+  test("keep-best forms: argmax is an aggregate, never a documents-sized window; affected set broadcasts") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.execution.window.WindowExec
+    // the quality argmax must be the map-side-combinable max_by groupBy —
+    // a Window.partitionBy(cluster) would buffer the largest dup cluster
+    // (boilerplate at web scale: millions of rows) in one task
+    for (name <- Seq("near_dedup_keep_best", "near_dedup_keep_best_incremental")) {
+      val df = q(name)
+      assert(collectNodes(df) { case w: WindowExec => w }.isEmpty,
+        s"$name: argmax regressed to a window:\n${plan(df)}")
+    }
+    // the incremental form's affected-cluster scoping must ride
+    // broadcast joins (the affected set is batch-scoped by construction)
+    // — a shuffled semi/anti join there would reshuffle the node-sized
+    // labeling and the corpus-sized kept table per nightly batch
+    val inc = q("near_dedup_keep_best_incremental")
+    val bcasts = collectNodes(inc) {
+      case b: BroadcastHashJoinExec => b
+      case b: BroadcastNestedLoopJoinExec => b
+    }
+    assert(bcasts.count(j =>
+        j.joinType.toString == "LeftSemi" || j.joinType.toString == "LeftAnti") >= 2,
+      s"affected-set semi/anti joins must broadcast:\n${plan(inc)}")
+  }
 }
