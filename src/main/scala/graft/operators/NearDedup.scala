@@ -166,20 +166,27 @@ object NearDedup {
     * `maxBucket = Int.MaxValue` to disable it deliberately.
     */
   def minhashNearDups(docs: DataFrame, threshold: Double,
-      maxBucket: Int = 10000): DataFrame = {
+      maxBucket: Int = 10000): DataFrame =
     // 64-bit shingle hashes (compiled single-pass UDF); the k-hash family
-    // then mixes the long — not the string — per hash function. The
-    // per-doc hash ARRAY is what gets cached: signatures derive from it
-    // row-locally (zero shuffle — the grouped signature form would
-    // shuffle the full exploded relation), and the verify join explodes
-    // it on demand.
-    val hashed = docs
-      .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
-      // serialized + disk-spillable: on a big corpus the per-doc hash
-      // arrays must survive memory pressure, or the verify join silently
-      // recomputes the shingling on cache eviction
+    // then mixes the long — not the string — per hash function.
+    minhashVerifiedPairsFromHashes(
+      docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs")),
+      threshold, maxBucket)
+
+  /** [[minhashNearDups]] from a precomputed (doc_id, hs) shingle-hash
+    * relation: row-local signatures → capped band join → exact verify on
+    * candidates only. The per-doc hash ARRAY is what gets cached:
+    * signatures derive from it row-locally (zero shuffle — the grouped
+    * signature form would shuffle the full exploded relation), and the
+    * verify join explodes it on demand.
+    */
+  private[operators] def minhashVerifiedPairsFromHashes(hashedRaw: DataFrame,
+      threshold: Double, maxBucket: Int = 10000): DataFrame = {
+    // serialized + disk-spillable: on a big corpus the per-doc hash
+    // arrays must survive memory pressure, or the verify join silently
+    // recomputes the shingling on cache eviction
+    val hashed = hashedRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    val shingled = hashed.select(col("doc_id"), explode(col("hs")).as("s"))
     try {
       val sigs = hashed
         .select(col("doc_id"), minhashSignatureArray(col("hs")).as("sig"))
@@ -187,29 +194,81 @@ object NearDedup {
         .select(col("doc_id") +:
           (0 until NumHashes).map(i => col("sig")(i).as(s"mh$i")): _*)
       val candidates = minhashCandidates(sigs, maxBucket)
-      // Exact verify on the candidate set only: route the shingle join
-      // *through* the candidate pairs so intersection cost is
-      // O(candidates × shingles-per-doc), never the full shingle self-join.
-      // Set sizes are row-local array lengths (shingleHashes is distinct)
-      // — no aggregation over the exploded relation.
-      val sizes = hashed.where(col("hs").isNotNull)
-        .select(col("doc_id"), size(col("hs")).cast("long").as("n"))
-      val inter = candidates
-        .join(shingled.select(col("doc_id").as("i"), col("s")), "i")
-        .join(shingled.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
-        .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-      inter
-        .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-        .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
-        .withColumn("jaccard",
-          col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
-        .where(col("jaccard") >= threshold)
-        .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
-        // eagerly materialize the small dup-pair set, then drop the cache
-        // so long sessions don't accumulate cached shingle blocks
-        .localCheckpoint()
+      // eagerly materialize the small dup-pair set, then drop the cache
+      // so long sessions don't accumulate cached shingle blocks
+      verifyJaccard(candidates, hashed, threshold).localCheckpoint()
     } finally hashed.unpersist()
   }
+
+  /** Exact-Jaccard verification of candidate (i, j) pairs against a
+    * (doc_id, hs) shingle-hash-array relation: the shingle join is routed
+    * *through* the candidate pairs so intersection cost is
+    * O(candidates × shingles-per-doc), never the full shingle self-join.
+    * Set sizes are row-local array lengths (shingleHashes is distinct)
+    * — no aggregation over the exploded relation. Returns (i, j, jaccard)
+    * for pairs clearing the threshold.
+    */
+  private def verifyJaccard(candidates: DataFrame, hashed: DataFrame,
+      threshold: Double): DataFrame = {
+    val shingled = hashed.select(col("doc_id"), explode(col("hs")).as("s"))
+    val sizes = hashed.where(col("hs").isNotNull)
+      .select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    val inter = candidates
+      .join(shingled.select(col("doc_id").as("i"), col("s")), "i")
+      .join(shingled.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
+      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
+      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+      .withColumn("jaccard",
+        col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Corpus-size routing knob for the exact-Jaccard near-dedup family
+    * (`graft.neardedup.exactMaxRows`, default 20000): at or below it the
+    * apply/keep-best pair generation runs the exact hot-capped shingle
+    * self-join (the oracle-definition shape — cheapest at fixture scale
+    * and exactly what the DuckDB SQL computes); above it, the banded
+    * minhash candidate route + exact verify. SCALING_r13 measured the
+    * exact route superlinear in its 50k→500k decade (keep_best exponent
+    * 1.29, apply_incremental 1.13 — candidate-pair volume outgrowing the
+    * corpus), while the banded route bounds bucket fan-out by
+    * construction; 20000 sits under the measured 50k superlinear onset
+    * with fixture scales (≤5000 docs) comfortably on the exact side.
+    * Same routing pattern as `graft.embpipe.lshMaxRows`
+    * (VectorOps.embeddingCorpusPipeline).
+    */
+  private[operators] def exactPairMaxRows(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("graft.neardedup.exactMaxRows", "20000").toLong
+
+  /** Routed verified dup-pair generation over raw documents: exact
+    * shingle self-join below [[exactPairMaxRows]], minhash-LSH candidates
+    * + exact verify above it. Both routes verify with the SAME exact
+    * Jaccard, so above-threshold pairs agree wherever the bands reach
+    * (all true dup pairs at fixture scale — the
+    * pipeline_pretraining_corpus_scale precedent); the routed form keeps
+    * the shared oracle SQL verbatim. Returns (i, j).
+    */
+  private[operators] def routedJaccardPairs(docs: DataFrame,
+      threshold: Double): DataFrame = {
+    val hashed = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+    // the routing count scans only the parquet footer (no text read)
+    if (docs.count() <= exactPairMaxRows(docs.sparkSession))
+      TextOps.ngramJaccardPairsFromHashes(hashed, threshold).select("i", "j")
+    else minhashVerifiedPairsFromHashes(hashed, threshold).select("i", "j")
+  }
+
+  /** [[routedJaccardPairs]] over an already-persisted (doc_id, hs)
+    * relation (the incremental forms' prior-state pair generation — the
+    * count and both routes scan the caller's cache).
+    */
+  private[operators] def routedJaccardPairsFromHashes(hashed: DataFrame,
+      threshold: Double): DataFrame =
+    if (hashed.count() <= exactPairMaxRows(hashed.sparkSession))
+      TextOps.ngramJaccardPairsFromHashes(hashed, threshold).select("i", "j")
+    else minhashVerifiedPairsFromHashes(hashed, threshold).select("i", "j")
 
   /** 64-bit SimHash per doc: for each token hash h and bit b, add tf if
     * bit set else -tf; signature bit b = sign of the sum. Computed in one
@@ -304,8 +363,7 @@ object NearDedup {
         |WHERE cc.canonical IS NULL OR cc.canonical = d.doc_id
         |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
       val docs = Tables.documents(s, dir)
-      val hashed = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
-      val pairs = TextOps.ngramJaccardPairsFromHashes(hashed, 0.1)
+      val pairs = routedJaccardPairs(docs, 0.1)
         .select(col("i").as("src"), col("j").as("dst"))
       val cc = GraphOps.connectedComponents(pairs)
       docs.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
@@ -350,12 +408,12 @@ object NearDedup {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
       try {
         // prior state: clustering of the existing corpus only
-        val pairsE = TextOps.ngramJaccardPairsFromHashes(
+        val pairsE = routedJaccardPairsFromHashes(
           hashed.where(!col("is_new")).select("doc_id", "hs"), 0.1)
           .select(col("i").as("src"), col("j").as("dst"))
         val labels = GraphOps.connectedComponents(pairsE)
         // nightly absorb: pairs touching the new batch only
-        val pairsNew = incrementalJaccardPairs(hashed, 0.1)
+        val pairsNew = routedIncrementalPairs(hashed, 0.1)
         val cc = GraphOps.connectedComponentsIncremental(labels, pairsNew)
         docs.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
           .where(col("label").isNull || col("label") === col("doc_id"))
@@ -445,6 +503,55 @@ object NearDedup {
       .select(col("i").as("src"), col("j").as("dst"))
   }
 
+  /** Routed batch-touching pair generation for the incremental forms:
+    * [[incrementalJaccardPairs]] (exact bipartite shingle join) below
+    * [[exactPairMaxRows]], [[incrementalMinhashPairs]] (banded candidates
+    * restricted to pairs touching the batch, exact verify) above it.
+    * `hashed` = the caller's persisted (doc_id, is_new, hs) relation;
+    * the routing count scans its cache. Returns (src, dst).
+    */
+  private[operators] def routedIncrementalPairs(hashed: DataFrame,
+      threshold: Double): DataFrame =
+    if (hashed.count() <= exactPairMaxRows(hashed.sparkSession))
+      incrementalJaccardPairs(hashed, threshold)
+    else incrementalMinhashPairs(hashed, threshold)
+
+  /** [[incrementalJaccardPairs]] on the banded scale path: row-local
+    * minhash signatures over old+new (signatures are per-doc, so the
+    * existing side pays one linear pass — at scale a production fold
+    * would persist them alongside the corpus), capped band join
+    * restricted to candidates with at least one NEW endpoint (the
+    * existing×existing quadrant never joins), exact-Jaccard verify on
+    * candidates only. The hot-band cap counts bucket size across old+new
+    * like the exact route's shingle cap. Returns (src, dst) with i < j
+    * (edge direction is irrelevant to the CC absorb both consumers feed).
+    */
+  private[operators] def incrementalMinhashPairs(hashed: DataFrame,
+      threshold: Double, maxBucket: Int = 10000): DataFrame = {
+    val sigs = hashed
+      .select(col("doc_id"), col("is_new"), minhashSignatureArray(col("hs")).as("sig"))
+      .where(col("sig").isNotNull)
+    val bandStructs = (0 until Bands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => col("sig")(b * RowsPerBand + r))
+      struct(lit(b).as("band"), hash(cols: _*).cast("long").as("bv"))
+    }
+    val bandedAll = sigs
+      .select(col("doc_id"), col("is_new"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("doc_id"), col("is_new"),
+        col("bb.band").as("band"), col("bb.bv").as("bv"))
+    val banded = dropHotBuckets(bandedAll, Seq("band", "bv"), maxBucket,
+      "incremental minhash")
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bv") === col("b.bv") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          (col("a.is_new") || col("b.is_new")))
+      .select(col("a.doc_id").as("i"), col("b.doc_id").as("j"))
+      .distinct()
+    verifyJaccard(candidates, hashed.select("doc_id", "hs"), threshold)
+      .select(col("i").as("src"), col("j").as("dst"))
+  }
+
   /** Keep-BEST canonical selection — the production variant of the apply
     * step: per duplicate cluster retain the highest-QUALITY member
     * (stopword-ratio score, the text_quality_score signal; ties broken
@@ -461,8 +568,7 @@ object NearDedup {
     * wherever the pair step does. Returns (doc_id, q) of the kept docs.
     */
   def keepBestCanonical(docs: DataFrame, threshold: Double = 0.1): DataFrame = {
-    val hashed = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
-    val pairs = TextOps.ngramJaccardPairsFromHashes(hashed, threshold)
+    val pairs = routedJaccardPairs(docs, threshold)
       .select(col("i").as("src"), col("j").as("dst"))
     val cc = GraphOps.connectedComponents(pairs)
     docs.select(col("doc_id"), qualityScore.as("q"))
@@ -526,7 +632,7 @@ object NearDedup {
     try {
       val docsQ = docs.select(col("doc_id"), isNew.as("is_new"), qualityScore.as("q"))
       // prior state: the existing corpus's labeling and kept table
-      val pairsE = TextOps.ngramJaccardPairsFromHashes(
+      val pairsE = routedJaccardPairsFromHashes(
         hashed.where(!col("is_new")).select("doc_id", "hs"), threshold)
         .select(col("i").as("src"), col("j").as("dst"))
       val labels = GraphOps.connectedComponents(pairsE)
@@ -537,7 +643,7 @@ object NearDedup {
           .select(col("doc_id"), col("q"),
             coalesce(col("label"), col("doc_id")).as("cluster")))
       // the nightly absorb
-      val pairsNew = incrementalJaccardPairs(hashed, threshold)
+      val pairsNew = routedIncrementalPairs(hashed, threshold)
       val updated = GraphOps.connectedComponentsIncremental(labels, pairsNew)
         .localCheckpoint() // affected discovery + member scan + passthrough map
       // affected = clusters (new labeling) holding a batch doc or a

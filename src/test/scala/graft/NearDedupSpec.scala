@@ -192,4 +192,26 @@ class NearDedupSpec extends SparkSpec {
       assert(kept(NearDedup.keepBestCanonicalIncremental(fixture, batch)) == fullFixture,
         "incremental must equal the full recompute on the fixture corpus")
   }
+
+  test("forced LSH route lands the identical apply/keep-best results as the exact route") {
+    // graft.neardedup.exactMaxRows = 0 forces every routed pair
+    // generation (batch, prior-state, batch-touching incremental) onto
+    // the minhash-banded candidate path; on the fixture corpus the
+    // banded candidates have total recall over the >= 0.1-Jaccard pairs
+    // (the pipeline_pretraining_corpus_scale precedent), so all four
+    // declared queries must land byte-identical results — which is what
+    // lets the routed forms keep their shared DuckDB oracle verbatim at
+    // the scale factors where the knob flips.
+    val names = Seq("near_dedup_apply", "near_dedup_apply_incremental",
+      "near_dedup_keep_best", "near_dedup_keep_best_incremental")
+    def run(name: String): Seq[Seq[Any]] =
+      SparkEntry.queries(name)(spark, sf0001).collect().map(_.toSeq).toSeq
+    val exact = names.map(n => n -> run(n)).toMap
+    assert(exact("near_dedup_apply").nonEmpty)
+    spark.conf.set("graft.neardedup.exactMaxRows", "0")
+    try {
+      for (n <- names)
+        assert(run(n) == exact(n), s"$n: LSH-routed result must equal the exact route")
+    } finally spark.conf.unset("graft.neardedup.exactMaxRows")
+  }
 }
