@@ -111,14 +111,35 @@ object LexIndex {
     } finally tf.unpersist()
   }
 
-  /** Build the index from `docs` (doc_id, text, …), overwriting any
-    * previous version. `batchId` (optional) records a durable caller
-    * sequence id so a replayed bootstrap batch is skipped by the next
-    * [[append]] — see the crash story.
+  /** Build the index from `docs` (doc_id, text, …) into a dir that has
+    * never COMMITTED a build. `batchId` (optional) records a durable
+    * caller sequence id so a replayed bootstrap batch is skipped by the
+    * next [[append]] — see the crash story.
+    *
+    * Rebuilding over a BUILT index is refused loudly (r14, from r13
+    * ADVICE): the old overwrite path rewrote postings first and stats
+    * last with no swap between them, so a crash in that window left the
+    * OLD stats (reads as ready — stale n_docs/avgdl/max_seq) over torn
+    * NEW postings, and readers silently scored wrong instead of failing.
+    * Replacement corpora go to a fresh dir (every declared query and the
+    * stream fold already do — [[graft.Scratch.dir]]); in-place evolution
+    * is [[append]]/[[consolidate]], both single-commit-point. A TORN
+    * first build (postings staged, stats never committed) reads as
+    * not-built everywhere and is simply rebuilt here — the retry
+    * converges.
     */
   def build(spark: SparkSession, docs: DataFrame, dir: String,
       nBuckets: Int = DefaultBuckets, batchId: Long = -1L): Unit = {
     require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+    // finish a predecessor's torn swap first, so "is there a committed
+    // stats row" is answered against the repaired state
+    graft.model.StoreSwap.commit(spark, statsDir(dir))
+    graft.model.StoreSwap.commit(spark, postingsDir(dir))
+    if (fs(spark).exists(new Path(statsDir(dir))))
+      sys.error(s"refusing to rebuild over the built index at $dir — " +
+        "write the replacement to a fresh dir, or maintain this one via " +
+        "append/consolidate (both crash-safe); rebuild-in-place has no " +
+        "atomic commit point")
     withPostingRows(docs) { (posts, dl) =>
       posts
         .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
@@ -156,6 +177,17 @@ object LexIndex {
     recoverAndReadStats(spark, dir)
     ()
   }
+
+  /** Whether a COMMITTED build exists at `dir` — the bootstrap probe for
+    * an append loop (`stream_lex_append`'s fold). Resolves through a
+    * possibly-torn stats swap via [[graft.model.StoreSwap.readablePath]]
+    * — the same resolution every read path uses — so callers never
+    * duplicate the private stats layout (r13 ADVICE: the fold hardcoded
+    * `$dir/stats` and a layout change would have silently read
+    * "not built" forever, rebuilding from each batch).
+    */
+  def isBuilt(spark: SparkSession, dir: String): Boolean =
+    graft.model.StoreSwap.readablePath(spark, statsDir(dir)).isDefined
 
   /** [[recover]], returning the (post-recovery) stats row so the append
     * path pays ONE read of the one-row table, not two. None if the
@@ -380,6 +412,28 @@ object LexIndex {
   def bm25TopKBatch(spark: SparkSession, dir: String,
       queries: Seq[(Int, Seq[String])], k: Int = 10): DataFrame = {
     import spark.implicits._
+    bm25ScoresBatch(spark, dir, queries)
+      .as[(Int, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues { case (_, id, v) => (id, v) }
+      .agg(graft.functions.TopKAgg.TopK(k).toColumn.name("top"))
+      .select(col("key").as("qid"), posexplode(col("top.items")).as(Seq("pos", "e")))
+      .select(col("qid"), (col("pos") + 1).as("rank"), col("e.id").as("doc_id"),
+        col("e.value").as("bm25"))
+      .orderBy("qid", "rank")
+  }
+
+  /** The scores-level batch serving relation [[bm25TopKBatch]] ranks:
+    * (qid, doc_id, bm25 rounded to 4) for every indexed doc matching any
+    * of the query's terms — one partition-pruned postings scan for the
+    * UNION of all queries' terms' buckets, df once per term, per-posting
+    * fan-out to the queries sharing its term through a broadcast
+    * (qid, t) join. The hybrid batch serving tier consumes this directly
+    * (it fuses DEPTH-ranked branch lists, not top-k blocks).
+    */
+  def bm25ScoresBatch(spark: SparkSession, dir: String,
+      queries: Seq[(Int, Seq[String])]): DataFrame = {
+    import spark.implicits._
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "need at least one query, each with at least one term")
     val statsPath = graft.model.StoreSwap.readablePath(spark, statsDir(dir))
@@ -412,13 +466,5 @@ object LexIndex {
           * col("tf") * lit(2.2)
           / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / lit(avgdl))))
       .groupBy("qid", "doc_id").agg(round(sum("contrib"), 4).as("bm25"))
-      .as[(Int, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues { case (_, id, v) => (id, v) }
-      .agg(graft.functions.TopKAgg.TopK(k).toColumn.name("top"))
-      .select(col("key").as("qid"), posexplode(col("top.items")).as(Seq("pos", "e")))
-      .select(col("qid"), (col("pos") + 1).as("rank"), col("e.id").as("doc_id"),
-        col("e.value").as("bm25"))
-      .orderBy("qid", "rank")
   }
 }

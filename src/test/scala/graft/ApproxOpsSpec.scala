@@ -423,6 +423,89 @@ class ApproxOpsSpec extends SparkSpec {
       "vector branch must read only the probed cells (nProbe = 8)")
   }
 
+  test("hybrid_search_batch: blocks ≡ batch-of-one; lexical scan pruned to the batch's term-bucket union") {
+    import graft.operators.LexIndex
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val idx = Scratch.dir("hybatch_lex")
+    LexIndex.build(spark, docs, idx)
+    val reqs = VectorOps.HybridBatchRequests
+    val batchDf = VectorOps.hybridSearchBatch(spark, idx, emb, reqs)
+    val rows = batchDf.collect().map(_.toSeq)
+    val byQid = rows.groupBy(_.head.asInstanceOf[Int])
+    assert(reqs.forall(r => byQid(r._1).length == 10), "k=10 per request")
+    // batching is pure amortization: each request's block equals serving
+    // it through a batch of ONE against the same shared index
+    reqs.foreach { r =>
+      val solo = VectorOps.hybridSearchBatch(spark, idx, emb, Seq(r))
+        .collect().map(_.toSeq)
+      assert(byQid(r._1).toSeq == solo.toSeq,
+        s"request ${r._1}: batch block must equal the batch-of-one")
+    }
+    // the lexical side read only the UNION of the batch's terms' buckets
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(s.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val wanted = spark.range(1)
+      .select(reqs.flatMap(_._2).distinct.map(t =>
+        pmod(xxhash64(lit(t)), lit(LexIndex.DefaultBuckets.toLong))): _*)
+      .head().toSeq.map(_.asInstanceOf[Long]).distinct.size
+    val lexScans = allNodes(batchDf.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("hybatch_lex")) => f
+    }
+    assert(lexScans.nonEmpty &&
+      lexScans.map(_.selectedPartitions.partitionCount).max == wanted,
+      s"batch read ${lexScans.map(_.selectedPartitions.partitionCount)} buckets; union is $wanted")
+  }
+
+  test("hybrid_search_ann_batch: per-request fused recall >= 0.8 vs the exact batch fusion; one pruned codes scan") {
+    import graft.operators.{LexIndex, VectorIndex}
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val lexIdx = Scratch.dir("hyannb_lex")
+    LexIndex.build(spark, docs, lexIdx)
+    val vecIdx = Scratch.dir("hyannb_vec")
+    VectorIndex.buildIvfPq(spark, emb, vecIdx, nCells = 16, m = 16, ks = 16)
+    val reqs = VectorOps.HybridBatchRequests
+    val annDf = VectorOps.hybridSearchAnnBatch(spark, lexIdx, vecIdx, emb, reqs)
+    val ann = annDf.collect()
+      .map(r => (r.getInt(0), r.getLong(2))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    val exact = VectorOps.hybridSearchBatch(spark, lexIdx, emb, reqs)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).groupBy(_._1).view
+      .mapValues(_.map(_._2).toSet).toMap
+    reqs.foreach { r =>
+      val recall = (ann(r._1) & exact(r._1)).size.toDouble / exact(r._1).size
+      assert(exact(r._1).size == 10 && recall >= 0.8,
+        s"request ${r._1}: ann-batch fused recall $recall vs exact batch fusion")
+    }
+    // ONE codes scan for the whole batch, pruned to the union of all
+    // probes' probed cells (<= 3 probes x nProbe 8, and < the 16 built)
+    def allNodes(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        allNodes(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        p +: allNodes(s.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val vecScans = allNodes(annDf.queryExecution.executedPlan).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(p =>
+            p.toString.contains("hyannb_vec") && p.toString.endsWith("/codes")) => f
+    }
+    assert(vecScans.nonEmpty,
+      s"expected a codes scan over the vector index")
+    assert(vecScans.map(_.selectedPartitions.partitionCount).max < 16,
+      "codes scan must be pruned to the probed cells, not all 16")
+  }
+
   test("semantic_decontaminate drops planted eval-duplicate train vectors, keeps orthogonal ones, excludes eval rows") {
     // eval = vec 0 along x; vec 10 is its scaled copy (cos 1), vec 11 a
     // near-paraphrase (cos ~0.995), vec 12 orthogonal (cos 0)
