@@ -34,6 +34,17 @@ import org.apache.spark.sql.functions._
   * durable batchId recorded in meta makes replays of committed batches
   * no-ops. [[maintain]] is the files-per-cell compaction trigger.
   *
+  * MIGRATION (deliberate): indexes persisted by pre-r13 binaries — no
+  * `meta` table, codes partitioned by `cell` only, no `seq` level — are
+  * NOT readable by this version. [[searchIvfPq]]/[[appendIvfPq]] fail
+  * loudly on the missing meta dir rather than guessing `max_seq = 0`
+  * over a layout whose files carry no seq column at all (the
+  * AnalysisException a synthesized filter would hit is the same
+  * outcome, less explained). The upgrade is a rebuild into a fresh dir
+  * — the physical partitioning changed, so there is no metadata-only
+  * upgrade path, and silently serving a half-understood layout is the
+  * one behavior a serving index must never have.
+  *
   * Search reads the pruned codes table and runs the same
   * [[VectorOps.ivfPqSearch]] the in-query `ann_ivfpq` form uses — one
   * code path, so the prebuilt and in-query answers agree exactly
@@ -53,19 +64,39 @@ object VectorIndex {
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  /** Build the index at `dir` (overwrites): trains on `emb` (bounded by
-    * `maxTrainRows`), writes cell-partitioned codes + codebooks, then
-    * the one-row `meta` table LAST — it is the read path's append gate
-    * (max_seq), so a crash mid-build leaves an index that loudly reads
-    * as not-ready. `batchId` records a durable caller sequence id so a
-    * replayed bootstrap batch is skipped by the next [[appendIvfPq]].
-    * Shapes auto-size from the corpus like the in-query form.
+  /** Build the index at `dir` — a dir that has never COMMITTED a build:
+    * trains on `emb` (bounded by `maxTrainRows`), writes cell-partitioned
+    * codes + codebooks, then the one-row `meta` table LAST — it is the
+    * read path's append gate (max_seq), so a crash mid-FIRST-build
+    * leaves an index that loudly reads as not-ready. `batchId` records a
+    * durable caller sequence id so a replayed bootstrap batch is skipped
+    * by the next [[appendIvfPq]]. Shapes auto-size from the corpus like
+    * the in-query form.
+    *
+    * Rebuilding over a BUILT index is refused loudly (r14, from r13
+    * ADVICE): overwriting codes/codebooks before the meta write has no
+    * commit point — a crash in that window left OLD meta (reads as
+    * ready) over NEW codes, or worse old codes under freshly-retrained
+    * codebooks, and searches silently decoded wrong. Retrain-and-replace
+    * (quantizer drift policy) goes to a fresh dir and flips the serving
+    * pointer; in-place evolution is [[appendIvfPq]]/[[consolidate]]. A
+    * TORN first build (codes/books staged, meta never committed) reads
+    * as not-built and is simply rebuilt here — the retry converges.
     */
   def buildIvfPq(spark: SparkSession, emb: DataFrame, dir: String,
       nCells: Int = 0, m: Int = 0, ks: Int = 0,
       maxTrainRows: Long = 100000L, nRows: Long = 0L,
       batchId: Long = -1L): Unit = {
     import spark.implicits._
+    // repair a torn predecessor swap, then answer "has a build ever
+    // committed" against the repaired state
+    graft.model.StoreSwap.commit(spark, metaDir(dir))
+    graft.model.StoreSwap.commit(spark, codesDir(dir))
+    if (fs(spark).exists(new org.apache.hadoop.fs.Path(metaDir(dir))))
+      sys.error(s"refusing to rebuild over the built index at $dir — " +
+        "write the retrained replacement to a fresh dir and flip the " +
+        "serving pointer, or maintain this one via appendIvfPq/consolidate " +
+        "(both crash-safe); rebuild-in-place has no atomic commit point")
     val n = if (nRows > 0) nRows else emb.count()
     val cells = if (nCells > 0) nCells else VectorOps.ivfCells(n)
     val kCent = if (ks > 0) ks else VectorOps.pqCodebookSize(n)

@@ -83,20 +83,23 @@ object LabelStore {
     *   - live dir ABSENT: a whole-dir swap crashed between its two
     *     renames — `.old` is the complete current store; roll it back.
     *   - live dir present: restore every `.old` bucket that is MISSING
-    *     from the live store, then drop the leftover. A missing bucket
-    *     is either a fold swap's displaced bucket (the one window where
+    *     from the live store AND whose id is INSIDE the store's
+    *     recorded modulus, then drop the leftover. A missing in-modulus
+    *     bucket is a fold swap's displaced bucket (the one window where
     *     a bucket is absent — it MUST come back or its labels are lost;
     *     this covers pre-r12 binaries' fold tears too, which staged the
-    *     identical state) or, after a crashed SHRINKING-reshard
-    *     [[compact]], a superseded out-of-modulus bucket. Restoring the
-    *     latter is SAFE — a completed compact writes every node, so a
-    *     leftover only ever adds duplicate rows with stale (≥ current,
-    *     labels-only-decrease) labels that the min-fold absorbs on
-    *     every read path, and the next compact drops the extra files —
-    *     whereas dropping a displaced fold bucket silently forgets
-    *     prior labels, the one unrecoverable outcome. (Round 13: this
-    *     replaces the r12 marker-file disambiguation, whose marker-less
-    *     branch deleted exactly those pre-r12 displaced buckets.)
+    *     identical state). A bucket id AT OR ABOVE the sidecar modulus
+    *     can only be a superseded leftover of a crashed
+    *     SHRINKING-reshard [[compact]] — folds never displace an
+    *     out-of-modulus bucket — so it is skipped (r14, from r13
+    *     ADVICE: restoring it was safe for CC labels only via the
+    *     labels-only-decrease invariant absorbing the stale duplicates;
+    *     skipping removes that reliance, so a future non-monotone
+    *     per-node reuse of the store stays correct). Pre-sidecar stores
+    *     (no recorded modulus) keep restore-everything — monotonicity
+    *     is the only guard available there. (Round 13: this replaced
+    *     the r12 marker-file disambiguation, whose marker-less branch
+    *     deleted exactly those pre-r12 displaced buckets.)
     *
     * Idempotent; driver-side metadata ops only. Run by [[fold]],
     * [[read]] and [[lookup]].
@@ -109,9 +112,17 @@ object LabelStore {
       if (!f.exists(live)) {
         require(f.rename(old, live), s"rollback rename $old -> $live failed")
       } else {
+        val modulus = BucketMeta.read(spark, dir)
         f.listStatus(old).foreach { st =>
           val name = st.getPath.getName
-          if (name.startsWith("bucket=") && !f.exists(new Path(dir, name)))
+          // id >= sidecar modulus ⇒ superseded reshard leftover, never a
+          // fold-displaced bucket (see the scaladoc) — leave it to die
+          // with `.old`; unreadable ids restore (safe side)
+          val inModulus = modulus.forall(n =>
+            scala.util.Try(name.stripPrefix("bucket=").toInt)
+              .toOption.forall(_ < n))
+          if (name.startsWith("bucket=") && inModulus &&
+              !f.exists(new Path(dir, name)))
             require(f.rename(st.getPath, new Path(dir, name)),
               s"rollback rename ${st.getPath} failed")
         }

@@ -701,7 +701,7 @@ object StreamViews {
         .option("maxFilesPerTrigger", "1").parquet(docsDir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-          if (graft.model.StoreSwap.readablePath(s, s"$idx/stats").isEmpty)
+          if (!graft.operators.LexIndex.isBuilt(s, idx))
             graft.operators.LexIndex.build(s, batch.toDF(), idx, batchId = id)
           else
             graft.operators.LexIndex.append(s, batch.toDF(), idx, batchId = id)

@@ -208,15 +208,17 @@ class LabelStoreSpec extends SparkSpec {
     assert(labelsOf(dir)(200L) == 0L)
   }
 
-  test("a compact-crash leftover .old: same-modulus buckets dropped, stale labels absorbed by the min-fold") {
+  test("a compact-crash leftover .old: out-of-modulus buckets SKIPPED, not resurrected") {
     // compact() swapped the new version in (its StoreSwap step 3) but
     // crashed before deleting `.old`. A REAL leftover holds the complete
     // pre-compact store — every node also lives in the live version
     // (compact never drops nodes), possibly with STALE (larger) labels.
-    // recover's restore-missing-buckets rule must not lose any current
-    // label: same-named buckets are never touched, and any restored
-    // out-of-modulus bucket (shrinking reshard) only adds duplicate
-    // rows the labels-only-decrease min-fold absorbs.
+    // recover must not lose any current label; and since r14 (r13
+    // ADVICE) a bucket id AT OR ABOVE the live sidecar's modulus is
+    // skipped outright — folds never displace an out-of-modulus bucket,
+    // so it can only be a superseded shrinking-reshard leftover, and
+    // skipping it means correctness no longer leans on the
+    // labels-only-decrease invariant absorbing the stale duplicates.
     val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def P(s: String) = new org.apache.hadoop.fs.Path(s)
     val dir = freshDir()
@@ -228,13 +230,11 @@ class LabelStoreSpec extends SparkSpec {
     Seq((3L, 3L)).toDF("node", "label")
       .withColumn("bucket", lit(7))
       .coalesce(1).write.partitionBy("bucket").parquet(s"$dir.old")
-    assert(labelsOf(dir) == want,
-      "restored stale rows must lose the min-fold — reads unchanged")
+    assert(labelsOf(dir) == want, "reads unchanged across the cleanup")
     assert(!f.exists(P(s"$dir.old")), "the leftover .old must be cleaned")
-    // the restored bucket persists only until the next compaction
-    LabelStore.compact(spark, dir)
     assert(!f.exists(P(s"$dir/bucket=7")),
-      "compaction must drop the out-of-modulus leftover bucket")
+      "an out-of-modulus .old bucket (7 >= modulus 4) is a reshard " +
+        "leftover — skipped, never renamed into the live store")
     assert(labelsOf(dir) == want)
   }
 

@@ -275,4 +275,40 @@ class LexIndexSpec extends SparkSpec {
     assert(got.sameElements(Array(1L, 2L)),
       s"both docs must score for 'beta', got ${got.mkString(",")}")
   }
+
+  test("rebuild over a BUILT index is refused and leaves it untouched; a torn first build retries") {
+    val docs = Tables.documents(spark, sf0001)
+    val dir = freshDir()
+    LexIndex.build(spark, docs.where($"doc_id" % 2 === 0), dir)
+    val before = topk(dir)
+    val e = intercept[RuntimeException](LexIndex.build(spark, docs, dir))
+    assert(e.getMessage.contains("refusing to rebuild"), e.getMessage)
+    assert(topk(dir) == before, "a refused rebuild must not touch the index")
+    // torn FIRST build (postings staged, stats never committed): reads
+    // as not-built, and build() retries clean over the leftovers
+    val torn = freshDir()
+    LexIndex.build(spark, docs.where($"doc_id" % 2 === 0), torn)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$torn/stats"))
+    assert(!LexIndex.isBuilt(spark, torn), "no committed stats = not built")
+    LexIndex.build(spark, docs, torn)
+    val whole = freshDir()
+    LexIndex.build(spark, docs, whole)
+    assert(topk(torn) == topk(whole),
+      "retried first build must equal a clean build of the same corpus")
+  }
+
+  test("isBuilt resolves through a torn stats swap (never a hardcoded layout probe)") {
+    val docs = Seq((1L, "alpha beta"), (2L, "beta gamma beta"))
+      .toDF("doc_id", "text")
+    val dir = freshDir()
+    assert(!LexIndex.isBuilt(spark, dir))
+    LexIndex.build(spark, docs, dir)
+    assert(LexIndex.isBuilt(spark, dir))
+    // mid-swap crash state: stats renamed away, tmp never renamed in —
+    // the complete old version lives at stats.old and MUST read as built
+    assert(new java.io.File(s"$dir/stats")
+      .renameTo(new java.io.File(s"$dir/stats.old")))
+    assert(LexIndex.isBuilt(spark, dir),
+      "the torn-swap window must still read as built (stats.old is complete)")
+  }
 }

@@ -354,4 +354,29 @@ class VectorIndexSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("rebuild over a BUILT index is refused and leaves it untouched; a torn first build retries") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = freshDir()
+    VectorIndex.buildIvfPq(spark, emb, dir, nCells = 16, m = 8, ks = 16)
+    val search = () => VectorIndex.searchIvfPq(spark, dir, emb,
+      probes = emb.where($"vec_id" < 5), k = 5, nProbe = 8, rerank = 8)
+      .collect().map(_.toSeq).toSeq
+    val before = search()
+    val e = intercept[RuntimeException](
+      VectorIndex.buildIvfPq(spark, emb, dir, nCells = 16, m = 8, ks = 16))
+    assert(e.getMessage.contains("refusing to rebuild"), e.getMessage)
+    assert(search() == before, "a refused rebuild must not touch the index")
+    // torn FIRST build (codes/books staged, meta never committed): a
+    // retry over the leftovers converges to a clean build
+    val torn = freshDir()
+    VectorIndex.buildIvfPq(spark, emb, torn, nCells = 16, m = 8, ks = 16)
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$torn/meta"))
+    VectorIndex.buildIvfPq(spark, emb, torn, nCells = 16, m = 8, ks = 16)
+    val retried = VectorIndex.searchIvfPq(spark, torn, emb,
+      probes = emb.where($"vec_id" < 5), k = 5, nProbe = 8, rerank = 8)
+      .collect().map(_.toSeq).toSeq
+    assert(retried == before,
+      "retried first build must equal a clean build (same corpus, same seeds)")
+  }
 }
