@@ -96,9 +96,8 @@ object Recall {
       exactCos)
     // round 13: near_dedup_semantic now DECLARES the library default
     // (multi-assign); the single-assign knob is near_dedup_semantic_floor.
-    // The near_dedup_semantic_multi row is kept ONE round as an alias of
-    // the default so the gate's missing-key check stays green across the
-    // re-point (drop in r14).
+    // (The transitional near_dedup_semantic_multi alias row was dropped
+    // in r14 as promised at the re-point.)
     val semantic = recall(
       pairSet(SparkEntry.queries("near_dedup_semantic")(spark, sfDir).select("i", "j")),
       exactCos)
@@ -197,7 +196,6 @@ object Recall {
          |  "near_dedup_simhash":   {"recall": $simhash%.4f, "baseline": "all-pairs hamming <=3", "truth_size": ${exactSim.size}},
          |  "near_dedup_cosine_lsh":{"recall": $cosLsh%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},
          |  "near_dedup_semantic":  {"recall": $semantic%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},
-         |  "near_dedup_semantic_multi": {"recall": $semantic%.4f, "baseline": "near_dedup_cosine @0.4 (ALIAS of near_dedup_semantic since the r13 re-point; dropped in r14)", "truth_size": ${exactCos.size}},
          |  "near_dedup_semantic_floor": {"recall": $semanticFloor%.4f, "baseline": "near_dedup_cosine @0.4 (single-assign cost-floor knob, primary ID until r12)", "truth_size": ${exactCos.size}},
          |  "hybrid_search_ann_indexed": {"recall": $hybridAnn%.4f, "baseline": "hybrid_search_rrf exact fusion top-10", "truth_size": 10}
          | }}""".stripMargin

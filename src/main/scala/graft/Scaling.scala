@@ -59,7 +59,12 @@ object Scaling {
     // round-13 additions: the two r12 newcomers to the bench top-12
     // (SCALING_r12 predates them)
     "text_bm25_index_append" -> "documents",
-    "near_dedup_keep_best" -> "documents")
+    "near_dedup_keep_best" -> "documents",
+    // round-14 additions (r13 VERDICT task 4): the three r13 newcomers
+    // in the bench top-12 without scaling coverage
+    "hybrid_search_ann_indexed" -> "embeddings",
+    "stream_lex_append" -> "documents",
+    "near_dedup_keep_best_incremental" -> "documents")
 
   /** The non-events heavy hitters that also get a 100× point: the
     * steepest scaler (pipeline_embedding_corpus, top-decade 0.77 at
@@ -71,7 +76,10 @@ object Scaling {
     "ann_ivfpq_indexed",
     // round-13 task: 10× AND 100× points for the two newcomers
     "text_bm25_index_append",
-    "near_dedup_keep_best")
+    "near_dedup_keep_best",
+    // round-14: the LSH-routed keep-best maintenance form probes the
+    // same 50k→500k decade its batch sibling was superlinear in
+    "near_dedup_keep_best_incremental")
 
   /** Synthesize a `factor`× corpus from sf0.1: every non-synthesized
     * table's parquet is copied verbatim; `documents` and `embeddings`

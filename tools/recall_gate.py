@@ -37,8 +37,16 @@ def main(prev_path: str, curr_path: str, baseline_md: str = "BASELINE.md") -> in
     failures = []
     for op, prev_entry in sorted(prev.items()):
         if op not in curr:
-            failures.append(f"{op}: present in {prev_path} but MISSING from "
-                            f"{curr_path} (recall coverage shrank)")
+            # a REMOVED row needs the same written-down discipline as a
+            # drop: a BASELINE.md note naming the op (e.g. the r13->r14
+            # near_dedup_semantic_multi alias retirement) accepts it
+            if noted(op, notes):
+                print(f"[recall-gate] {op}: removed "
+                      "(noted in BASELINE.md — accepted)")
+            else:
+                failures.append(
+                    f"{op}: present in {prev_path} but MISSING from "
+                    f"{curr_path} (recall coverage shrank, no note)")
             continue
         p, c = prev_entry["recall"], curr[op]["recall"]
         delta = c - p
