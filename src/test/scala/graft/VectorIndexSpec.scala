@@ -186,6 +186,53 @@ class VectorIndexSpec extends SparkSpec {
     assert(searchRows(dir, emb) == after, "maintenance must not change answers")
   }
 
+  test("maintain under the STREAMED fold: trigger fires between batches, idempotent, answers unchanged") {
+    // the stream_lex_append pairing on the vector side (r13 VERDICT
+    // task): a foreachBatch fold appends each micro-batch
+    // transactionally and runs the files-per-cell maintenance trigger
+    // BETWEEN batches (never under one) — the production append-loop
+    // shape, mirroring LexIndexSpec's maintain case. With maxFiles=1
+    // the trigger must fire once appends land a second file in some
+    // cell, compact back to one file per cell partition, stay a no-op
+    // when not due, and never change served answers vs the batch
+    // build+append reference (same corpus, same seeds -> same
+    // codebooks and codes).
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sqlCtx = spark.sqlContext
+    val emb = Tables.embeddings(spark, sf0001)
+    val evens = emb.where($"vec_id" % 2 === 0)
+    val odds = emb.where($"vec_id" % 2 === 1)
+      .select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val refDir = freshDir()
+    VectorIndex.buildIvfPq(spark, evens, refDir, nCells = 16, m = 8, ks = 16)
+    VectorIndex.appendIvfPq(spark, emb.where($"vec_id" % 2 === 1), refDir)
+    val want = searchRows(refDir, emb)
+    val dir = freshDir()
+    VectorIndex.buildIvfPq(spark, evens, dir, nCells = 16, m = 8, ks = 16)
+    var fired = 0
+    val input = MemoryStream[(Long, Array[Float])]
+    val q = input.toDS().toDF("vec_id", "embedding")
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+        VectorIndex.appendIvfPq(spark, batch, dir, batchId = id)
+        if (VectorIndex.maintain(spark, dir, maxFiles = 1)) fired += 1
+        ()
+      }
+      .trigger(Trigger.ProcessingTime(0)).start()
+    val (half1, half2) = odds.splitAt(odds.length / 2)
+    input.addData(half1.toSeq); q.processAllAvailable()
+    input.addData(half2.toSeq); q.processAllAvailable()
+    q.stop()
+    assert(fired >= 1, "the files-per-cell trigger must fire under the fold")
+    assert(!VectorIndex.needsCompact(spark, dir, maxFiles = 1),
+      s"fold-closing maintain left drift: max=${VectorIndex.maxFilesPerCell(spark, dir)}")
+    assert(!VectorIndex.maintain(spark, dir, maxFiles = 1),
+      "maintain must be a no-op when not due (idempotent trigger)")
+    assert(searchRows(dir, emb) == want,
+      "maintenance under the streamed fold must not change served answers")
+  }
+
   test("ANN candidate selection combines map-side (partial+final heap agg in the plan)") {
     // the scale claim behind the TopKAgg swap (all four ANN paths): the
     // per-probe top-k buffer must merge BEFORE the exchange, or every
