@@ -144,6 +144,15 @@ object VectorIndex {
     ()
   }
 
+  /** Whether a COMMITTED build exists at `dir` — the bootstrap probe for
+    * an append loop (`stream_vec_append`'s fold), resolving through a
+    * possibly-torn meta swap the way every read path does (the
+    * [[LexIndex.isBuilt]] pairing — callers never duplicate the private
+    * meta layout).
+    */
+  def isBuilt(spark: SparkSession, dir: String): Boolean =
+    graft.model.StoreSwap.readablePath(spark, metaDir(dir)).isDefined
+
   /** [[recover]], returning the (post-recovery) meta row so the append
     * path pays ONE read of the one-row table, not two. None if the
     * index has never been (completely) built.

@@ -713,6 +713,55 @@ object StreamViews {
         Seq("spark", "merge", "vector"), k = 10)
     },
 
+    // Speed-layer maintenance of the persistent IVF-PQ vector index —
+    // the [[stream_lex_append]] pairing on the vector side, completing
+    // the serving-store symmetry (every store now has its streamed
+    // fold: upsert, labels, postings, codes). The bootstrap batch
+    // BUILDS (train + encode + meta commit); every later micro-batch
+    // folds in through the TRANSACTIONAL appendIvfPq (codes land under
+    // an uncommitted seq= partition, the meta swap is the single commit
+    // point, the engine batch id rides into meta so a re-delivery after
+    // a maintainer crash is a no-op) and runs VectorIndex.maintain
+    // BETWEEN batches (files-per-cell policy; a no-op until drift trips
+    // it). Appends encode with the SAVED codebooks — the speed layer
+    // never retrains; quantizer refresh is a batch-layer policy
+    // decision served from a fresh dir (build refuses in-place
+    // rebuilds). Approximate (PQ + stale-codebook appends), so
+    // rows-only here; VectorIndexSpec pins streamed-fold ≡ batch-append
+    // row identity, the maintain trigger/idempotence under the fold,
+    // and the kill-tested crash points.
+    noOracle("stream_vec_append") { (s, dir) =>
+      val embDir = stageCache.computeIfAbsent(s"vecemb|$dir", _ => {
+        val d = graft.Scratch.dir("graft_vec_emb")
+        Tables.embeddings(s, dir).select("vec_id", "embedding").repartition(4)
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      val idx = graft.Scratch.dir("graft_vecindex_stream")
+      val schema = s.read.parquet(embDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(embDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!graft.operators.VectorIndex.isBuilt(s, idx))
+            graft.operators.VectorIndex.buildIvfPq(s, batch.toDF(), idx,
+              nCells = 16, m = 16, ks = 16, batchId = id)
+          else {
+            graft.operators.VectorIndex.appendIvfPq(s, batch.toDF(), idx,
+              batchId = id)
+            graft.operators.VectorIndex.maintain(s, idx)
+            ()
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val emb = Tables.embeddings(s, dir)
+      graft.operators.VectorIndex.searchIvfPq(s, idx, emb,
+        probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8,
+        rerank = 12)
+    },
+
     // Streaming mergeable quantiles: per-event-type p50/p95 of the value
     // column via KLL sketches — the speed-layer form of the exact batch
     // `agg_percentile`. Like stream_hll, the state IS the sketch

@@ -402,6 +402,21 @@ class VectorIndexSpec extends SparkSpec {
     }
   }
 
+  test("isBuilt resolves through a torn meta swap (never a hardcoded layout probe)") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = freshDir()
+    assert(!VectorIndex.isBuilt(spark, dir))
+    VectorIndex.buildIvfPq(spark, emb.where($"vec_id" % 4 === 0), dir,
+      nCells = 8, m = 8, ks = 16)
+    assert(VectorIndex.isBuilt(spark, dir))
+    // mid-swap crash state: meta renamed away, tmp never renamed in —
+    // the complete old version lives at meta.old and MUST read as built
+    assert(new java.io.File(s"$dir/meta")
+      .renameTo(new java.io.File(s"$dir/meta.old")))
+    assert(VectorIndex.isBuilt(spark, dir),
+      "the torn-swap window must still read as built (meta.old is complete)")
+  }
+
   test("rebuild over a BUILT index is refused and leaves it untouched; a torn first build retries") {
     val emb = Tables.embeddings(spark, sf0001)
     val dir = freshDir()
