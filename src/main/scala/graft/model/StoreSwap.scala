@@ -101,4 +101,22 @@ object StoreSwap {
     else if (f.exists(new Path(oldPath(store)))) Some(oldPath(store))
     else None
   }
+
+  /** [[readablePath]] restricted to versions whose write COMMITTED (the
+    * `_SUCCESS` marker): the probe for "has this store ever been built".
+    * The distinction matters for stores whose FIRST version is written
+    * directly (not through a tmp swap — LexIndex/VectorIndex builds):
+    * a crash during that job leaves the directory existing with only
+    * `_temporary` staging inside, which a bare exists() misreads as
+    * built — bricking the retry behind a rebuild refusal, or routing a
+    * bootstrap fold to an append that dies reading the torn table.
+    * Each candidate is checked independently (an incomplete live dir
+    * never hides a complete `.old`).
+    */
+  def committedPath(spark: SparkSession, store: String): Option[String] = {
+    val f = fs(spark)
+    if (isComplete(f, new Path(store))) Some(store)
+    else if (isComplete(f, new Path(oldPath(store)))) Some(oldPath(store))
+    else None
+  }
 }

@@ -51,11 +51,14 @@ import org.apache.spark.sql.functions._
   *     every entry point finishes a predecessor's torn swap before
   *     touching the store ([[recover]]).
   *
-  * Reads resolve both dirs through [[graft.model.StoreSwap.readablePath]]
-  * and apply the `seq <= max_seq` gate, so they are correct against any
-  * crash state WITHOUT taking the writer's recovery lock — the
-  * single-WRITER contract (one maintainer owns build/append/consolidate)
-  * never has to cover readers.
+  * Reads resolve stats through [[graft.model.StoreSwap.committedPath]]
+  * (a first-build stats job that crashed mid-write leaves a
+  * _temporary-only dir, which must read as NOT BUILT — r14) and
+  * postings through [[graft.model.StoreSwap.readablePath]], applying
+  * the `seq <= max_seq` gate — correct against any crash state WITHOUT
+  * taking the writer's recovery lock; the single-WRITER contract (one
+  * maintainer owns build/append/consolidate) never has to cover
+  * readers.
   *
   * A query reads ONLY its terms' bucket partitions (partition-pruned
   * scan: ≤ |qTerms| of nBuckets directories, spec-pinned), filters to
@@ -135,11 +138,16 @@ object LexIndex {
     // stats row" is answered against the repaired state
     graft.model.StoreSwap.commit(spark, statsDir(dir))
     graft.model.StoreSwap.commit(spark, postingsDir(dir))
-    if (fs(spark).exists(new Path(statsDir(dir))))
+    // COMMITTED probe, not bare existence: a crash during the first
+    // build's stats job leaves stats/ existing with only _temporary
+    // staging inside — that torn dir must be cleared and rebuilt, never
+    // refused (a bare exists() would brick the retry)
+    if (graft.model.StoreSwap.committedPath(spark, statsDir(dir)).isDefined)
       sys.error(s"refusing to rebuild over the built index at $dir — " +
         "write the replacement to a fresh dir, or maintain this one via " +
         "append/consolidate (both crash-safe); rebuild-in-place has no " +
         "atomic commit point")
+    fs(spark).delete(new Path(statsDir(dir)), true) // torn first-write leftover
     withPostingRows(docs) { (posts, dl) =>
       posts
         .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
@@ -180,14 +188,18 @@ object LexIndex {
 
   /** Whether a COMMITTED build exists at `dir` — the bootstrap probe for
     * an append loop (`stream_lex_append`'s fold). Resolves through a
-    * possibly-torn stats swap via [[graft.model.StoreSwap.readablePath]]
-    * — the same resolution every read path uses — so callers never
-    * duplicate the private stats layout (r13 ADVICE: the fold hardcoded
-    * `$dir/stats` and a layout change would have silently read
-    * "not built" forever, rebuilding from each batch).
+    * possibly-torn stats swap via
+    * [[graft.model.StoreSwap.committedPath]] — the same family of
+    * resolution every read path uses — so callers never duplicate the
+    * private stats layout (r13 ADVICE: the fold hardcoded `$dir/stats`
+    * and a layout change would have silently read "not built" forever,
+    * rebuilding from each batch). COMMITTED, not merely existing: a
+    * crash during the bootstrap build's stats job leaves a
+    * _temporary-only stats dir, which must read as not-built so the
+    * fold's replay rebuilds instead of crash-looping in append.
     */
   def isBuilt(spark: SparkSession, dir: String): Boolean =
-    graft.model.StoreSwap.readablePath(spark, statsDir(dir)).isDefined
+    graft.model.StoreSwap.committedPath(spark, statsDir(dir)).isDefined
 
   /** [[recover]], returning the (post-recovery) stats row so the append
     * path pays ONE read of the one-row table, not two. None if the
@@ -199,7 +211,10 @@ object LexIndex {
     graft.model.StoreSwap.commit(spark, postingsDir(dir))
     val f = fs(spark)
     val posts = new Path(postingsDir(dir))
-    if (!f.exists(new Path(statsDir(dir)))) None
+    // COMMITTED probe: a _temporary-only stats dir (first build crashed
+    // mid-stats-job) must read as not-built — loudly, from the callers'
+    // "index not built" error — not die inferring parquet schema here
+    if (graft.model.StoreSwap.committedPath(spark, statsDir(dir)).isEmpty) None
     else {
       val stats = spark.read.parquet(statsDir(dir)).head()
       val maxSeq = stats.getAs[Long]("max_seq")
@@ -357,7 +372,7 @@ object LexIndex {
     // resolve through a possibly-interrupted swap: a complete stats (and
     // postings) version exists at `dir` or `dir.old` at every protocol
     // state
-    val statsPath = graft.model.StoreSwap.readablePath(spark, statsDir(dir))
+    val statsPath = graft.model.StoreSwap.committedPath(spark, statsDir(dir))
       .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — index not built"))
     val statsRow = spark.read.parquet(statsPath).head()
     val nDocs = statsRow.getAs[Long]("n_docs")
@@ -436,7 +451,7 @@ object LexIndex {
     import spark.implicits._
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "need at least one query, each with at least one term")
-    val statsPath = graft.model.StoreSwap.readablePath(spark, statsDir(dir))
+    val statsPath = graft.model.StoreSwap.committedPath(spark, statsDir(dir))
       .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — index not built"))
     val statsRow = spark.read.parquet(statsPath).head()
     val nDocs = statsRow.getAs[Long]("n_docs")

@@ -89,14 +89,18 @@ object VectorIndex {
       batchId: Long = -1L): Unit = {
     import spark.implicits._
     // repair a torn predecessor swap, then answer "has a build ever
-    // committed" against the repaired state
+    // COMMITTED" against the repaired state — committed probe, not bare
+    // existence: a crash during the first build's meta job leaves meta/
+    // existing with only _temporary staging inside, and that torn dir
+    // must be cleared and rebuilt, never refused
     graft.model.StoreSwap.commit(spark, metaDir(dir))
     graft.model.StoreSwap.commit(spark, codesDir(dir))
-    if (fs(spark).exists(new org.apache.hadoop.fs.Path(metaDir(dir))))
+    if (graft.model.StoreSwap.committedPath(spark, metaDir(dir)).isDefined)
       sys.error(s"refusing to rebuild over the built index at $dir — " +
         "write the retrained replacement to a fresh dir and flip the " +
         "serving pointer, or maintain this one via appendIvfPq/consolidate " +
         "(both crash-safe); rebuild-in-place has no atomic commit point")
+    fs(spark).delete(new org.apache.hadoop.fs.Path(metaDir(dir)), true) // torn first-write leftover
     val n = if (nRows > 0) nRows else emb.count()
     val cells = if (nCells > 0) nCells else VectorOps.ivfCells(n)
     val kCent = if (ks > 0) ks else VectorOps.pqCodebookSize(n)
@@ -151,7 +155,7 @@ object VectorIndex {
     * meta layout).
     */
   def isBuilt(spark: SparkSession, dir: String): Boolean =
-    graft.model.StoreSwap.readablePath(spark, metaDir(dir)).isDefined
+    graft.model.StoreSwap.committedPath(spark, metaDir(dir)).isDefined
 
   /** [[recover]], returning the (post-recovery) meta row so the append
     * path pays ONE read of the one-row table, not two. None if the
@@ -163,7 +167,10 @@ object VectorIndex {
     graft.model.StoreSwap.commit(spark, codesDir(dir))
     val f = fs(spark)
     val codes = new org.apache.hadoop.fs.Path(codesDir(dir))
-    if (!f.exists(new org.apache.hadoop.fs.Path(metaDir(dir)))) None
+    // COMMITTED probe: a _temporary-only meta dir (first build crashed
+    // mid-meta-job) must read as not-built — loudly, via the callers'
+    // "index not built" error — not die inferring parquet schema here
+    if (graft.model.StoreSwap.committedPath(spark, metaDir(dir)).isEmpty) None
     else {
       val meta = spark.read.parquet(metaDir(dir)).head()
       val maxSeq = meta.getAs[Long]("max_seq")
@@ -340,7 +347,7 @@ object VectorIndex {
     // meta commit is invisible (the seq filter is partition pruning, so
     // uncommitted partitions also cost nothing); reads never take the
     // writer's recovery path (single-writer contract)
-    val metaPath = graft.model.StoreSwap.readablePath(spark, metaDir(dir))
+    val metaPath = graft.model.StoreSwap.committedPath(spark, metaDir(dir))
       .getOrElse(sys.error(s"no readable meta under ${metaDir(dir)} — index not built"))
     val maxSeq = spark.read.parquet(metaPath).head().getAs[Long]("max_seq")
     val codesPath = graft.model.StoreSwap.readablePath(spark, codesDir(dir))

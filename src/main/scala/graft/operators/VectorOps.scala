@@ -202,11 +202,7 @@ object VectorOps {
     require(requests.nonEmpty, "need at least one request")
     val reqDf = broadcast(requests.map { case (qid, _, pid) => (qid, pid) }
       .toDF("qid", "pid"))
-    val lexScores = LexIndex.bm25ScoresBatch(spark, lexDir,
-        requests.map(r => (r._1, r._2)))
-      .join(reqDf, Seq("qid"))
-      .where(col("doc_id") =!= col("pid"))
-      .select(col("qid"), col("doc_id"), col("bm25").as("score"))
+    val lexScores = batchLexScores(spark, lexDir, requests, reqDf)
     val probes = emb.join(reqDf, col("vec_id") === col("pid"))
       .select(col("qid"), col("pid"), col("embedding").as("pe"))
     // one corpus scan; the broadcast-nested-loop fan-out to N requests is
@@ -234,11 +230,7 @@ object VectorOps {
     require(requests.nonEmpty, "need at least one request")
     val reqDf = broadcast(requests.map { case (qid, _, pid) => (qid, pid) }
       .toDF("qid", "pid"))
-    val lexScores = LexIndex.bm25ScoresBatch(spark, lexDir,
-        requests.map(r => (r._1, r._2)))
-      .join(reqDf, Seq("qid"))
-      .where(col("doc_id") =!= col("pid"))
-      .select(col("qid"), col("doc_id"), col("bm25").as("score"))
+    val lexScores = batchLexScores(spark, lexDir, requests, reqDf)
     val sem = VectorIndex.searchIvfPq(spark, vecDir, emb,
         probes = emb.where(col("vec_id").isin(requests.map(_._3): _*)),
         k = depth, nProbe = nProbe, rerank = rerank)
@@ -246,6 +238,18 @@ object VectorOps {
       .select(col("qid"), col("neighbor_id").as("doc_id"), col("cos").as("score"))
     hybridFuseBatch(lexScores, sem, depth, k, rrfK)
   }
+
+  /** The batch lexical branch both batch forms share: per-qid BM25
+    * scores from the posting-list index with each request's own probe
+    * doc excluded (the batch contract — one definition so the exact and
+    * ANN forms can never diverge on exclusion or rounding).
+    */
+  private def batchLexScores(spark: SparkSession, lexDir: String,
+      requests: Seq[(Int, Seq[String], Long)], reqDf: DataFrame): DataFrame =
+    LexIndex.bm25ScoresBatch(spark, lexDir, requests.map(r => (r._1, r._2)))
+      .join(reqDf, Seq("qid"))
+      .where(col("doc_id") =!= col("pid"))
+      .select(col("qid"), col("doc_id"), col("bm25").as("score"))
 
   /** Per-qid rrf fusion of two (qid, doc_id, score) branch relations:
     * each branch ranks per qid to `depth` through the map-side TopKAgg

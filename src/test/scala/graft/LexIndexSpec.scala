@@ -284,12 +284,20 @@ class LexIndexSpec extends SparkSpec {
     val e = intercept[RuntimeException](LexIndex.build(spark, docs, dir))
     assert(e.getMessage.contains("refusing to rebuild"), e.getMessage)
     assert(topk(dir) == before, "a refused rebuild must not touch the index")
-    // torn FIRST build (postings staged, stats never committed): reads
-    // as not-built, and build() retries clean over the leftovers
+    // torn FIRST build, the REAL crash state: the stats job created the
+    // dir and its _temporary staging but crashed before job commit — no
+    // _SUCCESS, no data files. A bare exists() probe would brick this
+    // retry behind the rebuild refusal; the committed probe must read
+    // not-built, append must fail LOUDLY (not die inferring schema), and
+    // build() must clear the leftover and retry clean.
     val torn = freshDir()
     LexIndex.build(spark, docs.where($"doc_id" % 2 === 0), torn)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$torn/stats"))
-    assert(!LexIndex.isBuilt(spark, torn), "no committed stats = not built")
+    val tornStats = new java.io.File(s"$torn/stats")
+    org.apache.commons.io.FileUtils.cleanDirectory(tornStats)
+    assert(new java.io.File(tornStats, "_temporary").mkdir())
+    assert(!LexIndex.isBuilt(spark, torn), "no COMMITTED stats = not built")
+    val e2 = intercept[RuntimeException](LexIndex.append(spark, docs, torn))
+    assert(e2.getMessage.contains("index not built"), e2.getMessage)
     LexIndex.build(spark, docs, torn)
     val whole = freshDir()
     LexIndex.build(spark, docs, whole)

@@ -429,11 +429,16 @@ class VectorIndexSpec extends SparkSpec {
       VectorIndex.buildIvfPq(spark, emb, dir, nCells = 16, m = 8, ks = 16))
     assert(e.getMessage.contains("refusing to rebuild"), e.getMessage)
     assert(search() == before, "a refused rebuild must not touch the index")
-    // torn FIRST build (codes/books staged, meta never committed): a
-    // retry over the leftovers converges to a clean build
+    // torn FIRST build, the REAL crash state: the meta job created the
+    // dir and its _temporary staging but crashed before job commit (no
+    // _SUCCESS, no data). Must read as not-built and retry clean — a
+    // bare exists() probe would brick this retry behind the refusal.
     val torn = freshDir()
     VectorIndex.buildIvfPq(spark, emb, torn, nCells = 16, m = 8, ks = 16)
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$torn/meta"))
+    val tornMeta = new java.io.File(s"$torn/meta")
+    org.apache.commons.io.FileUtils.cleanDirectory(tornMeta)
+    assert(new java.io.File(tornMeta, "_temporary").mkdir())
+    assert(!VectorIndex.isBuilt(spark, torn), "no COMMITTED meta = not built")
     VectorIndex.buildIvfPq(spark, emb, torn, nCells = 16, m = 8, ks = 16)
     val retried = VectorIndex.searchIvfPq(spark, torn, emb,
       probes = emb.where($"vec_id" < 5), k = 5, nProbe = 8, rerank = 8)
