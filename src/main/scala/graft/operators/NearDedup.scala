@@ -187,17 +187,29 @@ object NearDedup {
     // recomputes the shingling on cache eviction
     val hashed = hashedRaw
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      val sigs = hashed
-        .select(col("doc_id"), minhashSignatureArray(col("hs")).as("sig"))
-        .where(col("sig").isNotNull)
-        .select(col("doc_id") +:
-          (0 until NumHashes).map(i => col("sig")(i).as(s"mh$i")): _*)
-      val candidates = minhashCandidates(sigs, maxBucket)
-      // eagerly materialize the small dup-pair set, then drop the cache
-      // so long sessions don't accumulate cached shingle blocks
-      verifyJaccard(candidates, hashed, threshold).localCheckpoint()
-    } finally hashed.unpersist()
+    // (the eager localCheckpoint inside the unmanaged form is what makes
+    // the finally-unpersist safe: the small dup-pair set is materialized
+    // before the cache drops)
+    try minhashVerifiedPairsUnmanaged(hashed, threshold, maxBucket)
+    finally hashed.unpersist()
+  }
+
+  /** [[minhashVerifiedPairsFromHashes]] without the internal persist —
+    * for callers whose (doc_id, hs) relation is already cached (the
+    * incremental forms' prior-state route; re-persisting the filtered
+    * projection doubled cache residency for the pair job's duration).
+    */
+  private def minhashVerifiedPairsUnmanaged(hashed: DataFrame,
+      threshold: Double, maxBucket: Int = 10000): DataFrame = {
+    val sigs = hashed
+      .select(col("doc_id"), minhashSignatureArray(col("hs")).as("sig"))
+      .where(col("sig").isNotNull)
+      .select(col("doc_id") +:
+        (0 until NumHashes).map(i => col("sig")(i).as(s"mh$i")): _*)
+    val candidates = minhashCandidates(sigs, maxBucket)
+    // eagerly materialize the small dup-pair set, then drop the cache
+    // so long sessions don't accumulate cached shingle blocks
+    verifyJaccard(candidates, hashed, threshold).localCheckpoint()
   }
 
   /** Exact-Jaccard verification of candidate (i, j) pairs against a
@@ -262,13 +274,15 @@ object NearDedup {
 
   /** [[routedJaccardPairs]] over an already-persisted (doc_id, hs)
     * relation (the incremental forms' prior-state pair generation — the
-    * count and both routes scan the caller's cache).
+    * count and both routes scan the caller's cache, and neither route
+    * re-persists the projection: the unmanaged pair generators avoid
+    * doubling cache residency for the pair job's duration).
     */
   private[operators] def routedJaccardPairsFromHashes(hashed: DataFrame,
       threshold: Double): DataFrame =
     if (hashed.count() <= exactPairMaxRows(hashed.sparkSession))
-      TextOps.ngramJaccardPairsFromHashes(hashed, threshold).select("i", "j")
-    else minhashVerifiedPairsFromHashes(hashed, threshold).select("i", "j")
+      TextOps.ngramJaccardPairsFromHashesUnmanaged(hashed, threshold).select("i", "j")
+    else minhashVerifiedPairsUnmanaged(hashed, threshold).select("i", "j")
 
   /** 64-bit SimHash per doc: for each token hash h and bit b, add tf if
     * bit set else -tf; signature bit b = sign of the sum. Computed in one

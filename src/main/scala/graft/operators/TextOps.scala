@@ -1640,11 +1640,23 @@ object TextOps {
     // accumulate cached blocks
     val hs = docHashes.where(col("hs").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      val sh = hs.select(col("doc_id"), explode(col("hs")).as("s"))
-      val sizes = hs.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
-      jaccardFromParts(sh, sizes, threshold, maxShingleFreq).localCheckpoint()
-    } finally hs.unpersist()
+    try ngramJaccardPairsFromHashesUnmanaged(hs, threshold, maxShingleFreq)
+    finally hs.unpersist()
+  }
+
+  /** [[ngramJaccardPairsFromHashes]] without the internal persist — for
+    * callers whose (doc_id, hs) relation is ALREADY cached (the
+    * incremental near-dedup forms' prior-state pair generation derives
+    * it by filtering a persisted relation; re-persisting that projection
+    * doubled the cache residency for the duration of the pair job).
+    */
+  private[operators] def ngramJaccardPairsFromHashesUnmanaged(
+      hsRaw: DataFrame, threshold: Double,
+      maxShingleFreq: Int = MaxShingleFreq): DataFrame = {
+    val hs = hsRaw.where(col("hs").isNotNull)
+    val sh = hs.select(col("doc_id"), explode(col("hs")).as("s"))
+    val sizes = hs.select(col("doc_id"), size(col("hs")).cast("long").as("n"))
+    jaccardFromParts(sh, sizes, threshold, maxShingleFreq).localCheckpoint()
   }
 
   /** Exact Jaccard over an exploded (doc_id, s) relation when no array
