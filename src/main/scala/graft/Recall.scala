@@ -116,6 +116,25 @@ object Recall {
       if (exact.isEmpty) 1.0 else (fused & exact).size.toDouble / exact.size
     }
 
+    // the BATCH serving composition (r14): mean per-request top-10
+    // overlap of the both-indexes batch form vs the exact batch fusion
+    // it approximates (same shared full-corpus index on the lexical
+    // side, so the delta is purely the vector branch's approximation)
+    val hybridAnnBatch = {
+      def byQid(name: String): Map[Int, Set[Long]] =
+        SparkEntry.queries(name)(spark, sfDir)
+          .select("qid", "doc_id").collect()
+          .groupBy(_.getInt(0)).view
+          .mapValues(_.map(_.getLong(1)).toSet).toMap
+      val exact = byQid("hybrid_search_batch")
+      val fused = byQid("hybrid_search_ann_batch")
+      val per = exact.map { case (qid, ex) =>
+        if (ex.isEmpty) 1.0
+        else (fused.getOrElse(qid, Set.empty) & ex).size.toDouble / ex.size
+      }
+      if (per.isEmpty) 1.0 else per.sum / per.size
+    }
+
     // Recall/cost CURVES for the two ANN knobs, at the pinned fixture
     // shapes: the headline numbers above are OPERATING POINTS on these
     // curves, not ceilings — the curve is what shows the knob works
@@ -197,7 +216,8 @@ object Recall {
          |  "near_dedup_cosine_lsh":{"recall": $cosLsh%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},
          |  "near_dedup_semantic":  {"recall": $semantic%.4f, "baseline": "near_dedup_cosine @0.4", "truth_size": ${exactCos.size}},
          |  "near_dedup_semantic_floor": {"recall": $semanticFloor%.4f, "baseline": "near_dedup_cosine @0.4 (single-assign cost-floor knob, primary ID until r12)", "truth_size": ${exactCos.size}},
-         |  "hybrid_search_ann_indexed": {"recall": $hybridAnn%.4f, "baseline": "hybrid_search_rrf exact fusion top-10", "truth_size": 10}
+         |  "hybrid_search_ann_indexed": {"recall": $hybridAnn%.4f, "baseline": "hybrid_search_rrf exact fusion top-10", "truth_size": 10},
+         |  "hybrid_search_ann_batch": {"recall": $hybridAnnBatch%.4f, "baseline": "hybrid_search_batch exact batch fusion, mean per-request top-10 overlap (NEW r14)", "truth_size": 30}
          | }}""".stripMargin
     Files.writeString(Paths.get(out), json + "\n")
     println(s"[recall] wrote $out")
