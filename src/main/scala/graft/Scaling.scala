@@ -64,7 +64,12 @@ object Scaling {
     // in the bench top-12 without scaling coverage
     "hybrid_search_ann_indexed" -> "embeddings",
     "stream_lex_append" -> "documents",
-    "near_dedup_keep_best_incremental" -> "documents")
+    "near_dedup_keep_best_incremental" -> "documents",
+    // the r14 newcomers, covered the round they landed (don't wait for
+    // the verdict to ask): the batch serving forms + the vector fold
+    "hybrid_search_ann_batch" -> "embeddings",
+    "hybrid_search_batch" -> "documents",
+    "stream_vec_append" -> "embeddings")
 
   /** The non-events heavy hitters that also get a 100× point: the
     * steepest scaler (pipeline_embedding_corpus, top-decade 0.77 at
