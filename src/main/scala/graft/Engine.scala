@@ -246,4 +246,20 @@ object Engine {
   def hybridSearch(docs: DataFrame, emb: DataFrame, qTerms: Seq[String],
       probeId: Long, k: Int = 10): DataFrame =
     operators.VectorOps.hybridSearchRrf(docs, emb, qTerms, probeId, k = k)
+
+  /** BATCH hybrid serving — the production request shape (a search tier
+    * answers request batches, not one query at a time): N
+    * (qid, terms, probe-id) requests fused per qid, the lexical branch
+    * served from the persistent posting-list index at `lexDir` in ONE
+    * partition-pruned scan for the whole batch and the exact semantic
+    * branch in one corpus scan against the broadcast probe set. Each
+    * request's block is byte-identical to serving it alone. See
+    * [[operators.VectorOps.hybridSearchBatch]]; for both branches
+    * index-served (one pruned codes scan for all probes) use
+    * [[operators.VectorOps.hybridSearchAnnBatch]].
+    */
+  def hybridSearchBatch(spark: SparkSession, lexDir: String,
+      emb: DataFrame, requests: Seq[(Int, Seq[String], Long)],
+      k: Int = 10): DataFrame =
+    operators.VectorOps.hybridSearchBatch(spark, lexDir, emb, requests, k = k)
 }
