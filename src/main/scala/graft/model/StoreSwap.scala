@@ -42,13 +42,31 @@ object StoreSwap {
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  /** True when `dir` holds a COMPLETE Spark write: the `_SUCCESS`
-    * marker the Hadoop commit protocol drops at job commit. A tmp dir
-    * without it is a torn write (the job crashed mid-write) and must
-    * never be promoted to serving.
+  /** True when `dir` holds a COMPLETE Spark write. Primary signal: the
+    * `_SUCCESS` marker the Hadoop commit protocol drops at job commit.
+    * A dir without it is usually a torn write (the job crashed
+    * mid-write) and must never be promoted to serving — EXCEPT under a
+    * session that disabled the marker
+    * (`mapreduce.fileoutputcommitter.marksuccessfuljobs=false`), where
+    * every committed write would otherwise read as torn and the
+    * bootstrap probes built on this ([[committedPath]] →
+    * LexIndex/VectorIndex.isBuilt) would silently REBUILD a serving
+    * index from one micro-batch. Fallback for that conf: committed
+    * data present (a non-hidden child) with NO `_temporary` job
+    * staging left. The fallback cannot mistake a torn write for a
+    * committed one: the committer moves task files out of
+    * `_temporary` and deletes it strictly BEFORE the marker step, so
+    * any crash that loses data leaves `_temporary` (or an empty dir)
+    * behind, and both read as incomplete here.
     */
   private def isComplete(f: FileSystem, dir: Path): Boolean =
-    f.exists(new Path(dir, "_SUCCESS"))
+    f.exists(new Path(dir, "_SUCCESS")) || (
+      f.exists(dir) && f.getFileStatus(dir).isDirectory &&
+        !f.exists(new Path(dir, "_temporary")) &&
+        f.listStatus(dir).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        })
 
   /** Swap `store.tmp` (a fully-written new version) into `store`,
     * recovering any interrupted previous swap first. Call with the new

@@ -451,6 +451,9 @@ object LexIndex {
     import spark.implicits._
     require(queries.nonEmpty && queries.forall(_._2.nonEmpty),
       "need at least one query, each with at least one term")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "query qids must be unique — duplicates would silently merge two " +
+        "queries' term sets into one garbage score block")
     val statsPath = graft.model.StoreSwap.committedPath(spark, statsDir(dir))
       .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — index not built"))
     val statsRow = spark.read.parquet(statsPath).head()

@@ -252,37 +252,79 @@ object NearDedup {
     * Same routing pattern as `graft.embpipe.lshMaxRows`
     * (VectorOps.embeddingCorpusPipeline).
     */
-  private[operators] def exactPairMaxRows(s: org.apache.spark.sql.SparkSession): Long =
+  private[graft] def exactPairMaxRows(s: org.apache.spark.sql.SparkSession): Long =
     s.conf.get("graft.neardedup.exactMaxRows", "20000").toLong
 
+  /** Candidate-VOLUME routing cap (`graft.neardedup.exactMaxPairRows`,
+    * default 5e7) — the second routing axis (r15, from the r14 verdict):
+    * corpus ROW count alone misprices a boilerplate-heavy corpus, where
+    * a few thousand docs sharing template shingles blow the exact
+    * self-join up at tiny n (5k docs sharing 100 under-cap shingles =
+    * 100 × C(5k,2) ≈ 1.2e9 join rows — two decades past what 50k
+    * ORGANIC docs produce). [[estimatedExactPairRows]] prices the route
+    * exactly before committing to it; above this cap the banded minhash
+    * path runs even below [[exactPairMaxRows]]. The real fixtures sit
+    * far under the default (sf0.1 documents: 1.27e6), so every oracle
+    * stays on the exact-definition side.
+    */
+  private[graft] def exactMaxPairRows(s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("graft.neardedup.exactMaxPairRows", "50000000").toLong
+
+  /** The EXACT number of rows the exact route's hot-capped shingle
+    * self-join would emit: Σ_s C(f_s, 2) over the under-cap shingle
+    * frequencies (over-cap shingles are dropped from that join, so they
+    * price at zero). One map-side-combined aggregate over the exploded
+    * shingle relation — the same first stage the exact route's join
+    * itself pays, so pricing the route costs a fraction of running it.
+    */
+  private[graft] def estimatedExactPairRows(hashed: DataFrame): Long =
+    hashed.where(col("hs").isNotNull)
+      .select(explode(col("hs")).as("s"))
+      .groupBy("s").agg(count(lit(1)).as("f"))
+      .where(col("f") <= TextOps.MaxShingleFreq)
+      .agg(coalesce(sum(expr("f * (f - 1) DIV 2")), lit(0L)).as("est"))
+      .head().getLong(0)
+
   /** Routed verified dup-pair generation over raw documents: exact
-    * shingle self-join below [[exactPairMaxRows]], minhash-LSH candidates
-    * + exact verify above it. Both routes verify with the SAME exact
-    * Jaccard, so above-threshold pairs agree wherever the bands reach
-    * (all true dup pairs at fixture scale — the
+    * shingle self-join below [[exactPairMaxRows]] rows AND
+    * [[exactMaxPairRows]] estimated join volume, minhash-LSH candidates
+    * + exact verify above either. Both routes verify with the SAME
+    * exact Jaccard, so above-threshold pairs agree wherever the bands
+    * reach (all true dup pairs at fixture scale — the
     * pipeline_pretraining_corpus_scale precedent); the routed form keeps
     * the shared oracle SQL verbatim. Returns (i, j).
+    *
+    * The shingle relation is persisted here so the routing count, the
+    * volume estimate and the chosen route all scan one cache (the
+    * pre-r15 form re-shingled per consumer).
     */
-  private[operators] def routedJaccardPairs(docs: DataFrame,
+  private[graft] def routedJaccardPairs(docs: DataFrame,
       threshold: Double): DataFrame = {
-    val hashed = docs.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
-    // the routing count scans only the parquet footer (no text read)
-    if (docs.count() <= exactPairMaxRows(docs.sparkSession))
-      TextOps.ngramJaccardPairsFromHashes(hashed, threshold).select("i", "j")
-    else minhashVerifiedPairsFromHashes(hashed, threshold).select("i", "j")
+    val hashed = docs
+      .select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    // safe to release after: both unmanaged routes eagerly materialize
+    // their small pair output via localCheckpoint
+    try routedJaccardPairsFromHashes(hashed, threshold)
+    finally hashed.unpersist()
   }
 
   /** [[routedJaccardPairs]] over an already-persisted (doc_id, hs)
     * relation (the incremental forms' prior-state pair generation — the
-    * count and both routes scan the caller's cache, and neither route
-    * re-persists the projection: the unmanaged pair generators avoid
-    * doubling cache residency for the pair job's duration).
+    * count, the volume estimate and both routes scan the caller's
+    * cache, and neither route re-persists the projection: the unmanaged
+    * pair generators avoid doubling cache residency for the pair job's
+    * duration). The volume estimate runs only when the row count keeps
+    * the exact route in play.
     */
-  private[operators] def routedJaccardPairsFromHashes(hashed: DataFrame,
-      threshold: Double): DataFrame =
-    if (hashed.count() <= exactPairMaxRows(hashed.sparkSession))
+  private[graft] def routedJaccardPairsFromHashes(hashed: DataFrame,
+      threshold: Double): DataFrame = {
+    val s = hashed.sparkSession
+    if (hashed.count() <= exactPairMaxRows(s) &&
+        estimatedExactPairRows(hashed) <= exactMaxPairRows(s))
       TextOps.ngramJaccardPairsFromHashesUnmanaged(hashed, threshold).select("i", "j")
     else minhashVerifiedPairsUnmanaged(hashed, threshold).select("i", "j")
+  }
 
   /** 64-bit SimHash per doc: for each token hash h and bit b, add tf if
     * bit set else -tf; signature bit b = sign of the sum. Computed in one
@@ -519,16 +561,23 @@ object NearDedup {
 
   /** Routed batch-touching pair generation for the incremental forms:
     * [[incrementalJaccardPairs]] (exact bipartite shingle join) below
-    * [[exactPairMaxRows]], [[incrementalMinhashPairs]] (banded candidates
-    * restricted to pairs touching the batch, exact verify) above it.
-    * `hashed` = the caller's persisted (doc_id, is_new, hs) relation;
-    * the routing count scans its cache. Returns (src, dst).
+    * [[exactPairMaxRows]] rows AND [[exactMaxPairRows]] estimated
+    * volume (the full-join Σ C(f,2) upper-bounds the batch-touching
+    * quadrants, so a boilerplate corpus routes banded here too — the
+    * conservative side), [[incrementalMinhashPairs]] (banded candidates
+    * restricted to pairs touching the batch, exact verify) above
+    * either. `hashed` = the caller's persisted (doc_id, is_new, hs)
+    * relation; the count, estimate and route scan its cache. Returns
+    * (src, dst).
     */
   private[operators] def routedIncrementalPairs(hashed: DataFrame,
-      threshold: Double): DataFrame =
-    if (hashed.count() <= exactPairMaxRows(hashed.sparkSession))
+      threshold: Double): DataFrame = {
+    val s = hashed.sparkSession
+    if (hashed.count() <= exactPairMaxRows(s) &&
+        estimatedExactPairRows(hashed) <= exactMaxPairRows(s))
       incrementalJaccardPairs(hashed, threshold)
     else incrementalMinhashPairs(hashed, threshold)
+  }
 
   /** [[incrementalJaccardPairs]] on the banded scale path: row-local
     * minhash signatures over old+new (signatures are per-doc, so the

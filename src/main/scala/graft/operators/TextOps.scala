@@ -518,6 +518,43 @@ object TextOps {
       LexIndex.bm25TopK(s, idx, Seq("spark", "merge", "vector"), k = 10)
     },
 
+    // REBUILD-WHILE-SERVING: the serving-pointer flip the in-place
+    // rebuild refusal points at (the ElephantDB shard-version swap —
+    // reference: the serving layer's domain-version flip behind
+    // BatchWorkflow.java:348-365), exercised end to end on the lexical
+    // index. Build v0 under a COARSE bucket modulus and flip the
+    // pointer → serve; then rebuild with DIFFERENT index params (the
+    // production quantizer-refresh shape) into a FRESH v1 dir while v0
+    // keeps serving — the pointer provably still resolves to v0 until
+    // the flip — then flip and serve v1. Both versions index the same
+    // corpus, and BM25 is modulus-invariant (buckets only route the
+    // pruned scan), so the post-flip answer shares text_bm25_topk's
+    // oracle verbatim: the driver proves serving survived a full
+    // rebuild bit-exactly. ServingPointerSpec kill-tests both flip
+    // crash points (pre-flip crash serves old; mid-pointer-swap crash
+    // recovers) and pins old-version reads until the flip commits.
+    withOracle(
+      "index_rebuild_swap",
+      bm25TopkOracleSql) { (s, dir) =>
+      val root = graft.Scratch.dir("graft_lexindex_swaproot")
+      val docs = Tables.documents(s, dir)
+      val terms = Seq("spark", "merge", "vector")
+      val v0 = graft.model.ServingPointer.stage(s, root)(
+        LexIndex.build(s, docs, _, nBuckets = 8))
+      graft.model.ServingPointer.flip(s, root, v0)
+      val servedV0 = graft.model.ServingPointer.resolve(s, root).get
+      // serve from v0 (a real job — the pre-rebuild serving window)
+      require(LexIndex.bm25TopK(s, servedV0, terms, k = 10).count() > 0)
+      // rebuild with DIFFERENT params into a fresh dir; v0 serves on
+      val v1 = graft.model.ServingPointer.stage(s, root)(
+        LexIndex.build(s, docs, _, nBuckets = 64))
+      require(graft.model.ServingPointer.resolve(s, root).get == servedV0,
+        "pointer moved before the flip committed")
+      graft.model.ServingPointer.flip(s, root, v1)
+      LexIndex.bm25TopK(s,
+        graft.model.ServingPointer.resolve(s, root).get, terms, k = 10)
+    },
+
     // BATCH-query BM25 serving (the production request shape — a search
     // tier evaluates a batch, not one query at a time): three queries
     // with overlapping terms answered from the posting-list index in

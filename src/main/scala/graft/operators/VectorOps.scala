@@ -200,6 +200,9 @@ object VectorOps {
       depth: Int = 50, k: Int = 10, rrfK: Int = 60): DataFrame = {
     import spark.implicits._
     require(requests.nonEmpty, "need at least one request")
+    require(requests.map(_._1).distinct.size == requests.size,
+      "request qids must be unique — duplicates would silently merge " +
+        "two requests' branches into one garbage fused block")
     val reqDf = broadcast(requests.map { case (qid, _, pid) => (qid, pid) }
       .toDF("qid", "pid"))
     val lexScores = batchLexScores(spark, lexDir, requests, reqDf)
@@ -228,6 +231,9 @@ object VectorOps {
       nProbe: Int = 8, rerank: Int = 12): DataFrame = {
     import spark.implicits._
     require(requests.nonEmpty, "need at least one request")
+    require(requests.map(_._1).distinct.size == requests.size,
+      "request qids must be unique — duplicates would silently merge " +
+        "two requests' branches into one garbage fused block")
     val reqDf = broadcast(requests.map { case (qid, _, pid) => (qid, pid) }
       .toDF("qid", "pid"))
     val lexScores = batchLexScores(spark, lexDir, requests, reqDf)
@@ -835,6 +841,37 @@ object VectorOps {
       VectorIndex.appendIvfPq(s, emb.where(col("vec_id") % 2 === 1), idx)
       VectorIndex.searchIvfPq(s, idx, emb,
         probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8, rerank = 12)
+    },
+
+    // QUANTIZER REFRESH under the serving pointer — the retrain path
+    // buildIvfPq's rebuild refusal mandates, run end to end (the
+    // index_rebuild_swap lifecycle on the vector side): build v0 under
+    // a deliberately COARSE quantizer (8 cells, 8 subspaces — the
+    // "drifted" shape a residual-magnitude policy would flag), flip,
+    // serve; retrain into a FRESH v1 dir under the pinned production
+    // shape (16 cells, 16×16 residual PQ) while v0 keeps serving
+    // (pointer provably unmoved until the flip); flip and serve v1.
+    // Approximate (PQ), so rows-only; ServingPointerSpec pins post-flip
+    // search ≡ a direct build with the new params (same train input →
+    // same codebooks) and the no-torn-read crash story.
+    noOracle("index_rebuild_swap_vec") { (s, dir) =>
+      val emb = Tables.embeddings(s, dir)
+      val root = graft.Scratch.dir("graft_vecindex_swaproot")
+      val v0 = graft.model.ServingPointer.stage(s, root)(
+        VectorIndex.buildIvfPq(s, emb, _, nCells = 8, m = 8, ks = 16))
+      graft.model.ServingPointer.flip(s, root, v0)
+      val servedV0 = graft.model.ServingPointer.resolve(s, root).get
+      require(VectorIndex.searchIvfPq(s, servedV0, emb,
+        probes = emb.where(col("vec_id") < 10), k = 5).count() > 0)
+      val v1 = graft.model.ServingPointer.stage(s, root)(
+        VectorIndex.buildIvfPq(s, emb, _, nCells = 16, m = 16, ks = 16))
+      require(graft.model.ServingPointer.resolve(s, root).get == servedV0,
+        "pointer moved before the flip committed")
+      graft.model.ServingPointer.flip(s, root, v1)
+      VectorIndex.searchIvfPq(s,
+        graft.model.ServingPointer.resolve(s, root).get, emb,
+        probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8,
+        rerank = 12)
     },
 
     // The embedding-side capstone pipeline (the vector analogue of

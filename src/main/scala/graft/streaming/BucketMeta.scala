@@ -23,7 +23,7 @@ import org.apache.spark.sql.SparkSession
   * caller falls back to an explicit count), and the next [[write]]
   * replaces it.
   */
-private[streaming] object BucketMeta {
+private[graft] object BucketMeta {
 
   private def metaPath(root: String) = new Path(root, "_graft_buckets")
 

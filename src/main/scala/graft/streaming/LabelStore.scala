@@ -77,29 +77,61 @@ object LabelStore {
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  /** The per-swap DISPLACEMENT MANIFEST (round 15): [[fold]] stages the
+    * list of buckets its swap loop will move aside as `_displaced`
+    * INSIDE the staging dir, written after the staging job commits and
+    * before the first rename. [[recover]] then restores `.old` buckets
+    * by this record instead of presence-probing the live dir — the
+    * probe could not tell a fold's displaced bucket from a crashed
+    * whole-dir reshard's superseded leftover whose live twin is
+    * legitimately EMPTY (no node hashes there under the new modulus, so
+    * the write created no dir), and restoring the latter injected stale
+    * rows under the old modulus that only the min-fold's monotonicity
+    * absorbed.
+    */
+  private def manifestPath(dir: String) =
+    new Path(tmpDir(dir), "_displaced")
+
+  private def writeManifest(f: org.apache.hadoop.fs.FileSystem,
+      dir: String, buckets: Seq[Int]): Unit = {
+    val out = f.create(manifestPath(dir), true)
+    try out.write(buckets.mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  private def readManifest(f: org.apache.hadoop.fs.FileSystem,
+      dir: String): Option[Set[Int]] =
+    if (!f.exists(manifestPath(dir))) None
+    else {
+      val in = f.open(manifestPath(dir))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        .split("\n").filter(_.nonEmpty).map(_.toInt).toSet)
+      finally in.close()
+    }
+
   /** Repair any torn swap. Two `.old` states, disambiguated by the
     * live dir:
     *
     *   - live dir ABSENT: a whole-dir swap crashed between its two
     *     renames — `.old` is the complete current store; roll it back.
-    *   - live dir present: restore every `.old` bucket that is MISSING
-    *     from the live store AND whose id is INSIDE the store's
-    *     recorded modulus, then drop the leftover. A missing in-modulus
-    *     bucket is a fold swap's displaced bucket (the one window where
-    *     a bucket is absent — it MUST come back or its labels are lost;
-    *     this covers pre-r12 binaries' fold tears too, which staged the
-    *     identical state). A bucket id AT OR ABOVE the sidecar modulus
-    *     can only be a superseded leftover of a crashed
-    *     SHRINKING-reshard [[compact]] — folds never displace an
-    *     out-of-modulus bucket — so it is skipped (r14, from r13
-    *     ADVICE: restoring it was safe for CC labels only via the
-    *     labels-only-decrease invariant absorbing the stale duplicates;
-    *     skipping removes that reliance, so a future non-monotone
-    *     per-node reuse of the store stays correct). Pre-sidecar stores
-    *     (no recorded modulus) keep restore-everything — monotonicity
-    *     is the only guard available there. (Round 13: this replaced
-    *     the r12 marker-file disambiguation, whose marker-less branch
-    *     deleted exactly those pre-r12 displaced buckets.)
+    *   - live dir present: restore `.old` buckets BY THE DISPLACEMENT
+    *     MANIFEST (round 15 — [[fold]] stages the list of buckets its
+    *     swap loop will move aside as `_displaced` inside `dir.tmp`,
+    *     so the staging dir's lifetime brackets the swap loop's): a
+    *     manifest-listed bucket missing from live is a fold swap's
+    *     displaced bucket, the one window where a bucket is absent — it
+    *     MUST come back or its labels are lost. An `.old` WITHOUT a
+    *     manifest beside a live store can only be a crashed whole-dir
+    *     [[compact]]/reshard swap's SUPERSEDED previous version (the
+    *     fold deletes `.old` strictly before its staging dir, so every
+    *     fold crash state still has the manifest) — it is dropped
+    *     whole, restoring nothing. The r14 presence-probe this
+    *     replaces could not tell the two apart when a reshard's live
+    *     twin was legitimately EMPTY (a GROWING reshard where no node
+    *     hashes into some new bucket creates no dir for it), and
+    *     restored stale old-modulus rows that only the min-fold's
+    *     labels-only-decrease invariant absorbed; the manifest removes
+    *     that reliance for every reshard direction.
     *
     * Idempotent; driver-side metadata ops only. Run by [[fold]],
     * [[read]] and [[lookup]].
@@ -112,16 +144,14 @@ object LabelStore {
       if (!f.exists(live)) {
         require(f.rename(old, live), s"rollback rename $old -> $live failed")
       } else {
-        val modulus = BucketMeta.read(spark, dir)
+        // only the buckets the crashed fold RECORDED displacing may be
+        // restored; no manifest ⇒ superseded whole-swap leftover
+        val displaced = readManifest(f, dir).getOrElse(Set.empty)
         f.listStatus(old).foreach { st =>
           val name = st.getPath.getName
-          // id >= sidecar modulus ⇒ superseded reshard leftover, never a
-          // fold-displaced bucket (see the scaladoc) — leave it to die
-          // with `.old`; unreadable ids restore (safe side)
-          val inModulus = modulus.forall(n =>
-            scala.util.Try(name.stripPrefix("bucket=").toInt)
-              .toOption.forall(_ < n))
-          if (name.startsWith("bucket=") && inModulus &&
+          val listed = scala.util.Try(name.stripPrefix("bucket=").toInt)
+            .toOption.exists(displaced.contains)
+          if (name.startsWith("bucket=") && listed &&
               !f.exists(new Path(dir, name)))
             require(f.rename(st.getPath, new Path(dir, name)),
               s"rollback rename ${st.getPath} failed")
@@ -241,6 +271,9 @@ object LabelStore {
         val tmp = tmpDir(dir)
         toWrite.write.partitionBy("bucket").parquet(tmp)
         require(f.exists(new Path(tmp, "_SUCCESS")), s"torn staging write at $tmp")
+        // record WHICH buckets the swap loop is about to move aside —
+        // recover restores by this manifest, never by presence-probing
+        writeManifest(f, dir, changedBuckets)
         val old = new Path(oldDir(dir))
         f.mkdirs(old)
         changedBuckets.foreach { b =>

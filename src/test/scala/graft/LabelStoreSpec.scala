@@ -148,12 +148,19 @@ class LabelStoreSpec extends SparkSpec {
       Seq.tabulate(32)(i => (i.toLong, (i + 1000).toLong)).toDF("src", "dst"))
     val before = labelsOf(d1)
     val victim = spark.range(1).select(pmod(hash(lit(0L)), lit(8))).head().getInt(0)
+    // the faithful r15 crash state: the fold wrote its staging dir and
+    // the _displaced manifest BEFORE the first rename, so a mid-loop
+    // crash always leaves both beside the displaced bucket
+    f.mkdirs(P(s"$d1.tmp"))
+    val mOut = f.create(P(s"$d1.tmp/_displaced"), true)
+    mOut.write(victim.toString.getBytes("UTF-8")); mOut.close()
     f.mkdirs(P(s"$d1.old"))
     require(f.rename(P(s"$d1/bucket=$victim"), P(s"$d1.old/bucket=$victim")))
     assert(labelsOf(d1) == before,
       "a mid-swap-absent bucket must be recovered, not read as forgotten labels")
     assert(f.exists(P(s"$d1/bucket=$victim")) && !f.exists(P(s"$d1.old")),
       "recovery must restore the bucket and clean the .old staging")
+    assert(!f.exists(P(s"$d1.tmp")), "staging (and its manifest) cleaned after recovery")
 
     // window 2: crash between staging and the first rename — dir.tmp
     // holds a complete staged write; it is DISCARDED (replay re-folds),
@@ -213,12 +220,11 @@ class LabelStoreSpec extends SparkSpec {
     // crashed before deleting `.old`. A REAL leftover holds the complete
     // pre-compact store — every node also lives in the live version
     // (compact never drops nodes), possibly with STALE (larger) labels.
-    // recover must not lose any current label; and since r14 (r13
-    // ADVICE) a bucket id AT OR ABOVE the live sidecar's modulus is
-    // skipped outright — folds never displace an out-of-modulus bucket,
-    // so it can only be a superseded shrinking-reshard leftover, and
-    // skipping it means correctness no longer leans on the
-    // labels-only-decrease invariant absorbing the stale duplicates.
+    // recover must not lose any current label; since r15 the rule is
+    // manifest-gated — a manifest-less .old beside a live store is a
+    // superseded whole-swap leftover in its entirety (folds delete .old
+    // strictly before their staging dir, so every fold crash state
+    // still carries the manifest) and is dropped whole.
     val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def P(s: String) = new org.apache.hadoop.fs.Path(s)
     val dir = freshDir()
@@ -238,23 +244,37 @@ class LabelStoreSpec extends SparkSpec {
     assert(labelsOf(dir) == want)
   }
 
-  test("a pre-r12 fold tear (marker-less displaced bucket) is restored, not silently lost") {
-    // the round-12 recover deleted any marker-less .old when the live
-    // dir existed — a fold swap torn under a pre-r12 binary (which wrote
-    // no marker) lost its displaced buckets on upgrade. The unified rule
-    // restores ANY .old bucket missing from the live store.
+  test("crashed GROWING reshard with a legitimately-empty live twin restores NOTHING") {
+    // the r14 presence-probe's blind spot (r14 ADVICE → r15): a reshard
+    // to a LARGER modulus whose new partitioning leaves some bucket
+    // with no nodes creates no dir for it; the crashed swap's leftover
+    // .old then holds an IN-modulus bucket id missing from live, which
+    // the probe read as "fold-displaced — restore", injecting stale
+    // old-modulus rows that only the min-fold absorbed. Manifest-gated
+    // recovery restores nothing here: no staging dir, no manifest, so
+    // the whole .old is a superseded version and dies.
     val f = org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
     def P(s: String) = new org.apache.hadoop.fs.Path(s)
     val dir = freshDir()
-    LabelStore.fold(spark, dir,
-      Seq.tabulate(32)(i => (i.toLong, (i + 1000).toLong)).toDF("src", "dst"))
-    val before = labelsOf(dir)
-    val victim = spark.range(1).select(pmod(hash(lit(0L)), lit(8))).head().getInt(0)
-    f.mkdirs(P(s"$dir.old")) // NO marker — the pre-r12 staging shape
-    require(f.rename(P(s"$dir/bucket=$victim"), P(s"$dir.old/bucket=$victim")))
-    assert(labelsOf(dir) == before,
-      "a displaced bucket with no marker must still be restored — labels are never lost")
-    assert(f.exists(P(s"$dir/bucket=$victim")) && !f.exists(P(s"$dir.old")))
+    // live store: reshard to modulus 4 completed (StoreSwap step 3 done),
+    // with bucket=1 legitimately EMPTY — no node hashes there
+    Seq((1L, 1L), (2L, 1L)).toDF("node", "label")
+      .withColumn("bucket", lit(0))
+      .coalesce(1).write.partitionBy("bucket").parquet(dir)
+    graft.streaming.BucketMeta.write(spark, dir, 4)
+    val want = labelsOf(dir)
+    // the superseded pre-reshard version (modulus 2): bucket=1 is
+    // IN-modulus for the live sidecar (1 < 4) and missing from live —
+    // exactly the state the probe mis-restored; its node 2 row carries
+    // a STALE label under the OLD partitioning
+    Seq((2L, 2L)).toDF("node", "label")
+      .withColumn("bucket", lit(1))
+      .coalesce(1).write.partitionBy("bucket").parquet(s"$dir.old")
+    assert(labelsOf(dir) == want,
+      "no stale old-modulus rows may leak into reads — not even min-absorbable ones")
+    assert(!f.exists(P(s"$dir.old")), "superseded .old dropped whole")
+    assert(!f.exists(P(s"$dir/bucket=1")),
+      "the empty live twin stays empty: nothing was resurrected into it")
   }
 
   test("compact defaults to the recorded modulus; an explicit count reshards and re-pins it") {

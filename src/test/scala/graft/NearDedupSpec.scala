@@ -214,4 +214,58 @@ class NearDedupSpec extends SparkSpec {
         assert(run(n) == exact(n), s"$n: LSH-routed result must equal the exact route")
     } finally spark.conf.unset("graft.neardedup.exactMaxRows")
   }
+
+  // the template-heavy corpus shape (licence headers, ToS boilerplate):
+  // every doc opens with the same `boiler` tokens, then a unique tail.
+  // nDup trailing docs are near-identical twins of doc 0..nDup-1 (one
+  // tail token changed) — the only >= 0.5-Jaccard pairs by construction.
+  private def boilerplateDocs(n: Int, nDup: Int) = {
+    val boiler = (0 until 45).map(i => s"clause$i").mkString(" ")
+    def tail(i: Int) = (0 until 32).map(k => s"tok${i}x$k").mkString(" ")
+    val originals = (0 until n).map(i => (i.toLong, s"$boiler ${tail(i)}"))
+    val twins = (0 until nDup).map { i =>
+      ((n + i).toLong, s"$boiler ${tail(i).replace(s"tok${i}x31", "changed")}")
+    }
+    (originals ++ twins).toDF("doc_id", "text")
+  }
+
+  test("boilerplate-heavy corpus explodes the exact route's ESTIMATE and auto-routes onto LSH, pairs unchanged") {
+    // r14 verdict #2: corpus ROW count alone misprices this shape — a
+    // few thousand docs sharing template shingles blow the exact
+    // self-join up far below the 20k row knob. The volume estimate
+    // (Σ C(f,2) over under-cap shingle frequencies = the exact join's
+    // actual output rows) is the measurement that catches it.
+    val big = boilerplateDocs(2000, 3)
+    val hashedBig = big.select(col("doc_id"), shingleHashes(col("text"), 3).as("hs"))
+    val est = NearDedup.estimatedExactPairRows(hashedBig)
+    // 43 shared shingles × C(2003, 2) ≈ 86M estimated exact-join rows
+    // from only 2003 docs — two decades past the sf0.1 documents
+    // table's 1.27M, and past the 5e7 routing default
+    assert(est > NearDedup.exactMaxPairRows(spark),
+      s"the planted fixture must explode the exact route: est=$est")
+    assert(big.count() < NearDedup.exactPairMaxRows(spark),
+      "…while the row-count axis alone would have kept it exact")
+    // the routed form therefore takes LSH automatically and still finds
+    // exactly the planted twins, nothing else
+    val got = NearDedup.routedJaccardPairs(big, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((0L, 2000L), (1L, 2001L), (2L, 2002L)),
+      s"planted twins and only them: $got")
+
+    // ground-truth control at a size where the exact route is runnable:
+    // same shape, both routes, identical pairs — the estimate-triggered
+    // reroute changes the plan, never the answer (what keeps the shared
+    // oracles valid)
+    val small = boilerplateDocs(120, 3)
+    val exactPairs = NearDedup.routedJaccardPairs(small, 0.5) // est ~307k < 5e7: exact
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("graft.neardedup.exactMaxPairRows", "1000")
+    try {
+      val routed = NearDedup.routedJaccardPairs(small, 0.5) // forced LSH by volume
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(routed == exactPairs,
+        "volume-routed LSH pairs must equal the exact route's")
+      assert(exactPairs == Set((0L, 120L), (1L, 121L), (2L, 122L)))
+    } finally spark.conf.unset("graft.neardedup.exactMaxPairRows")
+  }
 }

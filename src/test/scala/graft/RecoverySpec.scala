@@ -103,24 +103,57 @@ class RecoverySpec extends SparkSpec {
     assert(!hfs.exists(hp(StoreSwap.oldPath(store))), "leftover .old cleaned")
   }
 
-  test("StoreSwap never promotes a TORN tmp (no _SUCCESS): discarded, store intact") {
-    // the write job itself is the longest crash window — a tmp without
-    // the job-commit _SUCCESS marker is half-written and promoting it
-    // would trade the only complete version for garbage
+  // a faithful torn-write state: the committer deletes `_temporary`
+  // strictly BEFORE dropping `_SUCCESS`, so a crash that loses data
+  // always leaves the staging dir behind (deleting the marker alone
+  // would instead simulate a committer configured WITHOUT markers —
+  // see the fallback test below)
+  private def tear(dir: String): Unit = {
+    hfs.delete(hp(dir + "/_SUCCESS"), false)
+    hfs.mkdirs(hp(dir + "/_temporary"))
+  }
+
+  test("StoreSwap never promotes a TORN tmp (_temporary staging left): discarded, store intact") {
+    // the write job itself is the longest crash window — a tmp whose
+    // job crashed mid-write is half-written and promoting it would
+    // trade the only complete version for garbage
     val store = Files.createTempDirectory("graft_swap_torn").toString + "/store"
     writeVersion(store, "v1", 10)
     writeVersion(StoreSwap.tmpPath(store), "v2", 12)
-    hfs.delete(hp(StoreSwap.tmpPath(store) + "/_SUCCESS"), false) // tear it
+    tear(StoreSwap.tmpPath(store))
     StoreSwap.commit(spark, store)
     assert(readTags(store) == Set("v1"), "the complete version must survive")
     assert(!hfs.exists(hp(StoreSwap.tmpPath(store))), "torn tmp discarded")
+  }
+
+  test("StoreSwap accepts a committed write from a committer that drops no _SUCCESS marker") {
+    // sessions setting mapreduce.fileoutputcommitter.marksuccessfuljobs
+    // =false commit real data without the marker; reading those as torn
+    // would make every isBuilt probe say "not built" and a stream fold
+    // would silently REBUILD a serving index from one micro-batch. The
+    // fallback: data files present + no _temporary staging = committed.
+    val store = Files.createTempDirectory("graft_swap_nomark").toString + "/store"
+    writeVersion(store, "v1", 10)
+    writeVersion(StoreSwap.tmpPath(store), "v2", 12)
+    hfs.delete(hp(StoreSwap.tmpPath(store) + "/_SUCCESS"), false) // marker-less committer
+    StoreSwap.commit(spark, store)
+    assert(readTags(store) == Set("v2"), "marker-less committed tmp must promote")
+    // and committedPath (the isBuilt probe) resolves a marker-less store
+    hfs.delete(hp(store + "/_SUCCESS"), false)
+    assert(StoreSwap.committedPath(spark, store).contains(store),
+      "marker-less committed store reads as built")
+    // while _temporary-only staging still reads as NOT built
+    val torn = Files.createTempDirectory("graft_swap_nomark2").toString + "/torn"
+    hfs.mkdirs(hp(torn + "/_temporary"))
+    assert(StoreSwap.committedPath(spark, torn).isEmpty,
+      "a dir with only job staging inside is a torn write")
   }
 
   test("StoreSwap rolls back a mid-swap crash whose tmp is ALSO torn (old=v1, tmp torn, store absent)") {
     val store = Files.createTempDirectory("graft_swap_rb").toString + "/store"
     writeVersion(StoreSwap.oldPath(store), "v1", 10)
     writeVersion(StoreSwap.tmpPath(store), "v2", 12)
-    hfs.delete(hp(StoreSwap.tmpPath(store) + "/_SUCCESS"), false)
+    tear(StoreSwap.tmpPath(store))
     StoreSwap.commit(spark, store)
     assert(readTags(store) == Set("v1"), "rollback must restore .old to the store path")
     assert(!hfs.exists(hp(StoreSwap.oldPath(store))) &&
@@ -135,7 +168,7 @@ class RecoverySpec extends SparkSpec {
     // simulate the crash state consolidate's own swap can leave: store
     // renamed away, new version not yet promoted
     writeVersion(StoreSwap.tmpPath(master), "junk", 1)
-    hfs.delete(hp(StoreSwap.tmpPath(master) + "/_SUCCESS"), false)
+    tear(StoreSwap.tmpPath(master))
     assert(hfs.rename(hp(master), hp(StoreSwap.oldPath(master))))
     // re-running consolidate must recover and compact, not throw
     FactStore.consolidate(spark, master)

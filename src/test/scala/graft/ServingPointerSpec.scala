@@ -1,0 +1,138 @@
+package graft
+
+import graft.model.{ServingPointer, StoreSwap}
+import graft.operators.{LexIndex, VectorIndex, VectorOps}
+import org.apache.spark.sql.functions._
+
+/** The serving-pointer flip behind `index_rebuild_swap` — rebuild a
+  * serving index into a fresh version dir while the old version keeps
+  * serving, with the one-row pointer sidecar's StoreSwap two-rename as
+  * the single commit point (the ElephantDB shard-version swap,
+  * reference BatchWorkflow.java:348-365). Kill-tested at both flip
+  * crash points: build-complete-but-flip-never-ran, and mid-pointer-
+  * swap; plus the retrain-equivalence contract on the vector side.
+  */
+class ServingPointerSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    java.nio.file.Files.createTempDirectory("graft_ptr_spec").toString + "/root"
+
+  private def hfs = org.apache.hadoop.fs.FileSystem.get(
+    spark.sparkContext.hadoopConfiguration)
+  private def hp(s: String) = new org.apache.hadoop.fs.Path(s)
+
+  private val terms = Seq("spark", "merge", "vector")
+
+  private def topk(dir: String): Seq[Seq[Any]] =
+    LexIndex.bm25TopK(spark, dir, terms, k = 10).collect().map(_.toSeq).toSeq
+
+  test("lifecycle: stage v0 -> flip -> stage v1 (different params) serves v0 until the flip, v1 after") {
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sf0001)
+    assert(ServingPointer.resolve(spark, root).isEmpty, "virgin root resolves to nothing")
+    val v0 = ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 4))
+    assert(v0 == 0L)
+    assert(ServingPointer.resolve(spark, root).isEmpty,
+      "staging must not move the pointer — nothing committed yet")
+    ServingPointer.flip(spark, root, v0)
+    val d0 = ServingPointer.resolve(spark, root).get
+    assert(d0 == ServingPointer.versionDir(root, 0))
+    val before = topk(d0)
+    // rebuild under a DIFFERENT modulus into a fresh dir; v0 serves on
+    val v1 = ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 32))
+    assert(v1 == 1L)
+    assert(ServingPointer.resolve(spark, root).get == d0,
+      "old version must serve until the flip commits")
+    assert(topk(ServingPointer.resolve(spark, root).get) == before,
+      "pre-flip reads are byte-identical to the pre-rebuild answer")
+    ServingPointer.flip(spark, root, v1)
+    val d1 = ServingPointer.resolve(spark, root).get
+    assert(d1 == ServingPointer.versionDir(root, 1))
+    // same corpus, modulus only routes the pruned scan: same answer
+    assert(topk(d1) == before, "BM25 is bucket-modulus-invariant")
+  }
+
+  test("kill point 1 — build complete, flip never ran: old serves; retry stage deletes the orphan and converges") {
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sf0001)
+    val v0 = ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 4))
+    ServingPointer.flip(spark, root, v0)
+    val before = topk(ServingPointer.resolve(spark, root).get)
+    // crash: v1 fully built (even COMMITTED — stats lands) but the flip
+    // never runs. Readers must be unaffected.
+    val vOrphan = ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 32))
+    assert(vOrphan == 1L)
+    assert(ServingPointer.resolve(spark, root).get == ServingPointer.versionDir(root, 0))
+    assert(topk(ServingPointer.resolve(spark, root).get) == before)
+    // retry of the whole rebuild: stage targets v1 again, DELETES the
+    // committed-but-unreferenced orphan (LexIndex.build would refuse a
+    // dir with a committed stats row — the delete is what makes the
+    // retry converge instead of bricking), rebuilds, flips
+    val vRetry = ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 32))
+    assert(vRetry == 1L, "retry re-targets the same unreferenced version")
+    ServingPointer.flip(spark, root, vRetry)
+    assert(ServingPointer.resolve(spark, root).get == ServingPointer.versionDir(root, 1))
+    assert(topk(ServingPointer.resolve(spark, root).get) == before)
+  }
+
+  test("kill point 2 — mid-pointer-swap crashes: reader never sees a torn pointer, retry converges") {
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sf0001)
+    val v0 = ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 4))
+    ServingPointer.flip(spark, root, v0)
+    val v1 = ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 32))
+    val ptr = ServingPointer.pointerDir(root)
+
+    // crash state A: new pointer row written to tmp, commit never ran
+    Seq(v1).toDF("version").repartition(1)
+      .write.mode("overwrite").parquet(StoreSwap.tmpPath(ptr))
+    assert(ServingPointer.current(spark, root).contains(0L),
+      "uncommitted tmp pointer is invisible — still serving v0")
+    // crash state B: StoreSwap died between its two renames — pointer
+    // renamed to .old, tmp not yet promoted (pointer dir ABSENT)
+    assert(hfs.rename(hp(ptr), hp(StoreSwap.oldPath(ptr))))
+    assert(ServingPointer.current(spark, root).contains(0L),
+      "mid-swap absence resolves through .old — still serving v0")
+    assert(topk(ServingPointer.resolve(spark, root).get).nonEmpty)
+    // retry: re-running the flip finishes the interrupted swap
+    ServingPointer.flip(spark, root, v1)
+    assert(ServingPointer.current(spark, root).contains(1L))
+    assert(!hfs.exists(hp(StoreSwap.oldPath(ptr))), "swap leftovers cleaned")
+  }
+
+  test("vector quantizer refresh across the flip equals a direct build with the new params") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val root = freshRoot()
+    val v0 = ServingPointer.stage(spark, root)(
+      VectorIndex.buildIvfPq(spark, emb, _, nCells = 8, m = 8, ks = 16))
+    ServingPointer.flip(spark, root, v0)
+    val v1 = ServingPointer.stage(spark, root)(
+      VectorIndex.buildIvfPq(spark, emb, _, nCells = 16, m = 16, ks = 16))
+    ServingPointer.flip(spark, root, v1)
+    val served = VectorIndex.searchIvfPq(spark,
+        ServingPointer.resolve(spark, root).get, emb,
+        probes = emb.where($"vec_id" < 10), k = 5, nProbe = 8, rerank = 12)
+      .collect().map(_.toSeq).toSeq
+    val directDir = freshRoot()
+    VectorIndex.buildIvfPq(spark, emb, directDir, nCells = 16, m = 16, ks = 16)
+    val direct = VectorIndex.searchIvfPq(spark, directDir, emb,
+        probes = emb.where($"vec_id" < 10), k = 5, nProbe = 8, rerank = 12)
+      .collect().map(_.toSeq).toSeq
+    assert(served == direct,
+      "post-flip serving is exactly the fresh-params index — same train input, same seeds")
+  }
+
+  test("dropSuperseded removes only versions below the pointer") {
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    ServingPointer.flip(spark, root,
+      ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 4)))
+    ServingPointer.flip(spark, root,
+      ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 8)))
+    assert(hfs.exists(hp(ServingPointer.versionDir(root, 0))), "superseded version kept by default")
+    assert(ServingPointer.dropSuperseded(spark, root) == Seq(0L))
+    assert(!hfs.exists(hp(ServingPointer.versionDir(root, 0))))
+    assert(hfs.exists(hp(ServingPointer.versionDir(root, 1))), "serving version untouched")
+  }
+}

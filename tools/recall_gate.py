@@ -27,6 +27,19 @@ def noted(op: str, notes: str) -> bool:
                      notes) is not None
 
 
+def noted_removed(op: str, notes: str) -> bool:
+    """A REMOVAL waiver is stricter than a drop waiver: most long-lived op
+    names already appear somewhere in BASELINE.md's historical prose, so
+    matching the whole file would silently accept almost any accidental
+    coverage shrink. Accept only a line that BOTH names the op
+    (word-boundary) and declares the retirement ('retired'/'removed'/
+    'dropped')."""
+    op_re = re.compile(rf"(?<![A-Za-z0-9_]){re.escape(op)}(?![A-Za-z0-9_])")
+    verb_re = re.compile(r"\b(retired?|removed?|dropp?ed)\b", re.IGNORECASE)
+    return any(op_re.search(line) and verb_re.search(line)
+               for line in notes.splitlines())
+
+
 def main(prev_path: str, curr_path: str, baseline_md: str = "BASELINE.md") -> int:
     prev = json.load(open(prev_path))["ops"]
     curr = json.load(open(curr_path))["ops"]
@@ -38,11 +51,12 @@ def main(prev_path: str, curr_path: str, baseline_md: str = "BASELINE.md") -> in
     for op, prev_entry in sorted(prev.items()):
         if op not in curr:
             # a REMOVED row needs the same written-down discipline as a
-            # drop: a BASELINE.md note naming the op (e.g. the r13->r14
-            # near_dedup_semantic_multi alias retirement) accepts it
-            if noted(op, notes):
+            # drop, on a DEDICATED retirement line: a BASELINE.md line
+            # naming the op AND saying retired/removed/dropped (e.g. the
+            # r13->r14 near_dedup_semantic_multi alias retirement)
+            if noted_removed(op, notes):
                 print(f"[recall-gate] {op}: removed "
-                      "(noted in BASELINE.md — accepted)")
+                      "(retirement noted in BASELINE.md — accepted)")
             else:
                 failures.append(
                     f"{op}: present in {prev_path} but MISSING from "
