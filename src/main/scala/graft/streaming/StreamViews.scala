@@ -713,6 +713,77 @@ object StreamViews {
         Seq("spark", "merge", "vector"), k = 10)
     },
 
+    // The INDEX-ERA serving merge (r15 — `serving_merge`'s sibling on
+    // the persistent-index stores, composing `stream_lex_append`'s fold
+    // with `index_rebuild_swap`'s pointer flip): the lambda read over a
+    // store MID-REBUILD. The speed layer bootstraps the serving version
+    // from batch 0 and keeps folding micro-batches into it; at batch 2
+    // the BATCH layer starts its recompute — a full build from the
+    // master corpus into a fresh version dir — while the speed layer
+    // serves AND keeps absorbing into the current version (the pointer
+    // provably unmoved); when the recompute is ready the pointer flips.
+    // The pre-flip merged read (bootstrap view + every speed-layer
+    // append since — LexIndex's seq levels ARE "batch view at seq N +
+    // appends since N") must equal the post-flip full recompute, and
+    // both share text_bm25_topk's oracle verbatim: the driver proves
+    // the lambda merge ≡ recompute across the flip, the reference's
+    // batch-view-absorbs-the-speed-layer handoff
+    // (BatchWorkflow.java:348-365's serving swap) end to end.
+    withOracle(
+      "serving_merge_index",
+      graft.operators.TextOps.bm25TopkOracleSql) { (s, dir) =>
+      import graft.model.ServingPointer
+      import graft.operators.LexIndex
+      val docsDir = stageCache.computeIfAbsent(s"lexdocs|$dir", _ => {
+        val d = graft.Scratch.dir("graft_lex_docs")
+        Tables.documents(s, dir).select("doc_id", "text").repartition(4)
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      val root = graft.Scratch.dir("graft_lexidx_servroot")
+      val master = Tables.documents(s, dir)
+      val schema = s.read.parquet(docsDir).schema
+      @volatile var staged: Option[Long] = None
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(docsDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          ServingPointer.resolve(s, root) match {
+            case None =>
+              val v = ServingPointer.stage(s, root)(
+                LexIndex.build(s, batch.toDF(), _, batchId = id))
+              ServingPointer.flip(s, root, v)
+            case Some(cur) =>
+              if (id == 2 && staged.isEmpty) {
+                // batch layer: recompute from the MASTER corpus into a
+                // fresh version while this version keeps serving
+                staged = Some(ServingPointer.stage(s, root)(
+                  LexIndex.build(s, master, _)))
+                require(ServingPointer.resolve(s, root).contains(cur),
+                  "pointer moved before the flip committed")
+              }
+              // the speed layer absorbs DURING the rebuild, into the
+              // version actually serving
+              LexIndex.append(s, batch.toDF(), cur, batchId = id)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      val terms = Seq("spark", "merge", "vector")
+      val preFlip = LexIndex.bm25TopK(s,
+          ServingPointer.resolve(s, root).get, terms, k = 10)
+        .collect().map(_.toSeq).toSeq
+      ServingPointer.flip(s, root,
+        staged.getOrElse(sys.error("batch recompute never staged — <3 micro-batches?")))
+      val post = LexIndex.bm25TopK(s,
+        ServingPointer.resolve(s, root).get, terms, k = 10)
+      require(post.collect().map(_.toSeq).toSeq == preFlip,
+        "merged speed-layer read (bootstrap + appends since) must equal " +
+          "the batch recompute across the flip")
+      post
+    },
+
     // Speed-layer maintenance of the persistent IVF-PQ vector index —
     // the [[stream_lex_append]] pairing on the vector side, completing
     // the serving-store symmetry (every store now has its streamed
