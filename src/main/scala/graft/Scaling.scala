@@ -84,6 +84,19 @@ object Scaling {
     "near_dedup_keep_best",
     // round-14: the LSH-routed keep-best maintenance form probes the
     // same 50k→500k decade its batch sibling was superlinear in
+    "near_dedup_keep_best_incremental",
+    // round-15 (r14 verdict task 4): the r14 newcomers stopped at 10×
+    "hybrid_search_batch",
+    "hybrid_search_ann_batch",
+    "stream_vec_append")
+
+  /** One more octave past 100× for the queries whose 100× point is
+    * large enough that the next doubling is worth buying (r15: the
+    * keep-best maintenance form's 500k point was 100.8 s at r14 — a 1M
+    * probe confirms whether its 0.85 final decade holds or the curve
+    * breaks). 200× of sf0.1 = 1M documents rows.
+    */
+  val Targets200x: Set[String] = Set(
     "near_dedup_keep_best_incremental")
 
   /** Synthesize a `factor`× corpus from sf0.1: every non-synthesized
@@ -184,6 +197,11 @@ object Scaling {
     val tenX = synthScale(spark, sf01, 10)
     System.err.println("[scaling] synthesizing 100x corpus from sf0.1 ...")
     val hundredX = synthScale(spark, sf01, 100)
+    // the 200x corpus is synthesized only if a Targets200x query runs
+    lazy val twoHundredX = {
+      System.err.println("[scaling] synthesizing 200x corpus from sf0.1 ...")
+      synthScale(spark, sf01, 200)
+    }
     val scales = Seq("sf0.01" -> sf001, "sf0.1" -> sf01, "10x" -> tenX,
       "100x" -> hundredX)
     def rowsOf(dir: String, table: String): Long =
@@ -202,12 +220,13 @@ object Scaling {
       // decade runs only for the declared heavy hitters
       val dirs =
         if (table == "events") scales.take(2)
+        else if (Targets200x(name)) scales :+ ("200x" -> twoHundredX)
         else if (Targets100x(name)) scales
         else scales.take(3)
       val pts = dirs.map { case (label, dir) =>
         val n = rowCache.getOrElseUpdate((dir, table), rowsOf(dir, table))
         System.gc(); Thread.sleep(200)
-        val ptReps = if (label == "100x") reps100x else reps
+        val ptReps = if (label == "100x" || label == "200x") reps100x else reps
         val times = (1 to ptReps).map { _ =>
           val t0 = System.nanoTime()
           try { materialize(fn(spark, dir)); (System.nanoTime() - t0) / 1e9 }

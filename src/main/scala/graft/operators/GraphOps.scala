@@ -53,9 +53,18 @@ object GraphOps {
     // output partitioning, so the (node-count-sized) edge relation is
     // never re-shuffled inside the loop — only the label side moves.
     // (distinct hash-partitions by (src,dst), which the join can't reuse.)
-    val bidir = edges.select(col("src"), col("dst"))
+    // Both directions come from ONE row-local explode, not a self-union:
+    // the union form executed the caller's edge plan TWICE inside this
+    // checkpoint's materialization, and CC inputs are routinely the
+    // single most expensive relation in their query (r15 attribution:
+    // pipeline_embedding_corpus's 200k point spent ~63 s producing dup
+    // pairs and the union re-ran all of it — 127 s whole vs 78 s staged).
+    val bidir = edges
+      .select(explode(array(
+        struct(col("src").as("s"), col("dst").as("d")),
+        struct(col("dst").as("s"), col("src").as("d")))).as("e"))
+      .select(col("e.s").as("src"), col("e.d").as("dst"))
       .where(col("src") =!= col("dst"))
-      .unionAll(edges.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .repartition(col("src"))
       .localCheckpoint()
