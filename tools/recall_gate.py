@@ -32,10 +32,10 @@ def noted_removed(op: str, notes: str) -> bool:
     names already appear somewhere in BASELINE.md's historical prose, so
     matching the whole file would silently accept almost any accidental
     coverage shrink. Accept only a line that BOTH names the op
-    (word-boundary) and declares the retirement ('retired'/'removed'/
-    'dropped')."""
+    (word-boundary) and declares the retirement ('retired'/'removed' — NOT 'dropped',
+    which shows up constantly in perf prose like 'dropped 1.29 -> 0.85')."""
     op_re = re.compile(rf"(?<![A-Za-z0-9_]){re.escape(op)}(?![A-Za-z0-9_])")
-    verb_re = re.compile(r"\b(retired?|removed?|dropp?ed)\b", re.IGNORECASE)
+    verb_re = re.compile(r"\b(retired?|removed?)\b", re.IGNORECASE)
     return any(op_re.search(line) and verb_re.search(line)
                for line in notes.splitlines())
 
