@@ -201,6 +201,19 @@ object LexIndex {
   def isBuilt(spark: SparkSession, dir: String): Boolean =
     graft.model.StoreSwap.committedPath(spark, statsDir(dir)).isDefined
 
+  /** The committed (max_seq, last_batch) watermark pair — the read-only
+    * monitoring/handoff probe (a rebuild catch-up replay checks the
+    * staged index's batch high-water mark through THIS, never by
+    * reading the private stats layout directly — the r13 ADVICE
+    * lesson). None if never built. Resolves through a possibly-torn
+    * stats swap like every read path.
+    */
+  def committedWatermarks(spark: SparkSession, dir: String): Option[(Long, Long)] =
+    graft.model.StoreSwap.committedPath(spark, statsDir(dir)).map { p =>
+      val r = spark.read.parquet(p).head()
+      (r.getAs[Long]("max_seq"), r.getAs[Long]("last_batch"))
+    }
+
   /** [[recover]], returning the (post-recovery) stats row so the append
     * path pays ONE read of the one-row table, not two. None if the
     * index has never been (completely) built.

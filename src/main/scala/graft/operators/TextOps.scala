@@ -555,6 +555,58 @@ object TextOps {
         graft.model.ServingPointer.resolve(s, root).get, terms, k = 10)
     },
 
+    // REBUILD CATCH-UP REPLAY (r15 — the gap `index_rebuild_swap` and
+    // `serving_merge_index` leave open): a real batch-layer rebuild
+    // runs from a SNAPSHOT of the master data, and speed-layer batches
+    // that land while it runs are missing from the staged version — the
+    // lambda handoff must close that gap before the flip or the swap
+    // silently time-travels the view backwards. The closing move is a
+    // REPLAY OF THE RECENT LOG into the staged version: the rebuild
+    // records the snapshot's batch high-water mark in the new index's
+    // stats, so replaying EVERY recent batch is safe — batchId
+    // idempotence no-ops the ones the snapshot already contains and
+    // applies only the in-flight ones (the same machinery that makes
+    // foreachBatch re-deliveries exactly-once). Timeline here: v0
+    // serves batches A (build) + B + C (appends); the rebuild snapshots
+    // A∪B (high-water mark = B's id) while C lands on v0; catch-up
+    // replays B (no-op, proved by stats) then C (applied) into v1;
+    // flip. Post-flip ≡ one build over A∪B∪C — the shared oracle
+    // proves no batch was lost OR double-counted across the handoff.
+    withOracle(
+      "index_rebuild_catchup",
+      bm25TopkOracleSql) { (s, dir) =>
+      import graft.model.ServingPointer
+      val root = graft.Scratch.dir("graft_lexindex_catchup")
+      val docs = Tables.documents(s, dir)
+      val terms = Seq("spark", "merge", "vector")
+      val a = docs.where(col("doc_id") % 3 === 0)
+      val b = docs.where(col("doc_id") % 3 === 1)
+      val c = docs.where(col("doc_id") % 3 === 2)
+      // v0 serves; speed layer folds batch B in (durable batch id 1)
+      val v0 = ServingPointer.stage(s, root)(LexIndex.build(s, a, _, batchId = 0))
+      ServingPointer.flip(s, root, v0)
+      val servedV0 = ServingPointer.resolve(s, root).get
+      LexIndex.append(s, b, servedV0, batchId = 1)
+      // batch layer: rebuild from the A∪B snapshot, recording its batch
+      // high-water mark (1) — v0 keeps serving
+      val v1 = ServingPointer.stage(s, root)(
+        LexIndex.build(s, a.unionByName(b), _, batchId = 1))
+      // ...while batch C lands on the SERVING version mid-rebuild
+      LexIndex.append(s, c, servedV0, batchId = 2)
+      require(ServingPointer.resolve(s, root).get == servedV0,
+        "pointer moved before the flip committed")
+      // catch-up: replay the whole recent log into the staged version —
+      // idempotence must no-op B (snapshot already has it) and apply C
+      val v1dir = ServingPointer.versionDir(root, v1)
+      LexIndex.append(s, b, v1dir, batchId = 1) // replay of a snapshot batch
+      require(LexIndex.committedWatermarks(s, v1dir).exists(_._1 == 0L),
+        "replaying a batch the snapshot contains must be a no-op")
+      LexIndex.append(s, c, v1dir, batchId = 2) // the in-flight batch
+      ServingPointer.flip(s, root, v1)
+      LexIndex.bm25TopK(s,
+        ServingPointer.resolve(s, root).get, terms, k = 10)
+    },
+
     // BATCH-query BM25 serving (the production request shape — a search
     // tier evaluates a batch, not one query at a time): three queries
     // with overlapping terms answered from the posting-list index in

@@ -157,6 +157,18 @@ object VectorIndex {
   def isBuilt(spark: SparkSession, dir: String): Boolean =
     graft.model.StoreSwap.committedPath(spark, metaDir(dir)).isDefined
 
+  /** The committed (max_seq, last_batch) watermark pair — the read-only
+    * monitoring/handoff probe ([[LexIndex.committedWatermarks]] on the
+    * vector side): a rebuild catch-up replay checks the staged index's
+    * batch high-water mark through this, never the private meta layout.
+    * None if never built.
+    */
+  def committedWatermarks(spark: SparkSession, dir: String): Option[(Long, Long)] =
+    graft.model.StoreSwap.committedPath(spark, metaDir(dir)).map { p =>
+      val r = spark.read.parquet(p).head()
+      (r.getAs[Long]("max_seq"), r.getAs[Long]("last_batch"))
+    }
+
   /** [[recover]], returning the (post-recovery) meta row so the append
     * path pays ONE read of the one-row table, not two. None if the
     * index has never been (completely) built.

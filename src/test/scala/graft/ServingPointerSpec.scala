@@ -123,6 +123,47 @@ class ServingPointerSpec extends SparkSpec {
       "post-flip serving is exactly the fresh-params index — same train input, same seeds")
   }
 
+  test("LIVE readers racing repeated flips always resolve a complete version (never torn, never absent)") {
+    // the raw-FS kill-tests above cover every manufactured crash state;
+    // this one runs a real reader LOOP concurrently with real flips —
+    // resolve → read → compare — so the actual rename windows (pointer
+    // renamed aside, tmp not yet promoted) are hit live. Superseded
+    // version dirs are kept (dropSuperseded is an offline call), so a
+    // reader that resolved pre-flip finishes its scan; the corpus is
+    // identical across versions and BM25 is modulus-invariant, so every
+    // read must return byte-identical answers no matter which side of
+    // any flip it lands on.
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sf0001).limit(200).localCheckpoint()
+    val v0 = ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 4))
+    ServingPointer.flip(spark, root, v0)
+    val expected = topk(ServingPointer.resolve(spark, root).get)
+    @volatile var stop = false
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger(0)
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val d = ServingPointer.resolve(spark, root)
+            .getOrElse(sys.error("resolved to NOTHING mid-flip"))
+          if (topk(d) != expected) failures.add(s"divergent read from $d")
+          reads.incrementAndGet()
+        } catch { case e: Throwable => failures.add(e.toString); stop = true }
+      }
+    }, "graft-ptr-race-reader")
+    reader.start()
+    try {
+      (1 to 3).foreach { i =>
+        val v = ServingPointer.stage(spark, root)(
+          LexIndex.build(spark, docs, _, nBuckets = if (i % 2 == 0) 4 else 16))
+        ServingPointer.flip(spark, root, v)
+      }
+    } finally { stop = true; reader.join(60000) }
+    assert(failures.isEmpty, s"racing reader failed: ${failures.peek()}")
+    assert(reads.get() > 0, "the reader loop must actually have read during the flips")
+    assert(ServingPointer.current(spark, root).contains(3L))
+  }
+
   test("dropSuperseded removes only versions below the pointer") {
     val root = freshRoot()
     val docs = Tables.documents(spark, sf0001).limit(50)
