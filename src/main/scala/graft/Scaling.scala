@@ -119,39 +119,47 @@ object Scaling {
       Files.copy(f.toPath, Paths.get(dir, f.getName),
         StandardCopyOption.REPLACE_EXISTING)
     }
+    // Replication is ONE row-local explode over the replica index, not
+    // factor−1 chained unions (r15 ADVICE: the union form's plan grew a
+    // branch per replica — 199 at the 200× probe — paying analysis cost
+    // per branch and re-scanning the base table per replica). k = 0 is
+    // the untouched base; replica k ≥ 1 carries the SAME remapping the
+    // union form used (id stride k, token tag r{k−1}_, sign pattern
+    // hash(i, k−1)) so synthesized corpora are row-identical across the
+    // generator change and scaling points stay comparable.
     val IdStride = 10000000L
     val docs = spark.read.parquet(s"$sf01/documents.parquet")
-    val docReps = (0 until factor - 1).map { k =>
-      docs.select(
-        (col("doc_id") + lit((k + 1) * IdStride)).as("doc_id"),
-        concat_ws(" ", transform(split(col("text"), "\\s+"),
-          x => concat(lit(s"r${k}_"), x))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
-    }
     Files.delete(Paths.get(dir, "documents.parquet"))
-    docReps.foldLeft(docs.select("doc_id", "text", "lang", "source", "n_chars"))(
-      _ unionByName _)
+    docs
+      .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("k"))
+      .select(
+        (col("doc_id") + col("k") * lit(IdStride)).as("doc_id"),
+        when(col("k") === 0, col("text")).otherwise(
+          concat_ws(" ", transform(split(col("text"), "\\s+"),
+            x => concat(lit("r"), (col("k") - 1).cast("string"), lit("_"), x))))
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
       .repartition(16).write.parquet(s"$dir/documents.parquet")
+    // deterministic per-replica SIGN PATTERN: within a replica every
+    // pairwise cosine is preserved exactly (|v ⊙ s| = |v|,
+    // (v⊙s)·(w⊙s) = v·w — the replica is an isometric copy of the
+    // base workload), while ACROSS replicas the patterns differ in
+    // ~half the positions, so cross-replica cosines collapse toward 0
+    // and the 10x corpus doesn't degenerate into one giant near-dup
+    // component (a component rotation does exactly that on smooth
+    // cluster-structured vectors — measured: 20000 rows -> 3 dedup
+    // survivors)
     val emb = spark.read.parquet(s"$sf01/embeddings.parquet")
-    val embReps = (0 until factor - 1).map { k =>
-      // deterministic per-replica SIGN PATTERN: within a replica every
-      // pairwise cosine is preserved exactly (|v ⊙ s| = |v|,
-      // (v⊙s)·(w⊙s) = v·w — the replica is an isometric copy of the
-      // base workload), while ACROSS replicas the patterns differ in
-      // ~half the positions, so cross-replica cosines collapse toward 0
-      // and the 10x corpus doesn't degenerate into one giant near-dup
-      // component (a component rotation does exactly that on smooth
-      // cluster-structured vectors — measured: 20000 rows -> 3 dedup
-      // survivors)
-      emb.select(
-        (col("vec_id") + lit((k + 1) * IdStride)).as("vec_id"),
-        transform(col("embedding"), (x, i) =>
-          when(pmod(hash(i, lit(k)), lit(2)) === 0, x)
-            .otherwise(-x).cast("float")).as("embedding"),
-        col("label"))
-    }
     Files.delete(Paths.get(dir, "embeddings.parquet"))
-    embReps.foldLeft(emb.select("vec_id", "embedding", "label"))(_ unionByName _)
+    emb
+      .select(col("*"), explode(sequence(lit(0), lit(factor - 1))).as("k"))
+      .select(
+        (col("vec_id") + col("k") * lit(IdStride)).as("vec_id"),
+        when(col("k") === 0, col("embedding")).otherwise(
+          transform(col("embedding"), (x, i) =>
+            when(pmod(hash(i, col("k") - 1), lit(2)) === 0, x)
+              .otherwise(-x).cast("float"))).as("embedding"),
+        col("label"))
       .repartition(16).write.parquet(s"$dir/embeddings.parquet")
     dir
   }
