@@ -131,6 +131,17 @@ object Engine {
   /** Serving-store swap + bootstrap primitives (two-rename protocol). */
   val swap: model.StoreSwap.type = model.StoreSwap
 
+  /** Versioned serving roots for REBUILD-WHILE-SERVING (r15 — the
+    * ElephantDB shard-version flip): `stage` builds the next version
+    * into a fresh dir while the current one serves, `flip` commits the
+    * pointer atomically (StoreSwap two-rename), `resolve` is the
+    * reader's entry point, `dropSuperseded` the offline cleanup. The
+    * retrain/reshard path both index `build`s refuse in place; compose
+    * with `append(batchId = …)` for the catch-up replay that closes a
+    * rebuild's in-flight-batch gap (`index_rebuild_catchup`).
+    */
+  val serving: model.ServingPointer.type = model.ServingPointer
+
   /** Speed-layer label store for streaming connected components:
     * bucket-partitioned, folds rewrite only changed buckets; lookup()
     * is the bucket-pruned canonical-id point read, compact() pins to
@@ -262,4 +273,21 @@ object Engine {
       emb: DataFrame, requests: Seq[(Int, Seq[String], Long)],
       k: Int = 10): DataFrame =
     operators.VectorOps.hybridSearchBatch(spark, lexDir, emb, requests, k = k)
+
+  /** Rebuild a pointer-managed serving root and flip: stage the next
+    * version via `build` (into a fresh, reader-invisible dir — the old
+    * version serves throughout), then commit the pointer atomically.
+    * Returns the new version number. The superseded version stays on
+    * disk for rollback; [[model.ServingPointer.dropSuperseded]] is the
+    * offline cleanup. For rebuilds from a snapshot while appends keep
+    * landing, replay the recent log into the staged dir (batchId
+    * idempotence no-ops contained batches) BEFORE calling flip — see
+    * `index_rebuild_catchup`.
+    */
+  def rebuildAndFlip(spark: SparkSession, root: String)
+      (build: String => Unit): Long = {
+    val v = model.ServingPointer.stage(spark, root)(build)
+    model.ServingPointer.flip(spark, root, v)
+    v
+  }
 }

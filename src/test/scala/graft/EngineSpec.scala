@@ -80,5 +80,26 @@ class EngineSpec extends SparkSpec {
     assert(Engine.graph eq operators.GraphOps)
     assert(Engine.store eq model.FactStore)
     assert(Engine.labels eq streaming.LabelStore)
+    assert(Engine.serving eq model.ServingPointer)
+  }
+
+  test("rebuildAndFlip stages into a fresh version and commits the pointer") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft_engine_rebuild").toString + "/root"
+    val docs = Tables.documents(spark, sf0001).limit(100)
+    val v0 = Engine.rebuildAndFlip(spark, root)(
+      operators.LexIndex.build(spark, docs, _, nBuckets = 4))
+    assert(v0 == 0L && Engine.serving.resolve(spark, root)
+      .contains(Engine.serving.versionDir(root, 0)))
+    val before = operators.LexIndex.bm25TopK(spark,
+      Engine.serving.resolve(spark, root).get, Seq("spark", "data"), k = 5)
+      .collect().map(_.toSeq).toSeq
+    val v1 = Engine.rebuildAndFlip(spark, root)(
+      operators.LexIndex.build(spark, docs, _, nBuckets = 16))
+    assert(v1 == 1L)
+    val after = operators.LexIndex.bm25TopK(spark,
+      Engine.serving.resolve(spark, root).get, Seq("spark", "data"), k = 5)
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "same corpus across the flip -> same answers")
   }
 }
