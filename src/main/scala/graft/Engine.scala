@@ -135,7 +135,8 @@ object Engine {
     * ElephantDB shard-version flip): `stage` builds the next version
     * into a fresh dir while the current one serves, `flip` commits the
     * pointer atomically (StoreSwap two-rename), `resolve` is the
-    * reader's entry point, `dropSuperseded` the offline cleanup. The
+    * reader's entry point, `dropSuperseded` the cleanup (grace-ledgered
+    * by default: safe to automate mid-serving). The
     * retrain/reshard path both index `build`s refuse in place; compose
     * with `append(batchId = …)` for the catch-up replay that closes a
     * rebuild's in-flight-batch gap (`index_rebuild_catchup`).
@@ -279,7 +280,8 @@ object Engine {
     * version serves throughout), then commit the pointer atomically.
     * Returns the new version number. The superseded version stays on
     * disk for rollback; [[model.ServingPointer.dropSuperseded]] is the
-    * offline cleanup. For rebuilds from a snapshot while appends keep
+    * cleanup (its default grace ledger keeps the previous version for
+    * in-flight readers). For rebuilds from a snapshot while appends keep
     * landing, replay the recent log into the staged dir (batchId
     * idempotence no-ops contained batches) BEFORE calling flip — see
     * `index_rebuild_catchup`.

@@ -30,7 +30,9 @@ import org.apache.spark.sql.{SaveMode, SparkSession}
   * rebuilt. Superseded versions are kept after a flip (instant
   * rollback = flip back; also the old dir may still be under read by a
   * long query that resolved before the flip); [[dropSuperseded]] is
-  * the between-serving-windows cleanup.
+  * the cleanup — its default one-version grace ledger makes it safe to
+  * automate mid-serving (only dirs older than the PREVIOUS version are
+  * dropped), `grace = 0` is the between-serving-windows offline form.
   *
   * Single-WRITER contract as everywhere in this store family: one
   * maintainer owns stage/flip/drop; readers are lock-free.
@@ -47,11 +49,51 @@ object ServingPointer {
     * pointer swap ([[StoreSwap.committedPath]] — a mid-flip crash
     * leaves the old pointer readable at `pointer` or `pointer.old`).
     * None iff no flip has ever committed.
+    *
+    * Reads are lock-free OPTIMISTIC: the two-rename keeps a complete
+    * committed pointer visible at every instant, but a read is
+    * two-phase (list the dir, then open the listed file) and can
+    * STRADDLE a concurrent flip's rename — the listed part-file
+    * vanishes between the phases and the open throws
+    * FileNotFoundException (surfaced live by ServingPointerSpec's
+    * racing-reader test under full-suite load). Renames are atomic and
+    * the writer is single, so re-resolving and re-reading always lands
+    * on a complete pointer; a handful of retries covers any realistic
+    * burst of back-to-back flips. Version DIRS need no such guard —
+    * they are immutable once staged.
     */
-  def current(spark: SparkSession, root: String): Option[Long] =
-    StoreSwap.committedPath(spark, pointerDir(root)).map { p =>
-      spark.read.parquet(p).head().getAs[Long]("version")
+  def current(spark: SparkSession, root: String): Option[Long] = {
+    val maxRetries = 5
+    var attempt = 0
+    while (true) {
+      // the resolution probe (exists -> listStatus) can straddle the
+      // rename too, so the retry covers BOTH phases
+      try {
+        return StoreSwap.committedPath(spark, pointerDir(root)).map { p =>
+          spark.read.parquet(p).head().getAs[Long]("version")
+        }
+      } catch {
+        case e: Throwable if attempt < maxRetries && vanishedFile(e) =>
+          attempt += 1
+      }
     }
+    None // unreachable
+  }
+
+  /** True when `e`'s cause chain bottoms out in a file vanishing
+    * mid-read — the signature of a read that straddled a flip rename.
+    */
+  private def vanishedFile(e: Throwable): Boolean = {
+    var t: Throwable = e
+    while (t != null) {
+      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
+      val m = t.getMessage
+      if (m != null && (m.contains("does not exist") ||
+          m.contains("FileNotFoundException"))) return true
+      t = if (t.getCause eq t) null else t.getCause
+    }
+    false
+  }
 
   /** The directory readers should serve from — the current version's
     * dir. None iff no flip has ever committed.
@@ -93,12 +135,20 @@ object ServingPointer {
     StoreSwap.commit(spark, pointerDir(root))
   }
 
-  /** Delete every version dir below the current pointer — offline
-    * maintenance (between serving windows: a long reader that resolved
-    * before the last flip may still be scanning the superseded dir).
-    * Returns the versions dropped.
+  /** Delete superseded version dirs, keeping the newest `grace` of them
+    * as the live-reader ledger: a reader that resolved BEFORE the last
+    * flip may still be scanning `v(cur-1)`, so the default `grace = 1`
+    * drops only versions older than the previous one — safe to automate
+    * inside the maintenance loop, no serving-window coordination needed
+    * (a reader would have to survive TWO full flips mid-scan to lose
+    * its dir). `grace = 0` is the offline form (between serving
+    * windows, drop everything below the pointer); higher values widen
+    * the ledger for longer-running readers. Returns the versions
+    * dropped.
     */
-  def dropSuperseded(spark: SparkSession, root: String): Seq[Long] = {
+  def dropSuperseded(spark: SparkSession, root: String,
+      grace: Int = 1): Seq[Long] = {
+    require(grace >= 0, s"grace must be >= 0, got $grace")
     val cur = current(spark, root).getOrElse(return Seq.empty)
     val f = fs(spark)
     val rootPath = new Path(root)
@@ -107,7 +157,7 @@ object ServingPointer {
       val n = st.getPath.getName
       if (st.isDirectory && n.startsWith("v"))
         scala.util.Try(n.stripPrefix("v").toLong).toOption
-          .filter(_ < cur)
+          .filter(_ < cur - grace)
           .map { v => f.delete(st.getPath, true); v }
       else None
     }.sorted

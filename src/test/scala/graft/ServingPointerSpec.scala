@@ -164,16 +164,31 @@ class ServingPointerSpec extends SparkSpec {
     assert(ServingPointer.current(spark, root).contains(3L))
   }
 
-  test("dropSuperseded removes only versions below the pointer") {
+  test("dropSuperseded's grace ledger keeps the previous version by default; grace=0 is the offline form") {
     val root = freshRoot()
     val docs = Tables.documents(spark, sf0001).limit(50)
+    (0 to 1).foreach { i =>
+      ServingPointer.flip(spark, root,
+        ServingPointer.stage(spark, root)(
+          LexIndex.build(spark, docs, _, nBuckets = if (i == 0) 4 else 8)))
+    }
+    // cur=1: the default grace window (1) holds v0 — a reader that
+    // resolved before the LAST flip may still be scanning it, so the
+    // automated-maintenance form must not touch it
+    assert(ServingPointer.dropSuperseded(spark, root) == Seq.empty)
+    assert(hfs.exists(hp(ServingPointer.versionDir(root, 0))),
+      "previous version survives the default grace ledger")
+    // a third flip moves v0 out of the grace window: dropped, v1 kept
     ServingPointer.flip(spark, root,
       ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 4)))
-    ServingPointer.flip(spark, root,
-      ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 8)))
-    assert(hfs.exists(hp(ServingPointer.versionDir(root, 0))), "superseded version kept by default")
     assert(ServingPointer.dropSuperseded(spark, root) == Seq(0L))
     assert(!hfs.exists(hp(ServingPointer.versionDir(root, 0))))
-    assert(hfs.exists(hp(ServingPointer.versionDir(root, 1))), "serving version untouched")
+    assert(hfs.exists(hp(ServingPointer.versionDir(root, 1))),
+      "the in-grace previous version is untouched")
+    // offline form: between serving windows grace=0 drops everything
+    // below the pointer
+    assert(ServingPointer.dropSuperseded(spark, root, grace = 0) == Seq(1L))
+    assert(!hfs.exists(hp(ServingPointer.versionDir(root, 1))))
+    assert(hfs.exists(hp(ServingPointer.versionDir(root, 2))), "serving version untouched")
   }
 }
