@@ -1,24 +1,29 @@
-package graft
+package graft.operators
 
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import graft.{Scaling, Tables}
+import graft.functions.TextFunctions.{stopwordCount, tokens, shingleHashes}
+
 /** Throwaway profiling harness (not part of the driver contract).
   *
-  * Round-15 shape: per-STAGE attribution of `pipeline_embedding_corpus`
-  * at the SCALING 100× point (200k embeddings, the routed SemDeDup
-  * path), to name the stage that owns the ~1.0 final decade
-  * (SCALING_r14: 20k → 200k = 14.3 s → 140.2 s). Session shape matches
+  * Round-15 late shape: per-STAGE attribution of
+  * `near_dedup_keep_best_incremental` at the SCALING 100× (500k docs)
+  * and 200× (1M docs) points — SCALING_r15 measured the 500k → 1M
+  * octave at 2.23× for 2× rows (log-slope 1.15, right at the gate)
+  * while the whole curve fits 0.543; this names the stage that owns
+  * the octave before any band/cap retune. Session shape matches
   * graft.Scaling (local[4], 4 shuffle partitions, noop-write
   * materialization) so stage seconds sum comparably to the artifact's
-  * whole-query point.
+  * whole-query points.
   */
 object Prof {
   def time[A](label: String)(f: => A): (A, Double) = {
     val t0 = System.nanoTime()
     val r = f
     val s = (System.nanoTime() - t0) / 1e9
-    println(f"[prof] $label%-44s $s%8.2f s")
+    println(f"[prof] $label%-52s $s%8.2f s")
     (r, s)
   }
 
@@ -37,58 +42,119 @@ object Prof {
     def mat(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    println("[prof] synthesizing the 100x corpus (200k embeddings) ...")
-    val dir = Scaling.synthScale(spark, "/root/testdata/sf0.1", 100)
+    val factors = args.headOption.getOrElse("100,200").split(",").map(_.toInt)
+    val threshold = 0.1
+    val qualityScore =
+      round(stopwordCount(col("text")) / size(tokens(col("text"))).cast("double"), 4)
 
-    time("warm (embeddings count)") {
-      spark.read.parquet(s"$dir/embeddings.parquet").count()
-    }
+    factors.foreach { factor =>
+      println(s"[prof] synthesizing the ${factor}x corpus (${factor * 5000} docs) ...")
+      val dir = Scaling.synthScale(spark, "/root/testdata/sf0.1", factor)
+      time("warm (documents count)") {
+        spark.read.parquet(s"$dir/documents.parquet").count()
+      }
 
-    (1 to 2).foreach { rep =>
-      println(s"--- rep $rep: staged breakdown of the ROUTED pipeline @200k ---")
-      val emb = Tables.embeddings(spark, dir)
-      // stage 1: routed dedup pair generation (200k > lshMaxRows=5000 ->
-      // the cluster-scoped SemDeDup route, exactly what the query runs)
-      val (pairs, _) = time("cosineNearDupSemantic pairs (mat.)") {
-        val p = operators.VectorOps
-          .cosineNearDupSemantic(spark, emb, threshold = 0.4, nAssign = 2)
-          .select(col("i").as("src"), col("j").as("dst")).localCheckpoint()
-        p.count(); p
-      }
-      // stage 2: connected components over the dup pairs
-      val (cc, _) = time("connectedComponents (mat.)") {
-        val c = operators.GraphOps.connectedComponents(pairs)
-          .select(col("node").as("vec_id"), col("label").as("canonical"))
-          .localCheckpoint()
-        c.count(); c
-      }
-      // stage 3: keep-canonical survivors, checkpointed like the query
-      val (survivors, _) = time("survivors localCheckpoint") {
-        emb.join(cc, Seq("vec_id"), "left_outer")
-          .where(col("canonical").isNull || col("canonical") === col("vec_id"))
-          .select(col("vec_id"), col("embedding"))
-          .localCheckpoint()
-      }
-      println(s"[prof]   survivors = ${survivors.count()}")
-      // stage 4: index build on the survivors (the query's fixed shape)
-      val idx = graft.Scratch.dir("graft_prof")
-      time("buildIvfPq (16 cells, 16x16 PQ)") {
-        operators.VectorIndex.buildIvfPq(spark, survivors, idx,
-          nCells = 16, m = 16, ks = 16)
-      }
-      // stage 5: serve the probe batch
-      time("searchIvfPq (10 probes, mat.)") {
-        mat(operators.VectorIndex.searchIvfPq(spark, idx, survivors,
-          probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8,
-          rerank = 8))
-      }
-    }
+      (1 to 2).foreach { rep =>
+        println(s"--- rep $rep: staged keep_best_incremental @${factor * 5000} docs ---")
+        val docs = Tables.documents(spark, dir)
+        val isNew = col("doc_id") % 4 === 0
 
-    // the whole query as Scaling times it, for the sum check
-    (1 to 2).foreach { rep =>
-      System.gc(); Thread.sleep(200)
-      time(s"whole pipeline_embedding_corpus rep$rep") {
-        mat(SparkEntry.queries("pipeline_embedding_corpus")(spark, dir))
+        // stage 1: the one corpus-wide shingle pass, persisted (the
+        // query's cache every later stage scans)
+        val (hashed, _) = time("shingle pass + persist (mat.)") {
+          val h = docs
+            .select(col("doc_id"), isNew.as("is_new"),
+              shingleHashes(col("text"), 3).as("hs"))
+            .where(col("hs").isNotNull)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+          h.count(); h
+        }
+        try {
+          val docsQ = docs.select(col("doc_id"), isNew.as("is_new"),
+            qualityScore.as("q"))
+
+          // stage 2: prior-state pair generation over the EXISTING 3/4
+          // (routed: >20k rows -> banded minhash + exact verify)
+          val (pairsE, _) = time("pairsE routed (existing 3/4, mat.)") {
+            val p = NearDedup.routedJaccardPairsFromHashes(
+              hashed.where(!col("is_new")).select("doc_id", "hs"), threshold)
+              .select(col("i").as("src"), col("j").as("dst")).localCheckpoint()
+            println(s"[prof]   pairsE = ${p.count()}")
+            p
+          }
+          // stage 3: prior labeling
+          val (labels, _) = time("CC(pairsE) + localCheckpoint") {
+            val l = GraphOps.connectedComponents(pairsE).localCheckpoint()
+            l.count(); l
+          }
+          // stage 4: prior kept table (argmax over existing)
+          val (keptPrior, _) = time("keptPrior argmax (mat.)") {
+            val k = docsQ.where(!col("is_new"))
+              .join(labels.withColumnRenamed("node", "doc_id"),
+                Seq("doc_id"), "left_outer")
+              .select(col("doc_id"), col("q"),
+                coalesce(col("label"), col("doc_id")).as("cluster"))
+              .groupBy("cluster")
+              .agg(max_by(struct(col("doc_id"), col("q")),
+                struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+              .select(col("cluster"), col("best.doc_id").as("doc_id"),
+                col("best.q").as("q"))
+              .localCheckpoint()
+            k.count(); k
+          }
+          // stage 5: the nightly absorb's batch-touching pairs
+          val (pairsNew, _) = time("pairsNew routedIncrementalPairs (mat.)") {
+            val p = NearDedup.routedIncrementalPairs(hashed, threshold)
+              .localCheckpoint()
+            println(s"[prof]   pairsNew = ${p.count()}")
+            p
+          }
+          // stage 6: incremental CC absorb
+          val (updated, _) = time("incremental CC + localCheckpoint") {
+            val u = GraphOps.connectedComponentsIncremental(labels, pairsNew)
+              .localCheckpoint()
+            u.count(); u
+          }
+          // stage 7: affected discovery + re-argmax + passthrough + final
+          time("tail (affected/argmax/passthrough, mat.)") {
+            val affected = updated
+              .join(labels.withColumnRenamed("label", "old_label"),
+                Seq("node"), "left_outer")
+              .where(col("old_label").isNull || col("old_label") =!= col("label"))
+              .select("label").distinct()
+            val keptAffected = updated
+              .join(broadcast(affected), Seq("label"), "left_semi")
+              .select(col("node").as("doc_id"), col("label").as("cluster"))
+              .join(docsQ.select("doc_id", "q"), "doc_id")
+              .groupBy("cluster")
+              .agg(max_by(struct(col("doc_id"), col("q")),
+                struct(col("q"), (-col("doc_id")).as("nid"))).as("best"))
+              .select(col("cluster"), col("best.doc_id").as("doc_id"),
+                col("best.q").as("q"))
+            val clusterNewLabel = updated
+              .withColumnRenamed("node", "cluster")
+              .withColumnRenamed("label", "new_label")
+            val keptUntouched = keptPrior
+              .join(clusterNewLabel, Seq("cluster"), "left_outer")
+              .join(broadcast(affected.withColumnRenamed("label", "al")),
+                coalesce(col("new_label"), col("cluster")) === col("al"), "left_anti")
+              .select("cluster", "doc_id", "q")
+            val newSingles = docsQ.where(col("is_new"))
+              .join(updated.withColumnRenamed("node", "doc_id"),
+                Seq("doc_id"), "left_anti")
+              .select(col("doc_id").as("cluster"), col("doc_id"), col("q"))
+            mat(keptUntouched.unionByName(keptAffected).unionByName(newSingles)
+              .select(col("doc_id"), col("q")).orderBy("doc_id"))
+          }
+        } finally hashed.unpersist()
+      }
+
+      // the whole query as Scaling times it, for the sum check
+      (1 to 2).foreach { rep =>
+        System.gc(); Thread.sleep(200)
+        time(s"whole near_dedup_keep_best_incremental rep$rep") {
+          mat(graft.SparkEntry.queries("near_dedup_keep_best_incremental")(spark, dir))
+        }
       }
     }
 

@@ -213,27 +213,30 @@ object NearDedup {
   }
 
   /** Exact-Jaccard verification of candidate (i, j) pairs against a
-    * (doc_id, hs) shingle-hash-array relation: the shingle join is routed
-    * *through* the candidate pairs so intersection cost is
-    * O(candidates × shingles-per-doc), never the full shingle self-join.
-    * Set sizes are row-local array lengths (shingleHashes is distinct)
-    * — no aggregation over the exploded relation. Returns (i, j, jaccard)
-    * for pairs clearing the threshold.
+    * (doc_id, hs) shingle-hash-array relation: the per-doc hash ARRAYS
+    * are joined to the candidate endpoints (two doc-keyed joins — at
+    * most corpus-row-sized shuffles, and broadcast-sized when the
+    * candidate set is small) and the intersection is computed ROW-
+    * LOCALLY with `array_intersect` (hash-set probe; shingleHashes is
+    * distinct, so distinct-intersection semantics are exact). Cost is
+    * O(candidates × shingles-per-doc) compute and never more than
+    * corpus rows shuffled — the pre-r15 explode→join→groupBy form
+    * shuffled the FULL exploded shingle relation (~100× corpus rows)
+    * twice per verify call, the measured wall-clock owner of the
+    * keep_best_incremental 500k → 1M octave (Prof, r15). Returns
+    * (i, j, jaccard) for pairs clearing the threshold.
     */
-  private def verifyJaccard(candidates: DataFrame, hashed: DataFrame,
+  private[graft] def verifyJaccard(candidates: DataFrame, hashed: DataFrame,
       threshold: Double): DataFrame = {
-    val shingled = hashed.select(col("doc_id"), explode(col("hs")).as("s"))
-    val sizes = hashed.where(col("hs").isNotNull)
-      .select(col("doc_id"), size(col("hs")).cast("long").as("n"))
-    val inter = candidates
-      .join(shingled.select(col("doc_id").as("i"), col("s")), "i")
-      .join(shingled.select(col("doc_id").as("j"), col("s")), Seq("j", "s"))
-      .groupBy("i", "j").agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("doc_id").as("i"), col("n").as("ni")), "i")
-      .join(sizes.select(col("doc_id").as("j"), col("n").as("nj")), "j")
+    val arrs = hashed.where(col("hs").isNotNull)
+    candidates
+      .join(arrs.select(col("doc_id").as("i"), col("hs").as("hi")), "i")
+      .join(arrs.select(col("doc_id").as("j"), col("hs").as("hj")), "j")
+      .withColumn("inter",
+        size(array_intersect(col("hi"), col("hj"))).cast("long"))
       .withColumn("jaccard",
-        col("inter") / (col("ni") + col("nj") - col("inter")).cast("double"))
+        col("inter") /
+          (size(col("hi")) + size(col("hj")) - col("inter")).cast("double"))
       .where(col("jaccard") >= threshold)
       .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
   }

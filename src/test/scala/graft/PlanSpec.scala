@@ -382,4 +382,30 @@ class PlanSpec extends SparkSpec {
         j.joinType.toString == "LeftSemi" || j.joinType.toString == "LeftAnti") >= 2,
       s"affected-set semi/anti joins must broadcast:\n${plan(inc)}")
   }
+
+  test("minhash verify joins per-doc hash ARRAYS, never the exploded shingle relation") {
+    // r15: the pre-rewrite verify exploded the full corpus's shingles and
+    // shuffled that ~100x-corpus-rows relation twice per call — the
+    // measured wall-clock owner (and noise source) of the
+    // keep_best_incremental 500k -> 1M octave. The rewritten shape joins
+    // the cached (doc_id, hs) ARRAYS to the candidate endpoints and
+    // intersects row-locally: its plan must carry ZERO Generate nodes
+    // (no explode anywhere) and no cartesian fallback.
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val hashed = docs.select(col("doc_id"),
+      functions.TextFunctions.shingleHashes(col("text"), 3).as("hs"))
+    val candidates = hashed.select(col("doc_id").as("i"))
+      .crossJoin(hashed.select(col("doc_id").as("j")))
+      .where(col("i") < col("j")).limit(20)
+    val df = operators.NearDedup.verifyJaccard(candidates, hashed, 0.1)
+    val gens = collectNodes(df) {
+      case g: org.apache.spark.sql.execution.GenerateExec => g
+    }
+    assert(gens.isEmpty,
+      s"verify must not explode the shingle relation:\n${plan(df)}")
+    val p = plan(df)
+    assert(!p.contains("CartesianProduct"),
+      s"verify joins must stay equi-joins:\n$p")
+  }
 }
