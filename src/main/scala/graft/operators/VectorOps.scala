@@ -95,6 +95,54 @@ object VectorOps {
       TextOps.bm25Scores(docs.where(col("doc_id") =!= probeId), qTerms),
       bruteSemScores(emb, probeId), depth, k, rrfK)
 
+  /** Cross-encoder RERANK stage over the fused candidates — the third
+    * tier of a production retrieval stack (retrieve → fuse → rerank):
+    * the fused top-`fuseK` ids fetch their texts with a candidate-
+    * bounded broadcast join (the corpus is scanned once with the tiny
+    * candidate set as the build side — at 100 TB swap in the
+    * bucket-pruned `FactStore.lookup` point read, `serving_point_lookup`'s
+    * shape), each (query, doc) pair is re-scored ROW-LOCALLY, and the
+    * final top-`k` orders by the new score. The scorer is the MODEL
+    * SEAM: a real deployment batches candidates through a cross-encoder
+    * (a `mapInPandas`/ONNX UDF slotted over the same ≤fuseK-row
+    * relation — per-query work bounded by the candidate count, never
+    * the corpus); this engine ships [[ceScore]], a deterministic
+    * lexical stand-in (query-term coverage + occurrence density), so
+    * the whole stage is DuckDB-oracle-provable end to end, the same
+    * stance as Multimodal's `decodeStub`.
+    */
+  def hybridSearchRerank(docs: DataFrame, emb: DataFrame, qTerms: Seq[String],
+      probeId: Long, depth: Int = 50, fuseK: Int = 10, k: Int = 5): DataFrame = {
+    val fused = hybridSearchRrf(docs, emb, qTerms, probeId, depth, fuseK)
+    val cands = fused.select(col("doc_id"), col("rrf"))
+    docs.join(broadcast(cands), "doc_id")
+      .select(col("doc_id"), col("rrf"), ceScore(qTerms).as("ce_score"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("ce_score").desc, col("doc_id"))))
+      .where(col("rank") <= k)
+      .select(col("rank"), col("doc_id"), col("ce_score"), col("rrf"))
+      .orderBy("rank")
+  }
+
+  /** The deterministic cross-encoder stand-in behind
+    * [[hybridSearchRerank]] (see its scaladoc for the model seam):
+    * coverage (fraction of query terms present) + density (query-term
+    * occurrences over doc length + 1), rounded to 4 dp for cross-engine
+    * rank agreement. Coverage-first is the signal family a real
+    * cross-encoder adds over BM25 — full-query matches outrank
+    * single-term keyword stuffing regardless of tf. Row-local over the
+    * candidate-sized relation; one codegen'd pass.
+    */
+  private[graft] def ceScore(terms: Seq[String]): Column = {
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val tfs = terms.map(t => size(filter(toks, x => x === lit(t))))
+    val matched = tfs.map(tf => when(tf > 0, 1).otherwise(0)).reduce(_ + _)
+    val sumTf = tfs.reduce(_ + _)
+    val dl = size(filter(toks, x => x =!= lit("")))
+    round(matched.cast("double") / terms.size.toDouble +
+      sumTf.cast("double") / (dl.cast("double") + 1.0), 4)
+  }
+
   /** [[hybridSearchRrf]] with the lexical branch served from a
     * persistent [[LexIndex]] (built over the probe-excluded corpus, so
     * branch scores — and therefore the fused result — are byte-identical
@@ -332,10 +380,12 @@ object VectorOps {
   /** Shared DuckDB oracle for hybrid_search_rrf AND
     * hybrid_search_indexed — the index-served form must fuse to the
     * byte-identical result, and sharing the SQL makes the driver prove
-    * it.
+    * it. The WITH-chain is split out ([[hybridRrfCtes]]) so the rerank
+    * oracle composes the SAME retrieval pipeline under its re-scoring
+    * stage.
     */
-  private[operators] val hybridRrfOracleSql: String =
-    """WITH toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
+  private[operators] val hybridRrfCtes: String =
+    """toks AS (SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS t
         |              FROM documents WHERE doc_id <> 0),
         |tf AS (SELECT doc_id, t, count(*) AS tf FROM toks WHERE t <> '' GROUP BY 1, 2),
         |dl AS (SELECT doc_id, CAST(sum(tf) AS DOUBLE) AS dl FROM tf GROUP BY 1),
@@ -373,9 +423,35 @@ object VectorOps {
         |ranked AS (
         |  SELECT doc_id, rrf, lex_rank, sem_rank,
         |         row_number() OVER (ORDER BY rrf DESC, doc_id) AS rank
-        |  FROM fused)
+        |  FROM fused)""".stripMargin
+
+  private[operators] val hybridRrfOracleSql: String =
+    s"""WITH $hybridRrfCtes
         |SELECT rank, doc_id, rrf, lex_rank, sem_rank
         |FROM ranked WHERE rank <= 10 ORDER BY rank""".stripMargin
+
+  /** DuckDB oracle for hybrid_search_rerank: the full RRF retrieval
+    * chain ([[hybridRrfCtes]] — so the driver proves the rerank sits on
+    * EXACTLY the declared fusion), then the deterministic cross-encoder
+    * stand-in re-scores the fused top-10 — coverage (matched query
+    * terms / 3) + density (query-term occurrences / (doc tokens + 1))
+    * — and the final top-5 is ordered by that score.
+    */
+  private[operators] val hybridRerankOracleSql: String =
+    s"""WITH $hybridRrfCtes,
+        |rr AS (SELECT doc_id, rrf FROM ranked WHERE rank <= 10),
+        |qt AS (SELECT doc_id, tf FROM tf JOIN q USING (t)),
+        |ce AS (SELECT rr.doc_id, rr.rrf,
+        |         round(CAST(count(qt.tf) AS DOUBLE) / 3
+        |             + CAST(coalesce(sum(qt.tf), 0) AS DOUBLE) / (dl.dl + 1.0), 4) AS ce_score
+        |       FROM rr JOIN dl ON dl.doc_id = rr.doc_id
+        |            LEFT JOIN qt ON qt.doc_id = rr.doc_id
+        |       GROUP BY rr.doc_id, rr.rrf, dl.dl),
+        |reranked AS (SELECT doc_id, ce_score, rrf,
+        |               row_number() OVER (ORDER BY ce_score DESC, doc_id) AS rank
+        |             FROM ce)
+        |SELECT rank, doc_id, ce_score, rrf
+        |FROM reranked WHERE rank <= 5 ORDER BY rank""".stripMargin
 
   /** DuckDB oracle for hybrid_search_batch — the hybridRrfOracleSql
     * fusion generalized to the request batch: q(qid, t) and
@@ -554,6 +630,19 @@ object VectorOps {
       "hybrid_search_rrf",
       hybridRrfOracleSql) { (s, dir) =>
       hybridSearchRrf(Tables.documents(s, dir), Tables.embeddings(s, dir),
+        Seq("spark", "merge", "vector"), probeId = 0L)
+    },
+
+    // The rerank TIER on top of the declared fusion — retrieve → fuse →
+    // rerank, the full production retrieval stack. The oracle replays
+    // the entire RRF chain (shared CTEs) under the deterministic
+    // cross-encoder stand-in, so the driver proves the stage end to
+    // end; see [[hybridSearchRerank]] for the model seam and the
+    // candidate-bounded 100 TB shape.
+    withOracle(
+      "hybrid_search_rerank",
+      hybridRerankOracleSql) { (s, dir) =>
+      hybridSearchRerank(Tables.documents(s, dir), Tables.embeddings(s, dir),
         Seq("spark", "merge", "vector"), probeId = 0L)
     },
 

@@ -721,4 +721,43 @@ class ApproxOpsSpec extends SparkSpec {
     val ids = emb.select("vec_id").collect().map(_.getLong(0)).toSet
     assert(got.forall(r => ids(r._1)))
   }
+
+  test("hybrid rerank: candidates ⊆ fused top-10, coverage-first ordering, deterministic") {
+    val docs = Tables.documents(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+    val qTerms = Seq("spark", "merge", "vector")
+    val fused = VectorOps.hybridSearchRrf(docs, emb, qTerms, probeId = 0L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    val reranked = VectorOps.hybridSearchRerank(docs, emb, qTerms, probeId = 0L)
+      .collect()
+    // the rerank tier only REORDERS retrieved candidates — it can never
+    // introduce a doc the retrieval stage didn't surface
+    assert(reranked.length == 5)
+    assert(reranked.forall(r => fused(r.getAs[Long]("doc_id"))),
+      s"reranked ids must come from the fused top-10")
+    // ranks contiguous, ordered by the rerank score (doc_id tiebreak)
+    assert(reranked.map(_.getAs[Int]("rank")).toSeq == (1 to 5))
+    val scores = reranked.map(_.getAs[Double]("ce_score")).toSeq
+    assert(scores == scores.sorted.reverse, s"rerank order broken: $scores")
+    // deterministic
+    val again = VectorOps.hybridSearchRerank(docs, emb, qTerms, probeId = 0L)
+      .collect().map(_.toSeq).toSeq
+    assert(reranked.map(_.toSeq).toSeq == again)
+
+    // coverage-first: on a planted corpus, a doc matching ALL query
+    // terms once each outranks a doc stuffing ONE term many times —
+    // the signal a cross-encoder adds over tf-driven BM25
+    import spark.implicits._
+    val planted = Seq(
+      (1L, "spark merge vector padding padding padding padding padding"),
+      (2L, "spark spark spark spark spark spark spark spark"),
+      (3L, "merge vector padding padding padding padding padding padding")
+    ).toDF("doc_id", "text")
+    val scored = planted
+      .select($"doc_id", VectorOps.ceScore(qTerms).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(scored(1L) > scored(2L),
+      s"full coverage must beat single-term stuffing: $scored")
+    assert(scored(1L) > scored(3L), s"3/3 terms must beat 2/3: $scored")
+  }
 }
