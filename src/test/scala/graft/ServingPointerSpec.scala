@@ -127,12 +127,14 @@ class ServingPointerSpec extends SparkSpec {
     // the raw-FS kill-tests above cover every manufactured crash state;
     // this one runs a real reader LOOP concurrently with real flips —
     // resolve → read → compare — so the actual rename windows (pointer
-    // renamed aside, tmp not yet promoted) are hit live. Superseded
-    // version dirs are kept (dropSuperseded is an offline call), so a
-    // reader that resolved pre-flip finishes its scan; the corpus is
+    // renamed aside, tmp not yet promoted) are hit live. The MAINTAINER
+    // also runs its automated cleanup after every flip
+    // (dropSuperseded's default one-version grace ledger), so the test
+    // drives the full production loop: a reader that resolved pre-flip
+    // finishes its scan from the in-grace previous dir; the corpus is
     // identical across versions and BM25 is modulus-invariant, so every
     // read must return byte-identical answers no matter which side of
-    // any flip it lands on.
+    // any flip or cleanup it lands on.
     val root = freshRoot()
     val docs = Tables.documents(spark, sf0001).limit(200).localCheckpoint()
     val v0 = ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 4))
@@ -152,16 +154,28 @@ class ServingPointerSpec extends SparkSpec {
       }
     }, "graft-ptr-race-reader")
     reader.start()
+    val dropped = scala.collection.mutable.ArrayBuffer.empty[Long]
     try {
       (1 to 3).foreach { i =>
         val v = ServingPointer.stage(spark, root)(
           LexIndex.build(spark, docs, _, nBuckets = if (i % 2 == 0) 4 else 16))
         ServingPointer.flip(spark, root, v)
+        // the automated maintenance call, mid-serving, readers live:
+        // the grace ledger may only drop dirs older than the PREVIOUS
+        // version — never one a just-pre-flip reader could be scanning
+        val d = ServingPointer.dropSuperseded(spark, root)
+        assert(d.forall(_ < v - 1), s"grace ledger violated: dropped $d at v$v")
+        dropped ++= d
       }
     } finally { stop = true; reader.join(60000) }
     assert(failures.isEmpty, s"racing reader failed: ${failures.peek()}")
     assert(reads.get() > 0, "the reader loop must actually have read during the flips")
     assert(ServingPointer.current(spark, root).contains(3L))
+    // across 3 flips the ledger converges: v0 and v1 aged out, v2 (the
+    // grace window) and v3 (serving) remain on disk
+    assert(dropped.sorted == Seq(0L, 1L), s"expected v0+v1 aged out, got $dropped")
+    assert(hfs.exists(hp(ServingPointer.versionDir(root, 2))), "in-grace dir must remain")
+    assert(hfs.exists(hp(ServingPointer.versionDir(root, 3))), "serving dir must remain")
   }
 
   test("dropSuperseded's grace ledger keeps the previous version by default; grace=0 is the offline form") {
