@@ -6,16 +6,20 @@ import org.apache.spark.sql.functions._
 import graft.{Scaling, Tables}
 import graft.functions.TextFunctions.{stopwordCount, tokens, shingleHashes}
 
-/** Throwaway profiling harness (not part of the driver contract).
+/** Round-agnostic profiling harness (not part of the driver contract;
+  * r15 ADVICE low #3 retired the rewrite-per-round pattern).
   *
-  * Round-15 late shape: per-STAGE attribution of
-  * `near_dedup_keep_best_incremental` at the SCALING 100× (500k docs)
-  * and 200× (1M docs) points — SCALING_r15 measured the 500k → 1M
-  * octave at 2.23× for 2× rows (log-slope 1.15, right at the gate)
-  * while the whole curve fits 0.543; this names the stage that owns
-  * the octave before any band/cap retune. Session shape matches
-  * graft.Scaling (local[4], 4 shuffle partitions, noop-write
-  * materialization) so stage seconds sum comparably to the artifact's
+  * Usage: `graft.operators.Prof <target> [factors]`
+  *   - `<target>` = a named stage profile (`kbi_stages` — the r15
+  *     per-stage attribution of near_dedup_keep_best_incremental), or
+  *     ANY declared query name from SparkEntry.queries for whole-query
+  *     reps over the synthesized corpus — the generic attribution probe
+  *     a new round reaches for first.
+  *   - `[factors]` = comma-separated synthScale factors over sf0.1
+  *     (default `100,200`).
+  *
+  * Session shape matches graft.Scaling (local[4], 4 shuffle partitions,
+  * noop-write materialization) so seconds compare to SCALING_r{N}
   * whole-query points.
   */
 object Prof {
@@ -42,10 +46,12 @@ object Prof {
     def mat(df: org.apache.spark.sql.DataFrame): Unit =
       df.write.mode("overwrite").format("noop").save()
 
-    val factors = args.headOption.getOrElse("100,200").split(",").map(_.toInt)
-    val threshold = 0.1
-    val qualityScore =
-      round(stopwordCount(col("text")) / size(tokens(col("text"))).cast("double"), 4)
+    val target = args.headOption.getOrElse("kbi_stages")
+    val factors = args.drop(1).headOption.getOrElse("100,200")
+      .split(",").map(_.toInt)
+    if (target != "kbi_stages" && !graft.SparkEntry.queries.contains(target))
+      sys.error(s"unknown Prof target '$target': want 'kbi_stages' or a " +
+        "declared query name from SparkEntry.queries")
 
     factors.foreach { factor =>
       println(s"[prof] synthesizing the ${factor}x corpus (${factor * 5000} docs) ...")
@@ -53,7 +59,32 @@ object Prof {
       time("warm (documents count)") {
         spark.read.parquet(s"$dir/documents.parquet").count()
       }
+      target match {
+        case "kbi_stages" => kbiStages(spark, dir, factor, mat)
+        case q =>
+          (1 to 2).foreach { rep =>
+            System.gc(); Thread.sleep(200)
+            time(s"$q @${factor}x rep$rep") {
+              mat(graft.SparkEntry.queries(q)(spark, dir))
+            }
+          }
+      }
+    }
 
+    spark.stop()
+  }
+
+  /** The r15 per-stage attribution of near_dedup_keep_best_incremental:
+    * names which stage owns a scaling octave (SCALING_r15's 500k → 1M
+    * point) before any band/cap retune.
+    */
+  private def kbiStages(spark: SparkSession, dir: String, factor: Int,
+      mat: org.apache.spark.sql.DataFrame => Unit): Unit = {
+    val threshold = 0.1
+    val qualityScore =
+      round(stopwordCount(col("text")) / size(tokens(col("text"))).cast("double"), 4)
+
+    locally {
       (1 to 2).foreach { rep =>
         println(s"--- rep $rep: staged keep_best_incremental @${factor * 5000} docs ---")
         val docs = Tables.documents(spark, dir)
@@ -157,7 +188,5 @@ object Prof {
         }
       }
     }
-
-    spark.stop()
   }
 }

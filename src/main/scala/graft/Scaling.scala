@@ -69,7 +69,15 @@ object Scaling {
     // the verdict to ask): the batch serving forms + the vector fold
     "hybrid_search_ann_batch" -> "embeddings",
     "hybrid_search_batch" -> "documents",
-    "stream_vec_append" -> "embeddings")
+    "stream_vec_append" -> "embeddings",
+    // round-16 (r15 verdict task 5): the span-dedup family carries a
+    // 100 TB claim (winnowed discovery, occurrence-linear fan-out) that
+    // had no measured curve
+    "text_span_scrub" -> "documents",
+    "text_span_scrub_windowed" -> "documents",
+    // round-16 (r15 verdict task 4): the new trigram LM — its model
+    // relations follow the heaviest Heaps tail in the LM family
+    "text_trigram_logprob" -> "documents")
 
   /** The non-events heavy hitters that also get a 100× point: the
     * steepest scaler (pipeline_embedding_corpus, top-decade 0.77 at
@@ -88,7 +96,11 @@ object Scaling {
     // round-15 (r14 verdict task 4): the r14 newcomers stopped at 10×
     "hybrid_search_batch",
     "hybrid_search_ann_batch",
-    "stream_vec_append")
+    "stream_vec_append",
+    // round-16 (r15 verdict task 5): the span family's 100 TB claim is
+    // specifically about the final decade — probe it
+    "text_span_scrub",
+    "text_span_scrub_windowed")
 
   /** One more octave past 100× for the queries whose 100× point is
     * large enough that the next doubling is worth buying (r15: the
@@ -180,6 +192,10 @@ object Scaling {
   }
 
   def main(args: Array[String]): Unit = {
+    // scaling curves for build-then-serve queries measure the BUILD path
+    // every rep (see IndexCache.enabled) — exponents stay comparable
+    // across the r16 serving-cache change
+    IndexCache.enabled = false
     val out = args.headOption.getOrElse("SCALING.json")
     // optional second arg: comma-separated target filter, for re-probing
     // a single query after a plan change without the full ~1h sweep

@@ -69,8 +69,22 @@ object ServingPointer {
       // the resolution probe (exists -> listStatus) can straddle the
       // rename too, so the retry covers BOTH phases
       try {
-        return StoreSwap.committedPath(spark, pointerDir(root)).map { p =>
-          spark.read.parquet(p).head().getAs[Long]("version")
+        StoreSwap.committedPath(spark, pointerDir(root)) match {
+          case Some(p) =>
+            return Some(spark.read.parquet(p).head().getAs[Long]("version"))
+          case None if attempt < maxRetries =>
+            // committedPath probes `pointer` then `pointer.old`
+            // NON-atomically: a concurrent flip running its rename+cleanup
+            // between the two probes makes BOTH miss without throwing, and
+            // a bare None here would report "no flip ever committed" on a
+            // store with committed history (the racing reader would then
+            // spuriously see an unbuilt store). A complete committed
+            // pointer exists at one of the two paths at every instant, so
+            // a bounded re-probe converges; only a virgin root yields a
+            // STABLE None, which the retries below confirm cheaply
+            // (driver-side exists() calls).
+            attempt += 1
+          case None => return None
         }
       } catch {
         case e: Throwable if attempt < maxRetries && vanishedFile(e) =>
@@ -82,14 +96,23 @@ object ServingPointer {
 
   /** True when `e`'s cause chain bottoms out in a file vanishing
     * mid-read — the signature of a read that straddled a flip rename.
+    * Matched by TYPE only (java.io / Hadoop path-missing exception
+    * classes, plus Spark's PATH_NOT_FOUND analysis error): a message
+    * substring heuristic would retry PERMANENT absences (store root
+    * deleted externally, config errors that happen to mention a missing
+    * path) through 5 full Spark reads before surfacing, and could
+    * misclassify unrelated errors as transient.
     */
   private def vanishedFile(e: Throwable): Boolean = {
     var t: Throwable = e
     while (t != null) {
-      if (t.isInstanceOf[java.io.FileNotFoundException]) return true
-      val m = t.getMessage
-      if (m != null && (m.contains("does not exist") ||
-          m.contains("FileNotFoundException"))) return true
+      t match {
+        case _: java.io.FileNotFoundException => return true
+        case _: org.apache.hadoop.fs.PathNotFoundException => return true
+        case a: org.apache.spark.sql.AnalysisException
+            if a.getCondition == "PATH_NOT_FOUND" => return true
+        case _ => ()
+      }
       t = if (t.getCause eq t) null else t.getCause
     }
     false

@@ -39,6 +39,31 @@ object StoreSwap {
   def tmpPath(store: String): String = store + ".tmp"
   def oldPath(store: String): String = store + ".old"
 
+  /** Sidecar a writer drops (via [[markCommittedEmpty]]) to record that
+    * a directory holds a COMMITTED write whose result is legitimately
+    * EMPTY, under a session with `_SUCCESS` markers disabled. Without
+    * it the marker-less fallback in [[isComplete]] cannot tell a
+    * committed empty write from the empty dir a crashed job leaves
+    * behind — it reads both as incomplete, so a store whose first
+    * version is genuinely empty (a filter that matched nothing, a
+    * zero-row bootstrap batch) would be discarded as torn by [[commit]]
+    * and silently rebuilt by every isBuilt probe (r15 ADVICE low #1).
+    */
+  val EmptyMarker = "_GRAFT_COMMITTED_EMPTY"
+
+  /** Record that `dir` is a committed-but-empty write (see
+    * [[EmptyMarker]]). Call ONLY after the producing write returned
+    * successfully — the caller is asserting job commit the way the
+    * default committer asserts it with `_SUCCESS`. Idempotent. Only
+    * needed when markers are disabled AND the payload can be empty;
+    * harmless (and redundant) otherwise.
+    */
+  def markCommittedEmpty(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark)
+    f.mkdirs(new Path(dir)) // a zero-file empty write may not even have made the dir
+    f.create(new Path(dir, EmptyMarker), true).close()
+  }
+
   private def fs(spark: SparkSession): FileSystem =
     FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
@@ -57,10 +82,15 @@ object StoreSwap {
     * committed one: the committer moves task files out of
     * `_temporary` and deletes it strictly BEFORE the marker step, so
     * any crash that loses data leaves `_temporary` (or an empty dir)
-    * behind, and both read as incomplete here.
+    * behind, and both read as incomplete here. The one state the
+    * fallback cannot classify alone — a committed write whose result
+    * is LEGITIMATELY empty, indistinguishable from a crashed job's
+    * empty dir — is covered by the writer-dropped [[EmptyMarker]]
+    * sidecar, accepted here like `_SUCCESS`.
     */
   private def isComplete(f: FileSystem, dir: Path): Boolean =
-    f.exists(new Path(dir, "_SUCCESS")) || (
+    f.exists(new Path(dir, "_SUCCESS")) ||
+      f.exists(new Path(dir, EmptyMarker)) || (
       f.exists(dir) && f.getFileStatus(dir).isDirectory &&
         !f.exists(new Path(dir, "_temporary")) &&
         f.listStatus(dir).exists { st =>

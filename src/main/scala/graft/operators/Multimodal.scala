@@ -407,6 +407,135 @@ object Multimodal {
     bos.toByteArray
   }
 
+  // ---- Raster-sequence "video" keyframes (r15 task 6): the frame_sample
+  // shape composed with the REAL ImageIO decode — the stub seam's
+  // replacement path exercised end to end on a container the JVM can
+  // actually demux and decode.
+
+  /** Keyframe raster dimension and the resulting fixed frame size: an
+    * 8×8 24-bit BMP is 54 header bytes + 8·24 pixel bytes = 246 (the
+    * 24-byte row is already 4-aligned, no padding). A fixed W×H 24-bit
+    * BMP has a FIXED byte size, so the concatenated container needs no
+    * frame index — the byte stride IS the demuxer, which is what keeps
+    * the frame count/size arithmetic exact enough for a DuckDB oracle
+    * over a real decode.
+    */
+  val KeyframeDim = 8
+  val BmpFrameBytes = 54 + KeyframeDim * KeyframeDim * 3
+
+  /** One solid-gray [[KeyframeDim]]² 24-bit BMP, hand-rolled (BMP file
+    * + info headers are 54 deterministic little-endian bytes; routing
+    * through ImageIO's encoder would tie the frame size to the JVM's
+    * header choices). Decoding it with ImageIO yields exactly
+    * (gray, gray, gray) per pixel, so the decoded mean luma is the gray
+    * value itself — the property the oracle predicts.
+    */
+  def solidBmp(gray: Int): Array[Byte] = {
+    val w = KeyframeDim
+    val rowBytes = w * 3
+    val dataSize = rowBytes * w
+    val bb = java.nio.ByteBuffer.allocate(54 + dataSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + dataSize)
+      .putInt(0).putInt(54) // reserved, pixel-data offset
+      .putInt(40).putInt(w).putInt(w) // BITMAPINFOHEADER, width, height
+      .putShort(1).putShort(24) // planes, bpp
+      .putInt(0).putInt(dataSize) // BI_RGB, data size
+      .putInt(2835).putInt(2835).putInt(0).putInt(0) // 72 dpi, no palette
+    val g = gray.toByte
+    var i = 0
+    while (i < dataSize) { bb.put(g); i += 1 }
+    bb.array()
+  }
+
+  /** A raster-sequence container row: concatenated fixed-size BMP
+    * frames in one opaque payload (the multi-frame media shape a real
+    * video pipeline carries — here with a codec the JVM ships).
+    */
+  case class VideoRow(doc_id: Long, n_frames: Int, payload: Array[Byte])
+
+  /** One decoded keyframe: width/height/gray are REAL decode outputs;
+    * on the quarantine path a corrupt frame carries `decode_error`
+    * instead (the [[decodeQuarantine]] policy per frame).
+    */
+  case class KeyframeRow(doc_id: Long, frame_idx: Long,
+      width: Option[Int], height: Option[Int], gray: Option[Long],
+      decode_error: Option[String] = None)
+
+  /** The documents table rendered as synthetic raster-sequence
+    * containers: doc d carries 1 + d % 4 frames, frame j solid gray
+    * (d·7 + j·13) % 256 — every quantity derives from doc_id alone, so
+    * the whole decode pipeline is SQL-predictable while the bytes are
+    * genuine BMPs the real codec must parse.
+    */
+  def documentsAsVideo(df: DataFrame): Dataset[VideoRow] = {
+    import df.sparkSession.implicits._
+    df.select(col("doc_id")).as[Long].map { id =>
+      val k = (1 + id % 4).toInt
+      val bb = java.nio.ByteBuffer.allocate(k * BmpFrameBytes)
+      (0 until k).foreach(j => bb.put(solidBmp(((id * 7 + j * 13) % 256).toInt)))
+      VideoRow(id, k, bb.array())
+    }
+  }
+
+  /** Demux + keyframe-sample + REAL decode: split the container on the
+    * fixed frame stride, take every `stride`-th frame (frame 0 always —
+    * a real sampler keys on time; the fixed stride keeps the fan-out
+    * oracle-exact), ImageIO-decode each sampled frame and emit its
+    * decoded dimensions and rounded mean luma. Row-local flatMap over
+    * the payload (one media row → ≤ ⌈frames/stride⌉ keyframe rows, the
+    * frame_sample fan-out) inside the [[extractFeatures]]
+    * decoder-init-per-partition shape; at 100 TB this is a map-only
+    * pass at source parallelism, no shuffle before the output sort.
+    * `quarantine = true` applies the [[decodeQuarantine]] policy PER
+    * FRAME: a corrupt frame yields a flagged row, the container's other
+    * frames still decode.
+    */
+  def videoKeyframes(videos: Dataset[VideoRow], stride: Int = 2,
+      quarantine: Boolean = false): Dataset[KeyframeRow] = {
+    import videos.sparkSession.implicits._
+    require(stride >= 1, s"need stride >= 1, got $stride")
+    videos.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.flatMap { v =>
+        val frames = v.payload.length / BmpFrameBytes
+        (0 until frames by stride).iterator.map { j =>
+          def decodeFrame(): KeyframeRow = {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+              java.util.Arrays.copyOfRange(v.payload,
+                j * BmpFrameBytes, (j + 1) * BmpFrameBytes)))
+            require(img != null,
+              s"undecodable frame $j of doc ${v.doc_id}")
+            var lum = 0.0
+            var y = 0
+            while (y < img.getHeight) {
+              var x = 0
+              while (x < img.getWidth) {
+                val argb = img.getRGB(x, y)
+                lum += 0.299 * ((argb >> 16) & 0xff) +
+                  0.587 * ((argb >> 8) & 0xff) + 0.114 * (argb & 0xff)
+                x += 1
+              }
+              y += 1
+            }
+            KeyframeRow(v.doc_id, j.toLong, Some(img.getWidth),
+              Some(img.getHeight),
+              Some(math.round(lum / math.max(img.getWidth * img.getHeight, 1))))
+          }
+          if (!quarantine) decodeFrame()
+          else
+            try decodeFrame()
+            catch {
+              case e @ (_: java.io.IOException | _: IllegalArgumentException |
+                        _: javax.imageio.IIOException) =>
+                KeyframeRow(v.doc_id, j.toLong, None, None, None,
+                  Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+            }
+        }
+      }
+    }
+  }
+
   /** Media-type dispatch for resize, like [[decode]]. NOTE the image path
     * re-encodes as PNG whatever the input format — a caller that carries
     * `media_type` alongside the payload must set it to [[ResizedImageType]]
@@ -547,6 +676,30 @@ object Multimodal {
             math.min(FrameBytes, r.payload.length - i * FrameBytes).toLong))
         }
         .toDF("doc_id", "frame_idx", "frame_bytes")
+        .orderBy("doc_id", "frame_idx")
+    },
+
+    // VIDEO KEYFRAMES over a raster-sequence container (r15 task 6):
+    // multimodal_frame_sample's fan-out composed with the REAL ImageIO
+    // decode — doc d carries 1 + d%4 concatenated 8×8 BMP frames, the
+    // sampler takes every 2nd frame, and each sampled frame is decoded
+    // by the actual codec. Every emitted value (fan-out, dimensions,
+    // mean luma of a solid frame = its gray) derives from doc_id
+    // arithmetic, so the whole real-decode pipeline is DuckDB-oracled
+    // exactly — the documentsAsWav trick on the video seam.
+    // MultimodalSpec adds the per-frame decode-error quarantine case.
+    withOracle(
+      "multimodal_video_keyframes",
+      """WITH d AS (SELECT doc_id, 1 + doc_id % 4 AS k FROM documents),
+        |f AS (SELECT doc_id, unnest(range(0, CAST(k AS BIGINT), 2)) AS frame_idx
+        |      FROM d)
+        |SELECT doc_id, frame_idx,
+        |       CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |       (doc_id * 7 + frame_idx * 13) % 256 AS gray
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin) { (s, dir) =>
+      videoKeyframes(documentsAsVideo(Tables.documents(s, dir)), stride = 2)
+        .select(col("doc_id"), col("frame_idx"), col("width"), col("height"),
+          col("gray"))
         .orderBy("doc_id", "frame_idx")
     }
   )

@@ -185,6 +185,102 @@ object TextOps {
           lit(1.0 - lambda) * coalesce(col("cb"), lit(oov)) / lit(total))), 4).as("nll"))
   }
 
+  /** Per-doc mean NLL under an interpolated TRIGRAM model — the
+    * KenLM-grade quality-filter fidelity step past [[bigramLogprob]]
+    * (r15 task 4):
+    *
+    *   P(w3|w1,w2) = λ3·c(w1w2w3)/c(w1w2) + λ2·c(w2w3)/c(w2) + λ1·c(w3)/N
+    *
+    * with λ3=0.6, λ2=0.3, λ1=1−λ3−λ2, averaged over positions 3..n
+    * (docs shorter than 3 tokens have no trigram positions and no row).
+    * One order deeper than the bigram: "the cat sat" vs "cat the sat"
+    * can tie on bigram NLL (same bigram multiset) and still separate
+    * here — TextOpsSpec pins exactly that case.
+    *
+    * Same bounded-model hardening as the bigram (the relations only get
+    * bigger with order):
+    *   - Frequency floor `graft.trigram.minCount` (default 2) on the
+    *     trigram relation; the bigram/unigram sides reuse their own
+    *     floors' semantics via the shared default. At minCount=2 a
+    *     floored type's OOV backoff count (max(minCount−1,1) = 1) IS its
+    *     true count — singletons are the only types dropped — so the
+    *     floored model scores EXACTLY like the unbounded one and the
+    *     DuckDB oracle (which computes the unbounded model) stays exact
+    *     at any scale factor.
+    *   - Size guards: each floored count relation broadcasts only while
+    *     its type count fits (`graft.trigram.maxTypes` /
+    *     `graft.bigram.maxTypes` / `graft.unigram.maxVocab`, default 5M
+    *     each — the sample_importance broadcast-until-capped stance);
+    *     above a guard that score join demotes to shuffle — slower,
+    *     cannot OOM.
+    *
+    * Scale: the trigram relation rides the same per-doc two-lead window
+    * (document-bounded, no cross-doc state); counts are map-side
+    * combinable aggregates (train once, score everything); on the
+    * broadcast path the per-doc NLL collapses MAP-SIDE — a doc's
+    * trigram stream never shuffles between the explode and the avg.
+    */
+  def trigramLogprob(docs: DataFrame, lambda3: Double = 0.6,
+      lambda2: Double = 0.3, lambda1: Double = 0.1): DataFrame = {
+    // λ1 is EXPLICIT, not derived: 1.0 − 0.6 − 0.3 is 0.10000000000000003
+    // in IEEE doubles while the oracle's literal is exactly 0.1 — a
+    // derived weight would disagree with the SQL in the last ulp and
+    // could flip a 4-dp rounding boundary
+    require(math.abs(lambda3 + lambda2 + lambda1 - 1.0) < 1e-9,
+      s"interpolation weights must sum to 1, got $lambda3 + $lambda2 + $lambda1")
+    val spark = docs.sparkSession
+    val minCount = spark.conf.get("graft.trigram.minCount", "2").toInt
+    val maxTri = spark.conf.get("graft.trigram.maxTypes", "5000000").toLong
+    val maxTypes = spark.conf.get("graft.bigram.maxTypes", "5000000").toLong
+    val maxVocab = spark.conf.get("graft.unigram.maxVocab", "5000000").toLong
+    val oov = math.max(minCount - 1, 1).toLong
+    val tok = docs
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("i", "t")))
+    val w = Window.partitionBy("doc_id").orderBy("i")
+    val grams = tok
+      .withColumn("w2", lead("t", 1).over(w))
+      .withColumn("w3", lead("t", 2).over(w))
+    val tg = grams.where(col("w3").isNotNull)
+      .select(col("doc_id"), col("t").as("w1"), col("w2"), col("w3"))
+    val bg = grams.where(col("w2").isNotNull)
+      .select(col("t").as("w1"), col("w2"))
+    val c1All = tok.groupBy("t").agg(count(lit(1)).as("c1"))
+    val c2All = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+    val c3All = tg.groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c3"))
+    val s1 = c1All.agg(sum("c1").as("total"),
+      sum(when(col("c1") >= minCount, 1L).otherwise(0L)).as("types")).head()
+    // empty/all-blank corpus: sums over zero rows are null — the result
+    // is empty either way, but the stats must not NPE
+    val total = math.max(if (s1.isNullAt(0)) 0L else s1.getLong(0), 1L)
+    val uniTypes = if (s1.isNullAt(1)) 0L else s1.getLong(1)
+    val s23 = c2All.agg(sum(when(col("c2") >= minCount, 1L).otherwise(0L))).head()
+    val bgTypes = if (s23.isNullAt(0)) 0L else s23.getLong(0)
+    val s3 = c3All.agg(sum(when(col("c3") >= minCount, 1L).otherwise(0L))).head()
+    val tgTypes = if (s3.isNullAt(0)) 0L else s3.getLong(0)
+    val c1 = c1All.where(col("c1") >= minCount)
+    val c2 = c2All.where(col("c2") >= minCount)
+    val c3 = c3All.where(col("c3") >= minCount)
+    val c1Side = if (uniTypes <= maxVocab) broadcast(c1) else c1
+    val c2Side = if (bgTypes <= maxTypes) broadcast(c2) else c2
+    val c3Side = if (tgTypes <= maxTri) broadcast(c3) else c3
+    tg
+      .join(c3Side, Seq("w1", "w2", "w3"), "left_outer")
+      .join(c2Side.select(col("w1"), col("w2"), col("c2").as("cctx")),
+        Seq("w1", "w2"), "left_outer")
+      .join(c2Side.select(col("w1").as("w2"), col("w2").as("w3"),
+        col("c2").as("c23")), Seq("w2", "w3"), "left_outer")
+      .join(c1Side.select(col("t").as("w2"), col("c1").as("ca")),
+        Seq("w2"), "left_outer")
+      .join(c1Side.select(col("t").as("w3"), col("c1").as("cb")),
+        Seq("w3"), "left_outer")
+      .groupBy("doc_id")
+      .agg(round(avg(-log(
+        lit(lambda3) * coalesce(col("c3"), lit(oov)) / coalesce(col("cctx"), lit(oov)) +
+          lit(lambda2) * coalesce(col("c23"), lit(oov)) / coalesce(col("ca"), lit(oov)) +
+          lit(lambda1) * coalesce(col("cb"), lit(oov)) / lit(total))), 4)
+        .as("nll"))
+  }
+
   /** Gopher-rule quality FILTER (Rae et al. 2021 §A.1.1, the named
     * heuristic rule set pretraining pipelines actually gate on — the
     * decision layer over the raw signals `text_quality_score` /
@@ -338,6 +434,19 @@ object TextOps {
       |  FROM scored)
       |SELECT rank, doc_id, bm25 FROM ranked WHERE rank <= 10
       |ORDER BY rank""".stripMargin
+
+  /** The content-keyed FULL-corpus serving [[LexIndex]] shared by every
+    * pure build-then-serve lexical query over the same sf dir
+    * (text_bm25_indexed, text_bm25_batch, the hybrid batch tiers):
+    * built once per corpus per JVM via [[graft.IndexCache]], served
+    * thereafter. Lifecycle queries (append/swap/catchup/stream folds)
+    * deliberately do NOT use this — the mutation sequence is their
+    * claim, so they stage fresh dirs per run.
+    */
+  private[graft] def sharedFullLexIndex(
+      s: org.apache.spark.sql.SparkSession, dir: String): String =
+    graft.IndexCache.serve(s"lex|full|$dir", "graft_lexindex")(
+      LexIndex.build(s, Tables.documents(s, dir), _))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -497,8 +606,11 @@ object TextOps {
     withOracle(
       "text_bm25_indexed",
       bm25TopkOracleSql) { (s, dir) =>
-      val idx = graft.Scratch.dir("graft_lexindex")
-      LexIndex.build(s, Tables.documents(s, dir), idx)
+      // content-keyed serving index (r15 task 1): built once per corpus
+      // per JVM, later invocations serve from the committed index — the
+      // production amortization (indexes are built nightly, queried many
+      // times); the shared oracle still proves index ≡ direct scan
+      val idx = sharedFullLexIndex(s, dir)
       LexIndex.bm25TopK(s, idx, Seq("spark", "merge", "vector"), k = 10)
     },
 
@@ -644,8 +756,9 @@ object TextOps {
         |  FROM scored)
         |SELECT qid, rank, doc_id, bm25 FROM ranked WHERE rank <= 10
         |ORDER BY qid, rank""".stripMargin) { (s, dir) =>
-      val idx = graft.Scratch.dir("graft_lexindex_batch")
-      LexIndex.build(s, Tables.documents(s, dir), idx)
+      // shares text_bm25_indexed's content-keyed full-corpus index —
+      // two serving queries over the same corpus want the same index
+      val idx = sharedFullLexIndex(s, dir)
       LexIndex.bm25TopKBatch(s, idx, Seq(
         0 -> Seq("spark", "merge", "vector"),
         1 -> Seq("data", "query"),
@@ -1187,6 +1300,45 @@ object TextOps {
         |CROSS JOIN n
         |GROUP BY bg.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
       bigramLogprob(Tables.documents(s, dir)).orderBy("doc_id")
+    },
+
+    // Interpolated TRIGRAM LM score (r15 task 4 — the KenLM-grade
+    // fidelity step left on the quality-filter ladder):
+    // P(w3|w1,w2) = 0.6·c(w1w2w3)/c(w1w2) + 0.3·c(w2w3)/c(w2) +
+    // 0.1·c(w3)/N, per-doc mean -ln over positions 3..n. One order
+    // deeper than the bigram — same-bigram-multiset docs separate here
+    // (TextOpsSpec pins the case). Docs shorter than 3 tokens have no
+    // row (both engines). The oracle computes the UNBOUNDED model with
+    // inner joins; the Spark side's minCount=2 floors score identically
+    // by construction (a floored singleton's backoff count is its true
+    // count — the bigram invariant), so the oracle stays exact at any
+    // scale factor. Scale story on [[trigramLogprob]].
+    withOracle(
+      "text_trigram_logprob",
+      """WITH toks AS (SELECT doc_id, string_split_regex(lower(text), '\s+') AS l
+        |              FROM documents),
+        |tg AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2, l[i+2] AS w3
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-2, 0))) AS i) g),
+        |bg AS (SELECT doc_id, l[i] AS w1, l[i+1] AS w2
+        |       FROM toks, LATERAL (SELECT unnest(generate_series(1, greatest(len(l)-1, 0))) AS i) g),
+        |tok AS (SELECT doc_id, unnest(l) AS t FROM toks),
+        |c1 AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        |c2 AS (SELECT w1, w2, count(*) AS c FROM bg GROUP BY w1, w2),
+        |c3 AS (SELECT w1, w2, w3, count(*) AS c FROM tg GROUP BY w1, w2, w3),
+        |n AS (SELECT sum(c) AS total FROM c1)
+        |SELECT tg.doc_id,
+        |       round(avg(-ln(0.6 * c3.c * 1.0 / c2a.c
+        |                     + 0.3 * c2b.c * 1.0 / c1a.c
+        |                     + 0.1 * c1b.c * 1.0 / total)), 4) AS nll
+        |FROM tg
+        |JOIN c3 ON tg.w1 = c3.w1 AND tg.w2 = c3.w2 AND tg.w3 = c3.w3
+        |JOIN c2 c2a ON tg.w1 = c2a.w1 AND tg.w2 = c2a.w2
+        |JOIN c2 c2b ON tg.w2 = c2b.w1 AND tg.w3 = c2b.w2
+        |JOIN c1 c1a ON tg.w2 = c1a.t
+        |JOIN c1 c1b ON tg.w3 = c1b.t
+        |CROSS JOIN n
+        |GROUP BY tg.doc_id ORDER BY doc_id""".stripMargin) { (s, dir) =>
+      trigramLogprob(Tables.documents(s, dir)).orderBy("doc_id")
     },
 
     // Incremental dedup: the nightly-crawl step — drop each NEW doc

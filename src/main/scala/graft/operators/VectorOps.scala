@@ -436,15 +436,23 @@ object VectorOps {
     * stand-in re-scores the fused top-10 — coverage (matched query
     * terms / 3) + density (query-term occurrences / (doc tokens + 1))
     * — and the final top-5 is ordered by that score.
+    *
+    * dl joins LEFT with coalesce(dl, 0) and the coverage denominator
+    * derives from the q CTE — mirroring the Spark side's row-local
+    * evaluation (ceScore: a token-less candidate scores 0, and coverage
+    * divides by terms.size), so the oracle carries no silent corpus
+    * assumption (every fused doc has tokens) nor a literal that drifts
+    * if the query's term list changes (r15 ADVICE).
     */
   private[operators] val hybridRerankOracleSql: String =
     s"""WITH $hybridRrfCtes,
         |rr AS (SELECT doc_id, rrf FROM ranked WHERE rank <= 10),
         |qt AS (SELECT doc_id, tf FROM tf JOIN q USING (t)),
         |ce AS (SELECT rr.doc_id, rr.rrf,
-        |         round(CAST(count(qt.tf) AS DOUBLE) / 3
-        |             + CAST(coalesce(sum(qt.tf), 0) AS DOUBLE) / (dl.dl + 1.0), 4) AS ce_score
-        |       FROM rr JOIN dl ON dl.doc_id = rr.doc_id
+        |         round(CAST(count(qt.tf) AS DOUBLE) / (SELECT count(*) FROM q)
+        |             + CAST(coalesce(sum(qt.tf), 0) AS DOUBLE)
+        |               / (coalesce(dl.dl, 0) + 1.0), 4) AS ce_score
+        |       FROM rr LEFT JOIN dl ON dl.doc_id = rr.doc_id
         |            LEFT JOIN qt ON qt.doc_id = rr.doc_id
         |       GROUP BY rr.doc_id, rr.rrf, dl.dl),
         |reranked AS (SELECT doc_id, ce_score, rrf,
@@ -513,6 +521,15 @@ object VectorOps {
         |  FROM fused)
         |SELECT qid, rank, doc_id, rrf, lex_rank, sem_rank
         |FROM ranked WHERE rank <= 10 ORDER BY qid, rank""".stripMargin
+
+  /** The content-keyed PROBE-EXCLUDED (doc_id ≠ 0) serving [[LexIndex]]
+    * shared by the single-probe hybrid serving tiers over the same sf
+    * dir — the [[TextOps.sharedFullLexIndex]] pattern on the corpus
+    * these queries actually index. Built once per corpus per JVM.
+    */
+  private def sharedNoProbeLexIndex(s: SparkSession, dir: String): String =
+    graft.IndexCache.serve(s"lex|no0|$dir", "graft_lexindex_hybrid")(
+      LexIndex.build(s, Tables.documents(s, dir).where(col("doc_id") =!= 0), _))
 
   val defs: Seq[QueryDef] = Seq(
 
@@ -656,9 +673,10 @@ object VectorOps {
     withOracle(
       "hybrid_search_indexed",
       hybridRrfOracleSql) { (s, dir) =>
-      val idx = graft.Scratch.dir("graft_lexindex_hybrid")
-      LexIndex.build(s,
-        Tables.documents(s, dir).where(col("doc_id") =!= 0), idx)
+      // content-keyed serving index (r15 task 1): built once per corpus
+      // per JVM, served thereafter — the oracle still proves the
+      // index-served fusion ≡ the direct-scan fusion
+      val idx = sharedNoProbeLexIndex(s, dir)
       hybridSearchRrfIndexed(s, idx, Tables.embeddings(s, dir),
         Seq("spark", "merge", "vector"), probeId = 0L)
     },
@@ -676,12 +694,13 @@ object VectorOps {
     // production, the ann_ivfpq_indexed stance).
     noOracle("hybrid_search_ann_indexed") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val lexIdx = graft.Scratch.dir("graft_lexindex_hyann")
-      LexIndex.build(s,
-        Tables.documents(s, dir).where(col("doc_id") =!= 0), lexIdx)
-      val vecIdx = graft.Scratch.dir("graft_vecindex_hyann")
-      VectorIndex.buildIvfPq(s, emb.where(col("vec_id") =!= 0), vecIdx,
-        nCells = 16, m = 16, ks = 16)
+      // both serving indexes content-keyed (r15 task 1): built once per
+      // corpus per JVM — the lex side shared with hybrid_search_indexed
+      val lexIdx = sharedNoProbeLexIndex(s, dir)
+      val vecIdx = graft.IndexCache.serve(
+        s"ivfpq|no0|c16m16k16|$dir", "graft_vecindex_hyann")(
+        VectorIndex.buildIvfPq(s, emb.where(col("vec_id") =!= 0), _,
+          nCells = 16, m = 16, ks = 16))
       hybridSearchAnnIndexed(s, lexIdx, vecIdx, emb,
         Seq("spark", "merge", "vector"), probeId = 0L)
     },
@@ -699,8 +718,8 @@ object VectorOps {
     withOracle(
       "hybrid_search_batch",
       hybridBatchOracleSql) { (s, dir) =>
-      val idx = graft.Scratch.dir("graft_lexindex_hybatch")
-      LexIndex.build(s, Tables.documents(s, dir), idx)
+      // shares text_bm25_indexed's content-keyed full-corpus index
+      val idx = TextOps.sharedFullLexIndex(s, dir)
       hybridSearchBatch(s, idx, Tables.embeddings(s, dir),
         HybridBatchRequests)
     },
@@ -712,10 +731,12 @@ object VectorOps {
     // exact batch fusion in ApproxOpsSpec instead of oracled.
     noOracle("hybrid_search_ann_batch") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val lexIdx = graft.Scratch.dir("graft_lexindex_hyannb")
-      LexIndex.build(s, Tables.documents(s, dir), lexIdx)
-      val vecIdx = graft.Scratch.dir("graft_vecindex_hyannb")
-      VectorIndex.buildIvfPq(s, emb, vecIdx, nCells = 16, m = 16, ks = 16)
+      // full-corpus serving indexes, content-keyed: lex shared with
+      // text_bm25_indexed/batch, codes with any full-corpus IVF-PQ tier
+      val lexIdx = TextOps.sharedFullLexIndex(s, dir)
+      val vecIdx = graft.IndexCache.serve(
+        s"ivfpq|full|c16m16k16|$dir", "graft_vecindex_hyannb")(
+        VectorIndex.buildIvfPq(s, emb, _, nCells = 16, m = 16, ks = 16))
       hybridSearchAnnBatch(s, lexIdx, vecIdx, emb, HybridBatchRequests)
     },
 
@@ -914,7 +935,16 @@ object VectorOps {
     // VectorIndexSpec; exact-equality-with-in-query pinned there too.
     noOracle("ann_ivfpq_indexed") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
-      val idx = graft.Scratch.dir("graft_vecindex")
+      // the deterministic build+append lifecycle is content-keyed as a
+      // unit (r15 task 1): the first invocation exercises the full
+      // build-then-append sequence, later ones serve the committed
+      // index — a serving query's reps measure SERVING, not rebuilds
+      val idx = graft.IndexCache.serve(
+        s"ivfpq|even+oddappend|c16m16k16|$dir", "graft_vecindex") { d =>
+        VectorIndex.buildIvfPq(s, emb.where(col("vec_id") % 2 === 0), d,
+          nCells = 16, m = 16, ks = 16)
+        VectorIndex.appendIvfPq(s, emb.where(col("vec_id") % 2 === 1), d)
+      }
       // lifecycle under the pinned 16×(16×16) shape (m 8 → 16 round 10,
       // same ADC-budget fix as ann_ivfpq): build on even ids, append odd
       // ids with the build's codebooks, search the union. rerank is 12
@@ -925,9 +955,6 @@ object VectorOps {
       // an index that has absorbed appends (measured round 10: 0.78 →
       // 0.84 recall@5 at rerank 12, 0.90 at 16; the cost is rerank·k
       // exact cosines per probe, nothing corpus-shaped).
-      VectorIndex.buildIvfPq(s, emb.where(col("vec_id") % 2 === 0), idx,
-        nCells = 16, m = 16, ks = 16)
-      VectorIndex.appendIvfPq(s, emb.where(col("vec_id") % 2 === 1), idx)
       VectorIndex.searchIvfPq(s, idx, emb,
         probes = emb.where(col("vec_id") < 10), k = 5, nProbe = 8, rerank = 12)
     },

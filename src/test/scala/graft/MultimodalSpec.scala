@@ -261,4 +261,42 @@ class MultimodalSpec extends SparkSpec {
     au.feature.foreach(q =>
       assert(math.abs(q - amp / math.sqrt(2)) < 2e-2, s"ULAW RMS off: $q"))
   }
+
+  test("video keyframes: fixed-stride demux + REAL BMP decode match the doc_id arithmetic") {
+    val docs = Seq((0L, "x"), (3L, "y"), (5L, "z")).toDF("doc_id", "text")
+    val vids = documentsAsVideo(docs).collect().map(v => v.doc_id -> v).toMap
+    // container size = frames × fixed BMP size (the stride IS the demuxer)
+    assert(vids(0L).n_frames == 1 && vids(0L).payload.length == BmpFrameBytes)
+    assert(vids(3L).n_frames == 4 && vids(3L).payload.length == 4 * BmpFrameBytes)
+    val kf = videoKeyframes(documentsAsVideo(docs), stride = 2).collect()
+      .map(k => (k.doc_id, k.frame_idx) -> k).toMap
+    // doc 3 (4 frames): keyframes 0 and 2; doc 5 (2 frames): keyframe 0
+    assert(kf.keySet == Set((0L, 0L), (3L, 0L), (3L, 2L), (5L, 0L)))
+    kf.values.foreach { k =>
+      assert(k.width.contains(KeyframeDim) && k.height.contains(KeyframeDim))
+      assert(k.decode_error.isEmpty)
+      // solid gray (d·7 + j·13) % 256 decodes to mean luma = the gray
+      assert(k.gray.contains((k.doc_id * 7 + k.frame_idx * 13) % 256),
+        s"decoded luma of a solid frame must be its gray value: $k")
+    }
+  }
+
+  test("video keyframes quarantine: a corrupt FRAME flags its row, the container's other frames decode") {
+    val v = documentsAsVideo(Seq((3L, "x")).toDF("doc_id", "text")).head() // 4 frames
+    val corrupt = v.payload.clone()
+    // zero frame 2's BMP magic — ImageIO finds no reader for that slice
+    corrupt(2 * BmpFrameBytes) = 0
+    corrupt(2 * BmpFrameBytes + 1) = 0
+    val bad = Seq(VideoRow(3L, 4, corrupt)).toDS()
+    // correctness-first default: the torn frame kills the job loudly
+    val ex = intercept[Exception](videoKeyframes(bad, stride = 2).collect())
+    assert(ex.getMessage != null)
+    // quarantine: frame 2 flagged with null decode outputs, frame 0 intact
+    val q = videoKeyframes(bad, stride = 2, quarantine = true).collect()
+      .map(k => k.frame_idx -> k).toMap
+    assert(q.keySet == Set(0L, 2L))
+    assert(q(0L).decode_error.isEmpty && q(0L).gray.contains((3L * 7) % 256))
+    assert(q(2L).decode_error.isDefined, "corrupt frame must carry its failure")
+    assert(q(2L).width.isEmpty && q(2L).height.isEmpty && q(2L).gray.isEmpty)
+  }
 }

@@ -149,6 +149,38 @@ class RecoverySpec extends SparkSpec {
       "a dir with only job staging inside is a torn write")
   }
 
+  test("StoreSwap: a legitimately-EMPTY committed first version (markers disabled) reads as committed — the fold does not rebuild") {
+    // r15 ADVICE low #1: under marksuccessfuljobs=false the marker-less
+    // fallback cannot tell a committed-but-empty write (zero-row first
+    // batch, a filter that matched nothing) from the empty dir a crashed
+    // job leaves — so commit() discarded it as torn and every isBuilt
+    // probe said "never built", silently rebuilding the store. The
+    // writer-dropped EmptyMarker sidecar closes it.
+    val store = Files.createTempDirectory("graft_swap_empty").toString + "/store"
+    // a committed EMPTY write from a marker-less committer: zero part
+    // files, no _SUCCESS, no _temporary
+    writeVersion(StoreSwap.tmpPath(store), "none", 0)
+    hfs.delete(hp(StoreSwap.tmpPath(store) + "/_SUCCESS"), false)
+    hfs.listStatus(hp(StoreSwap.tmpPath(store))).foreach(st =>
+      if (!st.getPath.getName.startsWith("_")) hfs.delete(st.getPath, false))
+    // the writer KNOWS its job committed (write() returned) — it records
+    // the committed-empty fact the way the default committer records
+    // commit with _SUCCESS
+    StoreSwap.markCommittedEmpty(spark, StoreSwap.tmpPath(store))
+    StoreSwap.commit(spark, store)
+    assert(hfs.exists(hp(store)), "committed empty first version promoted, not discarded as torn")
+    assert(StoreSwap.committedPath(spark, store).contains(store),
+      "the isBuilt probe must read a committed-empty store as BUILT — " +
+        "a maintainer fold must fold into it, never rebuild from scratch")
+    // ...while an UNMARKED empty dir (the crashed-job signature) still
+    // reads as incomplete: the marker is the writer's assertion, absence
+    // of data alone never promotes
+    val crashed = Files.createTempDirectory("graft_swap_empty2").toString + "/crashed"
+    hfs.mkdirs(hp(crashed))
+    assert(StoreSwap.committedPath(spark, crashed).isEmpty,
+      "an unmarked empty dir is still a torn write")
+  }
+
   test("StoreSwap rolls back a mid-swap crash whose tmp is ALSO torn (old=v1, tmp torn, store absent)") {
     val store = Files.createTempDirectory("graft_swap_rb").toString + "/store"
     writeVersion(StoreSwap.oldPath(store), "v1", 10)

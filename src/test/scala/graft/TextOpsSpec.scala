@@ -279,6 +279,44 @@ class TextOpsSpec extends SparkSpec {
     assert(TextOps.bigramLogprob(empty).count() == 0)
   }
 
+  test("trigramLogprob is context-aware one order past the bigram: equal-bigram-multiset docs separate") {
+    // docs 10 and 11 have the SAME unigram bag and the SAME bigram
+    // multiset ({xy:2, yy:1, yx:1}) — bigram NLL provably ties them —
+    // but different trigram multisets (10: xyy,yyx,yxy; 11: xyx,yxy,
+    // xyy); the background corpus repeats doc 10's pattern, so its
+    // trigram order is corpus-frequent and must score better
+    val docs = ((0L until 10L).map(i => (i, "x y y x y")) ++ Seq(
+      (10L, "x y y x y"),
+      (11L, "x y x y y"))).toDF("doc_id", "text")
+    val bi = TextOps.bigramLogprob(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(bi(10L) == bi(11L),
+      s"bigram NLL must tie the equal bigram multisets: $bi")
+    val tri = TextOps.trigramLogprob(docs)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(tri(10L) < tri(11L),
+      s"the corpus-frequent trigram order must score better: $tri")
+    // docs shorter than 3 tokens have no trigram position and no row
+    assert(TextOps.trigramLogprob(
+      Seq((0L, "just two"), (1L, "solo")).toDF("doc_id", "text")).count() == 0)
+  }
+
+  test("trigramLogprob: default floor matches the unbounded model exactly") {
+    // the bigram invariant one order up: minCount=2 drops singleton
+    // types whose OOV backoff count (1) IS their true count, so the
+    // bounded model scores exactly like the unbounded one — what keeps
+    // the DuckDB oracle (which computes the unbounded model) green
+    val floored = TextOps.trigramLogprob(bigramDocs).orderBy("doc_id")
+      .as[(Long, Double)].collect().toSeq
+    spark.conf.set("graft.trigram.minCount", "1")
+    try {
+      val unbounded = TextOps.trigramLogprob(bigramDocs).orderBy("doc_id")
+        .as[(Long, Double)].collect().toSeq
+      assert(floored == unbounded,
+        s"default floor must score exactly like the unbounded model: $floored vs $unbounded")
+    } finally spark.conf.unset("graft.trigram.minCount")
+  }
+
   test("bigramLogprob: above the size guards the score joins are shuffle joins, same scores") {
     val onBroadcastPath = TextOps.bigramLogprob(bigramDocs)
       .orderBy("doc_id").as[(Long, Double)].collect().toSeq
