@@ -76,44 +76,11 @@ object Bench {
     }
     // HOST-SPEED CANARY (r15: the box slowed 1.78x mid-round with zero
     // code change, and proving it took a checkout + 20-minute old-binary
-    // A/B). Two fixed-work probes timed per run and emitted in the final
+    // A/B). Fixed-work probes timed per run and emitted in the final
     // JSON line make the next shift self-evident from the artifact
-    // itself: a single-thread CPU-bound arithmetic loop (compute-band
-    // queries track this) and a filesystem metadata create/rename/delete
-    // loop (the state-store/rename band — r15's slow host inflated
-    // rename-heavy queries 2-3x while compute queries stayed flat, so
-    // the TWO canaries separate the bands a one-number probe would
-    // blur). min over reps: the canary wants the host's ceiling, not a
-    // GC blip.
-    def canaryCpuSec(): Double = {
-      val t0 = System.nanoTime()
-      var x = 0x9E3779B97F4A7C15L
-      var i = 0
-      while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
-      if (x == 42L) System.err.println("canary") // keep the loop live
-      (System.nanoTime() - t0) / 1e9
-    }
-    def canaryFsSec(): Double = {
-      val d = new java.io.File(warmDir, "canary")
-      d.mkdirs()
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < 200) {
-        val f = new java.io.File(d, s"c$i")
-        val g = new java.io.File(d, s"c${i}r")
-        val w = new java.io.FileWriter(f)
-        w.write("x"); w.close()
-        f.renameTo(g); g.delete()
-        i += 1
-      }
-      (System.nanoTime() - t0) / 1e9
-    }
+    // itself — see graft.Canary for the two-band rationale.
     val (canaryCpu, canaryFs) =
-      try ((1 to 3).map(_ => canaryCpuSec()).min,
-        (1 to 3).map(_ => canaryFsSec()).min)
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] canary failed: $e"); (-1.0, -1.0)
-      }
+      Canary.probe(new java.io.File(warmDir, "canary"))
     System.err.println(f"[bench] host canary: cpu=$canaryCpu%.3f s fs=$canaryFs%.3f s")
     var errors = 0
     // Sorted by name: Map iteration order reshuffles whenever a query is
