@@ -77,7 +77,10 @@ object Scaling {
     "text_span_scrub_windowed" -> "documents",
     // round-16 (r15 verdict task 4): the new trigram LM — its model
     // relations follow the heaviest Heaps tail in the LM family
-    "text_trigram_logprob" -> "documents")
+    "text_trigram_logprob" -> "documents",
+    // round-16: the store-served nightly apply, covered the round it
+    // landed (probes the same decade as its recompute sibling)
+    "near_dedup_apply_store" -> "documents")
 
   /** The non-events heavy hitters that also get a 100× point: the
     * steepest scaler (pipeline_embedding_corpus, top-decade 0.77 at
@@ -100,7 +103,10 @@ object Scaling {
     // round-16 (r15 verdict task 5): the span family's 100 TB claim is
     // specifically about the final decade — probe it
     "text_span_scrub",
-    "text_span_scrub_windowed")
+    "text_span_scrub_windowed",
+    // round-16: the store-served apply probes the decade its recompute
+    // sibling (near_dedup_apply_incremental) carries
+    "near_dedup_apply_store")
 
   /** One more octave past 100× for the queries whose 100× point is
     * large enough that the next doubling is worth buying (r15: the

@@ -481,6 +481,61 @@ object NearDedup {
       } finally hashed.unpersist()
     },
 
+    // The STORE-SERVED nightly apply (r16): identical semantics and
+    // oracle to near_dedup_apply_incremental, but the existing corpus's
+    // shingle signatures come from the persistent [[ShingleStore]]
+    // instead of being recomputed — the recompute form re-tokenizes and
+    // re-shingles the EXISTING corpus every run to rebuild a relation
+    // that never changes (routedIncrementalPairs' scaladoc has named
+    // this gap since r14); at 100 TB the store turns a nightly
+    // full-corpus TEXT scan into a column-pruned read of long arrays.
+    // The query exercises the full store lifecycle per run (build on
+    // the existing corpus, crash-safe append of the new batch with a
+    // durable batchId) and then runs the EXACT downstream machinery of
+    // the recompute form over the store-read relation — sharing the
+    // oracle proves store-served ≡ recompute ≡ full batch apply.
+    // NearDedupSpec pins store ≡ recompute relation equality, replay
+    // idempotence, and the torn-stats not-built read.
+    graft.QueryDef.withOracle(
+      "near_dedup_apply_store",
+      s"""WITH RECURSIVE ${TextOps.shinglePairCte()},
+        |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
+        |        JOIN sizes nb ON j = nb.doc_id
+        |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
+        |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
+        |nodes AS (SELECT DISTINCT a AS node FROM edges),
+        |reach AS (SELECT node, node AS m FROM nodes
+        |          UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
+        |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node)
+        |SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+        |WHERE cc.canonical IS NULL OR cc.canonical = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val isNew = col("doc_id") % 4 === 0
+      // nightly store lifecycle: the existing corpus's signatures were
+      // persisted by last night's run (built fresh here — the lifecycle
+      // is the claim); tonight's batch appends crash-safely
+      val store = graft.Scratch.dir("graft_shinglestore")
+      ShingleStore.build(s, docs.where(!isNew), store, n = 3, batchId = 0)
+      ShingleStore.append(s, docs.where(isNew), store, batchId = 1)
+      // the pair stages read the STORE — no text column, no re-shingling
+      val hashed = ShingleStore.hashes(s, store)
+        .withColumn("is_new", isNew)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      try {
+        val pairsE = routedJaccardPairsFromHashes(
+          hashed.where(!col("is_new")).select("doc_id", "hs"), 0.1)
+          .select(col("i").as("src"), col("j").as("dst"))
+        val labels = GraphOps.connectedComponents(pairsE)
+        val pairsNew = routedIncrementalPairs(hashed, 0.1)
+        val cc = GraphOps.connectedComponentsIncremental(labels, pairsNew)
+        docs.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+          .where(col("label").isNull || col("label") === col("doc_id"))
+          .select(col("doc_id"))
+          .orderBy("doc_id")
+      } finally hashed.unpersist()
+    },
+
     // Keep-BEST canonical selection — see [[keepBestCanonical]].
     graft.QueryDef.withOracle(
       "near_dedup_keep_best",

@@ -1,0 +1,175 @@
+package graft.operators
+
+import graft.functions.TextFunctions.shingleHashes
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persistent per-document shingle-hash signatures — the dedup-state
+  * sibling of [[LexIndex]]/[[VectorIndex]], closing the one
+  * recompute-per-run left in the incremental near-dedup family:
+  * `routedIncrementalPairs`' own scaladoc notes "at scale a production
+  * fold would persist [signatures] alongside the corpus" — the
+  * incremental apply/keep-best queries re-tokenize and re-shingle the
+  * EXISTING corpus every nightly run to rebuild a relation that never
+  * changes. At 100 TB that is a full corpus text scan per night spent
+  * recomputing known values; with the store, the nightly job reads the
+  * precomputed (doc_id, hs) relation (a column-pruned parquet scan of
+  * long arrays — no text, no tokenizer) and shingles ONLY the new
+  * batch, which then lands in the store for the next night.
+  *
+  * Layout under `dir` (the [[LexIndex]] crash story, minus buckets —
+  * pair generation consumes the whole relation, so there is no
+  * query-key to partition by):
+  *   - `sigs/seq=<n>/` — (doc_id, hs: array<long>): batch n's
+  *     signatures, visible only once stats records `max_seq >= n`.
+  *   - `stats/` — one row (n_docs, shingle_n, max_seq, last_batch):
+  *     the single commit point. Build writes sigs first and stats
+  *     LAST; append writes under `seq = max_seq + 1` (invisible to
+  *     every reader) and commits by swapping stats through the
+  *     crash-safe [[graft.model.StoreSwap]] two-rename. A crash
+  *     anywhere before that swap leaves readers on EXACTLY the old
+  *     relation; a retry first prunes the orphaned `seq > max_seq`
+  *     dirs ([[recover]]) and converges. A caller with a durable batch
+  *     sequence passes `batchId` — replaying an already-committed
+  *     batch is a no-op (exactly-once across maintainer restarts).
+  *
+  * Signatures are computed by the SAME expression the recompute forms
+  * use (`shingleHashes(text, n)`, null-signature docs dropped at
+  * build), so a store-served pair stage is row-identical to the
+  * recompute — `near_dedup_apply_store` shares
+  * near_dedup_apply_incremental's oracle verbatim to prove it.
+  * The store records its shingle width in stats; reads are
+  * self-describing (no caller-supplied n to get wrong).
+  */
+object ShingleStore {
+
+  private def sigsDir(dir: String) = s"$dir/sigs"
+  private def statsDir(dir: String) = s"$dir/stats"
+
+  private def fs(spark: SparkSession) =
+    org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  private def signatures(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
+      .where(col("hs").isNotNull)
+
+  /** Build the store from `docs` into a dir that has never COMMITTED a
+    * build. Rebuilding over a built store is refused loudly (the
+    * [[LexIndex.build]] stance: rewrite-in-place has no atomic commit
+    * point — replacement corpora go to a fresh dir, evolution is
+    * [[append]]); a TORN first build reads as not-built and is simply
+    * rebuilt.
+    */
+  def build(spark: SparkSession, docs: DataFrame, dir: String,
+      n: Int = 3, batchId: Long = -1L): Unit = {
+    require(n >= 1, s"need shingle width >= 1, got $n")
+    graft.model.StoreSwap.commit(spark, statsDir(dir))
+    graft.model.StoreSwap.commit(spark, sigsDir(dir))
+    if (graft.model.StoreSwap.committedPath(spark, statsDir(dir)).isDefined)
+      sys.error(s"refusing to rebuild over the built signature store at $dir — " +
+        "write the replacement to a fresh dir, or evolve this one via append")
+    fs(spark).delete(new Path(statsDir(dir)), true) // torn first-write leftover
+    val sigs = signatures(docs, n)
+      .localCheckpoint() // one shingle pass feeds the write AND the stats count
+    sigs.withColumn("seq", lit(0))
+      .write.mode(SaveMode.Overwrite).partitionBy("seq")
+      .parquet(sigsDir(dir))
+    // stats LAST — the read path's entry point, so a crash mid-build
+    // reads as not-built, never as a store with missing signatures
+    sigs.agg(count(lit(1)).as("n_docs"), lit(n).as("shingle_n"),
+        lit(0L).as("max_seq"), lit(batchId).as("last_batch"))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(statsDir(dir))
+    sigs.unpersist()
+    ()
+  }
+
+  /** Whether a COMMITTED build exists at `dir` — resolves through a
+    * possibly-torn stats swap like every read path.
+    */
+  def isBuilt(spark: SparkSession, dir: String): Boolean =
+    graft.model.StoreSwap.committedPath(spark, statsDir(dir)).isDefined
+
+  /** Repair any torn mutation, returning the post-recovery stats row
+    * (None if never completely built): finish interrupted swaps, prune
+    * `seq > max_seq` orphans and `_temporary` staging — the single-
+    * writer's entry guard, the [[LexIndex]] recovery shape.
+    */
+  private def recoverAndReadStats(spark: SparkSession,
+      dir: String): Option[org.apache.spark.sql.Row] = {
+    graft.model.StoreSwap.commit(spark, statsDir(dir))
+    graft.model.StoreSwap.commit(spark, sigsDir(dir))
+    val f = fs(spark)
+    if (graft.model.StoreSwap.committedPath(spark, statsDir(dir)).isEmpty) None
+    else {
+      val stats = spark.read.parquet(statsDir(dir)).head()
+      val maxSeq = stats.getAs[Long]("max_seq")
+      val sigs = new Path(sigsDir(dir))
+      if (f.exists(sigs)) f.listStatus(sigs).foreach { s =>
+        val sn = s.getPath.getName
+        if (sn == "_temporary") f.delete(s.getPath, true)
+        else if (s.isDirectory && sn.startsWith("seq=") &&
+            scala.util.Try(sn.stripPrefix("seq=").toLong).toOption.exists(_ > maxSeq))
+          f.delete(s.getPath, true)
+      }
+      Some(stats)
+    }
+  }
+
+  def recover(spark: SparkSession, dir: String): Unit = {
+    recoverAndReadStats(spark, dir)
+    ()
+  }
+
+  /** Append `docs`' signatures — EXACT (a signature is per-doc; nothing
+    * existing changes). Batch lands under the next `seq=` partition,
+    * invisible until the stats swap commits; replaying an
+    * already-committed `batchId` is a no-op. Shingle width comes from
+    * the store's own stats, never the caller.
+    */
+  def append(spark: SparkSession, docs: DataFrame, dir: String,
+      batchId: Long = -1L): Unit = {
+    val prev = recoverAndReadStats(spark, dir)
+      .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — store not built"))
+    if (batchId >= 0 && prev.getAs[Long]("last_batch") >= batchId)
+      return // already-committed batch replayed by the caller: no-op
+    val n = prev.getAs[Int]("shingle_n")
+    val newSeq = prev.getAs[Long]("max_seq") + 1
+    val sigs = signatures(docs, n).localCheckpoint()
+    sigs.withColumn("seq", lit(newSeq.toInt))
+      .write.mode(SaveMode.Append).partitionBy("seq")
+      .parquet(sigsDir(dir))
+    // THE commit point: the stats swap makes seq=newSeq visible
+    sigs.agg(
+        (count(lit(1)) + lit(prev.getAs[Long]("n_docs"))).as("n_docs"),
+        lit(n).as("shingle_n"),
+        lit(newSeq).as("max_seq"),
+        lit(math.max(prev.getAs[Long]("last_batch"), batchId)).as("last_batch"))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(graft.model.StoreSwap.tmpPath(statsDir(dir)))
+    graft.model.StoreSwap.commit(spark, statsDir(dir))
+    sigs.unpersist()
+    ()
+  }
+
+  /** The committed (doc_id, hs) relation — resolves stats through
+    * [[graft.model.StoreSwap.committedPath]] and sigs through
+    * [[graft.model.StoreSwap.readablePath]], gated to `seq <= max_seq`
+    * (partition pruning: uncommitted appends cost nothing and are
+    * invisible). This is the scan the nightly dedup reads INSTEAD of
+    * re-shingling the corpus: long arrays only, no text column.
+    */
+  def hashes(spark: SparkSession, dir: String): DataFrame = {
+    val statsPath = graft.model.StoreSwap.committedPath(spark, statsDir(dir))
+      .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — store not built"))
+    val maxSeq = spark.read.parquet(statsPath).head().getAs[Long]("max_seq")
+    val sigsPath = graft.model.StoreSwap.readablePath(spark, sigsDir(dir))
+      .getOrElse(sys.error(s"no readable sigs under ${sigsDir(dir)}"))
+    spark.read.parquet(sigsPath)
+      .where(col("seq") <= lit(maxSeq.toInt))
+      .select(col("doc_id"), col("hs"))
+  }
+}

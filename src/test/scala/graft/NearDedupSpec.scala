@@ -268,4 +268,41 @@ class NearDedupSpec extends SparkSpec {
       assert(exactPairs == Set((0L, 120L), (1L, 121L), (2L, 122L)))
     } finally spark.conf.unset("graft.neardedup.exactMaxPairRows")
   }
+
+  test("ShingleStore: store-read signatures equal the recompute relation; append replay is a no-op; torn stats read not-built") {
+    import graft.operators.ShingleStore
+    val corpus = Tables.documents(spark, sf0001)
+    val existing = corpus.where($"doc_id" % 4 =!= 0)
+    val batch = corpus.where($"doc_id" % 4 === 0)
+    val dir = Scratch.dir("shinglestore_spec")
+
+    ShingleStore.build(spark, existing, dir, n = 3, batchId = 0)
+    assert(ShingleStore.isBuilt(spark, dir))
+    ShingleStore.append(spark, batch, dir, batchId = 1)
+    // store-read relation ≡ the recompute forms' shingle pass — this is
+    // what lets near_dedup_apply_store share the incremental oracle
+    val fromStore = ShingleStore.hashes(spark, dir)
+      .select($"doc_id", $"hs").as[(Long, Seq[Long])].collect().toMap
+    val recomputed = corpus
+      .select($"doc_id", shingleHashes($"text", 3).as("hs"))
+      .where($"hs".isNotNull)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fromStore == recomputed,
+      s"store must serve exactly the recomputed signatures (${fromStore.size} vs ${recomputed.size})")
+    // replaying an already-committed batch is a no-op (exactly-once
+    // across maintainer restarts)
+    val before = ShingleStore.hashes(spark, dir).count()
+    ShingleStore.append(spark, batch, dir, batchId = 1)
+    assert(ShingleStore.hashes(spark, dir).count() == before,
+      "replayed batch must not double-append")
+    // rebuild over a committed store is refused loudly
+    intercept[Exception](ShingleStore.build(spark, existing, dir))
+    // a torn FIRST build (stats staged, never committed) reads not-built
+    val torn = Scratch.dir("shinglestore_torn")
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$torn/stats/_temporary"))
+    assert(!ShingleStore.isBuilt(spark, torn),
+      "a _temporary-only stats dir is a torn write, not a built store")
+  }
 }
