@@ -60,12 +60,20 @@ object Scratch {
   * must NOT route through this — the build/append/flip sequence IS
   * their claim, so they keep per-run fresh dirs.
   *
-  * `build` runs inside computeIfAbsent: one builder per key even under
-  * concurrent callers, and a failed build caches nothing (the next
-  * caller retries into a fresh dir).
+  * Concurrency: the map holds MEMOIZED FUTURES, not values — insertion
+  * (putIfAbsent of an incomplete future) is O(1) under the map's bin
+  * lock and the minutes-long Spark build runs OUTSIDE it. Running the
+  * build inside computeIfAbsent would hold the bin lock for the build's
+  * duration: an unrelated key hashing to the same bin blocks behind it,
+  * and a build that (transitively) re-enters serve can deadlock or hit
+  * computeIfAbsent's IllegalStateException. One builder per key still
+  * holds (losers of the putIfAbsent race await the winner's future),
+  * and a FAILED build removes its future so the next caller retries
+  * into a fresh dir.
   */
 object IndexCache {
-  private val served = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private val served =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.CompletableFuture[String]]()
 
   /** [[graft.Scaling]] turns the cache OFF for its run: a scaling curve
     * for a build-then-serve query deliberately measures the BUILD path
@@ -82,9 +90,28 @@ object IndexCache {
       val d = Scratch.dir(prefix)
       build(d)
       d
-    } else served.computeIfAbsent(key, _ => {
-      val d = Scratch.dir(prefix)
-      build(d)
-      d
-    })
+    } else {
+      val fresh = new java.util.concurrent.CompletableFuture[String]()
+      val prior = served.putIfAbsent(key, fresh)
+      if (prior == null) {
+        // this thread owns the build; the map holds only the future
+        try {
+          val d = Scratch.dir(prefix)
+          build(d)
+          fresh.complete(d)
+          d
+        } catch {
+          case e: Throwable =>
+            served.remove(key, fresh) // next caller retries fresh
+            fresh.completeExceptionally(e) // unblock concurrent awaiters
+            throw e
+        }
+      } else
+        try prior.join()
+        catch {
+          // surface the builder's own exception, not the wrapper
+          case e: java.util.concurrent.CompletionException
+              if e.getCause != null => throw e.getCause
+        }
+    }
 }

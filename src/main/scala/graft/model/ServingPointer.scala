@@ -65,6 +65,13 @@ object ServingPointer {
   def current(spark: SparkSession, root: String): Option[Long] = {
     val maxRetries = 5
     var attempt = 0
+    // Re-probes back off exponentially (4/8/16/32/64 ms): an immediate
+    // re-probe can land all 5 attempts inside ONE slow flip's
+    // rename+cleanup window (a slow filesystem stretches the window to
+    // many ms) and still return the spurious None the retry exists to
+    // prevent — the backoff makes the bounded retry actually SPAN a
+    // flip window. Total worst-case wait ~124 ms, driver-side only.
+    def backoff(): Unit = { Thread.sleep(4L << math.min(attempt, 5)); attempt += 1 }
     while (true) {
       // the resolution probe (exists -> listStatus) can straddle the
       // rename too, so the retry covers BOTH phases
@@ -83,12 +90,12 @@ object ServingPointer {
             // a bounded re-probe converges; only a virgin root yields a
             // STABLE None, which the retries below confirm cheaply
             // (driver-side exists() calls).
-            attempt += 1
+            backoff()
           case None => return None
         }
       } catch {
         case e: Throwable if attempt < maxRetries && vanishedFile(e) =>
-          attempt += 1
+          backoff()
       }
     }
     None // unreachable

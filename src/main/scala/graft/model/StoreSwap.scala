@@ -89,14 +89,24 @@ object StoreSwap {
     * sidecar, accepted here like `_SUCCESS`.
     */
   private def isComplete(f: FileSystem, dir: Path): Boolean =
-    f.exists(new Path(dir, "_SUCCESS")) ||
-      f.exists(new Path(dir, EmptyMarker)) || (
-      f.exists(dir) && f.getFileStatus(dir).isDirectory &&
-        !f.exists(new Path(dir, "_temporary")) &&
-        f.listStatus(dir).exists { st =>
-          val n = st.getPath.getName
-          !n.startsWith("_") && !n.startsWith(".")
-        })
+    f.exists(new Path(dir, "_SUCCESS")) || (
+      // Both marker-less acceptance paths are gated on NO `_temporary`
+      // staging: an EmptyMarker is dropped at (empty-)write commit the
+      // way `_SUCCESS` is, but a LATER overwrite that crashed mid-job
+      // leaves `_temporary` next to the stale marker — marker plus live
+      // job staging is ambiguous and must read incomplete, exactly like
+      // the data-present fallback below. (`_SUCCESS` keeps precedence:
+      // a crashed Overwrite clears the dir — marker included — before
+      // staging, so a surviving `_SUCCESS` next to `_temporary` means
+      // the PREVIOUS committed version's data is still fully present,
+      // which is the version a reader should resolve.)
+      !f.exists(new Path(dir, "_temporary")) && (
+        f.exists(new Path(dir, EmptyMarker)) || (
+          f.exists(dir) && f.getFileStatus(dir).isDirectory &&
+            f.listStatus(dir).exists { st =>
+              val n = st.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".")
+            })))
 
   /** Swap `store.tmp` (a fully-written new version) into `store`,
     * recovering any interrupted previous swap first. Call with the new
@@ -119,7 +129,30 @@ object StoreSwap {
     val t = new Path(tmpPath(store))
     val o = new Path(oldPath(store))
     val tComplete = f.exists(t) && isComplete(f, t)
-    if (f.exists(t) && !tComplete) f.delete(t, true) // torn write: discard
+    if (f.exists(t) && !tComplete) {
+      // Under a markers-disabled session, an EMPTY unmarked tmp with no
+      // `_temporary` staging is AMBIGUOUS: it is equally a crashed job's
+      // husk and a committed zero-row write whose producer forgot
+      // [[markCommittedEmpty]]. Silently discarding it here is the one
+      // way this protocol can throw away a committed version, so fail
+      // loud instead: the maintainer either marks it (write succeeded,
+      // legitimately empty) or deletes the tmp (write crashed) — both
+      // one-liners, both unambiguous. Sessions with markers ON never
+      // reach this (their committed writes always carry `_SUCCESS`).
+      val markersOff = !spark.sparkContext.hadoopConfiguration.getBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+      val emptyHusk = markersOff && f.getFileStatus(t).isDirectory &&
+        !f.exists(new Path(t, "_temporary")) &&
+        !f.listStatus(t).exists { st =>
+          val n = st.getPath.getName
+          !n.startsWith("_") && !n.startsWith(".")
+        }
+      if (emptyHusk) throw new IllegalStateException(
+        s"$t is empty with no commit evidence under a markers-disabled " +
+          "session: call StoreSwap.markCommittedEmpty after a successful " +
+          "zero-row write, or delete the tmp if the producing job crashed")
+      f.delete(t, true) // torn write: discard
+    }
     if (tComplete) {
       if (f.exists(s)) {
         // leftover .old means the PREVIOUS swap completed steps 2-3 but
@@ -164,7 +197,24 @@ object StoreSwap {
   def committedPath(spark: SparkSession, store: String): Option[String] = {
     val f = fs(spark)
     if (isComplete(f, new Path(store))) Some(store)
-    else if (isComplete(f, new Path(oldPath(store)))) Some(oldPath(store))
-    else None
+    else {
+      // The two probes are NON-atomic: a concurrent [[commit]] can run
+      // its step-3 rename + step-4 cleanup entirely between them, making
+      // both miss (false None on a store with committed history).
+      // Callers that race live flips retry on None (ServingPointer
+      // .current); this seam lets their spec drive the interleave
+      // DETERMINISTICALLY instead of hoping a thread race hits the
+      // window.
+      interProbeHook()
+      if (isComplete(f, new Path(oldPath(store)))) Some(oldPath(store))
+      else None
+    }
   }
+
+  /** Test seam — called by [[committedPath]] between its `store` and
+    * `store.old` probes so specs can interleave a flip's renames into
+    * the exact window that produces the false-None race. No-op in
+    * production.
+    */
+  private[graft] var interProbeHook: () => Unit = () => ()
 }

@@ -269,8 +269,9 @@ object LexIndex {
       batchId: Long = -1L): Unit = {
     val prev = recoverAndReadStats(spark, dir)
       .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — index not built"))
-    if (batchId >= 0 && prev.getAs[Long]("last_batch") >= batchId)
-      return // already-committed batch replayed by the caller: no-op
+    if (graft.model.BatchLedger.isReplay(prev.getAs[Long]("last_batch"), batchId,
+        s"lex index $dir"))
+      return // exact replay of the committed batch: no-op (below-mark ids throw)
     val nBuckets = prev.getAs[Int]("n_buckets")
     val newSeq = prev.getAs[Long]("max_seq") + 1
     withPostingRows(docs) { (posts, dl) =>

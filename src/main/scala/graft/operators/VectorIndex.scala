@@ -245,8 +245,9 @@ object VectorIndex {
     import spark.implicits._
     val prev = recoverAndReadMeta(spark, dir)
       .getOrElse(sys.error(s"no readable meta under ${metaDir(dir)} — index not built"))
-    if (batchId >= 0 && prev.getAs[Long]("last_batch") >= batchId)
-      return // already-committed batch replayed by the caller: no-op
+    if (graft.model.BatchLedger.isReplay(prev.getAs[Long]("last_batch"), batchId,
+        s"vector index $dir"))
+      return // exact replay of the committed batch: no-op (below-mark ids throw)
     val newSeq = prev.getAs[Long]("max_seq") + 1
     val (coarse, books) = readCodebooks(spark, dir)
     val unitEmb = VectorOps.withUnit(newEmb, "embedding", "unit")

@@ -760,4 +760,44 @@ class ApproxOpsSpec extends SparkSpec {
       s"full coverage must beat single-term stuffing: $scored")
     assert(scored(1L) > scored(3L), s"3/3 terms must beat 2/3: $scored")
   }
+
+  test("hybrid rerank keeps a TOKEN-LESS doc the semantic branch fused in (scored 0, never dropped)") {
+    // the rerank tier re-scores the fused top-10 row-locally — a doc with
+    // no tokens (pure-embedding hit: empty extraction, non-text asset)
+    // scores coverage 0 + density 0 but must survive to the ranked list;
+    // an implementation (or oracle) that reaches its tokens through an
+    // INNER join would silently drop it. The shipped oracle LEFT JOINs
+    // doc length and derives the coverage denominator from the query CTE
+    // for exactly this row; this pins the Spark side to those semantics.
+    import spark.implicits._
+    val qTerms = Seq("spark", "merge", "vector")
+    // 4 lexical docs + the token-less doc 99 = 5 candidates, so the
+    // top-5 rerank MUST include doc 99 iff it was retained
+    val docs = Seq(
+      (0L, "probe doc excluded from ranking"),
+      (1L, "spark merge vector pipeline"),
+      (2L, "spark merge data"),
+      (3L, "vector data stream"),
+      (4L, "merge stream"),
+      (99L, "")
+    ).toDF("doc_id", "text")
+    def v(x: Float, y: Float) = Array(x, y, 0f, 0f)
+    val emb = Seq(
+      (0L, v(1f, 0f)),      // probe
+      (1L, v(0f, 1f)), (2L, v(0.1f, 1f)), (3L, v(-0.1f, 1f)), (4L, v(0f, -1f)),
+      (99L, v(0.99f, 0.1f)) // near-identical to the probe: sem_rank 1
+    ).toDF("vec_id", "embedding")
+    val fusedIds = VectorOps.hybridSearchRrf(docs, emb, qTerms, probeId = 0L)
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(fusedIds.contains(99L),
+      s"setup: the token-less doc must reach the fused top-10 via the semantic branch: $fusedIds")
+    val reranked = VectorOps.hybridSearchRerank(docs, emb, qTerms, probeId = 0L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("ce_score")).toMap
+    assert(reranked.contains(99L),
+      s"token-less candidate dropped by the rerank tier: $reranked")
+    assert(reranked(99L) == 0.0,
+      s"a token-less doc scores exactly 0 (coverage 0 + density 0): ${reranked(99L)}")
+    assert(reranked.filterNot(_._1 == 99L).values.forall(_ > 0.0),
+      "every lexical candidate outscores the token-less one")
+  }
 }

@@ -181,6 +181,67 @@ class RecoverySpec extends SparkSpec {
       "an unmarked empty dir is still a torn write")
   }
 
+  test("StoreSwap: a stale EmptyMarker next to live _temporary staging reads INCOMPLETE") {
+    // the marker is commit evidence for the empty write that dropped it —
+    // not for a LATER overwrite that crashed mid-job and left _temporary
+    // next to it. Marker + live staging is ambiguous and must read torn,
+    // mirroring the data-present fallback's _temporary gate.
+    val store = Files.createTempDirectory("graft_swap_stale").toString + "/store"
+    StoreSwap.markCommittedEmpty(spark, store)
+    assert(StoreSwap.committedPath(spark, store).contains(store),
+      "marker alone: a committed empty version")
+    hfs.mkdirs(hp(store + "/_temporary")) // a later overwrite crashed mid-job
+    assert(StoreSwap.committedPath(spark, store).isEmpty,
+      "marker + live job staging must read incomplete — promoting it would serve torn data")
+    // and commit() discards such a tmp rather than promoting it
+    val s2 = Files.createTempDirectory("graft_swap_stale2").toString + "/store"
+    writeVersion(s2, "v1", 10)
+    StoreSwap.markCommittedEmpty(spark, StoreSwap.tmpPath(s2))
+    hfs.mkdirs(hp(StoreSwap.tmpPath(s2) + "/_temporary"))
+    StoreSwap.commit(spark, s2)
+    assert(readTags(s2) == Set("v1"), "the complete version keeps serving")
+    assert(!hfs.exists(hp(StoreSwap.tmpPath(s2))), "the ambiguous tmp is discarded as torn")
+  }
+
+  test("StoreSwap.commit fails LOUD on an ambiguous empty tmp under a markers-disabled session") {
+    // under marksuccessfuljobs=false an empty unmarked tmp is equally a
+    // crashed job's husk and a committed zero-row write whose producer
+    // forgot markCommittedEmpty — silently discarding it is the one way
+    // the protocol can throw away a committed version, so it must refuse
+    // until the maintainer disambiguates (mark it, or delete the tmp).
+    val hc = spark.sparkContext.hadoopConfiguration
+    hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", false)
+    try {
+      val store = Files.createTempDirectory("graft_swap_husk").toString + "/store"
+      hfs.mkdirs(hp(StoreSwap.tmpPath(store)))
+      val e = intercept[IllegalStateException](StoreSwap.commit(spark, store))
+      assert(e.getMessage.contains("markCommittedEmpty"),
+        s"the error must name the resolution: ${e.getMessage}")
+      assert(hfs.exists(hp(StoreSwap.tmpPath(store))),
+        "the ambiguous tmp must survive the refusal for the maintainer to inspect")
+      // resolution path 1: the writer asserts its empty write committed
+      StoreSwap.markCommittedEmpty(spark, StoreSwap.tmpPath(store))
+      StoreSwap.commit(spark, store)
+      assert(StoreSwap.committedPath(spark, store).contains(store),
+        "marked empty tmp promotes to a committed (empty) serving version")
+      // resolution path 2: the maintainer deletes a crashed husk; commit
+      // then no-ops (recovery mode on a healthy store)
+      val s2 = Files.createTempDirectory("graft_swap_husk2").toString + "/store"
+      hfs.mkdirs(hp(StoreSwap.tmpPath(s2)))
+      hfs.delete(hp(StoreSwap.tmpPath(s2)), true)
+      StoreSwap.commit(spark, s2) // nothing to do, nothing thrown
+      // markers ON (the default) never reaches the refusal: an empty
+      // unmarked tmp is unambiguously torn (committed writes carry
+      // _SUCCESS) and is silently discarded as before
+      hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+      val s3 = Files.createTempDirectory("graft_swap_husk3").toString + "/store"
+      hfs.mkdirs(hp(StoreSwap.tmpPath(s3)))
+      StoreSwap.commit(spark, s3)
+      assert(!hfs.exists(hp(StoreSwap.tmpPath(s3))),
+        "under default markers an empty tmp is a torn write, discarded")
+    } finally hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+  }
+
   test("StoreSwap rolls back a mid-swap crash whose tmp is ALSO torn (old=v1, tmp torn, store absent)") {
     val store = Files.createTempDirectory("graft_swap_rb").toString + "/store"
     writeVersion(StoreSwap.oldPath(store), "v1", 10)

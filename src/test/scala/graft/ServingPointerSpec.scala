@@ -178,6 +178,45 @@ class ServingPointerSpec extends SparkSpec {
     assert(hfs.exists(hp(ServingPointer.versionDir(root, 3))), "serving dir must remain")
   }
 
+  test("DETERMINISTIC interleave: a flip's rename+cleanup landing between committedPath's two probes re-probes, never a false None") {
+    // The racing-reader test above hits the rename windows by luck of
+    // scheduling; this one DRIVES the exact false-None interleave through
+    // StoreSwap.interProbeHook: the reader's first probe (pointer) runs
+    // AFTER flip step 2 (pointer renamed aside) and its second probe
+    // (pointer.old) runs AFTER steps 3+4 (new pointer promoted, .old
+    // deleted) — both probes miss even though a complete committed
+    // pointer existed at every instant. Without the bounded None-retry,
+    // current() would report "never committed" on a store with committed
+    // history.
+    val root = freshRoot()
+    val docs = Tables.documents(spark, sf0001).limit(50)
+    val v0 = ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 4))
+    ServingPointer.flip(spark, root, v0)
+    val v1 = ServingPointer.stage(spark, root)(LexIndex.build(spark, docs, _, nBuckets = 8))
+    val ptr = ServingPointer.pointerDir(root)
+    // the flip, driven by hand so its steps interleave with the probes:
+    // pointer row staged to tmp, step 2 (pointer -> .old) already run
+    Seq(v1).toDF("version").repartition(1)
+      .write.mode("overwrite").parquet(StoreSwap.tmpPath(ptr))
+    assert(hfs.rename(hp(ptr), hp(StoreSwap.oldPath(ptr))))
+    val fired = new java.util.concurrent.atomic.AtomicInteger(0)
+    StoreSwap.interProbeHook = () => {
+      if (fired.incrementAndGet() == 1) {
+        // between the two probes the flip FINISHES: step 3 promotes the
+        // new pointer, step 4 cleans up — the second probe misses too
+        assert(hfs.rename(hp(StoreSwap.tmpPath(ptr)), hp(ptr)))
+        hfs.delete(hp(StoreSwap.oldPath(ptr)), true)
+      }
+    }
+    try {
+      assert(ServingPointer.current(spark, root).contains(1L),
+        "the None-retry must converge on the committed pointer, not report a virgin store")
+    } finally StoreSwap.interProbeHook = () => ()
+    assert(fired.get() == 1,
+      s"the interleave must have fired exactly once (first pass missed both paths, " +
+        s"retry's first probe hit) — fired ${fired.get()}")
+  }
+
   test("dropSuperseded's grace ledger keeps the previous version by default; grace=0 is the offline form") {
     val root = freshRoot()
     val docs = Tables.documents(spark, sf0001).limit(50)
