@@ -79,9 +79,10 @@ object Bench {
     // A/B). Fixed-work probes timed per run and emitted in the final
     // JSON line make the next shift self-evident from the artifact
     // itself — see graft.Canary for the two-band rationale.
-    val (canaryCpu, canaryFs) =
+    val (canaryCpu, canaryFs, canarySpill) =
       Canary.probe(new java.io.File(warmDir, "canary"))
-    System.err.println(f"[bench] host canary: cpu=$canaryCpu%.3f s fs=$canaryFs%.3f s")
+    System.err.println(
+      f"[bench] host canary: cpu=$canaryCpu%.3f s fs=$canaryFs%.3f s spill=$canarySpill%.3f s")
     var errors = 0
     // Sorted by name: Map iteration order reshuffles whenever a query is
     // added, which changes which query pays each warm-cache/GC transition
@@ -164,7 +165,7 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2._1).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"errors":$errors,"reps":$reps,"stat":"median","canary_cpu_sec":${fmt(canaryCpu)},"canary_fs_sec":${fmt(canaryFs)},"sf":"$sfDir","total_sec":${fmt(total)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"errors":$errors,"reps":$reps,"stat":"median","canary_cpu_sec":${fmt(canaryCpu)},"canary_fs_sec":${fmt(canaryFs)},"canary_spill_sec":${fmt(canarySpill)},"sf":"$sfDir","total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -8,11 +8,13 @@ package graft
   * both are the class of drift a fixed-work probe timed NEXT TO the
   * measurement makes self-evident from the artifact.
   *
-  * Two probes because the observed drifts split by band: a
-  * single-thread CPU loop (compute-bound queries track it) and a
-  * file create/rename/delete loop (the state-store/rename band — the
-  * r15 slow epoch inflated rename-heavy queries 2-3× while compute
-  * stayed flat). min over reps: the probe wants the host's ceiling,
+  * Three probes because the observed drifts split by band: a
+  * single-thread CPU loop (compute-bound queries track it), a file
+  * create/rename/delete loop (the rename band — the r15 slow epoch
+  * inflated rename-heavy queries 2-3× while compute stayed flat), and
+  * a 256 MiB sequential write+sync+read-back (the spill band — r16's
+  * drift hit the state-store/spill cluster while cpu AND fs read
+  * fast-epoch). min over reps: the probe wants the host's ceiling,
   * not a GC blip.
   */
 object Canary {
@@ -43,13 +45,59 @@ object Canary {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** (cpu, fs) as min over `reps`; (-1, -1) if probing itself fails —
-    * a canary failure must never abort the measurement run it guards.
+  /** Seconds to stream a fixed 256 MiB file to disk (1 MiB chunks of
+    * incompressible-ish bytes), force it to the device once, read it
+    * back, and delete it — the SPILL-BANDWIDTH band. Round 16's host
+    * drift inflated the state-store/spill cluster (stream_cc 2.7×,
+    * stream_count 2.5×, …) while BOTH existing probes read fast-epoch:
+    * a sort spill or state-store checkpoint is a few hundred MB of
+    * sequential write+read-back, a band neither a CPU loop nor a
+    * 200-cycle rename loop touches. Fixed work (~0.5-1 s on a healthy
+    * disk), so epoch comparison is a straight ratio like the others.
     */
-  def probe(scratch: java.io.File, reps: Int = 3): (Double, Double) =
+  def spillSec(dir: java.io.File): Double = {
+    dir.mkdirs()
+    val f = new java.io.File(dir, "spill.probe")
+    val MiB = 1 << 20
+    val buf = java.nio.ByteBuffer.allocateDirect(MiB)
+    var j = 0
+    var x = 0x243F6A8885A308D3L // fill once: compressing FS can't cheat
+    while (j < MiB - 7) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      buf.putLong(j, x); j += 8
+    }
+    val t0 = System.nanoTime()
+    val ch = java.nio.channels.FileChannel.open(f.toPath,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.WRITE,
+      java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+    var i = 0
+    while (i < 256) {
+      buf.putLong(0, i.toLong) // vary chunks so dedup can't cheat either
+      buf.rewind()
+      while (buf.hasRemaining) ch.write(buf)
+      i += 1
+    }
+    ch.force(false) // one device sync: the write must leave page cache
+    ch.close()
+    val rch = java.nio.channels.FileChannel.open(f.toPath,
+      java.nio.file.StandardOpenOption.READ)
+    buf.clear()
+    while (rch.read(buf) > 0) buf.clear()
+    rch.close()
+    f.delete()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** (cpu, fs, spill) as min over `reps`; (-1, -1, -1) if probing itself
+    * fails — a canary failure must never abort the measurement run it
+    * guards.
+    */
+  def probe(scratch: java.io.File, reps: Int = 3): (Double, Double, Double) =
     try ((1 to reps).map(_ => cpuSec()).min,
-      (1 to reps).map(_ => fsSec(scratch)).min)
+      (1 to reps).map(_ => fsSec(scratch)).min,
+      (1 to reps).map(_ => spillSec(scratch)).min)
     catch { case e: Throwable =>
-      System.err.println(s"[canary] probe failed: $e"); (-1.0, -1.0)
+      System.err.println(s"[canary] probe failed: $e"); (-1.0, -1.0, -1.0)
     }
 }

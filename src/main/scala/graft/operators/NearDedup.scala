@@ -409,18 +409,7 @@ object NearDedup {
     // same clustering at scale.
     graft.QueryDef.withOracle(
       "near_dedup_apply",
-      s"""WITH RECURSIVE ${TextOps.shinglePairCte()},
-        |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
-        |        JOIN sizes nb ON j = nb.doc_id
-        |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
-        |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
-        |nodes AS (SELECT DISTINCT a AS node FROM edges),
-        |reach AS (SELECT node, node AS m FROM nodes
-        |          UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
-        |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node)
-        |SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
-        |WHERE cc.canonical IS NULL OR cc.canonical = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      applyOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val pairs = routedJaccardPairs(docs, 0.1)
         .select(col("i").as("src"), col("j").as("dst"))
@@ -446,18 +435,7 @@ object NearDedup {
     // dropHotBuckets already logs).
     graft.QueryDef.withOracle(
       "near_dedup_apply_incremental",
-      s"""WITH RECURSIVE ${TextOps.shinglePairCte()},
-        |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
-        |        JOIN sizes nb ON j = nb.doc_id
-        |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
-        |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
-        |nodes AS (SELECT DISTINCT a AS node FROM edges),
-        |reach AS (SELECT node, node AS m FROM nodes
-        |          UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
-        |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node)
-        |SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
-        |WHERE cc.canonical IS NULL OR cc.canonical = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      applyOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val isNew = col("doc_id") % 4 === 0
       val hashed = docs
@@ -498,18 +476,7 @@ object NearDedup {
     // idempotence, and the torn-stats not-built read.
     graft.QueryDef.withOracle(
       "near_dedup_apply_store",
-      s"""WITH RECURSIVE ${TextOps.shinglePairCte()},
-        |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
-        |        JOIN sizes nb ON j = nb.doc_id
-        |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
-        |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
-        |nodes AS (SELECT DISTINCT a AS node FROM edges),
-        |reach AS (SELECT node, node AS m FROM nodes
-        |          UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
-        |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node)
-        |SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
-        |WHERE cc.canonical IS NULL OR cc.canonical = d.doc_id
-        |ORDER BY d.doc_id""".stripMargin) { (s, dir) =>
+      applyOracleSql) { (s, dir) =>
       val docs = Tables.documents(s, dir)
       val isNew = col("doc_id") % 4 === 0
       // nightly store lifecycle: the existing corpus's signatures were
@@ -559,8 +526,76 @@ object NearDedup {
       keepBestOracleSql) { (s, dir) =>
       keepBestCanonicalIncremental(Tables.documents(s, dir),
         col("doc_id") % 4 === 0).orderBy("doc_id")
+    },
+
+    // The STORE-SERVED nightly keep-best (r17): identical semantics and
+    // oracle to near_dedup_keep_best_incremental, with BOTH nightly
+    // text costs closed — shingle signatures from the persistent
+    // [[ShingleStore]] (as near_dedup_apply_store) AND the quality
+    // signal from the store's row-local `q` sidecar, persisted by the
+    // same pass that shingled each batch. At 100 TB the whole nightly
+    // keep-best reads no text: long arrays + one double per doc,
+    // column-pruned. The query runs the full store lifecycle (build on
+    // the existing corpus, crash-safe sidecar-checked append of the new
+    // batch) and the shared oracle proves store-served ≡ recompute ≡
+    // full batch keep-best; NearDedupSpec additionally pins the
+    // sidecar-mismatch refusal and store ≡ recompute row equality.
+    graft.QueryDef.withOracle(
+      "near_dedup_keep_best_store",
+      keepBestOracleSql) { (s, dir) =>
+      val docs = Tables.documents(s, dir)
+      val isNew = col("doc_id") % 4 === 0
+      val store = graft.Scratch.dir("graft_shinglestore_kb")
+      ShingleStore.build(s, docs.where(!isNew), store, n = 3, batchId = 0,
+        sidecar = keepBestSidecar)
+      ShingleStore.append(s, docs.where(isNew), store, batchId = 1,
+        sidecar = keepBestSidecar)
+      keepBestCanonicalStoreServed(s, store, isNew).orderBy("doc_id")
     }
   )
+
+  /** Shared DuckDB oracle for the keep-MIN apply family —
+    * near_dedup_apply, its incremental and store-served forms, and the
+    * streamed store fold (stream_shingle_append): every maintenance
+    * strategy must land the identical kept set, and sharing the SQL
+    * makes the driver prove it. (lazy: referenced by `defs`, which is
+    * declared above it.)
+    */
+  private[graft] lazy val applyOracleSql: String =
+    s"""WITH RECURSIVE ${TextOps.shinglePairCte()},
+      |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
+      |        JOIN sizes nb ON j = nb.doc_id
+      |        WHERE inter * 1.0 / (na.n + nb.n - inter) >= 0.1),
+      |edges AS (SELECT i AS a, j AS b FROM dup UNION SELECT j, i FROM dup),
+      |nodes AS (SELECT DISTINCT a AS node FROM edges),
+      |reach AS (SELECT node, node AS m FROM nodes
+      |          UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
+      |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node)
+      |SELECT d.doc_id FROM documents d LEFT JOIN cc ON cc.node = d.doc_id
+      |WHERE cc.canonical IS NULL OR cc.canonical = d.doc_id
+      |ORDER BY d.doc_id""".stripMargin
+
+  /** The FULL apply step served entirely from a [[ShingleStore]] — the
+    * downstream of the streamed store fold (stream_shingle_append): pair
+    * generation, clustering and canonical selection run over the store's
+    * committed (doc_id, hs) relation; no text is read except the final
+    * doc-list join. Semantics identical to `near_dedup_apply` (shares
+    * [[applyOracleSql]]).
+    */
+  def applyCanonicalFromStore(spark: org.apache.spark.sql.SparkSession,
+      store: String, docs: DataFrame, threshold: Double = 0.1): DataFrame = {
+    val hashed = ShingleStore.hashes(spark, store)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try {
+      val pairs = routedJaccardPairsFromHashes(hashed, threshold)
+        .select(col("i").as("src"), col("j").as("dst"))
+      val cc = GraphOps.connectedComponents(pairs)
+      docs.join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
+        .where(col("label").isNull || col("label") === col("doc_id"))
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    } finally hashed.unpersist()
+  }
 
   /** Shared DuckDB oracle for near_dedup_keep_best AND its incremental
     * form — maintenance must land the identical kept set, and sharing
@@ -750,8 +785,56 @@ object NearDedup {
         shingleHashes(col("text"), 3).as("hs"))
       .where(col("hs").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
-    try {
-      val docsQ = docs.select(col("doc_id"), isNew.as("is_new"), qualityScore.as("q"))
+    try keepBestIncrementalCore(hashed,
+      docs.select(col("doc_id"), isNew.as("is_new"), qualityScore.as("q")),
+      threshold)
+    finally hashed.unpersist()
+  }
+
+  /** [[keepBestCanonicalIncremental]] SERVED FROM the persistent
+    * [[ShingleStore]] — the keep-best sibling of `near_dedup_apply_store`
+    * and the close of the family's last nightly recompute: the
+    * incremental form still re-tokenizes and re-shingles the EXISTING
+    * corpus each run for its pair stages AND re-scores its quality
+    * signal for the prior kept table. Here both come from the store —
+    * the shingle arrays as (doc_id, hs) and the quality score as the
+    * store's row-local `q` SIDECAR (persisted by the same pass that
+    * shingled each batch on arrival) — so the whole nightly keep-best
+    * touches no text at all: a column-pruned read of long arrays and one
+    * double per doc. `isNew` marks which store rows are tonight's batch.
+    */
+  def keepBestCanonicalStoreServed(spark: org.apache.spark.sql.SparkSession,
+      store: String, isNew: org.apache.spark.sql.Column,
+      threshold: Double = 0.1): DataFrame = {
+    val rel = ShingleStore.read(spark, store)
+    val hashed = rel
+      .select(col("doc_id"), isNew.as("is_new"), col("hs"))
+      .where(col("hs").isNotNull)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    try keepBestIncrementalCore(hashed,
+      rel.select(col("doc_id"), isNew.as("is_new"), col("q")),
+      threshold)
+    finally hashed.unpersist()
+  }
+
+  /** The quality sidecar the keep-best store persists alongside each
+    * batch's signatures — MUST stay the [[qualityScore]] expression so
+    * store-served argmaxes equal the recompute's.
+    */
+  def keepBestSidecar: Seq[(String, org.apache.spark.sql.Column)] =
+    Seq("q" -> qualityScore)
+
+  /** The maintenance fold shared by the text-scanning and store-served
+    * keep-best forms: `hashed` = the caller's PERSISTED
+    * (doc_id, is_new, hs) relation (null-signature docs already
+    * dropped — they carry no pair evidence), `docsQ` = (doc_id, is_new,
+    * q) over the WHOLE corpus (null-signature docs included: they score
+    * as their own clusters). See [[keepBestCanonicalIncremental]] for
+    * the 100 TB cost shape.
+    */
+  private def keepBestIncrementalCore(hashed: DataFrame, docsQ: DataFrame,
+      threshold: Double): DataFrame = {
+    {
       // prior state: the existing corpus's labeling and kept table
       val pairsE = routedJaccardPairsFromHashes(
         hashed.where(!col("is_new")).select("doc_id", "hs"), threshold)
@@ -792,6 +875,6 @@ object NearDedup {
         .select(col("doc_id").as("cluster"), col("doc_id"), col("q"))
       keptUntouched.unionByName(keptAffected).unionByName(newSingles)
         .select(col("doc_id"), col("q"))
-    } finally hashed.unpersist()
+    }
   }
 }

@@ -23,8 +23,8 @@ import org.apache.spark.sql.functions._
   * query-key to partition by):
   *   - `sigs/seq=<n>/` — (doc_id, hs: array<long>): batch n's
   *     signatures, visible only once stats records `max_seq >= n`.
-  *   - `stats/` — one row (n_docs, shingle_n, max_seq, last_batch):
-  *     the single commit point. Build writes sigs first and stats
+  *   - `stats/` — one row (n_docs, shingle_n, min_seq, max_seq,
+  *     last_batch, sidecar_cols): the single commit point. Build writes sigs first and stats
   *     LAST; append writes under `seq = max_seq + 1` (invisible to
   *     every reader) and commits by swapping stats through the
   *     crash-safe [[graft.model.StoreSwap]] two-rename. A crash
@@ -50,9 +50,18 @@ object ShingleStore {
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
-  private def signatures(docs: DataFrame, n: Int): DataFrame =
-    docs.select(col("doc_id"), shingleHashes(col("text"), n).as("hs"))
-      .where(col("hs").isNotNull)
+  /** The stored relation: EVERY doc (null-signature docs — fewer tokens
+    * than the shingle width — are kept as null-`hs` rows so sidecar
+    * consumers see the whole corpus; [[hashes]] filters them for the
+    * pair stages) plus any caller sidecar columns, computed ROW-LOCALLY
+    * from the same docs pass that shingles — the keep-best consumer
+    * persists its quality signal here so the nightly argmax reads no
+    * text either.
+    */
+  private def signatures(docs: DataFrame, n: Int,
+      sidecar: Seq[(String, org.apache.spark.sql.Column)]): DataFrame =
+    docs.select(col("doc_id") +: shingleHashes(col("text"), n).as("hs") +:
+      sidecar.map { case (name, c) => c.as(name) }: _*)
 
   /** Build the store from `docs` into a dir that has never COMMITTED a
     * build. Rebuilding over a built store is refused loudly (the
@@ -62,7 +71,8 @@ object ShingleStore {
     * rebuilt.
     */
   def build(spark: SparkSession, docs: DataFrame, dir: String,
-      n: Int = 3, batchId: Long = -1L): Unit = {
+      n: Int = 3, batchId: Long = -1L,
+      sidecar: Seq[(String, org.apache.spark.sql.Column)] = Nil): Unit = {
     require(n >= 1, s"need shingle width >= 1, got $n")
     graft.model.StoreSwap.commit(spark, statsDir(dir))
     graft.model.StoreSwap.commit(spark, sigsDir(dir))
@@ -70,7 +80,7 @@ object ShingleStore {
       sys.error(s"refusing to rebuild over the built signature store at $dir — " +
         "write the replacement to a fresh dir, or evolve this one via append")
     fs(spark).delete(new Path(statsDir(dir)), true) // torn first-write leftover
-    val sigs = signatures(docs, n)
+    val sigs = signatures(docs, n, sidecar)
       .localCheckpoint() // one shingle pass feeds the write AND the stats count
     sigs.withColumn("seq", lit(0))
       .write.mode(SaveMode.Overwrite).partitionBy("seq")
@@ -78,7 +88,9 @@ object ShingleStore {
     // stats LAST — the read path's entry point, so a crash mid-build
     // reads as not-built, never as a store with missing signatures
     sigs.agg(count(lit(1)).as("n_docs"), lit(n).as("shingle_n"),
-        lit(0L).as("max_seq"), lit(batchId).as("last_batch"))
+        lit(0L).as("min_seq"), lit(0L).as("max_seq"),
+        lit(batchId).as("last_batch"),
+        lit(sidecar.map(_._1).mkString(",")).as("sidecar_cols"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(statsDir(dir))
@@ -106,17 +118,30 @@ object ShingleStore {
     else {
       val stats = spark.read.parquet(statsDir(dir)).head()
       val maxSeq = stats.getAs[Long]("max_seq")
+      val min = minSeq(stats)
       val sigs = new Path(sigsDir(dir))
       if (f.exists(sigs)) f.listStatus(sigs).foreach { s =>
         val sn = s.getPath.getName
         if (sn == "_temporary") f.delete(s.getPath, true)
         else if (s.isDirectory && sn.startsWith("seq=") &&
-            scala.util.Try(sn.stripPrefix("seq=").toLong).toOption.exists(_ > maxSeq))
+            scala.util.Try(sn.stripPrefix("seq=").toLong).toOption
+              // > max_seq: a crashed append/compaction's orphan;
+              // < min_seq: levels a committed compaction superseded
+              // (readers gate on [min_seq, max_seq], so both invisible)
+              .exists(v => v > maxSeq || v < min))
           f.delete(s.getPath, true)
       }
       Some(stats)
     }
   }
+
+  /** The committed relation's LOWEST live seq level (0 until a
+    * compaction raises it). Tolerates pre-compaction stats rows.
+    */
+  private def minSeq(stats: org.apache.spark.sql.Row): Long =
+    if (stats.schema.fieldNames.contains("min_seq"))
+      stats.getAs[Long]("min_seq")
+    else 0L
 
   def recover(spark: SparkSession, dir: String): Unit = {
     recoverAndReadStats(spark, dir)
@@ -130,14 +155,24 @@ object ShingleStore {
     * the store's own stats, never the caller.
     */
   def append(spark: SparkSession, docs: DataFrame, dir: String,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L,
+      sidecar: Seq[(String, org.apache.spark.sql.Column)] = Nil): Unit = {
     val prev = recoverAndReadStats(spark, dir)
       .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — store not built"))
-    if (batchId >= 0 && prev.getAs[Long]("last_batch") >= batchId)
-      return // already-committed batch replayed by the caller: no-op
+    if (graft.model.BatchLedger.isReplay(prev.getAs[Long]("last_batch"), batchId,
+        s"shingle store $dir"))
+      return // exact replay of the committed batch: no-op (below-mark ids throw)
+    // the appended batch must carry exactly the store's sidecar shape —
+    // a parquet schema-union would silently null-fill the mismatch and a
+    // later sidecar read would serve holes as data
+    val storedSidecar = sidecarCols(prev)
+    require(sidecar.map(_._1) == storedSidecar,
+      s"sidecar mismatch on append to $dir: store carries " +
+        s"[${storedSidecar.mkString(",")}], batch supplies " +
+        s"[${sidecar.map(_._1).mkString(",")}]")
     val n = prev.getAs[Int]("shingle_n")
     val newSeq = prev.getAs[Long]("max_seq") + 1
-    val sigs = signatures(docs, n).localCheckpoint()
+    val sigs = signatures(docs, n, sidecar).localCheckpoint()
     sigs.withColumn("seq", lit(newSeq.toInt))
       .write.mode(SaveMode.Append).partitionBy("seq")
       .parquet(sigsDir(dir))
@@ -145,8 +180,10 @@ object ShingleStore {
     sigs.agg(
         (count(lit(1)) + lit(prev.getAs[Long]("n_docs"))).as("n_docs"),
         lit(n).as("shingle_n"),
+        lit(minSeq(prev)).as("min_seq"),
         lit(newSeq).as("max_seq"),
-        lit(math.max(prev.getAs[Long]("last_batch"), batchId)).as("last_batch"))
+        lit(math.max(prev.getAs[Long]("last_batch"), batchId)).as("last_batch"),
+        lit(storedSidecar.mkString(",")).as("sidecar_cols"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(graft.model.StoreSwap.tmpPath(statsDir(dir)))
@@ -155,6 +192,63 @@ object ShingleStore {
     ()
   }
 
+  /** Compaction trigger + action (the [[LexIndex.maintain]] policy on
+    * the dedup-state store): a streamed fold ([[append]] per micro-
+    * batch) accumulates one `seq=` directory per batch, and a reader
+    * eventually pays per-level file-listing and small-file overhead for
+    * state that never changes. When the live level count exceeds
+    * `maxSeqDirs`, rewrite the whole committed relation into ONE fresh
+    * level and retire the old ones — crash-safe under the same protocol
+    * as append: the compacted level lands at `max_seq + 1` (invisible —
+    * readers gate on `[min_seq, max_seq]`), the stats two-rename
+    * committing `min_seq = max_seq = max_seq + 1` is the single flip,
+    * and a crash anywhere leaves readers on exactly the old levels (a
+    * retry re-compacts after [[recover]] prunes the orphan). Superseded
+    * levels are deleted AFTER the swap; a crash between swap and delete
+    * leaves them invisible, and the next entry's recovery prunes them.
+    * No-op below the trigger. Returns true when a compaction ran.
+    */
+  def maintain(spark: SparkSession, dir: String, maxSeqDirs: Int = 8): Boolean = {
+    val prev = recoverAndReadStats(spark, dir)
+      .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — store not built"))
+    val liveLevels = prev.getAs[Long]("max_seq") - minSeq(prev) + 1
+    if (liveLevels <= maxSeqDirs) return false
+    val newSeq = prev.getAs[Long]("max_seq") + 1
+    read(spark, dir)
+      .withColumn("seq", lit(newSeq.toInt))
+      .write.mode(SaveMode.Append).partitionBy("seq")
+      .parquet(sigsDir(dir))
+    // THE commit point: one swap moves the whole window to the new level
+    spark.range(1).select(
+        lit(prev.getAs[Long]("n_docs")).as("n_docs"),
+        lit(prev.getAs[Int]("shingle_n")).as("shingle_n"),
+        lit(newSeq).as("min_seq"),
+        lit(newSeq).as("max_seq"),
+        lit(prev.getAs[Long]("last_batch")).as("last_batch"),
+        lit(sidecarCols(prev).mkString(",")).as("sidecar_cols"))
+      .repartition(1)
+      .write.mode(SaveMode.Overwrite)
+      .parquet(graft.model.StoreSwap.tmpPath(statsDir(dir)))
+    graft.model.StoreSwap.commit(spark, statsDir(dir))
+    // retired levels: invisible already; delete eagerly, recovery mops up
+    val f = fs(spark)
+    f.listStatus(new Path(sigsDir(dir))).foreach { s =>
+      val sn = s.getPath.getName
+      if (s.isDirectory && sn.startsWith("seq=") &&
+          scala.util.Try(sn.stripPrefix("seq=").toLong).toOption.exists(_ < newSeq))
+        f.delete(s.getPath, true)
+    }
+    true
+  }
+
+  /** The store's recorded sidecar column names (empty for a plain
+    * signature store). Tolerates pre-sidecar stats rows.
+    */
+  private def sidecarCols(stats: org.apache.spark.sql.Row): Seq[String] =
+    if (!stats.schema.fieldNames.contains("sidecar_cols")) Nil
+    else Option(stats.getAs[String]("sidecar_cols"))
+      .filter(_.nonEmpty).map(_.split(",").toSeq).getOrElse(Nil)
+
   /** The committed (doc_id, hs) relation — resolves stats through
     * [[graft.model.StoreSwap.committedPath]] and sigs through
     * [[graft.model.StoreSwap.readablePath]], gated to `seq <= max_seq`
@@ -162,14 +256,30 @@ object ShingleStore {
     * invisible). This is the scan the nightly dedup reads INSTEAD of
     * re-shingling the corpus: long arrays only, no text column.
     */
-  def hashes(spark: SparkSession, dir: String): DataFrame = {
+  def hashes(spark: SparkSession, dir: String): DataFrame =
+    read(spark, dir)
+      .where(col("hs").isNotNull) // null-sig docs carry no pair evidence
+      .select(col("doc_id"), col("hs"))
+
+  /** The full committed store relation — (doc_id, hs, sidecar…), null-
+    * signature docs INCLUDED (a doc too short to shingle still has its
+    * sidecar values; keep-best must score it as a singleton). Same
+    * commit resolution and `seq <= max_seq` partition pruning as
+    * [[hashes]]; consumers that touch only (doc_id, sidecar) columns
+    * never read the hash arrays (parquet column pruning).
+    */
+  def read(spark: SparkSession, dir: String): DataFrame = {
     val statsPath = graft.model.StoreSwap.committedPath(spark, statsDir(dir))
       .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — store not built"))
-    val maxSeq = spark.read.parquet(statsPath).head().getAs[Long]("max_seq")
+    val stats = spark.read.parquet(statsPath).head()
+    val maxSeq = stats.getAs[Long]("max_seq")
     val sigsPath = graft.model.StoreSwap.readablePath(spark, sigsDir(dir))
       .getOrElse(sys.error(s"no readable sigs under ${sigsDir(dir)}"))
     spark.read.parquet(sigsPath)
-      .where(col("seq") <= lit(maxSeq.toInt))
-      .select(col("doc_id"), col("hs"))
+      // [min_seq, max_seq]: above = uncommitted appends/compactions,
+      // below = levels a committed compaction retired — both invisible
+      // (partition pruning: neither costs a read)
+      .where(col("seq").between(lit(minSeq(stats).toInt), lit(maxSeq.toInt)))
+      .select((col("doc_id") +: col("hs") +: sidecarCols(stats).map(col)): _*)
   }
 }

@@ -1468,10 +1468,20 @@ object TextOps {
     // linear in occurrence count (a boilerplate mega-span costs its
     // occurrences, never occurrences²), and the rebuild groups by doc —
     // bounded by document length.
+    // SIZE-ROUTED since r17 (the graft.neardedup.exactMaxRows pattern):
+    // SCALING_r16 measured the direct plan's final decade at 1.10-1.13 —
+    // it shuffles one span hash per token position corpus-wide, the one
+    // real scale-killer left in the suite — while the windowed twin
+    // measures ~1.0 on the same corpus. The two plans share this oracle
+    // verbatim, so the route is PROVABLE: below
+    // `graft.spanscrub.directMaxRows` the direct oracle-definition plan
+    // runs (cheapest at fixture scale), above it the winnowed plan —
+    // callers can no longer pick the wrong plan at scale by naming the
+    // wrong ID.
     withOracle(
       "text_span_scrub",
       spanScrubOracleSql) { (s, dir) =>
-      spanScrub(Tables.documents(s, dir), SpanDedupN).orderBy("doc_id")
+      spanScrubRouted(Tables.documents(s, dir), SpanDedupN).orderBy("doc_id")
     },
 
     // The 100 TB plan for the same operator: winnow-subsampled
@@ -1513,6 +1523,34 @@ object TextOps {
         |       coalesce(agg.text_clean, '') AS text_clean
         |FROM documents d LEFT JOIN agg USING (doc_id)
         |ORDER BY d.doc_id""".stripMargin
+
+  /** Corpus-size routing knob for the span-scrub family
+    * (`graft.spanscrub.directMaxRows`, default 200000): at or below it
+    * [[spanScrubRouted]] runs the direct oracle-definition plan
+    * ([[spanScrub]] — cheapest at fixture scale, and exactly the shape
+    * the DuckDB SQL computes); above it, the winnowed two-pass plan
+    * ([[spanScrubWindowed]]). SCALING_r16 measured the direct plan's
+    * final decade (100k → 1M docs) at exponent 1.10-1.13 — its
+    * span-per-token corpus-wide shuffle is superlinear once spills start
+    * — while the windowed plan holds ~1.0 on the same corpus; 200000
+    * sits under that measured onset with the fixtures (≤5000 docs)
+    * comfortably on the direct side. Same routing pattern as
+    * `graft.neardedup.exactMaxRows`.
+    */
+  private[graft] def spanScrubDirectMaxRows(
+      s: org.apache.spark.sql.SparkSession): Long =
+    s.conf.get("graft.spanscrub.directMaxRows", "200000").toLong
+
+  /** Volume-routed exact-substring scrub: [[spanScrub]] at or below
+    * [[spanScrubDirectMaxRows]] rows, [[spanScrubWindowed]] above. The
+    * two plans are output-identical (they share the oracle verbatim;
+    * SpanScrubSpec pins forced-route ≡ direct), so routing changes cost,
+    * never answers.
+    */
+  def spanScrubRouted(docs: DataFrame, n: Int): DataFrame =
+    if (docs.count() <= spanScrubDirectMaxRows(docs.sparkSession))
+      spanScrub(docs, n)
+    else spanScrubWindowed(docs, n)
 
   /** Exact-substring removal (Lee et al. 2022): delete every non-first
     * occurrence of each corpus-duplicated n-token span and rebuild the

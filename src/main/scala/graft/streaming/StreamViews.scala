@@ -833,6 +833,58 @@ object StreamViews {
         rerank = 12)
     },
 
+    // Speed-layer maintenance of the persistent SHINGLE-SIGNATURE store
+    // — the [[stream_lex_append]] pairing on the dedup-state side,
+    // closing the serving-store symmetry for the last store without a
+    // streamed fold (upsert, labels, postings, codes… and now
+    // signatures). The document intake stream folds into
+    // [[graft.operators.ShingleStore]] one micro-batch at a time via the
+    // TRANSACTIONAL append (batch signatures land under an uncommitted
+    // seq= partition, the stats two-rename is the single commit point,
+    // the engine batch id rides into stats so a re-delivery after a
+    // maintainer crash is a no-op — and an out-of-order id fails loud
+    // via BatchLedger). Folding ANY batching sequentially lands the
+    // same relation as one build, and the downstream apply runs
+    // entirely over the store (no text in the pair stages), so the
+    // query shares near_dedup_apply's oracle verbatim: the driver
+    // proves stream-fold ≡ batch build ≡ full recompute. NearDedupSpec
+    // kill-tests the stats-swap crash window (orphaned seq dir
+    // invisible, retry converges).
+    withOracle(
+      "stream_shingle_append",
+      graft.operators.NearDedup.applyOracleSql) { (s, dir) =>
+      val docsDir = stageCache.computeIfAbsent(s"lexdocs|$dir", _ => {
+        val d = graft.Scratch.dir("graft_lex_docs")
+        Tables.documents(s, dir).select("doc_id", "text").repartition(4)
+          .write.mode("overwrite").parquet(d)
+        d
+      })
+      val store = graft.Scratch.dir("graft_shinglestore_stream")
+      val schema = s.read.parquet(docsDir).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(docsDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (!graft.operators.ShingleStore.isBuilt(s, store))
+            graft.operators.ShingleStore.build(s, batch.toDF(), store,
+              n = 3, batchId = id)
+          else {
+            graft.operators.ShingleStore.append(s, batch.toDF(), store,
+              batchId = id)
+            // level-count compaction between batches (the LexIndex/
+            // VectorIndex maintain policy; a no-op until the fold has
+            // accumulated enough seq levels to matter)
+            graft.operators.ShingleStore.maintain(s, store)
+            ()
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      graft.operators.NearDedup.applyCanonicalFromStore(s, store,
+        Tables.documents(s, dir))
+    },
+
     // Streaming mergeable quantiles: per-event-type p50/p95 of the value
     // column via KLL sketches — the speed-layer form of the exact batch
     // `agg_percentile`. Like stream_hll, the state IS the sketch

@@ -295,6 +295,14 @@ class NearDedupSpec extends SparkSpec {
     ShingleStore.append(spark, batch, dir, batchId = 1)
     assert(ShingleStore.hashes(spark, dir).count() == before,
       "replayed batch must not double-append")
+    // an OUT-OF-ORDER batch (id below the committed high-water mark, not
+    // an exact replay) is a sequencing violation and fails loud — the old
+    // `last_batch >= batchId` skip would silently LOSE that batch's rows
+    val ooo = intercept[IllegalStateException](
+      ShingleStore.append(spark, batch, dir, batchId = 0))
+    assert(ooo.getMessage.contains("out-of-order"), ooo.getMessage)
+    assert(ShingleStore.hashes(spark, dir).count() == before,
+      "the refused out-of-order append must not mutate the store")
     // rebuild over a committed store is refused loudly
     intercept[Exception](ShingleStore.build(spark, existing, dir))
     // a torn FIRST build (stats staged, never committed) reads not-built
@@ -304,5 +312,110 @@ class NearDedupSpec extends SparkSpec {
     hfs.mkdirs(new org.apache.hadoop.fs.Path(s"$torn/stats/_temporary"))
     assert(!ShingleStore.isBuilt(spark, torn),
       "a _temporary-only stats dir is a torn write, not a built store")
+  }
+
+  test("ShingleStore kill at the stats swap: the orphaned seq dir is invisible, the retried append converges") {
+    import graft.operators.ShingleStore
+    val corpus = Tables.documents(spark, sf0001).limit(300)
+    val b0 = corpus.where($"doc_id" % 3 === 0)
+    val b1 = corpus.where($"doc_id" % 3 === 1)
+    val b2 = corpus.where($"doc_id" % 3 === 2)
+    val dir = Scratch.dir("shinglestore_kill")
+    ShingleStore.build(spark, b0, dir, n = 3, batchId = 0)
+    ShingleStore.append(spark, b1, dir, batchId = 1)
+    val committed = ShingleStore.hashes(spark, dir).count()
+    // CRASH: batch 2's signatures fully landed under seq=2 but the
+    // maintainer died before the stats swap — the commit point never ran
+    b2.select($"doc_id", shingleHashes($"text", 3).as("hs"))
+      .write.mode("overwrite").parquet(s"$dir/sigs/seq=2")
+    assert(ShingleStore.hashes(spark, dir).count() == committed,
+      "an unswapped seq dir must be invisible to every reader")
+    // retry: the maintainer re-runs the append (same durable batch id);
+    // recovery prunes the orphan first, so nothing double-counts
+    ShingleStore.append(spark, b2, dir, batchId = 2)
+    val after = ShingleStore.hashes(spark, dir)
+      .select($"doc_id", $"hs").as[(Long, Seq[Long])].collect().toMap
+    val fresh = corpus.select($"doc_id", shingleHashes($"text", 3).as("hs"))
+      .where($"hs".isNotNull).as[(Long, Seq[Long])].collect().toMap
+    assert(after == fresh,
+      "post-recovery relation must equal a clean build over the same corpus")
+    // streamed-fold equivalence: ANY batching folded sequentially equals
+    // one build (what lets stream_shingle_append share the apply oracle)
+    val one = Scratch.dir("shinglestore_onebuild")
+    ShingleStore.build(spark, corpus, one, n = 3)
+    val built = ShingleStore.hashes(spark, one)
+      .select($"doc_id", $"hs").as[(Long, Seq[Long])].collect().toMap
+    assert(after == built, "sequential folds must land exactly the one-shot build")
+  }
+
+  test("ShingleStore.maintain compacts accumulated seq levels: trigger, relation identity, retired-level pruning, idempotence") {
+    import graft.operators.ShingleStore
+    val corpus = Tables.documents(spark, sf0001).limit(240)
+    val dir = Scratch.dir("shinglestore_maint")
+    val hfs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    def levels: Set[Long] = hfs
+      .listStatus(new org.apache.hadoop.fs.Path(s"$dir/sigs")).toSeq
+      .map(_.getPath.getName).filter(_.startsWith("seq="))
+      .map(_.stripPrefix("seq=").toLong).toSet
+    // a streamed fold: build + 5 appends = 6 levels
+    ShingleStore.build(spark, corpus.where($"doc_id" % 6 === 0), dir, n = 3, batchId = 0)
+    (1 to 5).foreach(i =>
+      ShingleStore.append(spark, corpus.where($"doc_id" % 6 === i), dir, batchId = i))
+    val before = ShingleStore.hashes(spark, dir)
+      .select($"doc_id", $"hs").as[(Long, Seq[Long])].collect().toMap
+    assert(levels == (0L to 5L).toSet)
+    // below the trigger: no-op
+    assert(!ShingleStore.maintain(spark, dir, maxSeqDirs = 8))
+    assert(levels == (0L to 5L).toSet)
+    // above the trigger: one fresh level, retired ones gone, relation identical
+    assert(ShingleStore.maintain(spark, dir, maxSeqDirs = 2))
+    assert(levels == Set(6L), s"compaction must leave exactly the new level: $levels")
+    val after = ShingleStore.hashes(spark, dir)
+      .select($"doc_id", $"hs").as[(Long, Seq[Long])].collect().toMap
+    assert(after == before, "compaction must not change the committed relation")
+    // idempotent: a second call is a no-op (one live level)
+    assert(!ShingleStore.maintain(spark, dir, maxSeqDirs = 2))
+    // the fold continues on the compacted store: appends and replay
+    // guards work off the compacted stats
+    ShingleStore.append(spark, corpus.where($"doc_id" % 6 === 0), dir, batchId = 6)
+    assert(levels == Set(6L, 7L))
+    assert(ShingleStore.hashes(spark, dir).count() > before.size,
+      "post-compaction appends must land")
+  }
+
+  test("keep-best store-served ≡ recompute ≡ full batch; sidecar-shape mismatch on append is refused") {
+    import graft.operators.{NearDedup, ShingleStore}
+    val corpus = Tables.documents(spark, sf0001)
+    val isNew = $"doc_id" % 4 === 0
+    val dir = Scratch.dir("shinglestore_kb_spec")
+    ShingleStore.build(spark, corpus.where(!isNew), dir, n = 3, batchId = 0,
+      sidecar = NearDedup.keepBestSidecar)
+    ShingleStore.append(spark, corpus.where(isNew), dir, batchId = 1,
+      sidecar = NearDedup.keepBestSidecar)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("q")))
+        .sortBy(_._1).toSeq
+    val served = rows(NearDedup.keepBestCanonicalStoreServed(spark, dir, isNew))
+    val recomputed = rows(NearDedup.keepBestCanonicalIncremental(corpus, isNew))
+    val full = rows(NearDedup.keepBestCanonical(corpus))
+    assert(served == recomputed,
+      "store-served keep-best must equal the text-scanning incremental form")
+    assert(served == full,
+      "store-served keep-best must equal the full batch recompute")
+    // the store sees no text: its whole relation is (doc_id, hs, q)
+    assert(ShingleStore.read(spark, dir).columns.toSeq == Seq("doc_id", "hs", "q"))
+    // null-signature docs are stored (with their sidecar) but excluded
+    // from the pair relation
+    val all = ShingleStore.read(spark, dir).count()
+    val paired = ShingleStore.hashes(spark, dir).count()
+    assert(all == corpus.count(), "every doc has a store row (sidecar coverage)")
+    assert(paired <= all)
+    // an append whose sidecar shape differs from the store's is refused —
+    // a schema union would null-fill and a later argmax would read holes
+    val bad = intercept[IllegalArgumentException](
+      ShingleStore.append(spark, corpus.where(isNew), dir, batchId = 2,
+        sidecar = Nil))
+    assert(bad.getMessage.contains("sidecar"), bad.getMessage)
   }
 }

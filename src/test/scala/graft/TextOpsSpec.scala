@@ -418,6 +418,36 @@ class TextOpsSpec extends SparkSpec {
     assert(m(102L) == "x102a mid102 y102b")
   }
 
+  test("spanScrubRouted: forced windowed route ≡ direct; route picks the declared plan on each side of the knob") {
+    val span = "r1 r2 r3 r4 r5 r6 r7 r8"
+    val docs = ((0L until 10L).map(i =>
+      (i, (0 until 12).map(j => s"d${i}_$j").mkString(" "))) ++ Seq(
+      (100L, s"a100 $span b100"),
+      (101L, s"$span c101 d101")
+    )).toDF("doc_id", "text")
+    val n = 8
+    val direct = TextOps.spanScrub(docs, n).orderBy("doc_id")
+      .as[(Long, Long, String)].collect().toSeq
+    // default knob (200k): fixture-sized input routes DIRECT — the plan
+    // has no union of scrubbed+untouched branches
+    val routedDefault = TextOps.spanScrubRouted(docs, n)
+    assert(!routedDefault.queryExecution.analyzed.toString.contains("Union"),
+      "below the knob the direct (no-union) plan must run")
+    assert(routedDefault.orderBy("doc_id").as[(Long, Long, String)]
+      .collect().toSeq == direct)
+    // forced: knob below the corpus row count routes WINDOWED (the
+    // scrubbed ∪ untouched shape) and the output is still byte-identical
+    spark.conf.set("graft.spanscrub.directMaxRows", "1")
+    try {
+      val routed = TextOps.spanScrubRouted(docs, n)
+      assert(routed.queryExecution.analyzed.toString.contains("Union"),
+        "above the knob the windowed (union) plan must run")
+      assert(routed.orderBy("doc_id").as[(Long, Long, String)]
+        .collect().toSeq == direct,
+        "the forced route must be output-identical — routing changes cost, never answers")
+    } finally spark.conf.unset("graft.spanscrub.directMaxRows")
+  }
+
   test("containment catches a quoted-whole short doc that Jaccard misses") {
     // doc 0 = 6 words quoted verbatim inside doc 1's 60 words: the
     // short doc's 4 shingles are ALL in the long doc, so containment =
