@@ -80,7 +80,14 @@ object Scaling {
     "text_trigram_logprob" -> "documents",
     // round-16: the store-served nightly apply, covered the round it
     // landed (probes the same decade as its recompute sibling)
-    "near_dedup_apply_store" -> "documents")
+    "near_dedup_apply_store" -> "documents",
+    // round-17 newcomers, covered the round they landed: the store-served
+    // keep-best (the sidecar read replaces BOTH nightly text passes) and
+    // the streamed signature fold (build+appends+compaction per run).
+    // text_span_scrub above now measures the ROUTED form — its 100x
+    // point exercises the windowed plan the route switches to.
+    "near_dedup_keep_best_store" -> "documents",
+    "stream_shingle_append" -> "documents")
 
   /** The non-events heavy hitters that also get a 100× point: the
     * steepest scaler (pipeline_embedding_corpus, top-decade 0.77 at
@@ -106,7 +113,11 @@ object Scaling {
     "text_span_scrub_windowed",
     // round-16: the store-served apply probes the decade its recompute
     // sibling (near_dedup_apply_incremental) carries
-    "near_dedup_apply_store")
+    "near_dedup_apply_store",
+    // round-17: the keep-best store form probes the same decade as its
+    // recompute sibling; the routed span scrub's 100x point is the whole
+    // point of the route (the windowed plan must hold ~1.0 there)
+    "near_dedup_keep_best_store")
 
   /** One more octave past 100× for the queries whose 100× point is
     * large enough that the next doubling is worth buying (r15: the

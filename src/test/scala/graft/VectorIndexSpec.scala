@@ -173,10 +173,19 @@ class VectorIndexSpec extends SparkSpec {
         batchId = i.toLong))
     val after = searchRows(dir, emb)
     val n = spark.read.parquet(s"$dir/codes").count()
-    VectorIndex.appendIvfPq(spark, emb.where($"vec_id" % 4 === 1), dir, batchId = 1L)
+    // exactly-once: an engine re-delivery replays the LAST committed
+    // batch — a no-op
+    VectorIndex.appendIvfPq(spark, emb.where($"vec_id" % 4 === 3), dir, batchId = 3L)
     assert(spark.read.parquet(s"$dir/codes").count() == n,
-      "replaying a committed batch must not re-insert its rows")
+      "replaying the last committed batch must not re-insert its rows")
     assert(searchRows(dir, emb) == after)
+    // an id BELOW the high-water mark is a sequencing violation — the old
+    // silent skip would have LOST that batch's rows had they not applied
+    val ooo = intercept[IllegalStateException](
+      VectorIndex.appendIvfPq(spark, emb.where($"vec_id" % 4 === 1), dir, batchId = 1L))
+    assert(ooo.getMessage.contains("out-of-order"), ooo.getMessage)
+    assert(spark.read.parquet(s"$dir/codes").count() == n,
+      "the refused out-of-order append must not mutate the index")
     // maintenance: 3 appends drift files-per-cell up; maintain restores
     assert(VectorIndex.needsCompact(spark, dir, maxFiles = 3),
       s"file drift must trip the trigger, max=${VectorIndex.maxFilesPerCell(spark, dir)}")
