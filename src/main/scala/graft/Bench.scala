@@ -79,10 +79,11 @@ object Bench {
     // A/B). Fixed-work probes timed per run and emitted in the final
     // JSON line make the next shift self-evident from the artifact
     // itself — see graft.Canary for the two-band rationale.
-    val (canaryCpu, canaryFs, canarySpill) =
-      Canary.probe(new java.io.File(warmDir, "canary"))
+    val canaryDir = new java.io.File(warmDir, "canary")
+    val (canaryCpu, canaryFs, canarySpill, canaryState) =
+      Canary.probe(canaryDir)
     System.err.println(
-      f"[bench] host canary: cpu=$canaryCpu%.3f s fs=$canaryFs%.3f s spill=$canarySpill%.3f s")
+      f"[bench] host canary: cpu=$canaryCpu%.3f s fs=$canaryFs%.3f s spill=$canarySpill%.3f s state=$canaryState%.3f s")
     var errors = 0
     // Sorted by name: Map iteration order reshuffles whenever a query is
     // added, which changes which query pays each warm-cache/GC transition
@@ -133,8 +134,18 @@ object Bench {
     val gcBetween = !sys.env.get("SPARK_GRAFT_BENCH_GC").contains("0")
     // (median, min) per query; -1 marks a failure so a fast crash can't
     // masquerade as a speedup; failures don't contribute to the total
+    // Per-query state-band pulse (r17 verdict top item): the host's slow
+    // windows are EPISODIC (sub-hour) and hit the stream/state cluster
+    // 3-5× while every start-of-run canary reads fast — three rounds of
+    // official artifacts carried unexplained tail readings because the
+    // probe ran at the wrong time. A ~30 ms fsync-storm pulse timed
+    // IMMEDIATELY BEFORE each query puts the attribution in the artifact
+    // itself: an inflated query whose adjacent pulse also inflated is
+    // host band, not code. ~7 s total overhead on a 219-query suite.
+    val statePulses = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val results = ordered.map { case (name, fn) =>
       if (gcBetween) { System.gc(); Thread.sleep(200) }
+      statePulses += name -> Canary.statePulse(canaryDir)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -162,10 +173,17 @@ object Bench {
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v._2) }
       .mkString("{", ",", "}")
     println(s"""{"detail_min":$qsMin}""")
+    // keyed by the query the pulse ran just before, in RUN order — the
+    // inline state-band record a tail reading is attributed against
+    val pulseJson = statePulses
+      .map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+      .mkString("{", ",", "}")
+    println(s"""{"canary_state_series":$pulseJson}""")
+    val stateMax = if (statePulses.isEmpty) -1.0 else statePulses.map(_._2).max
     val slowest = results.toSeq.sortBy(-_._2._1).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"errors":$errors,"reps":$reps,"stat":"median","canary_cpu_sec":${fmt(canaryCpu)},"canary_fs_sec":${fmt(canaryFs)},"canary_spill_sec":${fmt(canarySpill)},"sf":"$sfDir","total_sec":${fmt(total)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"errors":$errors,"reps":$reps,"stat":"median","canary_cpu_sec":${fmt(canaryCpu)},"canary_fs_sec":${fmt(canaryFs)},"canary_spill_sec":${fmt(canarySpill)},"canary_state_sec":${fmt(canaryState)},"canary_state_max":${fmt(stateMax)},"sf":"$sfDir","total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }

@@ -8,14 +8,16 @@ package graft
   * both are the class of drift a fixed-work probe timed NEXT TO the
   * measurement makes self-evident from the artifact.
   *
-  * Three probes because the observed drifts split by band: a
+  * Four probes because the observed drifts split by band: a
   * single-thread CPU loop (compute-bound queries track it), a file
   * create/rename/delete loop (the rename band — the r15 slow epoch
-  * inflated rename-heavy queries 2-3× while compute stayed flat), and
-  * a 256 MiB sequential write+sync+read-back (the spill band — r16's
+  * inflated rename-heavy queries 2-3× while compute stayed flat), a
+  * 256 MiB sequential write+sync+read-back (the spill band — r16's
   * drift hit the state-store/spill cluster while cpu AND fs read
-  * fast-epoch). min over reps: the probe wants the host's ceiling,
-  * not a GC blip.
+  * fast-epoch), and a concurrent small-file fsync storm (the STATE
+  * band — r17's episodic sub-hour windows hit the stream/state
+  * cluster 3-5× while all three earlier probes read fast). min over
+  * reps: the probe wants the host's ceiling, not a GC blip.
   */
 object Canary {
 
@@ -54,6 +56,16 @@ object Canary {
     * sequential write+read-back, a band neither a CPU loop nor a
     * 200-cycle rename loop touches. Fixed work (~0.5-1 s on a healthy
     * disk), so epoch comparison is a straight ratio like the others.
+    *
+    * What the two timed halves actually measure (r17 ADVICE): the
+    * write half is write+sync bandwidth to the device; the READ-BACK
+    * half is served from the page cache — force(false) syncs pages to
+    * the device but does not evict them — so it prices memory-copy
+    * bandwidth plus any cache-pressure eviction, NOT device read. A
+    * true device-read probe would need O_DIRECT or a drop_caches both
+    * unavailable to an unprivileged JVM; the page-cache read is kept
+    * because a host epoch that squeezes the cache (the thing a noisy
+    * neighbor does) shows up in exactly that half.
     */
   def spillSec(dir: java.io.File): Double = {
     dir.mkdirs()
@@ -73,7 +85,15 @@ object Canary {
       java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
     var i = 0
     while (i < 256) {
-      buf.putLong(0, i.toLong) // vary chunks so dedup can't cheat either
+      // perturb one long per 4 KiB block with a fresh xorshift value so
+      // EVERY filesystem block across the whole file is distinct — the
+      // pre-r18 single putLong(0, i) varied only each chunk's first
+      // block, letting block-aligned dedup collapse the other 255/256
+      var b = 0
+      while (b < MiB) {
+        x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+        buf.putLong(b, x); b += 4096
+      }
       buf.rewind()
       while (buf.hasRemaining) ch.write(buf)
       i += 1
@@ -89,15 +109,95 @@ object Canary {
     (System.nanoTime() - t0) / 1e9
   }
 
-  /** (cpu, fs, spill) as min over `reps`; (-1, -1, -1) if probing itself
-    * fails — a canary failure must never abort the measurement run it
-    * guards.
+  /** Seconds for a state-store-shaped COMMIT STORM: `threads` writers
+    * concurrently cycling `files` small delta files each — write ~64 KiB,
+    * `force(true)` (data+metadata to the device), rename tmp→delta — the
+    * I/O shape of one Structured Streaming micro-batch commit
+    * (HDFSBackedStateStore writes one fsync'd delta file per partition
+    * per stateful operator, 32+ in flight on local[32]).
+    *
+    * WHY A FOURTH BAND (r17 verdict top item): three rounds running, the
+    * host's episodic sub-hour slow windows inflated the stream/state
+    * query cluster 3-5× while cpu, fs AND spill all read fast-epoch —
+    * bench_out/r17_ab_* hold the binary-uncorrelated proof. None of the
+    * three probes issues what that cluster issues: fsSec never syncs
+    * (page-cache renames), spillSec syncs ONE big sequential file once.
+    * Concurrent small-file fsync latency is the untested band — on a
+    * shared host it is the first thing a noisy neighbor's journal/flush
+    * pressure degrades, and it is invisible to sequential-bandwidth and
+    * CPU probes by construction. Fixed work, so epoch comparison is a
+    * straight ratio like the others.
     */
-  def probe(scratch: java.io.File, reps: Int = 3): (Double, Double, Double) =
+  def stateSec(dir: java.io.File, threads: Int = 8, files: Int = 24): Double = {
+    dir.mkdirs()
+    val payload = new Array[Byte](64 * 1024)
+    var x = 0x9E3779B97F4A7C15L
+    var j = 0
+    while (j < payload.length - 7) { // incompressible, blocks distinct
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      var k = 0
+      while (k < 8) { payload(j + k) = (x >>> (8 * k)).toByte; k += 1 }
+      j += 8
+    }
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      new Thread(() => {
+        var i = 0
+        while (i < files) {
+          val tmp = new java.io.File(dir, s"s$t-$i.tmp")
+          val fin = new java.io.File(dir, s"s$t-$i.delta")
+          val ch = java.nio.channels.FileChannel.open(tmp.toPath,
+            java.nio.file.StandardOpenOption.CREATE,
+            java.nio.file.StandardOpenOption.WRITE,
+            java.nio.file.StandardOpenOption.TRUNCATE_EXISTING)
+          ch.write(java.nio.ByteBuffer.wrap(payload))
+          ch.force(true) // the band under test: small-file fsync
+          ch.close()
+          tmp.renameTo(fin)
+          i += 1
+        }
+      })
+    }
+    ts.foreach(_.start()); ts.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    // cleanup outside the timing: deletes are not part of the commit shape
+    (0 until threads).foreach { t =>
+      (0 until files).foreach { i =>
+        new java.io.File(dir, s"s$t-$i.delta").delete()
+        new java.io.File(dir, s"s$t-$i.tmp").delete()
+      }
+    }
+    sec
+  }
+
+  /** A LIGHT state-band pulse (4 writers × 4 files = 16 fsyncs,
+    * ~30 ms healthy) — cheap enough to run between every benchmark
+    * query, which is the whole point: the r17 band is EPISODIC
+    * (sub-hour), so a start-of-run probe brackets nothing; a pulse
+    * timed next to each query attributes an inflated reading inline.
+    * A slow-window fsync (10-50 ms each vs ~1 ms healthy) still
+    * inflates 16 of them 5-20× — the signal is a ratio, not an
+    * absolute. Swallows its own failures for the same reason [[probe]]
+    * does.
+    */
+  def statePulse(scratch: java.io.File): Double =
+    try stateSec(scratch, threads = 4, files = 4)
+    catch { case e: Throwable =>
+      System.err.println(s"[canary] state pulse failed: $e"); -1.0
+    }
+
+  /** (cpu, fs, spill, state) as min over `reps`; all -1 if probing
+    * itself fails — a canary failure must never abort the measurement
+    * run it guards.
+    */
+  def probe(scratch: java.io.File,
+      reps: Int = 3): (Double, Double, Double, Double) =
     try ((1 to reps).map(_ => cpuSec()).min,
       (1 to reps).map(_ => fsSec(scratch)).min,
-      (1 to reps).map(_ => spillSec(scratch)).min)
+      (1 to reps).map(_ => spillSec(scratch)).min,
+      (1 to reps).map(_ => stateSec(scratch)).min)
     catch { case e: Throwable =>
-      System.err.println(s"[canary] probe failed: $e"); (-1.0, -1.0, -1.0)
+      System.err.println(s"[canary] probe failed: $e")
+      (-1.0, -1.0, -1.0, -1.0)
     }
 }
