@@ -91,6 +91,29 @@ object LexIndex {
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
 
+  /** The postings relation at `path` — or, when the directory holds no
+    * part files yet (an index legitimately bootstrapped from a ZERO-ROW
+    * first micro-batch writes none, and parquet cannot infer a schema
+    * from nothing), the empty relation with the index's FIXED postings
+    * shape, so reads serve empty results instead of an
+    * AnalysisException until data arrives. Unlike [[ShingleStore]]'s
+    * caller-shaped sidecar, this schema is the store's own — safe to
+    * hardcode.
+    */
+  private def postingsRelation(spark: SparkSession, path: String): DataFrame =
+    try spark.read.parquet(path)
+    catch {
+      case e: org.apache.spark.sql.AnalysisException
+          if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") =>
+        import org.apache.spark.sql.types._
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(Seq(
+            StructField("doc_id", LongType), StructField("t", StringType),
+            StructField("tf", LongType), StructField("dl", DoubleType),
+            StructField("bucket", IntegerType), StructField("seq", IntegerType))))
+    }
+
   /** Tokenize `docs` once and run `f` over the cached (doc_id, t, tf)
     * relation plus the materialized per-doc lengths. Without the cache,
     * a build/append tokenizes the batch THREE times — once for the dl
@@ -155,11 +178,20 @@ object LexIndex {
         .write.mode(SaveMode.Overwrite)
         .partitionBy("bucket", "seq")
         .parquet(postingsDir(dir))
+      // a zero-row bootstrap batch writes NO part files; record the
+      // commit the way _SUCCESS would so markers-disabled sessions read
+      // the store as built, not torn (r17 verdict item 4)
+      graft.model.StoreSwap.sealIfEmpty(spark, postingsDir(dir))
       // stats written LAST — it is the read path's entry point, so a crash
       // mid-build leaves an index that loudly reads as not-ready rather
       // than one that silently scores with stale corpus constants
-      dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("sum_dl"),
-          avg("dl").as("avgdl"), lit(nBuckets).as("n_buckets"),
+      // coalesce: a zero-row bootstrap's sum/avg are NULL, and a null
+      // sum_dl would poison every later append's running total (the
+      // empty-bootstrap fold case — RecoverySpec)
+      dl.agg(count(lit(1)).as("n_docs"),
+          coalesce(sum("dl"), lit(0.0)).as("sum_dl"),
+          coalesce(avg("dl"), lit(0.0)).as("avgdl"),
+          lit(nBuckets).as("n_buckets"),
           lit(0L).as("max_seq"), lit(batchId).as("last_batch"))
         .repartition(1) // one row
         .write.mode(SaveMode.Overwrite)
@@ -288,10 +320,15 @@ object LexIndex {
       // THE commit point: stats swaps in crash-safe (two-rename; a
       // complete stats row exists at every intermediate state), and only
       // this swap makes seq=newSeq visible to readers
+      // Option-read: a pre-r18 empty-bootstrap store recorded NULL
+      // totals (sum of zero rows); treat them as 0 so the running total
+      // self-heals on the first real append
+      val prevSum = Option(prev.getAs[java.lang.Double]("sum_dl"))
+        .fold(0.0)(_.doubleValue)
       dl.agg(
           (count(lit(1)) + lit(prev.getAs[Long]("n_docs"))).as("n_docs"),
           (coalesce(sum("dl"), lit(0.0)) // empty batch: totals carry over
-            + lit(prev.getAs[Double]("sum_dl"))).as("sum_dl"))
+            + lit(prevSum)).as("sum_dl"))
         .select(col("n_docs"), col("sum_dl"),
           (col("sum_dl") / col("n_docs")).as("avgdl"),
           lit(nBuckets).as("n_buckets"),
@@ -321,7 +358,7 @@ object LexIndex {
     val maxSeq = recoverAndReadStats(spark, dir)
       .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — index not built"))
       .getAs[Long]("max_seq")
-    spark.read.parquet(postingsDir(dir))
+    postingsRelation(spark, postingsDir(dir))
       .where(col("seq") <= lit(maxSeq.toInt)) // belt over recover's prune
       .withColumn("seq", lit(0))
       .repartition(col("bucket")).sortWithinPartitions("t", "doc_id")
@@ -402,7 +439,7 @@ object LexIndex {
     val postingsPath = graft.model.StoreSwap
       .readablePath(spark, postingsDir(dir))
       .getOrElse(sys.error(s"no readable postings under ${postingsDir(dir)}"))
-    val tfq = spark.read.parquet(postingsPath)
+    val tfq = postingsRelation(spark, postingsPath)
       .where(col("bucket").isin(buckets: _*) && col("seq") <= lit(maxSeq.toInt) &&
         col("t").isin(qTerms: _*))
     val dfreq = tfq.groupBy("t").agg(count(lit(1)).as("df"))
@@ -483,7 +520,7 @@ object LexIndex {
     val postingsPath = graft.model.StoreSwap
       .readablePath(spark, postingsDir(dir))
       .getOrElse(sys.error(s"no readable postings under ${postingsDir(dir)}"))
-    val tfq = spark.read.parquet(postingsPath)
+    val tfq = postingsRelation(spark, postingsPath)
       .where(col("bucket").isin(buckets: _*) && col("seq") <= lit(maxSeq.toInt) &&
         col("t").isin(allTerms: _*))
     // df once per term — query-independent, so queries sharing a term

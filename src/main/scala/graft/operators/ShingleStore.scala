@@ -85,12 +85,20 @@ object ShingleStore {
     sigs.withColumn("seq", lit(0))
       .write.mode(SaveMode.Overwrite).partitionBy("seq")
       .parquet(sigsDir(dir))
+    // a zero-row bootstrap batch writes NO part files; record the commit
+    // the way _SUCCESS would so markers-disabled sessions don't read the
+    // store as torn (r17 verdict item 4 — the stream fold's live case)
+    graft.model.StoreSwap.sealIfEmpty(spark, sigsDir(dir))
     // stats LAST — the read path's entry point, so a crash mid-build
-    // reads as not-built, never as a store with missing signatures
+    // reads as not-built, never as a store with missing signatures.
+    // sigs_schema makes an EMPTY store readable: with zero part files
+    // parquet cannot infer the relation's shape, so [[read]] serves the
+    // recorded schema instead of an AnalysisException until data lands.
     sigs.agg(count(lit(1)).as("n_docs"), lit(n).as("shingle_n"),
         lit(0L).as("min_seq"), lit(0L).as("max_seq"),
         lit(batchId).as("last_batch"),
-        lit(sidecar.map(_._1).mkString(",")).as("sidecar_cols"))
+        lit(sidecar.map(_._1).mkString(",")).as("sidecar_cols"),
+        lit(sigs.schema.json).as("sigs_schema"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(statsDir(dir))
@@ -176,14 +184,19 @@ object ShingleStore {
     sigs.withColumn("seq", lit(newSeq.toInt))
       .write.mode(SaveMode.Append).partitionBy("seq")
       .parquet(sigsDir(dir))
-    // THE commit point: the stats swap makes seq=newSeq visible
+    graft.model.StoreSwap.sealIfEmpty(spark, sigsDir(dir))
+    // THE commit point: the stats swap makes seq=newSeq visible.
+    // sigs_schema is re-derived from the batch relation (pure schema,
+    // no execution — identical by the sidecar-shape check above), which
+    // also upgrades pre-schema stats rows on their first append.
     sigs.agg(
         (count(lit(1)) + lit(prev.getAs[Long]("n_docs"))).as("n_docs"),
         lit(n).as("shingle_n"),
         lit(minSeq(prev)).as("min_seq"),
         lit(newSeq).as("max_seq"),
         lit(math.max(prev.getAs[Long]("last_batch"), batchId)).as("last_batch"),
-        lit(storedSidecar.mkString(",")).as("sidecar_cols"))
+        lit(storedSidecar.mkString(",")).as("sidecar_cols"),
+        lit(sigs.schema.json).as("sigs_schema"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(graft.model.StoreSwap.tmpPath(statsDir(dir)))
@@ -203,10 +216,20 @@ object ShingleStore {
     * readers gate on `[min_seq, max_seq]`), the stats two-rename
     * committing `min_seq = max_seq = max_seq + 1` is the single flip,
     * and a crash anywhere leaves readers on exactly the old levels (a
-    * retry re-compacts after [[recover]] prunes the orphan). Superseded
-    * levels are deleted AFTER the swap; a crash between swap and delete
-    * leaves them invisible, and the next entry's recovery prunes them.
-    * No-op below the trigger. Returns true when a compaction ran.
+    * retry re-compacts after [[recover]] prunes the orphan). Retired
+    * levels are NOT deleted here: a reader that resolved stats just
+    * before the swap is still mid-scan over them, and [[read]] has no
+    * vanished-file retry (it returns a lazy plan — the miss would
+    * surface as a task-time FileNotFoundException long after any
+    * retry wrapper here returned). They are already invisible to every
+    * new reader (the `[min_seq, max_seq]` gate partition-prunes them),
+    * so they cost only disk until the NEXT maintainer entry —
+    * append/maintain/recover's entry recovery prunes `seq < min_seq` —
+    * which is the grace window: a read that outlives one full
+    * maintenance interval is the remaining (documented) hazard, the
+    * same one-interval contract ServingPointer.dropSuperseded gives
+    * version dirs. No-op below the trigger. Returns true when a
+    * compaction ran.
     */
   def maintain(spark: SparkSession, dir: String, maxSeqDirs: Int = 8): Boolean = {
     val prev = recoverAndReadStats(spark, dir)
@@ -214,10 +237,12 @@ object ShingleStore {
     val liveLevels = prev.getAs[Long]("max_seq") - minSeq(prev) + 1
     if (liveLevels <= maxSeqDirs) return false
     val newSeq = prev.getAs[Long]("max_seq") + 1
-    read(spark, dir)
+    val committed = read(spark, dir)
+    committed
       .withColumn("seq", lit(newSeq.toInt))
       .write.mode(SaveMode.Append).partitionBy("seq")
       .parquet(sigsDir(dir))
+    graft.model.StoreSwap.sealIfEmpty(spark, sigsDir(dir))
     // THE commit point: one swap moves the whole window to the new level
     spark.range(1).select(
         lit(prev.getAs[Long]("n_docs")).as("n_docs"),
@@ -225,19 +250,14 @@ object ShingleStore {
         lit(newSeq).as("min_seq"),
         lit(newSeq).as("max_seq"),
         lit(prev.getAs[Long]("last_batch")).as("last_batch"),
-        lit(sidecarCols(prev).mkString(",")).as("sidecar_cols"))
+        lit(sidecarCols(prev).mkString(",")).as("sidecar_cols"),
+        lit(committed.schema.json).as("sigs_schema"))
       .repartition(1)
       .write.mode(SaveMode.Overwrite)
       .parquet(graft.model.StoreSwap.tmpPath(statsDir(dir)))
     graft.model.StoreSwap.commit(spark, statsDir(dir))
-    // retired levels: invisible already; delete eagerly, recovery mops up
-    val f = fs(spark)
-    f.listStatus(new Path(sigsDir(dir))).foreach { s =>
-      val sn = s.getPath.getName
-      if (s.isDirectory && sn.startsWith("seq=") &&
-          scala.util.Try(sn.stripPrefix("seq=").toLong).toOption.exists(_ < newSeq))
-        f.delete(s.getPath, true)
-    }
+    // retired levels stay on disk until the next maintainer entry prunes
+    // them (grace window for in-flight readers — see the scaladoc)
     true
   }
 
@@ -275,7 +295,24 @@ object ShingleStore {
     val maxSeq = stats.getAs[Long]("max_seq")
     val sigsPath = graft.model.StoreSwap.readablePath(spark, sigsDir(dir))
       .getOrElse(sys.error(s"no readable sigs under ${sigsDir(dir)}"))
-    spark.read.parquet(sigsPath)
+    val sigs =
+      try spark.read.parquet(sigsPath)
+      catch {
+        // a store legitimately bootstrapped from a ZERO-ROW first batch
+        // has no part files, so parquet has no schema to infer — serve
+        // the empty relation with the schema the build recorded instead
+        // of erroring until data arrives (any marker mode)
+        case e: org.apache.spark.sql.AnalysisException
+            if e.getMessage.contains("UNABLE_TO_INFER_SCHEMA") &&
+              stats.schema.fieldNames.contains("sigs_schema") =>
+          val recorded = org.apache.spark.sql.types.DataType
+            .fromJson(stats.getAs[String]("sigs_schema"))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+            .add("seq", org.apache.spark.sql.types.IntegerType)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], recorded)
+      }
+    sigs
       // [min_seq, max_seq]: above = uncommitted appends/compactions,
       // below = levels a committed compaction retired — both invisible
       // (partition pruning: neither costs a read)

@@ -368,14 +368,22 @@ class NearDedupSpec extends SparkSpec {
     // below the trigger: no-op
     assert(!ShingleStore.maintain(spark, dir, maxSeqDirs = 8))
     assert(levels == (0L to 5L).toSet)
-    // above the trigger: one fresh level, retired ones gone, relation identical
+    // above the trigger: one fresh level, relation identical. Retired
+    // levels SURVIVE the swap (r17 ADVICE: an eager delete races a
+    // reader that resolved stats pre-swap and is still mid-scan over
+    // them — read() is lazy, so no retry wrapper can help) but are
+    // invisible: the [min_seq, max_seq] gate partition-prunes them.
     assert(ShingleStore.maintain(spark, dir, maxSeqDirs = 2))
-    assert(levels == Set(6L), s"compaction must leave exactly the new level: $levels")
+    assert(levels == (0L to 6L).toSet,
+      s"retired levels stay on disk as the in-flight-reader grace window: $levels")
     val after = ShingleStore.hashes(spark, dir)
       .select($"doc_id", $"hs").as[(Long, Seq[Long])].collect().toMap
     assert(after == before, "compaction must not change the committed relation")
-    // idempotent: a second call is a no-op (one live level)
+    // idempotent: a second call is a no-op (one live level) — and its
+    // entry recovery is the DEFERRED prune of the retired levels
     assert(!ShingleStore.maintain(spark, dir, maxSeqDirs = 2))
+    assert(levels == Set(6L),
+      s"the next maintainer entry prunes the retired levels: $levels")
     // the fold continues on the compacted store: appends and replay
     // guards work off the compacted stats
     ShingleStore.append(spark, corpus.where($"doc_id" % 6 === 0), dir, batchId = 6)
@@ -390,9 +398,9 @@ class NearDedupSpec extends SparkSpec {
     val isNew = $"doc_id" % 4 === 0
     val dir = Scratch.dir("shinglestore_kb_spec")
     ShingleStore.build(spark, corpus.where(!isNew), dir, n = 3, batchId = 0,
-      sidecar = NearDedup.keepBestSidecar)
+      sidecar = NearDedup.keepBestSidecar())
     ShingleStore.append(spark, corpus.where(isNew), dir, batchId = 1,
-      sidecar = NearDedup.keepBestSidecar)
+      sidecar = NearDedup.keepBestSidecar())
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("q")))
         .sortBy(_._1).toSeq

@@ -242,6 +242,54 @@ class RecoverySpec extends SparkSpec {
     } finally hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
   }
 
+  test("empty-bootstrap streamed fold passes under a markers-disabled session without manual intervention") {
+    // r17 verdict item 4: the stream folds' live empty case — batch 0 of
+    // an AvailableNow fold can be zero rows, and the bootstrap branch
+    // builds the store from it. The build paths now (a) seal the
+    // zero-file payload dir with the EmptyMarker (commit evidence a
+    // markers-disabled session can read — StoreSwap.sealIfEmpty), and
+    // (b) record the payload schema so reads serve EMPTY results, not
+    // UNABLE_TO_INFER_SCHEMA, until data arrives. The fold then appends
+    // forward with no manual intervention. Exercised under BOTH marker
+    // modes: the schema fix is mode-independent; the marker seal is what
+    // makes the markers-off session classify the store as built.
+    import graft.operators.{LexIndex, ShingleStore}
+    val emptyDocs = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType))))
+    val batch = Seq((1L, "alpha beta gamma delta"), (2L, "alpha beta gamma zeta"))
+      .toDF("doc_id", "text")
+    val hc = spark.sparkContext.hadoopConfiguration
+    for (markers <- Seq(true, false)) {
+      hc.setBoolean("mapreduce.fileoutputcommitter.marksuccessfuljobs", markers)
+      try {
+        val lex = Files.createTempDirectory(s"graft_eb_lex_$markers").toString + "/idx"
+        LexIndex.build(spark, emptyDocs, lex, batchId = 0L)
+        assert(LexIndex.isBuilt(spark, lex),
+          s"markers=$markers: empty-bootstrap index must read as built")
+        // read BEFORE any data: empty result, not an AnalysisException
+        assert(LexIndex.bm25TopK(spark, lex, Seq("alpha"), 5).count() == 0L)
+        LexIndex.append(spark, batch, lex, batchId = 1L)
+        assert(LexIndex.bm25TopK(spark, lex, Seq("alpha"), 5).count() == 2L,
+          s"markers=$markers: the fold continues past the empty bootstrap")
+
+        val st = Files.createTempDirectory(s"graft_eb_sh_$markers").toString + "/st"
+        ShingleStore.build(spark, emptyDocs, st, n = 3, batchId = 0L)
+        assert(ShingleStore.isBuilt(spark, st))
+        assert(ShingleStore.hashes(spark, st).count() == 0L)
+        assert(ShingleStore.read(spark, st).columns.toSeq == Seq("doc_id", "hs"))
+        ShingleStore.append(spark, batch, st, batchId = 1L)
+        assert(ShingleStore.hashes(spark, st).count() == 2L,
+          s"markers=$markers: the fold continues past the empty bootstrap")
+      } finally hc.setBoolean(
+        "mapreduce.fileoutputcommitter.marksuccessfuljobs", true)
+    }
+  }
+
   test("StoreSwap rolls back a mid-swap crash whose tmp is ALSO torn (old=v1, tmp torn, store absent)") {
     val store = Files.createTempDirectory("graft_swap_rb").toString + "/store"
     writeVersion(StoreSwap.oldPath(store), "v1", 10)
