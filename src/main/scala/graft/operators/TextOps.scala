@@ -1545,12 +1545,18 @@ object TextOps {
     * [[spanScrubDirectMaxRows]] rows, [[spanScrubWindowed]] above. The
     * two plans are output-identical (they share the oracle verbatim;
     * SpanScrubSpec pins forced-route ≡ direct), so routing changes cost,
-    * never answers.
+    * never answers. The row probe is the [[graft.model.RowEst]] metadata
+    * upper bound when one exists (free — no job; r17 ADVICE flagged the
+    * eager `docs.count()` here recomputing a DERIVED input once per
+    * invocation just to route); a plan the bound abstains on falls back
+    * to counting, and over-counting routes to the windowed plan, which
+    * is oracle-identical at any size.
     */
-  def spanScrubRouted(docs: DataFrame, n: Int): DataFrame =
-    if (docs.count() <= spanScrubDirectMaxRows(docs.sparkSession))
-      spanScrub(docs, n)
+  def spanScrubRouted(docs: DataFrame, n: Int): DataFrame = {
+    val rows = graft.model.RowEst.upperBound(docs).getOrElse(docs.count())
+    if (rows <= spanScrubDirectMaxRows(docs.sparkSession)) spanScrub(docs, n)
     else spanScrubWindowed(docs, n)
+  }
 
   /** Exact-substring removal (Lee et al. 2022): delete every non-first
     * occurrence of each corpus-duplicated n-token span and rebuild the
