@@ -297,9 +297,10 @@ object NearDedup {
     * pipeline_pretraining_corpus_scale precedent); the routed form keeps
     * the shared oracle SQL verbatim. Returns (i, j).
     *
-    * The shingle relation is persisted here so the routing count, the
-    * volume estimate and the chosen route all scan one cache (the
-    * pre-r15 form re-shingled per consumer).
+    * The shingle relation is persisted here so the volume estimate and
+    * the chosen route scan one cache (the pre-r15 form re-shingled per
+    * consumer); the row probe itself is metadata (r18 — see
+    * [[routingRows]]).
     */
   private[graft] def routedJaccardPairs(docs: DataFrame,
       threshold: Double): DataFrame = {
@@ -314,20 +315,33 @@ object NearDedup {
 
   /** [[routedJaccardPairs]] over an already-persisted (doc_id, hs)
     * relation (the incremental forms' prior-state pair generation — the
-    * count, the volume estimate and both routes scan the caller's
-    * cache, and neither route re-persists the projection: the unmanaged
-    * pair generators avoid doubling cache residency for the pair job's
-    * duration). The volume estimate runs only when the row count keeps
-    * the exact route in play.
+    * volume estimate and both routes scan the caller's cache, and
+    * neither route re-persists the projection: the unmanaged pair
+    * generators avoid doubling cache residency for the pair job's
+    * duration). The row probe sees THROUGH the cache to the plan that
+    * produced it ([[graft.model.RowEst]] on the InMemoryRelation's
+    * logical link); the volume estimate runs only when the row bound
+    * keeps the exact route in play.
     */
   private[graft] def routedJaccardPairsFromHashes(hashed: DataFrame,
       threshold: Double): DataFrame = {
     val s = hashed.sparkSession
-    if (hashed.count() <= exactPairMaxRows(s) &&
+    if (routingRows(hashed) <= exactPairMaxRows(s) &&
         estimatedExactPairRows(hashed) <= exactMaxPairRows(s))
       TextOps.ngramJaccardPairsFromHashesUnmanaged(hashed, threshold).select("i", "j")
     else minhashVerifiedPairsUnmanaged(hashed, threshold).select("i", "j")
   }
+
+  /** The row count the size-routing knobs compare against: a METADATA
+    * upper bound when one exists ([[graft.model.RowEst]] — parquet
+    * footers / local sizes through the non-growing plan nodes; free, no
+    * job), else the pre-r18 `count()` probe. The bound over-counts a
+    * filtered input, which errs exactly the safe way: the scale route
+    * is oracle-identical at any size, the exact route is superlinear
+    * past its onset.
+    */
+  private def routingRows(df: DataFrame): Long =
+    graft.model.RowEst.upperBound(df).getOrElse(df.count())
 
   /** 64-bit SimHash per doc: for each token hash h and bit b, add tf if
     * bit set else -tf; signature bit b = sign of the sum. Computed in one
@@ -547,10 +561,26 @@ object NearDedup {
       val isNew = col("doc_id") % 4 === 0
       val store = graft.Scratch.dir("graft_shinglestore_kb")
       ShingleStore.build(s, docs.where(!isNew), store, n = 3, batchId = 0,
-        sidecar = keepBestSidecar)
+        sidecar = keepBestSidecar())
       ShingleStore.append(s, docs.where(isNew), store, batchId = 1,
-        sidecar = keepBestSidecar)
+        sidecar = keepBestSidecar())
       keepBestCanonicalStoreServed(s, store, isNew).orderBy("doc_id")
+    },
+
+    // RULE-swapped keep-best (r18, from r17 verdict item 3): the same
+    // pair/cluster machinery under a DIFFERENT curation policy — keep
+    // the LONGEST cluster member instead of the highest stopword-quality
+    // one (what a pipeline wants when near-dups are truncations of one
+    // original). The oracle is keepBestOracleSqlFor with the rule's
+    // scoring expression in the scored CTE and NOTHING else changed, so
+    // the rule-parameterized argmax stays under the shared-oracle proof;
+    // NearDedupSpec additionally pins two non-quality rules across
+    // full ≡ incremental ≡ store-served.
+    graft.QueryDef.withOracle(
+      "near_dedup_keep_best_rule",
+      keepBestOracleSqlFor(KeepRule.longest)) { (s, dir) =>
+      keepBestCanonical(Tables.documents(s, dir), rule = KeepRule.longest)
+        .orderBy("doc_id")
     }
   )
 
@@ -603,6 +633,13 @@ object NearDedup {
     * which is declared above it.)
     */
   private[operators] lazy val keepBestOracleSql: String =
+    keepBestOracleSqlFor(KeepRule.quality)
+
+  /** [[keepBestOracleSql]] with a [[KeepRule]]'s scoring expression in
+    * the scored CTE — the ONLY part of the SQL a rule changes, which is
+    * what keeps every rule-swapped form under the shared-oracle proof.
+    */
+  private[operators] def keepBestOracleSqlFor(rule: KeepRule): String =
     s"""WITH RECURSIVE ${TextOps.shinglePairCte()},
       |dup AS (SELECT i, j FROM pair JOIN sizes na ON i = na.doc_id
       |        JOIN sizes nb ON j = nb.doc_id
@@ -613,8 +650,7 @@ object NearDedup {
       |          UNION SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node),
       |cc AS (SELECT node, min(m) AS canonical FROM reach GROUP BY node),
       |scored AS (SELECT d.doc_id,
-      |       round(len(regexp_extract_all(lower(d.text), '\\b(the|a|and|of|to|in|is)\\b'))
-      |             * 1.0 / len(string_split_regex(lower(d.text), '\\s+')), 4) AS q,
+      |       ${rule.scoreSql} AS q,
       |       coalesce(cc.canonical, d.doc_id) AS cluster
       |  FROM documents d LEFT JOIN cc ON cc.node = d.doc_id),
       |r AS (SELECT doc_id, round(q, 4) AS q,
@@ -666,7 +702,7 @@ object NearDedup {
   private[operators] def routedIncrementalPairs(hashed: DataFrame,
       threshold: Double): DataFrame = {
     val s = hashed.sparkSession
-    if (hashed.count() <= exactPairMaxRows(s) &&
+    if (routingRows(hashed) <= exactPairMaxRows(s) &&
         estimatedExactPairRows(hashed) <= exactMaxPairRows(s))
       incrementalJaccardPairs(hashed, threshold)
     else incrementalMinhashPairs(hashed, threshold)
@@ -723,11 +759,12 @@ object NearDedup {
     * output is strictly smaller than its input — scales to 100 TB
     * wherever the pair step does. Returns (doc_id, q) of the kept docs.
     */
-  def keepBestCanonical(docs: DataFrame, threshold: Double = 0.1): DataFrame = {
+  def keepBestCanonical(docs: DataFrame, threshold: Double = 0.1,
+      rule: KeepRule = KeepRule.quality): DataFrame = {
     val pairs = routedJaccardPairs(docs, threshold)
       .select(col("i").as("src"), col("j").as("dst"))
     val cc = GraphOps.connectedComponents(pairs)
-    docs.select(col("doc_id"), qualityScore.as("q"))
+    docs.select(col("doc_id"), rule.score.as("q"))
       .join(cc.withColumnRenamed("node", "doc_id"), Seq("doc_id"), "left_outer")
       .withColumn("cluster", coalesce(col("label"), col("doc_id")))
       .groupBy("cluster")
@@ -741,6 +778,63 @@ object NearDedup {
     */
   private def qualityScore: org.apache.spark.sql.Column =
     round(stopwordCount(col("text")) / size(tokens(col("text"))).cast("double"), 4)
+
+  /** A caller-supplied canonical-selection rule for the keep-best
+    * family (r17 verdict item 3 — the hardcoded quality-max rule is one
+    * curation policy among several; real pipelines also keep the
+    * LONGEST member, a preferred-LANGUAGE member, or a trusted-SOURCE
+    * member). A rule is a row-local numeric `score` over the docs
+    * relation — HIGHER wins, ties break toward the smallest doc_id (the
+    * total order [[argmaxBest]] has always used) — plus the DuckDB
+    * expression computing the identical number over alias `d`, so every
+    * rule-swapped form keeps the shared-oracle proof: the SQL is
+    * [[keepBestOracleSqlFor]] with the rule's expression in the scored
+    * CTE, nothing else changed. Scores are persisted/compared under the
+    * fixed column name `q` everywhere (kept tables, the ShingleStore
+    * sidecar), so rules compose with the store-served forms unchanged:
+    * build the store with `keepBestSidecar(rule)` and the nightly
+    * argmax reads the rule's number — still no text.
+    */
+  final case class KeepRule(label: String,
+      score: org.apache.spark.sql.Column, scoreSql: String)
+
+  object KeepRule {
+    /** The default: stopword-ratio quality (text_quality_score). */
+    val quality: KeepRule = KeepRule("quality",
+      qualityScore,
+      // raw triple quotes: these must carry SINGLE backslashes, matching
+      // what the s-interpolated oracle template produces at runtime
+      """round(len(regexp_extract_all(lower(d.text), '\b(the|a|and|of|to|in|is)\b'))""" +
+        """ * 1.0 / len(string_split_regex(lower(d.text), '\s+')), 4)""")
+    /** Length priority: keep the longest member (token count). */
+    val longest: KeepRule = KeepRule("longest",
+      size(tokens(col("text"))).cast("double"),
+      """CAST(len(string_split_regex(lower(d.text), '\s+')) AS DOUBLE)""")
+    /** Language priority: members whose `lang` appears EARLIER in
+      * `preferred` outrank later ones; unlisted languages rank 0.
+      */
+    def langPriority(preferred: Seq[String]): KeepRule = {
+      val n = preferred.size
+      val score = preferred.zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, (l, i)) => when(col("lang") === l, lit((n - i).toDouble)).otherwise(acc)
+      }
+      val sql = preferred.zipWithIndex
+        .map { case (l, i) => s"WHEN d.lang = '$l' THEN ${(n - i)}.0" }
+        .mkString("CAST(CASE ", " ", " ELSE 0.0 END AS DOUBLE)")
+      KeepRule(s"lang:${preferred.mkString(">")}", score, sql)
+    }
+    /** Source priority: the [[langPriority]] shape over `source`. */
+    def sourcePriority(preferred: Seq[String]): KeepRule = {
+      val n = preferred.size
+      val score = preferred.zipWithIndex.foldLeft(lit(0.0)) {
+        case (acc, (s, i)) => when(col("source") === s, lit((n - i).toDouble)).otherwise(acc)
+      }
+      val sql = preferred.zipWithIndex
+        .map { case (s, i) => s"WHEN d.source = '$s' THEN ${(n - i)}.0" }
+        .mkString("CAST(CASE ", " ", " ELSE 0.0 END AS DOUBLE)")
+      KeepRule(s"source:${preferred.mkString(">")}", score, sql)
+    }
+  }
 
   /** Per-(cluster, q, doc_id) quality argmax under the keep-best total
     * order — max_by over a (q, -doc_id) struct: map-side-combinable,
@@ -779,14 +873,15 @@ object NearDedup {
     */
   def keepBestCanonicalIncremental(docs: DataFrame,
       isNew: org.apache.spark.sql.Column,
-      threshold: Double = 0.1): DataFrame = {
+      threshold: Double = 0.1,
+      rule: KeepRule = KeepRule.quality): DataFrame = {
     val hashed = docs
       .select(col("doc_id"), isNew.as("is_new"),
         shingleHashes(col("text"), 3).as("hs"))
       .where(col("hs").isNotNull)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try keepBestIncrementalCore(hashed,
-      docs.select(col("doc_id"), isNew.as("is_new"), qualityScore.as("q")),
+      docs.select(col("doc_id"), isNew.as("is_new"), rule.score.as("q")),
       threshold)
     finally hashed.unpersist()
   }
@@ -821,8 +916,9 @@ object NearDedup {
     * batch's signatures — MUST stay the [[qualityScore]] expression so
     * store-served argmaxes equal the recompute's.
     */
-  def keepBestSidecar: Seq[(String, org.apache.spark.sql.Column)] =
-    Seq("q" -> qualityScore)
+  def keepBestSidecar(rule: KeepRule = KeepRule.quality)
+      : Seq[(String, org.apache.spark.sql.Column)] =
+    Seq("q" -> rule.score)
 
   /** The maintenance fold shared by the text-scanning and store-served
     * keep-best forms: `hashed` = the caller's PERSISTED

@@ -193,6 +193,44 @@ class NearDedupSpec extends SparkSpec {
         "incremental must equal the full recompute on the fixture corpus")
   }
 
+  test("rule-parameterized keep-best: two non-quality rules pick their members; full ≡ incremental ≡ store-served per rule") {
+    import graft.operators.{NearDedup, ShingleStore}
+    import NearDedup.KeepRule
+    // one near-dup cluster {0, 1}: doc 1 is LONGER (length rule keeps it)
+    // but German (lang rule en>de keeps 0); 3 and 4 are singletons
+    val planted = Seq(
+      (0L, base, "en"),
+      (1L, base + " extra tail tokens making this member longer", "de"),
+      (3L, "completely different content about spark query engines and shuffles at scale today", "en"),
+      (4L, "another unrelated document mentioning parquet files and vectorized readers only", "fr")
+    ).toDF("doc_id", "text", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+      df.orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[(Long, Double)] =
+      df.orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val langRule = KeepRule.langPriority(Seq("en", "de"))
+    assert(ids(NearDedup.keepBestCanonical(planted, rule = KeepRule.longest))
+      == Seq(1L, 3L, 4L), "length priority keeps the longer member")
+    assert(ids(NearDedup.keepBestCanonical(planted, rule = langRule))
+      == Seq(0L, 3L, 4L), "language priority keeps the preferred-language member")
+    // maintenance invariance per rule: incremental ≡ full, and the
+    // store-served form (rule score persisted as the q sidecar by the
+    // same pass that shingles) ≡ both — still reading no text
+    val isNew = col("doc_id") % 2 === 1
+    for (rule <- Seq(KeepRule.longest, langRule)) {
+      val full = rows(NearDedup.keepBestCanonical(planted, rule = rule))
+      assert(rows(NearDedup.keepBestCanonicalIncremental(planted, isNew, rule = rule))
+        == full, s"${rule.label}: incremental must equal the full recompute")
+      val dir = Scratch.dir(s"shinglestore_rule_${rule.label.replaceAll("[^a-z]", "_")}")
+      ShingleStore.build(spark, planted.where(!isNew), dir, n = 3, batchId = 0,
+        sidecar = NearDedup.keepBestSidecar(rule))
+      ShingleStore.append(spark, planted.where(isNew), dir, batchId = 1,
+        sidecar = NearDedup.keepBestSidecar(rule))
+      assert(rows(NearDedup.keepBestCanonicalStoreServed(spark, dir, isNew))
+        == full, s"${rule.label}: store-served must equal the full recompute")
+    }
+  }
+
   test("forced LSH route lands the identical apply/keep-best results as the exact route") {
     // graft.neardedup.exactMaxRows = 0 forces every routed pair
     // generation (batch, prior-state, batch-touching incremental) onto
