@@ -143,9 +143,21 @@ object Bench {
     // itself: an inflated query whose adjacent pulse also inflated is
     // host band, not code. ~7 s total overhead on a 219-query suite.
     val statePulses = scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    // Per-query DEVICE attribution (r18): the episodic band is device
+    // write contention DURING the work — probes on their own schedule
+    // (even per-query pulses) read fast because write-back drains in the
+    // inter-query GC pause. /proc/diskstats deltas around each query's
+    // reps record the device's actual behavior over exactly the query's
+    // wall window: busy fraction, mean write await, mean flush (fsync)
+    // await. An inflated query whose flush/write await also inflated is
+    // host band, not code.
+    val diskSeries =
+      scala.collection.mutable.ArrayBuffer[(String, Double, Double, Double)]()
     val results = ordered.map { case (name, fn) =>
       if (gcBetween) { System.gc(); Thread.sleep(200) }
       statePulses += name -> Canary.statePulse(canaryDir)
+      val disk0 = Canary.diskSnapshot()
+      val wall0 = System.nanoTime()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
@@ -154,6 +166,13 @@ object Bench {
             System.err.println(s"[bench] $name failed: $e")
             -1.0
         }
+      }
+      for (a <- disk0; b <- Canary.diskSnapshot()) {
+        val d = b - a
+        val wallMs = math.max((System.nanoTime() - wall0) / 1e6, 1.0)
+        diskSeries += ((name, d.ioMs / wallMs,
+          d.writeMs.toDouble / math.max(d.writes, 1L),
+          d.flushMs.toDouble / math.max(d.flushes, 1L)))
       }
       if (times.exists(_ < 0)) { errors += 1; name -> (-1.0, -1.0) }
       else name -> (median(times), times.min)
@@ -180,10 +199,18 @@ object Bench {
       .mkString("{", ",", "}")
     println(s"""{"canary_state_series":$pulseJson}""")
     val stateMax = if (statePulses.isEmpty) -1.0 else statePulses.map(_._2).max
+    // per-query device window: [busy fraction, write await ms, flush await ms]
+    val diskJson = diskSeries
+      .map { case (k, busy, w, f) =>
+        s"\"" + k + "\":[" + fmt(busy) + "," + fmt(w) + "," + fmt(f) + "]" }
+      .mkString("{", ",", "}")
+    println(s"""{"disk_per_query":$diskJson}""")
+    val flushMax = if (diskSeries.isEmpty) -1.0 else diskSeries.map(_._4).max
+    val wAwaitMax = if (diskSeries.isEmpty) -1.0 else diskSeries.map(_._3).max
     val slowest = results.toSeq.sortBy(-_._2._1).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"errors":$errors,"reps":$reps,"stat":"median","canary_cpu_sec":${fmt(canaryCpu)},"canary_fs_sec":${fmt(canaryFs)},"canary_spill_sec":${fmt(canarySpill)},"canary_state_sec":${fmt(canaryState)},"canary_state_max":${fmt(stateMax)},"sf":"$sfDir","total_sec":${fmt(total)}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"errors":$errors,"reps":$reps,"stat":"median","canary_cpu_sec":${fmt(canaryCpu)},"canary_fs_sec":${fmt(canaryFs)},"canary_spill_sec":${fmt(canarySpill)},"canary_state_sec":${fmt(canaryState)},"canary_state_max":${fmt(stateMax)},"disk_w_await_max_ms":${fmt(wAwaitMax)},"disk_flush_await_max_ms":${fmt(flushMax)},"sf":"$sfDir","total_sec":${fmt(total)}}""")
     spark.stop()
   }
 }

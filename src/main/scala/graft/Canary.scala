@@ -186,6 +186,48 @@ object Canary {
       System.err.println(s"[canary] state pulse failed: $e"); -1.0
     }
 
+  /** Cumulative I/O counters summed over PHYSICAL block devices (whole
+    * sd/vd/nvme devices, not partitions or loops), read from
+    * /proc/diskstats. The r18 slow-window live probe showed why probes
+    * alone can't attribute the episodic band: an fsync/spill probe
+    * timed BEFORE a query (after the inter-query GC pause) reads fast
+    * because write-back pressure has drained, while the same probe
+    * immediately after a write-heavy phase reads 5-6× slow — the band
+    * is device write contention DURING the work, not a standing host
+    * state a probe can sample on its own schedule. Deltas of these
+    * counters around each measured query attribute the contention
+    * inline: disk busy fraction, mean write await, mean flush (fsync)
+    * await over exactly the query's wall window.
+    */
+  final case class DiskStat(ioMs: Long, writeMs: Long, writes: Long,
+      flushMs: Long, flushes: Long) {
+    def -(o: DiskStat): DiskStat = DiskStat(ioMs - o.ioMs,
+      writeMs - o.writeMs, writes - o.writes,
+      flushMs - o.flushMs, flushes - o.flushes)
+  }
+
+  /** None when /proc/diskstats is unavailable (non-Linux) or holds no
+    * recognizable physical device — callers skip disk attribution.
+    */
+  def diskSnapshot(): Option[DiskStat] =
+    try {
+      val dev = "^(sd[a-z]+|vd[a-z]+|nvme\\d+n\\d+)$".r
+      val rows = scala.io.Source.fromFile("/proc/diskstats").getLines()
+        .map(_.trim.split("\\s+"))
+        .filter(f => f.length >= 20 && dev.matches(f(2)))
+        .map { f =>
+          // kernel >= 5.5 layout: f(7) writes, f(10) write-ms,
+          // f(12) io-busy-ms, f(18) flushes, f(19) flush-ms
+          DiskStat(ioMs = f(12).toLong, writeMs = f(10).toLong,
+            writes = f(7).toLong, flushMs = f(19).toLong,
+            flushes = f(18).toLong)
+        }.toSeq
+      if (rows.isEmpty) None
+      else Some(rows.reduce((a, b) => DiskStat(a.ioMs + b.ioMs,
+        a.writeMs + b.writeMs, a.writes + b.writes,
+        a.flushMs + b.flushMs, a.flushes + b.flushes)))
+    } catch { case _: Throwable => None }
+
   /** (cpu, fs, spill, state) as min over `reps`; all -1 if probing
     * itself fails — a canary failure must never abort the measurement
     * run it guards.

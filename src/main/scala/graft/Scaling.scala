@@ -265,6 +265,8 @@ object Scaling {
       .map { case (name, table) =>
       val (cCpu, cFs, cSpill, cState) = Canary.probe(canaryDir, reps = 1)
       System.err.println(f"[scaling] canary before $name%-28s cpu=$cCpu%.3f fs=$cFs%.3f spill=$cSpill%.3f state=$cState%.3f")
+      val disk0 = Canary.diskSnapshot()
+      val wall0 = System.nanoTime()
       val fn = SparkEntry.queries(name)
       // events-driven queries skip the synthetic dirs (events aren't
       // scaled there — the points would duplicate sf0.1); the 100x
@@ -292,17 +294,26 @@ object Scaling {
       val exp =
         if (ok.map(_._2).distinct.size >= 2) fitExponent(ok.map(p => (p._2, p._3)))
         else Double.NaN
-      (name, table, pts, exp, (cCpu, cFs, cSpill, cState))
+      // device attribution over the target's whole window (see
+      // Canary.diskSnapshot: probes on their own schedule miss the
+      // write-contention band; deltas during the work don't)
+      val disk = (for (a <- disk0; b <- Canary.diskSnapshot()) yield {
+        val d = b - a
+        val wallMs = math.max((System.nanoTime() - wall0) / 1e6, 1.0)
+        (d.ioMs / wallMs, d.writeMs.toDouble / math.max(d.writes, 1L),
+          d.flushMs.toDouble / math.max(d.flushes, 1L))
+      }).getOrElse((-1.0, -1.0, -1.0))
+      (name, table, pts, exp, (cCpu, cFs, cSpill, cState), disk)
     }
 
     def fmt(v: Double): String =
       if (v.isNaN) "null"
       else java.lang.String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val json = results.map { case (name, table, pts, exp, (cCpu, cFs, cSpill, cState)) =>
+    val json = results.map { case (name, table, pts, exp, (cCpu, cFs, cSpill, cState), (dBusy, dW, dF)) =>
       val pjson = pts.map { case (l, n, t) =>
         s"""{"scale":"$l","rows":$n,"sec":${fmt(t)}}""" }.mkString("[", ",", "]")
       val superlinear = !exp.isNaN && exp > 1.15
-      s""" "$name": {"table":"$table","points":$pjson,"exponent":${fmt(exp)},"superlinear":$superlinear,"canary_cpu_sec":${fmt(cCpu)},"canary_fs_sec":${fmt(cFs)},"canary_spill_sec":${fmt(cSpill)},"canary_state_sec":${fmt(cState)}}"""
+      s""" "$name": {"table":"$table","points":$pjson,"exponent":${fmt(exp)},"superlinear":$superlinear,"canary_cpu_sec":${fmt(cCpu)},"canary_fs_sec":${fmt(cFs)},"canary_spill_sec":${fmt(cSpill)},"canary_state_sec":${fmt(cState)},"disk_busy_frac":${fmt(dBusy)},"disk_w_await_ms":${fmt(dW)},"disk_flush_await_ms":${fmt(dF)}}"""
     }.mkString("{\n", ",\n", s""",\n "meta": {"reps":$reps,"reps_100x":$reps100x,"stat":"median","cpus":$cpus,"tenx_dir":"$tenX","hundredx_dir":"$hundredX","materialize":"noop-write (full column materialization; Bench times .count() — seconds not comparable across the r11->r12 convention change, exponents are)"}\n}\n""")
     Files.writeString(Paths.get(out), json)
     println(s"[scaling] wrote $out")
