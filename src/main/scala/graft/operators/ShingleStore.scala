@@ -41,6 +41,18 @@ import org.apache.spark.sql.functions._
   * near_dedup_apply_incremental's oracle verbatim to prove it.
   * The store records its shingle width in stats; reads are
   * self-describing (no caller-supplied n to get wrong).
+  *
+  * Deliberately NOT persisted: minhash band signatures (r17 verdict
+  * item 2 asked to measure first). Measured at sf0.1 (1.27M docs,
+  * local[32], warm cache): re-deriving the 64-hash minhash array from
+  * the stored `hs` via the native codegen expression costs 0.28 s
+  * against 0.23 s to scan `hs` alone — the compute is ~0.05 s, ~2% of
+  * the banded pair stage — while reading a persisted `sig` column
+  * measures 0.15 s. Persisting would spend +64 longs/doc of store
+  * growth and extra write volume on EVERY append to save ~0.1 s per
+  * nightly run; the hash work is embarrassingly parallel, so the
+  * ratio holds at 100 TB. The expensive thing was never banding — it
+  * was re-reading TEXT, which the store already eliminates.
   */
 object ShingleStore {
 
