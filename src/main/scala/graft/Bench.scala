@@ -16,6 +16,16 @@ object Bench {
       // extra sequential rename pass is pure fixed cost on FS-backed
       // stores (object-store deployments swap in their own committer)
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // let AQE coalesce shuffles UNDER persisted plans too (default off
+      // for cached-plan-reuse stability, not correctness): the store
+      // mutations persist their tokenize pass, and without this every
+      // shuffle below a persist materializes at the static partition
+      // count — measured at sf0.1: stream_lex_append 451 → 79 tasks,
+      // text_bm25_index_append 228 → 42, task time 114 → 7.7 s. Scale-
+      // neutral: AQE sizes by bytes (advisoryPartitionSizeInBytes), so a
+      // 100 TB corpus keeps its parallelism; only empty/tiny shuffles
+      // collapse.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JVM/codegen/parquet paths so startup cost isn't attributed

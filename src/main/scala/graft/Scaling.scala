@@ -228,6 +228,8 @@ object Scaling {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+      // AQE under persisted plans (see Bench.scala for the measurement)
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val sf001 = "/root/testdata/sf0.01"

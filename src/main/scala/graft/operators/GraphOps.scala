@@ -100,17 +100,21 @@ object GraphOps {
       // shortcut never crosses components; values only decrease.
       val ptr = candidate
         .select(col("node").as("label"), col("label").as("plabel"))
+      // Convergence probe rides the checkpoint materialization itself
+      // (Dataset.observe → CollectMetrics): labels only ever decrease, so
+      // `changed` ⟺ label < own, countable as the rows stream into the
+      // checkpoint — one job per round where the old limit(1).count()
+      // rescan paid a second.
+      val obs = org.apache.spark.sql.Observation()
       val next = candidate
         .join(ptr, Seq("label"), "left_outer")
         .select(col("node"),
           coalesce(col("plabel"), col("label")).as("label"), col("own"))
+        .observe(obs, count(when(col("label") =!= col("own"), lit(1))).as("changed"))
         .localCheckpoint()
-      // Emptiness probe over the checkpoint just written — shuffle-free
-      // (labels only ever decrease, so `changed` ⟺ label < own).
-      val changed = next.where(col("label") =!= col("own")).limit(1).count()
       current.unpersist()
       current = next
-      converged = changed == 0
+      converged = obs.get("changed").asInstanceOf[Long] == 0L
       iter += 1
     }
     // the edge checkpoint is loop-internal — release its cached blocks
@@ -153,13 +157,17 @@ object GraphOps {
       // distinct hash-partitions the candidates by node, so the visited
       // anti-join reuses that partitioning against the node-partitioned
       // checkpoint
+      // emptiness probe rides the checkpoint job (the CC loop's
+      // Observation trick) — no second scan of the frontier
+      val obs = org.apache.spark.sql.Observation()
       val next = bidir
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("depth", lit(depth + 1))
+        .observe(obs, count(lit(1)).as("n"))
         .localCheckpoint()
-      if (next.limit(1).count() == 0) done = true
+      if (obs.get("n").asInstanceOf[Long] == 0L) done = true
       else {
         val grown = visited.unionAll(next)
           .repartition(col("node")).localCheckpoint()

@@ -82,6 +82,48 @@ object LexIndex {
 
   val DefaultBuckets = 64
 
+  /** Floor/ceiling for [[autoBuckets]] (`graft.lexindex.minBuckets` /
+    * `maxBuckets`), and the sizing target (`graft.lexindex.docsPerBucket`):
+    * the bucket count an auto-sized build aims for is
+    * ceil(rows / docsPerBucket) clamped to [min, max]. Rationale: every
+    * append writes ~1 file per TOUCHED bucket and every recover/list
+    * walks all of them, so the bucket count must GROW with the corpus —
+    * a fixed modulus is simultaneously too many dirs for a 5 k-doc
+    * corpus (64 near-empty files per mutation, measured 4-8× the build
+    * wall at sf0.1) and far too few for a 10 B-doc one (each bucket's
+    * posting slice would be ~1/64 of the corpus, unboundedly large).
+    * Production deployments size docsPerBucket so one bucket's postings
+    * land in the low hundreds of MB and raise maxBuckets to match; the
+    * defaults below keep the local bench honest (derived from the
+    * input's actual row metadata, never from the core count).
+    */
+  val DefaultDocsPerBucket = 2048L
+  val DefaultMinBuckets = 4
+  val DefaultMaxBuckets = 4096
+
+  /** Scale-adaptive bucket count: ceil(rows / docsPerBucket) clamped to
+    * [minBuckets, maxBuckets], with rows from parquet footer metadata
+    * ([[graft.model.RowEst]] — no job); [[DefaultBuckets]] when the
+    * relation carries no free row bound (the estimate must never cost a
+    * pass over the corpus it is trying to size). `graft.lexindex.buckets`
+    * (> 0) pins the count outright.
+    */
+  def autoBuckets(spark: SparkSession, docs: DataFrame): Int = {
+    val pinned = spark.conf.get("graft.lexindex.buckets", "0").toInt
+    if (pinned > 0) pinned
+    else graft.model.RowEst.upperBound(docs) match {
+      case Some(rows) =>
+        val per = spark.conf.get("graft.lexindex.docsPerBucket",
+          DefaultDocsPerBucket.toString).toLong
+        val lo = spark.conf.get("graft.lexindex.minBuckets",
+          DefaultMinBuckets.toString).toInt
+        val hi = spark.conf.get("graft.lexindex.maxBuckets",
+          DefaultMaxBuckets.toString).toInt
+        math.min(hi.toLong, math.max(lo.toLong, (rows + per - 1) / per)).toInt
+      case None => DefaultBuckets
+    }
+  }
+
   /** Part files a bucket may hold before [[needsCompact]] fires — each
     * append adds ~1 file per touched bucket, so the count drifts up with
     * batches folded since the last [[consolidate]].
@@ -90,6 +132,24 @@ object LexIndex {
 
   private def fs(spark: SparkSession) =
     org.apache.hadoop.fs.FileSystem.get(spark.sparkContext.hadoopConfiguration)
+
+  /** The query terms' bucket ids under the store's recorded modulus,
+    * computed by evaluating the SAME Catalyst expressions the build's
+    * bucket column uses (`Pmod(XxHash64(term), nBuckets)`) on the
+    * driver — identical hashing by construction (shared expression
+    * classes, never a reimplementation that could drift), and zero
+    * Spark jobs: the previous `spark.range(1).select(...).head()` probe
+    * paid a defaultParallelism-task job per indexed read just to hash a
+    * handful of string literals.
+    */
+  private def termBuckets(qTerms: Seq[String], nBuckets: Long): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Literal, Pmod, XxHash64}
+    qTerms.map { t =>
+      Pmod(new XxHash64(Seq(Literal(t))), Literal(nBuckets))
+        .eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        .asInstanceOf[Long]
+    }.distinct
+  }
 
   /** The postings relation at `path` — or, when the directory holds no
     * part files yet (an index legitimately bootstrapped from a ZERO-ROW
@@ -155,8 +215,12 @@ object LexIndex {
     * converges.
     */
   def build(spark: SparkSession, docs: DataFrame, dir: String,
-      nBuckets: Int = DefaultBuckets, batchId: Long = -1L): Unit = {
-    require(nBuckets >= 1, s"need nBuckets >= 1, got $nBuckets")
+      nBuckets: Int = 0, batchId: Long = -1L): Unit = {
+    // 0 (the default) = size the modulus from the corpus's row metadata;
+    // reads resolve the recorded n_buckets from stats either way, so the
+    // choice only routes file layout, never results
+    val buckets = if (nBuckets > 0) nBuckets else autoBuckets(spark, docs)
+    require(buckets >= 1, s"need nBuckets >= 1, got $buckets")
     // finish a predecessor's torn swap first, so "is there a committed
     // stats row" is answered against the repaired state
     graft.model.StoreSwap.commit(spark, statsDir(dir))
@@ -173,8 +237,15 @@ object LexIndex {
     fs(spark).delete(new Path(statsDir(dir)), true) // torn first-write leftover
     withPostingRows(docs) { (posts, dl) =>
       posts
-        .withColumn("bucket", pmod(xxhash64(col("t")), lit(nBuckets.toLong)))
+        .withColumn("bucket", pmod(xxhash64(col("t")), lit(buckets.toLong)))
         .withColumn("seq", lit(0))
+        // co-locate each bucket's rows before the partitioned write — the
+        // discipline append always had. Without it every one of the tf
+        // join's shuffle partitions opened a writer in EVERY bucket dir
+        // (partitions × buckets part files per build — measured 4-8× the
+        // build wall at sf0.1, §6 small-files both ways: slow to commit,
+        // slow for every later read/recover listing).
+        .repartition(col("bucket"))
         .write.mode(SaveMode.Overwrite)
         .partitionBy("bucket", "seq")
         .parquet(postingsDir(dir))
@@ -191,7 +262,7 @@ object LexIndex {
       dl.agg(count(lit(1)).as("n_docs"),
           coalesce(sum("dl"), lit(0.0)).as("sum_dl"),
           coalesce(avg("dl"), lit(0.0)).as("avgdl"),
-          lit(nBuckets).as("n_buckets"),
+          lit(buckets).as("n_buckets"),
           lit(0L).as("max_seq"), lit(batchId).as("last_batch"))
         .repartition(1) // one row
         .write.mode(SaveMode.Overwrite)
@@ -430,12 +501,9 @@ object LexIndex {
     val avgdl = statsRow.getAs[Double]("avgdl")
     val nBuckets = statsRow.getAs[Int]("n_buckets")
     val maxSeq = statsRow.getAs[Long]("max_seq")
-    // the terms' buckets via the same expression the build used — never
-    // a driver-side reimplementation of xxhash64 that could drift
-    val buckets = spark.range(1)
-      .select(qTerms.map(t =>
-        pmod(xxhash64(lit(t)), lit(nBuckets.toLong))): _*)
-      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    // the terms' buckets via the same expression classes the build used
+    // ([[termBuckets]]) — same hashing, no per-read probe job
+    val buckets = termBuckets(qTerms, nBuckets.toLong)
     val postingsPath = graft.model.StoreSwap
       .readablePath(spark, postingsDir(dir))
       .getOrElse(sys.error(s"no readable postings under ${postingsDir(dir)}"))
@@ -513,10 +581,7 @@ object LexIndex {
     val nBuckets = statsRow.getAs[Int]("n_buckets")
     val maxSeq = statsRow.getAs[Long]("max_seq")
     val allTerms = queries.flatMap(_._2).distinct
-    val buckets = spark.range(1)
-      .select(allTerms.map(t =>
-        pmod(xxhash64(lit(t)), lit(nBuckets.toLong))): _*)
-      .head().toSeq.map(_.asInstanceOf[Long]).distinct
+    val buckets = termBuckets(allTerms, nBuckets.toLong)
     val postingsPath = graft.model.StoreSwap
       .readablePath(spark, postingsDir(dir))
       .getOrElse(sys.error(s"no readable postings under ${postingsDir(dir)}"))

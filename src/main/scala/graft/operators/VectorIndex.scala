@@ -116,6 +116,11 @@ object VectorIndex {
       maxTrainRows, n)
     VectorOps.ivfPqEncode(assigned, books)
       .withColumn("seq", lit(0))
+      // one file per cell (the discipline appendIvfPq/consolidate always
+      // had): without this every encode shuffle partition opened a writer
+      // in every cell dir — partitions × cells part files per build, paid
+      // again by every probed-cell read until the first consolidate
+      .repartition(col("cell"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("cell", "seq")
       .parquet(codesDir(dir))

@@ -226,6 +226,10 @@ object LabelStore {
       val tmp = tmpDir(dir)
       GraphOps.connectedComponents(edges)
         .withColumn("bucket", bucketCol(col("node"), nBuckets))
+        // one file per bucket (the compact discipline): without this
+        // every labeling shuffle partition opens a writer in every
+        // bucket dir — partitions × buckets files from the bootstrap on
+        .repartition(col("bucket"))
         .write.partitionBy("bucket").parquet(tmp)
       require(f.exists(new Path(tmp, "_SUCCESS")), s"torn bootstrap write at $tmp")
       require(f.rename(new Path(tmp), new Path(dir)),
@@ -269,7 +273,10 @@ object LabelStore {
         // each changed bucket in with two renames — a crash leaves the
         // bucket at its old or new version, never deleted-not-replaced
         val tmp = tmpDir(dir)
-        toWrite.write.partitionBy("bucket").parquet(tmp)
+        // one staged file per changed bucket, not one per shuffle
+        // partition per bucket (the bootstrap/compact discipline)
+        toWrite.repartition(col("bucket"))
+          .write.partitionBy("bucket").parquet(tmp)
         require(f.exists(new Path(tmp, "_SUCCESS")), s"torn staging write at $tmp")
         // record WHICH buckets the swap loop is about to move aside —
         // recover restores by this manifest, never by presence-probing

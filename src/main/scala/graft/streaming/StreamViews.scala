@@ -697,12 +697,17 @@ object StreamViews {
       })
       val idx = graft.Scratch.dir("graft_lexindex_stream")
       val schema = s.read.parquet(docsDir).schema
+      // a micro-batch relation carries no free row metadata (autoBuckets
+      // would abstain to the fixed fallback), but the staged intake dir
+      // does — size the store's modulus from the corpus it will fold
+      val nb = graft.operators.LexIndex.autoBuckets(s, s.read.parquet(docsDir))
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(docsDir)
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
           if (!graft.operators.LexIndex.isBuilt(s, idx))
-            graft.operators.LexIndex.build(s, batch.toDF(), idx, batchId = id)
+            graft.operators.LexIndex.build(s, batch.toDF(), idx,
+              nBuckets = nb, batchId = id)
           else
             graft.operators.LexIndex.append(s, batch.toDF(), idx, batchId = id)
           ()
@@ -787,6 +792,9 @@ object StreamViews {
         }
       }
       val schema = s.read.parquet(docsDir).schema
+      // micro-batch relations carry no free row metadata — size the
+      // bootstrap's modulus from the staged intake dir (stream_lex_append)
+      val nb = LexIndex.autoBuckets(s, s.read.parquet(docsDir))
       @volatile var staged: Option[Long] = None
       val q = s.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1").parquet(docsDir)
@@ -795,7 +803,7 @@ object StreamViews {
           ServingPointer.resolve(s, root) match {
             case None =>
               val v = ServingPointer.stage(s, root)(
-                LexIndex.build(s, batch.toDF(), _, batchId = id))
+                LexIndex.build(s, batch.toDF(), _, nBuckets = nb, batchId = id))
               ServingPointer.flip(s, root, v)
             case Some(cur) =>
               if (id == 2 && staged.isEmpty) {

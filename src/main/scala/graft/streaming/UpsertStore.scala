@@ -120,6 +120,9 @@ object UpsertStore {
     withDel
       .withColumn("_seq", lit(seq))
       .withColumn("bucket", bucketCol(keys, nBuckets))
+      // one file per touched bucket per batch (the compact discipline),
+      // not one per batch partition per bucket
+      .repartition(col("bucket"))
       .write.mode(SaveMode.Append).partitionBy("bucket").parquet(dir)
     BucketMeta.write(spark, dir, nBuckets)
   }

@@ -41,9 +41,13 @@ class LexIndexSpec extends SparkSpec {
     LexIndex.build(spark, docs, dir)
     val scores = LexIndex.bm25Scores(spark, dir, qTerms)
     scores.collect() // finalize the executed plan
+    // the store's RECORDED modulus (self-describing stats row), not the
+    // library default — builds size their modulus from the corpus
+    val nBuckets = spark.read.parquet(s"$dir/stats").head()
+      .getAs[Int]("n_buckets")
     val wanted = spark.range(1)
       .select(qTerms.map(t =>
-        pmod(xxhash64(lit(t)), lit(LexIndex.DefaultBuckets.toLong))): _*)
+        pmod(xxhash64(lit(t)), lit(nBuckets.toLong))): _*)
       .head().toSeq.map(_.asInstanceOf[Long]).distinct.size
     val scans = allNodes(scores.queryExecution.executedPlan).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
@@ -51,7 +55,7 @@ class LexIndexSpec extends SparkSpec {
     assert(scans.nonEmpty, "no file scan in the indexed-score plan")
     val scanned = scans.map(_.selectedPartitions.partitionCount).max
     assert(scanned == wanted,
-      s"query read $scanned of ${LexIndex.DefaultBuckets} buckets; wanted $wanted")
+      s"query read $scanned of $nBuckets buckets; wanted $wanted")
   }
 
   test("build + append equals one build over the union, stats totals merged") {
@@ -233,9 +237,12 @@ class LexIndexSpec extends SparkSpec {
         s"query $qid: batch block ${batch(qid)} != solo $solo")
     }
     // the whole batch cost ONE scan over the union of the terms' buckets
+    // (modulus from the store's stats — builds size it from the corpus)
+    val nBuckets = spark.read.parquet(s"$dir/stats").head()
+      .getAs[Int]("n_buckets")
     val wanted = spark.range(1)
       .select(queries.flatMap(_._2).distinct.map(t =>
-        pmod(xxhash64(lit(t)), lit(LexIndex.DefaultBuckets.toLong))): _*)
+        pmod(xxhash64(lit(t)), lit(nBuckets.toLong))): _*)
       .head().toSeq.map(_.asInstanceOf[Long]).distinct.size
     val scans = allNodes(batchDf.queryExecution.executedPlan).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
@@ -253,9 +260,11 @@ class LexIndexSpec extends SparkSpec {
     val dir = freshDir()
     LexIndex.build(spark, base, dir)
     LexIndex.append(spark, batch, dir)
+    val nBuckets = spark.read.parquet(s"$dir/stats").head()
+      .getAs[Int]("n_buckets")
     val expected = spark.range(1)
       .select(Seq("alpha", "omega", "kappa").map(t =>
-        pmod(xxhash64(lit(t)), lit(LexIndex.DefaultBuckets.toLong))): _*)
+        pmod(xxhash64(lit(t)), lit(nBuckets.toLong))): _*)
       .head().toSeq.map(_.asInstanceOf[Long]).toSet
     val touched = new java.io.File(s"$dir/postings").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bucket="))
