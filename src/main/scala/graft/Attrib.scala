@@ -42,8 +42,17 @@ object Attrib {
     // burn concentrates to named call sites instead of one opaque total
     val stageAgg = new java.util.concurrent.ConcurrentHashMap[String, Array[Long]]()
     val stageName = new java.util.concurrent.ConcurrentHashMap[Integer, String]()
+    // per-callsite JOB counts (callSite.short of the job start), so "73
+    // jobs" decomposes to the lines issuing them
+    val jobAgg = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(j: SparkListenerJobStart): Unit = jobs.incrementAndGet()
+      override def onJobStart(j: SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet()
+        val site = Option(j.properties)
+          .flatMap(p => Option(p.getProperty("callSite.short")))
+          .getOrElse("unknown")
+        jobAgg.merge(site, 1L, (a, b) => a + b)
+      }
       override def onStageSubmitted(
           s: org.apache.spark.scheduler.SparkListenerStageSubmitted): Unit =
         stageName.put(s.stageInfo.stageId, s.stageInfo.name.takeWhile(_ != '\n').take(90))
@@ -85,8 +94,11 @@ object Attrib {
           stageAgg.asScala.toSeq.sortBy(-_._2(1)).take(8).foreach { case (n, a) =>
             println(f"[attrib]     ${a(1) / 1000.0}%8.1f s cpu=${a(3) / 1000.0}%7.1f s gc=${a(2) / 1000.0}%5.1f s deser=${a(4) / 1000.0}%5.1f s tasks=${a(0)}%5d  $n")
           }
+          jobAgg.asScala.toSeq.sortBy(-_._2).take(12).foreach { case (n, c) =>
+            println(f"[attrib]     jobs=$c%4d  $n")
+          }
         }
-        stageAgg.clear()
+        stageAgg.clear(); jobAgg.clear()
       }
     }
     spark.stop()

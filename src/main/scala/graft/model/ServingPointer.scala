@@ -78,7 +78,7 @@ object ServingPointer {
       try {
         StoreSwap.committedPath(spark, pointerDir(root)) match {
           case Some(p) =>
-            return Some(spark.read.parquet(p).head().getAs[Long]("version"))
+            return Some(OneRowParquet.head(spark, p).getAs[Long]("version"))
           case None if attempt < maxRetries =>
             // committedPath probes `pointer` then `pointer.old`
             // NON-atomically: a concurrent flip running its rename+cleanup

@@ -191,8 +191,11 @@ object LexIndex {
       .groupBy("doc_id", "t").agg(count(lit(1)).as("tf"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
     try {
+      // dl stays a plan over the cached tf (no checkpoint job): both
+      // consumers — the postings join and the stats aggregate — recompute
+      // it as one small aggregate over the cache, cheaper than a
+      // dedicated materialization job per mutation
       val dl = tf.groupBy("doc_id").agg(sum("tf").cast("double").as("dl"))
-        .localCheckpoint()
       f(tf.join(dl, "doc_id"), dl)
     } finally tf.unpersist()
   }
@@ -313,7 +316,7 @@ object LexIndex {
     */
   def committedWatermarks(spark: SparkSession, dir: String): Option[(Long, Long)] =
     graft.model.StoreSwap.committedPath(spark, statsDir(dir)).map { p =>
-      val r = spark.read.parquet(p).head()
+      val r = graft.model.OneRowParquet.head(spark, p)
       (r.getAs[Long]("max_seq"), r.getAs[Long]("last_batch"))
     }
 
@@ -332,7 +335,7 @@ object LexIndex {
     // "index not built" error — not die inferring parquet schema here
     if (graft.model.StoreSwap.committedPath(spark, statsDir(dir)).isEmpty) None
     else {
-      val stats = spark.read.parquet(statsDir(dir)).head()
+      val stats = graft.model.OneRowParquet.head(spark, statsDir(dir))
       val maxSeq = stats.getAs[Long]("max_seq")
       if (f.exists(posts)) f.listStatus(posts).foreach { b =>
         val name = b.getPath.getName
@@ -496,7 +499,7 @@ object LexIndex {
     // state
     val statsPath = graft.model.StoreSwap.committedPath(spark, statsDir(dir))
       .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — index not built"))
-    val statsRow = spark.read.parquet(statsPath).head()
+    val statsRow = graft.model.OneRowParquet.head(spark, statsPath)
     val nDocs = statsRow.getAs[Long]("n_docs")
     val avgdl = statsRow.getAs[Double]("avgdl")
     val nBuckets = statsRow.getAs[Int]("n_buckets")
@@ -575,7 +578,7 @@ object LexIndex {
         "queries' term sets into one garbage score block")
     val statsPath = graft.model.StoreSwap.committedPath(spark, statsDir(dir))
       .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — index not built"))
-    val statsRow = spark.read.parquet(statsPath).head()
+    val statsRow = graft.model.OneRowParquet.head(spark, statsPath)
     val nDocs = statsRow.getAs[Long]("n_docs")
     val avgdl = statsRow.getAs[Double]("avgdl")
     val nBuckets = statsRow.getAs[Int]("n_buckets")

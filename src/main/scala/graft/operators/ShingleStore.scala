@@ -93,8 +93,11 @@ object ShingleStore {
         "write the replacement to a fresh dir, or evolve this one via append")
     fs(spark).delete(new Path(statsDir(dir)), true) // torn first-write leftover
     val sigs = signatures(docs, n, sidecar)
-      .localCheckpoint() // one shingle pass feeds the write AND the stats count
-    sigs.withColumn("seq", lit(0))
+    // the stats count rides the write job itself (Dataset.observe) — one
+    // shingle pass, one job, no checkpoint double-materialization
+    val obs = org.apache.spark.sql.Observation()
+    sigs.observe(obs, count(lit(1)).as("n_docs"))
+      .withColumn("seq", lit(0))
       .write.mode(SaveMode.Overwrite).partitionBy("seq")
       .parquet(sigsDir(dir))
     // a zero-row bootstrap batch writes NO part files; record the commit
@@ -106,16 +109,34 @@ object ShingleStore {
     // sigs_schema makes an EMPTY store readable: with zero part files
     // parquet cannot infer the relation's shape, so [[read]] serves the
     // recorded schema instead of an AnalysisException until data lands.
-    sigs.agg(count(lit(1)).as("n_docs"), lit(n).as("shingle_n"),
-        lit(0L).as("min_seq"), lit(0L).as("max_seq"),
-        lit(batchId).as("last_batch"),
-        lit(sidecar.map(_._1).mkString(",")).as("sidecar_cols"),
-        lit(sigs.schema.json).as("sigs_schema"))
+    writeStats(spark, dir,
+      nDocs = obs.get("n_docs").asInstanceOf[Long], shingleN = n,
+      minSeq = 0L, maxSeq = 0L, lastBatch = batchId,
+      sidecarCols = sidecar.map(_._1).mkString(","),
+      sigsSchema = sigs.schema.json, overwriteInPlace = true)
+  }
+
+  /** The one-row stats table from driver-held values (every mutation's
+    * counts now arrive via [[org.apache.spark.sql.Observation]] on the
+    * signature write itself). `overwriteInPlace` = the build's first
+    * write; appends/compactions stage at the StoreSwap tmp path and
+    * commit via the two-rename.
+    */
+  private def writeStats(spark: SparkSession, dir: String, nDocs: Long,
+      shingleN: Int, minSeq: Long, maxSeq: Long, lastBatch: Long,
+      sidecarCols: String, sigsSchema: String,
+      overwriteInPlace: Boolean): Unit = {
+    import spark.implicits._
+    val target =
+      if (overwriteInPlace) statsDir(dir)
+      else graft.model.StoreSwap.tmpPath(statsDir(dir))
+    Seq((nDocs, shingleN, minSeq, maxSeq, lastBatch, sidecarCols, sigsSchema))
+      .toDF("n_docs", "shingle_n", "min_seq", "max_seq", "last_batch",
+        "sidecar_cols", "sigs_schema")
       .repartition(1)
       .write.mode(SaveMode.Overwrite)
-      .parquet(statsDir(dir))
-    sigs.unpersist()
-    ()
+      .parquet(target)
+    if (!overwriteInPlace) graft.model.StoreSwap.commit(spark, statsDir(dir))
   }
 
   /** Whether a COMMITTED build exists at `dir` — resolves through a
@@ -136,7 +157,7 @@ object ShingleStore {
     val f = fs(spark)
     if (graft.model.StoreSwap.committedPath(spark, statsDir(dir)).isEmpty) None
     else {
-      val stats = spark.read.parquet(statsDir(dir)).head()
+      val stats = graft.model.OneRowParquet.head(spark, statsDir(dir))
       val maxSeq = stats.getAs[Long]("max_seq")
       val min = minSeq(stats)
       val sigs = new Path(sigsDir(dir))
@@ -192,8 +213,12 @@ object ShingleStore {
         s"[${sidecar.map(_._1).mkString(",")}]")
     val n = prev.getAs[Int]("shingle_n")
     val newSeq = prev.getAs[Long]("max_seq") + 1
-    val sigs = signatures(docs, n, sidecar).localCheckpoint()
-    sigs.withColumn("seq", lit(newSeq.toInt))
+    val sigs = signatures(docs, n, sidecar)
+    // batch count rides the write job (Observation) — one shingle pass,
+    // one job, no checkpoint
+    val obs = org.apache.spark.sql.Observation()
+    sigs.observe(obs, count(lit(1)).as("n_docs"))
+      .withColumn("seq", lit(newSeq.toInt))
       .write.mode(SaveMode.Append).partitionBy("seq")
       .parquet(sigsDir(dir))
     graft.model.StoreSwap.sealIfEmpty(spark, sigsDir(dir))
@@ -201,20 +226,12 @@ object ShingleStore {
     // sigs_schema is re-derived from the batch relation (pure schema,
     // no execution — identical by the sidecar-shape check above), which
     // also upgrades pre-schema stats rows on their first append.
-    sigs.agg(
-        (count(lit(1)) + lit(prev.getAs[Long]("n_docs"))).as("n_docs"),
-        lit(n).as("shingle_n"),
-        lit(minSeq(prev)).as("min_seq"),
-        lit(newSeq).as("max_seq"),
-        lit(math.max(prev.getAs[Long]("last_batch"), batchId)).as("last_batch"),
-        lit(storedSidecar.mkString(",")).as("sidecar_cols"),
-        lit(sigs.schema.json).as("sigs_schema"))
-      .repartition(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(graft.model.StoreSwap.tmpPath(statsDir(dir)))
-    graft.model.StoreSwap.commit(spark, statsDir(dir))
-    sigs.unpersist()
-    ()
+    writeStats(spark, dir,
+      nDocs = obs.get("n_docs").asInstanceOf[Long] + prev.getAs[Long]("n_docs"),
+      shingleN = n, minSeq = minSeq(prev), maxSeq = newSeq,
+      lastBatch = math.max(prev.getAs[Long]("last_batch"), batchId),
+      sidecarCols = storedSidecar.mkString(","),
+      sigsSchema = sigs.schema.json, overwriteInPlace = false)
   }
 
   /** Compaction trigger + action (the [[LexIndex.maintain]] policy on
@@ -256,18 +273,13 @@ object ShingleStore {
       .parquet(sigsDir(dir))
     graft.model.StoreSwap.sealIfEmpty(spark, sigsDir(dir))
     // THE commit point: one swap moves the whole window to the new level
-    spark.range(1).select(
-        lit(prev.getAs[Long]("n_docs")).as("n_docs"),
-        lit(prev.getAs[Int]("shingle_n")).as("shingle_n"),
-        lit(newSeq).as("min_seq"),
-        lit(newSeq).as("max_seq"),
-        lit(prev.getAs[Long]("last_batch")).as("last_batch"),
-        lit(sidecarCols(prev).mkString(",")).as("sidecar_cols"),
-        lit(committed.schema.json).as("sigs_schema"))
-      .repartition(1)
-      .write.mode(SaveMode.Overwrite)
-      .parquet(graft.model.StoreSwap.tmpPath(statsDir(dir)))
-    graft.model.StoreSwap.commit(spark, statsDir(dir))
+    writeStats(spark, dir,
+      nDocs = prev.getAs[Long]("n_docs"),
+      shingleN = prev.getAs[Int]("shingle_n"),
+      minSeq = newSeq, maxSeq = newSeq,
+      lastBatch = prev.getAs[Long]("last_batch"),
+      sidecarCols = sidecarCols(prev).mkString(","),
+      sigsSchema = committed.schema.json, overwriteInPlace = false)
     // retired levels stay on disk until the next maintainer entry prunes
     // them (grace window for in-flight readers — see the scaladoc)
     true
@@ -303,7 +315,7 @@ object ShingleStore {
   def read(spark: SparkSession, dir: String): DataFrame = {
     val statsPath = graft.model.StoreSwap.committedPath(spark, statsDir(dir))
       .getOrElse(sys.error(s"no readable stats under ${statsDir(dir)} — store not built"))
-    val stats = spark.read.parquet(statsPath).head()
+    val stats = graft.model.OneRowParquet.head(spark, statsPath)
     val maxSeq = stats.getAs[Long]("max_seq")
     val sigsPath = graft.model.StoreSwap.readablePath(spark, sigsDir(dir))
       .getOrElse(sys.error(s"no readable sigs under ${sigsDir(dir)}"))

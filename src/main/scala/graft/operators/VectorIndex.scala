@@ -170,7 +170,7 @@ object VectorIndex {
     */
   def committedWatermarks(spark: SparkSession, dir: String): Option[(Long, Long)] =
     graft.model.StoreSwap.committedPath(spark, metaDir(dir)).map { p =>
-      val r = spark.read.parquet(p).head()
+      val r = graft.model.OneRowParquet.head(spark, p)
       (r.getAs[Long]("max_seq"), r.getAs[Long]("last_batch"))
     }
 
@@ -189,7 +189,7 @@ object VectorIndex {
     // "index not built" error — not die inferring parquet schema here
     if (graft.model.StoreSwap.committedPath(spark, metaDir(dir)).isEmpty) None
     else {
-      val meta = spark.read.parquet(metaDir(dir)).head()
+      val meta = graft.model.OneRowParquet.head(spark, metaDir(dir))
       val maxSeq = meta.getAs[Long]("max_seq")
       if (f.exists(codes)) f.listStatus(codes).foreach { c =>
         val name = c.getPath.getName
@@ -367,7 +367,7 @@ object VectorIndex {
     // writer's recovery path (single-writer contract)
     val metaPath = graft.model.StoreSwap.committedPath(spark, metaDir(dir))
       .getOrElse(sys.error(s"no readable meta under ${metaDir(dir)} — index not built"))
-    val maxSeq = spark.read.parquet(metaPath).head().getAs[Long]("max_seq")
+    val maxSeq = graft.model.OneRowParquet.head(spark, metaPath).getAs[Long]("max_seq")
     val codesPath = graft.model.StoreSwap.readablePath(spark, codesDir(dir))
       .getOrElse(sys.error(s"no readable codes under ${codesDir(dir)}"))
     val codes = spark.read.parquet(codesPath)

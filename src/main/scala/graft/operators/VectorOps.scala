@@ -1021,7 +1021,10 @@ object VectorOps {
       val emb = Tables.embeddings(s, dir)
       val lshMaxRows =
         s.conf.get("graft.embpipe.lshMaxRows", "5000").toLong
-      val n = emb.count()
+      // metadata row bound where available (parquet footers via RowEst) —
+      // the stats-based routing the dedup/span families already use; the
+      // count() job only runs when the relation carries no free bound
+      val n = graft.model.RowEst.upperBound(emb).getOrElse(emb.count())
       val rawPairs =
         if (n <= lshMaxRows) cosineNearDupLsh(s, emb, threshold = 0.4)
         else cosineNearDupSemantic(s, emb, threshold = 0.4, nAssign = 2)

