@@ -104,17 +104,26 @@ object GraphOps {
       // (Dataset.observe → CollectMetrics): labels only ever decrease, so
       // `changed` ⟺ label < own, countable as the rows stream into the
       // checkpoint — one job per round where the old limit(1).count()
-      // rescan paid a second.
-      val obs = org.apache.spark.sql.Observation()
-      val next = candidate
+      // rescan paid a second. Metrics are read SYNCHRONOUSLY from the
+      // executed plan (`queryExecution.observedMetrics`), not through
+      // `Observation.get` — that API waits on the async listener bus,
+      // and under a busy session the delivery latency per round cost
+      // more than the rescan it replaced (measured on stream_cc's
+      // five-fold CC loops).
+      val observed = candidate
         .join(ptr, Seq("label"), "left_outer")
         .select(col("node"),
           coalesce(col("plabel"), col("label")).as("label"), col("own"))
-        .observe(obs, count(when(col("label") =!= col("own"), lit(1))).as("changed"))
-        .localCheckpoint()
+        .observe("cc_probe", count(when(col("label") =!= col("own"), lit(1))).as("changed"))
+      val next = observed.localCheckpoint()
+      val changed = observed.queryExecution.observedMetrics.get("cc_probe")
+        .map(_.getAs[Long]("changed"))
+        // metrics missing (plan executed through a path that skipped the
+        // CollectMetrics accumulators): fall back to the rescan probe
+        .getOrElse(next.where(col("label") =!= col("own")).limit(1).count())
       current.unpersist()
       current = next
-      converged = obs.get("changed").asInstanceOf[Long] == 0L
+      converged = changed == 0L
       iter += 1
     }
     // the edge checkpoint is loop-internal — release its cached blocks
@@ -157,17 +166,20 @@ object GraphOps {
       // distinct hash-partitions the candidates by node, so the visited
       // anti-join reuses that partitioning against the node-partitioned
       // checkpoint
-      // emptiness probe rides the checkpoint job (the CC loop's
-      // Observation trick) — no second scan of the frontier
-      val obs = org.apache.spark.sql.Observation()
-      val next = bidir
+      // emptiness probe rides the checkpoint job (the CC loop's observe
+      // trick, synchronous observedMetrics read — no listener-bus wait,
+      // no second scan of the frontier)
+      val observed = bidir
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
         .withColumn("depth", lit(depth + 1))
-        .observe(obs, count(lit(1)).as("n"))
-        .localCheckpoint()
-      if (obs.get("n").asInstanceOf[Long] == 0L) done = true
+        .observe("bfs_probe", count(lit(1)).as("n"))
+      val next = observed.localCheckpoint()
+      val frontierN = observed.queryExecution.observedMetrics.get("bfs_probe")
+        .map(_.getAs[Long]("n"))
+        .getOrElse(next.limit(1).count())
+      if (frontierN == 0L) done = true
       else {
         val grown = visited.unionAll(next)
           .repartition(col("node")).localCheckpoint()

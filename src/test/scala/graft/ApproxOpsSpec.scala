@@ -411,9 +411,11 @@ class ApproxOpsSpec extends SparkSpec {
       .exists(_.toString.contains("hyann_lex")))
     val vecScans = scans.filter(_.relation.location.rootPaths
       .exists(p => p.toString.contains("hyann_vec") && p.toString.endsWith("/codes")))
+    val lexBuckets = spark.read.parquet(s"$lexIdx/stats").head()
+      .getAs[Int]("n_buckets") // the store's recorded modulus
     val wantedBuckets = spark.range(1)
       .select(qTerms.map(t =>
-        pmod(xxhash64(lit(t)), lit(LexIndex.DefaultBuckets.toLong))): _*)
+        pmod(xxhash64(lit(t)), lit(lexBuckets.toLong))): _*)
       .head().toSeq.map(_.asInstanceOf[Long]).distinct.size
     assert(lexScans.nonEmpty && vecScans.nonEmpty,
       s"expected scans over both indexes, got ${scans.map(_.relation.location.rootPaths).mkString}")
@@ -451,9 +453,12 @@ class ApproxOpsSpec extends SparkSpec {
         p +: allNodes(s.plan)
       case _ => p +: p.children.flatMap(allNodes)
     }
+    // the store's RECORDED modulus (builds size it from the corpus)
+    val nBuckets = spark.read.parquet(s"$idx/stats").head()
+      .getAs[Int]("n_buckets")
     val wanted = spark.range(1)
       .select(reqs.flatMap(_._2).distinct.map(t =>
-        pmod(xxhash64(lit(t)), lit(LexIndex.DefaultBuckets.toLong))): _*)
+        pmod(xxhash64(lit(t)), lit(nBuckets.toLong))): _*)
       .head().toSeq.map(_.asInstanceOf[Long]).distinct.size
     val lexScans = allNodes(batchDf.queryExecution.executedPlan).collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec
