@@ -23,13 +23,8 @@ object Attrib {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(sys.error("usage: Attrib <query>[,<query>...] [reps]"))
     val reps = args.drop(1).headOption.map(_.toInt).getOrElse(2)
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
+    // shared recipe (graft.Sessions) + the cached-AQE A/B override seam
+    val spark = Sessions.base(s"local[$cpus]", cpus)
       .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
         sys.env.getOrElse("ATTRIB_CACHED_AQE", "true"))
       .getOrCreate()

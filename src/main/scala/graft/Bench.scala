@@ -4,29 +4,9 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      // events.parquet stores TIMESTAMP(NANOS); read as LongType nanos.
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // one rename per task at commit instead of task->job->final: the
-      // ingest queries pay two parquet commits each by design, and v1's
-      // extra sequential rename pass is pure fixed cost on FS-backed
-      // stores (object-store deployments swap in their own committer)
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      // let AQE coalesce shuffles UNDER persisted plans too (default off
-      // for cached-plan-reuse stability, not correctness): the store
-      // mutations persist their tokenize pass, and without this every
-      // shuffle below a persist materializes at the static partition
-      // count — measured at sf0.1: stream_lex_append 451 → 79 tasks,
-      // text_bm25_index_append 228 → 42, task time 114 → 7.7 s. Scale-
-      // neutral: AQE sizes by bytes (advisoryPartitionSizeInBytes), so a
-      // 100 TB corpus keeps its parallelism; only empty/tiny shuffles
-      // collapse.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
-      .getOrCreate()
+    // shared recipe (graft.Sessions) so benched plans == verified plans;
+    // conf rationale lives there
+    val spark = Sessions.base(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Warm up JVM/codegen/parquet paths so startup cost isn't attributed
     // to whichever query happens to run first: a scan+agg shape and a
@@ -220,7 +200,16 @@ object Bench {
     val slowest = results.toSeq.sortBy(-_._2._1).take(12)
       .map { case (k, v) => s"\"" + k + "\":" + fmt(v._1) }
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"errors":$errors,"reps":$reps,"stat":"median","canary_cpu_sec":${fmt(canaryCpu)},"canary_fs_sec":${fmt(canaryFs)},"canary_spill_sec":${fmt(canarySpill)},"canary_state_sec":${fmt(canaryState)},"canary_state_max":${fmt(stateMax)},"disk_w_await_max_ms":${fmt(wAwaitMax)},"disk_flush_await_max_ms":${fmt(flushMax)},"sf":"$sfDir","total_sec":${fmt(total)}}""")
+    val finalLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$slowest,"n_queries":${results.size},"errors":$errors,"reps":$reps,"stat":"median","canary_cpu_sec":${fmt(canaryCpu)},"canary_fs_sec":${fmt(canaryFs)},"canary_spill_sec":${fmt(canarySpill)},"canary_state_sec":${fmt(canaryState)},"canary_state_max":${fmt(stateMax)},"disk_w_await_max_ms":${fmt(wAwaitMax)},"disk_flush_await_max_ms":${fmt(flushMax)},"sf":"$sfDir","total_sec":${fmt(total)}}"""
+    println(finalLine)
+    // Redundant file copy of the contract line: survives any stdout
+    // wrapping/truncation between the forked JVM and the caller's parser.
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), (finalLine + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] could not write $p: $e") }
+    }
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
-import graft.{Scaling, Tables}
+import graft.{Scaling, Sessions, Tables}
 import graft.functions.TextFunctions.{stopwordCount, tokens, shingleHashes}
 
 /** Round-agnostic profiling harness (not part of the driver contract;
@@ -33,14 +33,8 @@ object Prof {
 
   def main(args: Array[String]): Unit = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .getOrCreate()
+    // shared recipe (graft.Sessions) so profiled plans == benched plans
+    val spark = Sessions.base(s"local[$cpus]", cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def mat(df: org.apache.spark.sql.DataFrame): Unit =

@@ -23,13 +23,8 @@ object Recall {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.01"
     val out = if (args.length > 1) args(1) else "RECALL.json"
-    val spark = SparkSession.builder()
-      .master("local[" + sys.env.getOrElse("SPARK_GRAFT_CPUS", "8") + "]")
-      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "8"))
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .getOrCreate()
+    // shared recipe (graft.Sessions) so recall runs the benched plans
+    val spark = Sessions.fromEnv("8").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
     def pairSet(df: DataFrame): Set[(Long, Long)] =

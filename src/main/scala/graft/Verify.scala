@@ -12,21 +12,8 @@ object Verify {
       case Array(s, o, f) => (s, o, Some(f.split(",").toSet))
       case _ => sys.error("usage: Verify <sfDir> <outDir> [name,name,...]")
     }
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      // NANOS-era events.parquet compat; Tables.normalizeTs handles the
-      // timestamp[us] generator era (either way ts → LongType nanos).
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      // one rename per task at commit instead of task->job->final: the
-      // ingest queries pay two parquet commits each by design, and v1's
-      // extra sequential rename pass is pure fixed cost on FS-backed
-      // stores (object-store deployments swap in their own committer)
-      .config("spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version", "2")
-      .getOrCreate()
+    // shared recipe (graft.Sessions) so verified plans == benched plans
+    val spark = Sessions.fromEnv("4").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

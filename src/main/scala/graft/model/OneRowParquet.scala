@@ -43,8 +43,11 @@ object OneRowParquet {
   def headOption(spark: SparkSession, dir: String): Option[Row] =
     try {
       val conf = spark.sparkContext.hadoopConfiguration
-      val fs = org.apache.hadoop.fs.FileSystem.get(conf)
       val p = new Path(dir)
+      // the path's OWN filesystem, not the default one: on s3a://, abfs://
+      // etc. FileSystem.get(conf) throws Wrong-FS and the fast path would
+      // silently vanish exactly on the object-store deployments it targets
+      val fs = p.getFileSystem(conf)
       if (!fs.exists(p)) None // let the fallback raise the real error
       else {
         val parts = fs.listStatus(p)

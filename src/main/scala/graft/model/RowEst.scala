@@ -60,6 +60,33 @@ object RowEst {
       finally r.close()
     }).longValue()
 
+  /** EXACT row count of an already-committed parquet directory, from
+    * the footers of the part files directly under it — driver-side
+    * metadata I/O, zero jobs, fully synchronous (no listener bus; the
+    * store mutations read back the count of the level they just wrote
+    * through this instead of an [[org.apache.spark.sql.Observation]],
+    * whose `get` waits on the async bus). A missing directory counts as
+    * 0 — a zero-row batch writes no part files at all. None only on a
+    * footer-read failure; callers then fall back to a counting job.
+    */
+  def dirRowsExact(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Option[Long] =
+    try {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(conf)
+      if (!fs.exists(p)) Some(0L)
+      else Some(fs.listStatus(p).iterator
+        .filter(st => st.isFile && st.getLen > 0 &&
+          !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith("."))
+        .map(st => footerRows(st.getPath.toString, conf)).sum)
+    } catch {
+      case e: Exception =>
+        System.err.println(s"[rowest] dir count failed for $dir, abstaining: $e")
+        None
+    }
+
   /** An upper bound on `df`'s row count from metadata alone — no Spark
     * job. None when the plan's cardinality cannot be bounded for free
     * (see the object scaladoc); callers treat None as "assume big" or
@@ -72,6 +99,41 @@ object RowEst {
         System.err.println(s"[rowest] estimate failed, abstaining: $e")
         None
     }
+
+  /** The EXACT row count of `df` from metadata alone, or None — answers
+    * only when every node between the consumer and the leaves provably
+    * PRESERVES cardinality (projects, sorts, repartitions, aliases over
+    * parquet scans / local relations / ranges / unions thereof). For
+    * route decisions that are NOT oracle-proven equivalent (the
+    * `pipeline_embedding_corpus` LSH↔SemDeDup split, r18 verdict
+    * "what's wrong" #5): an upper BOUND that over-shoots the routing
+    * threshold on a filtered relation would silently change which
+    * algorithm emits the pairs, so such routes take the metadata answer
+    * only when it is exact and pay the `count()` job otherwise.
+    */
+  def exactCount(df: Dataset[_]): Option[Long] =
+    try exact(df.queryExecution.optimizedPlan, df.sparkSession)
+    catch {
+      case e: Throwable =>
+        System.err.println(s"[rowest] exact count failed, abstaining: $e")
+        None
+    }
+
+  private def exact(p: LogicalPlan,
+      spark: org.apache.spark.sql.SparkSession): Option[Long] = p match {
+    case l: LocalRelation => Some(l.data.size.toLong)
+    case r: Range => Some(r.numElements.min(BigInt(Long.MaxValue)).toLong)
+    case lr: LogicalRelation => bound(lr, spark) // footer counts are exact per scan
+    case u: Union =>
+      val cs = u.children.map(exact(_, spark))
+      if (cs.forall(_.isDefined)) Some(cs.flatten.sum) else None
+    // cardinality-PRESERVING nodes only — Filter/Limit/Sample/Aggregate
+    // all abstain here (they make the footer count an upper bound)
+    case n @ (_: Project | _: Sort | _: SubqueryAlias |
+        _: RepartitionOperation) =>
+      exact(n.children.head, spark)
+    case _ => None
+  }
 
   private def bound(p: LogicalPlan,
       spark: org.apache.spark.sql.SparkSession): Option[Long] = p match {

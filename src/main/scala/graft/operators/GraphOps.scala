@@ -118,8 +118,14 @@ object GraphOps {
       val next = observed.localCheckpoint()
       val changed = observed.queryExecution.observedMetrics.get("cc_probe")
         .map(_.getAs[Long]("changed"))
-        // metrics missing (plan executed through a path that skipped the
-        // CollectMetrics accumulators): fall back to the rescan probe
+        // defensive in the DANGEROUS direction (r18 advice): a metric that
+        // is present but was never updated (plan served without executing
+        // the observe node) reads 0 and would falsely converge — so a
+        // zero reading, like a missing one, is confirmed by the rescan
+        // probe before convergence is declared. The rescan runs exactly
+        // once per CC call (the final iteration); a positive metric is
+        // trusted (a stale accumulator can only under-read).
+        .filter(_ != 0L)
         .getOrElse(next.where(col("label") =!= col("own")).limit(1).count())
       current.unpersist()
       current = next
@@ -178,6 +184,10 @@ object GraphOps {
       val next = observed.localCheckpoint()
       val frontierN = observed.queryExecution.observedMetrics.get("bfs_probe")
         .map(_.getAs[Long]("n"))
+        // a present-but-never-updated metric reads 0 and would falsely
+        // TERMINATE the walk — confirm emptiness with the rescan (fires
+        // once, on the final round); positive readings are trusted
+        .filter(_ != 0L)
         .getOrElse(next.limit(1).count())
       if (frontierN == 0L) done = true
       else {

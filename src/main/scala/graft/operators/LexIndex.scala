@@ -221,7 +221,11 @@ object LexIndex {
       nBuckets: Int = 0, batchId: Long = -1L): Unit = {
     // 0 (the default) = size the modulus from the corpus's row metadata;
     // reads resolve the recorded n_buckets from stats either way, so the
-    // choice only routes file layout, never results
+    // choice only routes file layout, never results. Negative moduli are
+    // a caller BUG and must fail loudly, not silently reroute to auto
+    // (r18 advice).
+    require(nBuckets >= 0,
+      s"nBuckets must be >= 0 (0 = auto-size from corpus metadata), got $nBuckets")
     val buckets = if (nBuckets > 0) nBuckets else autoBuckets(spark, docs)
     require(buckets >= 1, s"need nBuckets >= 1, got $buckets")
     // finish a predecessor's torn swap first, so "is there a committed

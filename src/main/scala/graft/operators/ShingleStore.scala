@@ -93,13 +93,16 @@ object ShingleStore {
         "write the replacement to a fresh dir, or evolve this one via append")
     fs(spark).delete(new Path(statsDir(dir)), true) // torn first-write leftover
     val sigs = signatures(docs, n, sidecar)
-    // the stats count rides the write job itself (Dataset.observe) — one
-    // shingle pass, one job, no checkpoint double-materialization
-    val obs = org.apache.spark.sql.Observation()
-    sigs.observe(obs, count(lit(1)).as("n_docs"))
-      .withColumn("seq", lit(0))
+    // one shingle pass, one job; the batch count is read back from the
+    // footers of the level just written (exact, driver-side, zero jobs,
+    // SYNCHRONOUS — r18 verdict item 7: Observation.get waits on the
+    // async listener bus, the one wait class the CC loop already purged)
+    sigs.withColumn("seq", lit(0))
       .write.mode(SaveMode.Overwrite).partitionBy("seq")
       .parquet(sigsDir(dir))
+    val nDocs = graft.model.RowEst
+      .dirRowsExact(spark, sigsDir(dir) + "/seq=0")
+      .getOrElse(sigs.count()) // footer-read failure only: pay a job
     // a zero-row bootstrap batch writes NO part files; record the commit
     // the way _SUCCESS would so markers-disabled sessions don't read the
     // store as torn (r17 verdict item 4 — the stream fold's live case)
@@ -110,15 +113,15 @@ object ShingleStore {
     // parquet cannot infer the relation's shape, so [[read]] serves the
     // recorded schema instead of an AnalysisException until data lands.
     writeStats(spark, dir,
-      nDocs = obs.get("n_docs").asInstanceOf[Long], shingleN = n,
+      nDocs = nDocs, shingleN = n,
       minSeq = 0L, maxSeq = 0L, lastBatch = batchId,
       sidecarCols = sidecar.map(_._1).mkString(","),
       sigsSchema = sigs.schema.json, overwriteInPlace = true)
   }
 
   /** The one-row stats table from driver-held values (every mutation's
-    * counts now arrive via [[org.apache.spark.sql.Observation]] on the
-    * signature write itself). `overwriteInPlace` = the build's first
+    * counts are read back from the written level's parquet footers —
+    * exact and synchronous). `overwriteInPlace` = the build's first
     * write; appends/compactions stage at the StoreSwap tmp path and
     * commit via the two-rename.
     */
@@ -214,20 +217,21 @@ object ShingleStore {
     val n = prev.getAs[Int]("shingle_n")
     val newSeq = prev.getAs[Long]("max_seq") + 1
     val sigs = signatures(docs, n, sidecar)
-    // batch count rides the write job (Observation) — one shingle pass,
-    // one job, no checkpoint
-    val obs = org.apache.spark.sql.Observation()
-    sigs.observe(obs, count(lit(1)).as("n_docs"))
-      .withColumn("seq", lit(newSeq.toInt))
+    // one shingle pass, one job; batch count read back from the new
+    // level's footers — synchronous, no listener-bus wait (r18 item 7)
+    sigs.withColumn("seq", lit(newSeq.toInt))
       .write.mode(SaveMode.Append).partitionBy("seq")
       .parquet(sigsDir(dir))
+    val batchDocs = graft.model.RowEst
+      .dirRowsExact(spark, sigsDir(dir) + s"/seq=$newSeq")
+      .getOrElse(sigs.count()) // footer-read failure only: pay a job
     graft.model.StoreSwap.sealIfEmpty(spark, sigsDir(dir))
     // THE commit point: the stats swap makes seq=newSeq visible.
     // sigs_schema is re-derived from the batch relation (pure schema,
     // no execution — identical by the sidecar-shape check above), which
     // also upgrades pre-schema stats rows on their first append.
     writeStats(spark, dir,
-      nDocs = obs.get("n_docs").asInstanceOf[Long] + prev.getAs[Long]("n_docs"),
+      nDocs = batchDocs + prev.getAs[Long]("n_docs"),
       shingleN = n, minSeq = minSeq(prev), maxSeq = newSeq,
       lastBatch = math.max(prev.getAs[Long]("last_batch"), batchId),
       sidecarCols = storedSidecar.mkString(","),

@@ -1021,10 +1021,13 @@ object VectorOps {
       val emb = Tables.embeddings(s, dir)
       val lshMaxRows =
         s.conf.get("graft.embpipe.lshMaxRows", "5000").toLong
-      // metadata row bound where available (parquet footers via RowEst) —
-      // the stats-based routing the dedup/span families already use; the
-      // count() job only runs when the relation carries no free bound
-      val n = graft.model.RowEst.upperBound(emb).getOrElse(emb.count())
+      // metadata row count where available (parquet footers via RowEst).
+      // EXACT count only (r18 verdict "what's wrong" #5): unlike the
+      // dedup/span families, the two routes here are NOT oracle-proven
+      // identical, so an upper bound that over-shoots lshMaxRows on a
+      // filtered relation would silently change the emitted pairs — a
+      // non-exact plan pays the count() job instead.
+      val n = graft.model.RowEst.exactCount(emb).getOrElse(emb.count())
       val rawPairs =
         if (n <= lshMaxRows) cosineNearDupLsh(s, emb, threshold = 0.4)
         else cosineNearDupSemantic(s, emb, threshold = 0.4, nAssign = 2)

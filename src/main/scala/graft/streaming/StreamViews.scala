@@ -546,7 +546,13 @@ object StreamViews {
       // the ONE declared recipe (QualityFilter.trainDeclaredModel) —
       // streamed ≡ batch scores requires both to train identically;
       // trained once per session per sf dir (see qualityModelCache)
-      val m = qualityModelCache.computeIfAbsent(s"qmodel|$dir",
+      // STALENESS ASSUMPTION (r18 advice): the cache presumes the corpus
+      // under `dir` is static for the session (true of the read-only
+      // testdata; a mutating corpus would need a content key). Keyed on
+      // graft.quality.dim too — a mid-session conf change must not serve
+      // a model of the wrong feature dimension.
+      val dimKey = s.conf.get("graft.quality.dim", "4096")
+      val m = qualityModelCache.computeIfAbsent(s"qmodel|$dimKey|$dir",
         _ => graft.operators.QualityFilter.trainDeclaredModel(s, docs))
       val schema = docs.schema
       sinkToMemory(s,
