@@ -83,10 +83,16 @@ object VectorIndex {
     * TORN first build (codes/books staged, meta never committed) reads
     * as not-built and is simply rebuilt here — the retry converges.
     */
+  /** `localCoarseTrain = true` trains the coarse quantizer with the
+    * driver-local seeded k-means ([[VectorOps.trainQuantizerLocal]]) —
+    * ONLY for sacrificial builds whose codebooks are retired before any
+    * declared result reads them (the swap_vec v0 bootstrap). Every
+    * recall-tracked index keeps the MLlib path (the r9 revert).
+    */
   def buildIvfPq(spark: SparkSession, emb: DataFrame, dir: String,
       nCells: Int = 0, m: Int = 0, ks: Int = 0,
       maxTrainRows: Long = 100000L, nRows: Long = 0L,
-      batchId: Long = -1L): Unit = {
+      batchId: Long = -1L, localCoarseTrain: Boolean = false): Unit = {
     import spark.implicits._
     // repair a torn predecessor swap, then answer "has a build ever
     // COMMITTED" against the repaired state — committed probe, not bare
@@ -101,15 +107,22 @@ object VectorIndex {
         "serving pointer, or maintain this one via appendIvfPq/consolidate " +
         "(both crash-safe); rebuild-in-place has no atomic commit point")
     fs(spark).delete(new org.apache.hadoop.fs.Path(metaDir(dir)), true) // torn first-write leftover
-    val n = if (nRows > 0) nRows else emb.count()
+    // n gates only the auto-shape sizing and the train-sample decision,
+    // and an EXACT metadata count preserves both bit-for-bit — parquet
+    // footers answer it with zero jobs on preservation-only plans
+    // (filtered/derived inputs abstain and pay the count as before)
+    val n = if (nRows > 0) nRows
+      else graft.model.RowEst.exactCount(emb).getOrElse(emb.count())
     val cells = if (nCells > 0) nCells else VectorOps.ivfCells(n)
     val kCent = if (ks > 0) ks else VectorOps.pqCodebookSize(n)
     val dims = VectorOps.embDims(emb)
     val mSub = if (m > 0) m else VectorOps.pqSubspaces(dims)
     val unitEmb = VectorOps.withUnit(emb, "embedding", "unit")
-    val centroidArr = VectorOps.trainQuantizer(
-      unitEmb.select(col("vec_id"), col("unit").as("embedding")),
-      cells, maxTrainRows, n)
+    val trainIn = unitEmb.select(col("vec_id"), col("unit").as("embedding"))
+    val centroidArr =
+      if (localCoarseTrain)
+        VectorOps.trainQuantizerLocal(trainIn, cells, maxTrainRows)
+      else VectorOps.trainQuantizer(trainIn, cells, maxTrainRows, n)
     val assigned = VectorOps.ivfPqAssign(spark, unitEmb, centroidArr)
     val books = VectorOps.trainPqCodebooks(
       assigned.select(col("residual").as("embedding")), mSub, kCent, dims,
@@ -210,17 +223,85 @@ object VectorIndex {
 
   /** (coarse centroids, PQ codebooks) read back from `dir` — float-exact,
     * so encoding with them is bit-identical to the build pass.
+    *
+    * The codebooks table is a broadcast-sized side table (cells + m·ks
+    * rows, one part file) that every search and append resolves, so it
+    * is read with the parquet-hadoop reader on the driver — the
+    * [[graft.model.OneRowParquet]] pattern extended to the one
+    * remaining per-read metadata JOB on the vector serving path (a
+    * Spark collect costs ~60-150 ms of fixed action overhead per read).
+    * Any shape surprise or reader error falls back to the Spark read,
+    * so correctness never depends on the fast path; both paths decode
+    * the same float bits.
     */
   def readCodebooks(spark: SparkSession, dir: String): (Array[Array[Float]], Array[Array[Array[Float]]]) = {
-    val rows = spark.read.parquet(booksDir(dir))
-      .select("kind", "sub", "idx", "vec").collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray))
+    val rows = readBooksLocal(spark, booksDir(dir)).getOrElse {
+      spark.read.parquet(booksDir(dir))
+        .select("kind", "sub", "idx", "vec").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray))
+    }
     val coarse = rows.filter(_._1 == "coarse").sortBy(_._3).map(_._4)
     val pq = rows.filter(_._1 == "pq").groupBy(_._2).toSeq.sortBy(_._1)
       .map { case (_, cents) => cents.sortBy(_._3).map(_._4) }.toArray
     require(coarse.nonEmpty && pq.nonEmpty, s"no codebooks at $dir")
     (coarse, pq)
   }
+
+  /** Driver-side read of the whole codebooks table: flat (string, int,
+    * int, array<float>) rows via the parquet-example Group API. None on
+    * any surprise — absent dir, no part files, nulls, an element shape
+    * other than the standard 3-level LIST of FLOAT — and the caller
+    * pays the Spark collect instead.
+    */
+  private def readBooksLocal(spark: SparkSession,
+      dir: String): Option[Array[(String, Int, Int, Array[Float])]] =
+    try {
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+      val conf = spark.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val f = p.getFileSystem(conf)
+      if (!f.exists(p)) None
+      else {
+        val parts = f.listStatus(p)
+          .filter(st => st.isFile && st.getLen > 0 &&
+            !st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.startsWith("."))
+          .map(_.getPath).sortBy(_.getName)
+        if (parts.isEmpty) None
+        else {
+          val out = scala.collection.mutable.ArrayBuffer[(String, Int, Int, Array[Float])]()
+          parts.foreach { file =>
+            val reader = ParquetReader
+              .builder(new GroupReadSupport(), file).withConf(conf).build()
+            try {
+              var g = reader.read()
+              while (g != null) {
+                // required fields present exactly once; a null/missing
+                // field throws and the catch-all abstains
+                val kind = g.getString("kind", 0)
+                val sub = g.getInteger("sub", 0)
+                val idx = g.getInteger("idx", 0)
+                val list = g.getGroup("vec", 0) // LIST wrapper group
+                val nEl = list.getFieldRepetitionCount(0)
+                val arr = new Array[Float](nEl)
+                var i = 0
+                while (i < nEl) {
+                  // 3-level list: repeated group element wrapper
+                  arr(i) = list.getGroup(0, i).getFloat(0, 0)
+                  i += 1
+                }
+                out += ((kind, sub, idx, arr))
+                g = reader.read()
+              }
+            } finally reader.close()
+          }
+          if (out.isEmpty) None else Some(out.toArray)
+        }
+      }
+    } catch {
+      case _: Exception => None // fallback owns the error story
+    }
 
   /** Append `newEmb` encoded with the SAVED codebooks: only the new rows
     * are written (into their cells' partition directories); existing

@@ -973,8 +973,16 @@ object VectorOps {
     noOracle("index_rebuild_swap_vec") { (s, dir) =>
       val emb = Tables.embeddings(s, dir)
       val root = graft.Scratch.dir("graft_vecindex_swaproot")
+      // v0 is SACRIFICIAL: it serves only during the v1 retrain and is
+      // retired at the second flip — the declared result reads v1 alone
+      // (ServingPointerSpec pins post-flip ≡ direct v1-params build).
+      // Its coarse quantizer therefore trains driver-locally (one
+      // TakeOrdered job instead of the ~20-job MLlib storm); the coarse
+      // DRIFTED SHAPE (8 cells, 8 subspaces) — the thing the lifecycle
+      // claim needs — is unchanged.
       val v0 = graft.model.ServingPointer.stage(s, root)(
-        VectorIndex.buildIvfPq(s, emb, _, nCells = 8, m = 8, ks = 16))
+        VectorIndex.buildIvfPq(s, emb, _, nCells = 8, m = 8, ks = 16,
+          localCoarseTrain = true))
       graft.model.ServingPointer.flip(s, root, v0)
       val servedV0 = graft.model.ServingPointer.resolve(s, root).get
       require(VectorIndex.searchIvfPq(s, servedV0, emb,
@@ -1427,6 +1435,41 @@ object VectorOps {
         model.clusterCenters.map(_.toArray.map(_.toFloat))
       }
     } finally train.unpersist()
+  }
+
+  /** DRIVER-LOCAL coarse-quantizer trainer for SACRIFICIAL builds —
+    * indexes whose codebooks are retired before any declared result is
+    * read from them (the `index_rebuild_swap_vec` v0 build: it exists
+    * only to SERVE during the v1 retrain and is replaced at the second
+    * pointer flip). The r9 revert note on [[trainQuantizer]] stands for
+    * every RECALL-TRACKED index: MLlib's k-means|| partition is what the
+    * pinned fixtures measure, so served codebooks keep the MLlib path.
+    * Here the codebooks never reach a declared result, and the ~20-job
+    * MLlib storm (featurize checkpoint + distinct-k probe + ~10 fit
+    * passes) collapses to ONE TakeOrdered job: collect the `ORDER BY
+    * vec_id LIMIT maxTrainRows` sample (deterministic, no full-corpus
+    * shuffle — per-partition top-k merged on the driver), then the same
+    * seeded k-means++/Lloyd [[kmeansLocal]] the PQ codebooks already use.
+    */
+  def trainQuantizerLocal(emb: DataFrame, cells: Int,
+      maxTrainRows: Long): Array[Array[Float]] = {
+    val rows = emb.where(col("embedding").isNotNull)
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id"))
+      .limit(math.min(maxTrainRows, Int.MaxValue.toLong).toInt)
+      .collect()
+    require(rows.nonEmpty, "quantizer training sample is empty")
+    val pts = rows.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    // kmeansLocal needs uniform width; pad ragged tails with zeros (the
+    // encoder's common-prefix rule: missing dims contribute nothing)
+    val w = pts.iterator.map(_.length).max
+    val uni = pts.map(p => if (p.length == w) p else java.util.Arrays.copyOf(p, w))
+    // k capped at the sample size; duplicate points are harmless here
+    // (unlike MLlib's blockified k-means|| — see trainQuantizer): a
+    // duplicated center just never wins a nearest-cell tiebreak
+    val k = math.min(cells, uni.length)
+    if (k < 2) Array(rows.head.getSeq[Float](1).toArray) // min-vec_id row, as trainQuantizer
+    else kmeansLocal(uni, k, 42L).map(_.map(_.toFloat))
   }
 
   /** IVF: train a seeded k-means coarse quantizer, assign corpus rows

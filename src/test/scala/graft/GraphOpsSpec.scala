@@ -40,6 +40,28 @@ class GraphOpsSpec extends SparkSpec {
     assert(total < 1.0 && total > 0.5, s"total rank $total")
   }
 
+  test("driver-local CC route equals the distributed loop on every graph shape") {
+    // random graphs + the adversarial shapes: long chain (max diameter),
+    // star (max degree), duplicate/self-loop edges, empty graph
+    val rnd = new scala.util.Random(7)
+    val shapes: Seq[Seq[(Long, Long)]] = Seq(
+      (1L to 200L).map(i => (i, i + 1)), // chain
+      (2L to 120L).map(i => (1L, i)), // star
+      Seq.tabulate(300)(_ => (rnd.nextInt(80).toLong, rnd.nextInt(80).toLong)), // random w/ self-loops
+      Seq((5L, 5L)), // only self-loops -> empty labeling
+      Seq.empty[(Long, Long)] // empty
+    )
+    shapes.zipWithIndex.foreach { case (es, i) =>
+      val edges = es.toDF("src", "dst")
+      def run(): Set[(Long, Long)] = GraphOps.connectedComponents(edges)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val local = run() // default threshold: these all take the local route
+      spark.conf.set("graft.cc.localMaxEdges", "0") // force the loop
+      val dist = try run() finally spark.conf.unset("graft.cc.localMaxEdges")
+      assert(local == dist, s"shape $i: local route diverged from the loop")
+    }
+  }
+
   test("incremental CC equals full recompute when new edges merge old components") {
     import spark.implicits._
     // old graph: three components {1,2,3}, {10,11}, {20,21,22}

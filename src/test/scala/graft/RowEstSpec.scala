@@ -78,6 +78,32 @@ class RowEstSpec extends SparkSpec {
     } finally spark.conf.unset("graft.spanscrub.directMaxRows")
   }
 
+  test("exactCount answers only on cardinality-PRESERVING plans") {
+    val docs = Tables.documents(spark, sf0001)
+    val n = docs.count()
+    assert(RowEst.exactCount(docs).contains(n), "bare scan: footer-exact")
+    assert(RowEst.exactCount(docs.select("doc_id").orderBy("doc_id"))
+      .contains(n), "project/sort preserve cardinality")
+    assert(RowEst.exactCount(docs.unionAll(docs)).contains(2 * n),
+      "union of exacts sums")
+    assert(RowEst.exactCount(docs.where(col("doc_id") > 5)).isEmpty,
+      "a filter makes the footer count an upper bound — must abstain")
+    assert(RowEst.exactCount(docs.limit(3)).isEmpty,
+      "limit abstains (exactness, not bounds, is the contract here)")
+    assert(RowEst.exactCount(docs.sample(withReplacement = false, 0.5, 1L)).isEmpty,
+      "sample abstains")
+  }
+
+  test("dirRowsExact equals the written level's count; missing dir reads as 0") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_rowest_dir").toString
+    val docs = Tables.documents(spark, sf0001).limit(37)
+    docs.write.mode("overwrite").parquet(dir)
+    assert(RowEst.dirRowsExact(spark, dir).contains(37L),
+      "footer sum must equal the written row count exactly")
+    assert(RowEst.dirRowsExact(spark, dir + "/nope").contains(0L),
+      "a missing dir is a zero-row level (empty batches write no files)")
+  }
+
   test("routing a bare-scan input launches NO job (the whole point)") {
     val sc = spark.sparkContext
     // a job group isolates jobs submitted by THIS thread from the

@@ -27,6 +27,43 @@ class VectorIndexSpec extends SparkSpec {
       "one code path, same training sample and seeds -> identical answers")
   }
 
+  test("driver-side codebooks read equals the Spark read bit-for-bit") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = freshDir()
+    VectorIndex.buildIvfPq(spark, emb, dir, nCells = 16, m = 8, ks = 16)
+    // readCodebooks serves the parquet-hadoop fast path; re-derive the
+    // same structure through the Spark collect it replaced
+    val (coarseFast, pqFast) = VectorIndex.readCodebooks(spark, dir)
+    val rows = spark.read.parquet(dir + "/codebooks")
+      .select("kind", "sub", "idx", "vec").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getInt(2), r.getSeq[Float](3).toArray))
+    val coarseSlow = rows.filter(_._1 == "coarse").sortBy(_._3).map(_._4)
+    val pqSlow = rows.filter(_._1 == "pq").groupBy(_._2).toSeq.sortBy(_._1)
+      .map { case (_, cents) => cents.sortBy(_._3).map(_._4) }.toArray
+    assert(coarseFast.map(_.toSeq).toSeq == coarseSlow.map(_.toSeq).toSeq,
+      "coarse centroids must round-trip identically through the driver reader")
+    assert(pqFast.map(_.map(_.toSeq).toSeq).toSeq == pqSlow.map(_.map(_.toSeq).toSeq).toSeq,
+      "PQ codebooks must round-trip identically through the driver reader")
+  }
+
+  test("localCoarseTrain builds a servable index with the declared shape") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val dir = freshDir()
+    // the sacrificial-v0 path: driver-local coarse train, same lifecycle
+    VectorIndex.buildIvfPq(spark, emb, dir, nCells = 8, m = 8, ks = 16,
+      localCoarseTrain = true)
+    val (coarse, books) = VectorIndex.readCodebooks(spark, dir)
+    assert(coarse.length == 8, "coarse quantizer keeps the declared drifted shape")
+    assert(books.length == 8 && books.forall(_.length == 16),
+      "PQ books keep the declared 8x16 shape")
+    val hits = VectorIndex.searchIvfPq(spark, dir, emb,
+      probes = emb.where($"vec_id" < 10), k = 5, nProbe = 8, rerank = 12)
+    assert(hits.count() > 0, "the sacrificial index must serve searches")
+    // every corpus row is indexed exactly once (the encode pass is the
+    // same one the MLlib path uses; only the centroid source differs)
+    assert(spark.read.parquet(dir + "/codes").count() == emb.count())
+  }
+
   test("append encodes with the saved codebooks and leaves them untouched") {
     val emb = Tables.embeddings(spark, sf0001)
     val dir = freshDir()
